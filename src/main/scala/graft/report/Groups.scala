@@ -1,0 +1,75 @@
+package graft.report
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
+
+/** Config-driven grouped-aggregation engine (SURVEY §2.4 A1-A8).
+  *
+  * One hash group-by per configured category attribute; per group:
+  * `uses` count, `avg_X` (rounded 2 — reference
+  * report_generator.py:372-381), `sum_X` for `showAsSum`
+  * (report_generator.py:363-371), `X_list` distinct-sorted
+  * ';'-joined for `showAsList` (report_generator.py:352-362).
+  *
+  * Numeric-column detection deviates deliberately from the
+  * reference's "first row parses as Decimal" probe
+  * (report_generator.py:311-326): here it is schema-driven
+  * (deterministic, plan-time) — documented in SURVEY §7.4.2.
+  *
+  * Scale: each section is a partial-aggregated hash groupBy; the only
+  * shuffle moves one row per (category value x column), and
+  * `collect_set` lists are bounded by the distinct-value count of the
+  * listed column.
+  */
+object Groups {
+
+  case class GroupConfig(
+      category: String,
+      showAsSum: Set[String] = Set.empty,
+      showAsList: Set[String] = Set.empty,
+      ignore: Set[String] = Set.empty)
+
+  /** A5: distinct values, sorted, ';'-joined (CSV-text parity with
+    * the reference's `,`->`;` escape). */
+  def distinctSortedList(c: Column): Column =
+    concat_ws(";", sort_array(collect_set(regexp_replace(c.cast("string"), ",", ";"))))
+
+  def sectionAggs(df: DataFrame, cfg: GroupConfig): Seq[Column] = {
+    val numeric = df.schema.fields
+      .filter(_.dataType.isInstanceOf[NumericType]).map(_.name).toSet
+    val excluded = cfg.ignore + cfg.category
+    val avgCols = (numeric -- cfg.showAsSum -- cfg.showAsList -- excluded).toSeq.sorted
+    val sumCols = (cfg.showAsSum -- excluded).toSeq.sorted
+    val listCols = (cfg.showAsList -- excluded).toSeq.sorted
+    Seq(count(lit(1)).as("uses")) ++
+      avgCols.map(c => round(avg(col(c)), 2).as(s"avg_$c")) ++
+      sumCols.map(c => sum(col(c)).as(s"sum_$c")) ++
+      listCols.map(c => distinctSortedList(col(c)).as(s"${c}_list"))
+  }
+
+  /** A1-A8: one report section — grouped aggregate rows ordered by
+    * category value (O2). */
+  def section(df: DataFrame, cfg: GroupConfig): DataFrame = {
+    val aggs = sectionAggs(df, cfg)
+    df.groupBy(col(cfg.category))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col(cfg.category))
+  }
+
+  /** A7: `Total number of unique <cat>s`. */
+  def distinctGroupCount(df: DataFrame, category: String): DataFrame =
+    df.agg(countDistinct(col(category)).as("n_groups"))
+
+  /** A8: per-group raw dump — every run of one group value, columns
+    * sorted (reference report_generator.py:387-430). */
+  def rawOfGroup(df: DataFrame, category: String, value: String): DataFrame =
+    RunRecords.sortedColumns(df.filter(col(category).cast("string") === value))
+
+  /** The multi-section report: one section per category over the same
+    * cached input (the reference re-iterates the run list per
+    * category; here the input is cached once and each section is an
+    * independent aggregation — SURVEY §4). */
+  def report(df: DataFrame, configs: Seq[GroupConfig]): Map[String, DataFrame] =
+    configs.map(c => c.category -> section(RunRecords.prune(df, c.ignore), c)).toMap
+}
