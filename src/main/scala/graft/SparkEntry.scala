@@ -14,7 +14,9 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     graft.queries.BaseQueries,
     graft.queries.SalesQueries,
-    graft.queries.ReportQueries)
+    graft.queries.ReportQueries,
+    graft.queries.JoinQueries,
+    graft.queries.ScalarQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
