@@ -16,7 +16,8 @@ object SparkEntry {
     graft.queries.SalesQueries,
     graft.queries.ReportQueries,
     graft.queries.JoinQueries,
-    graft.queries.ScalarQueries)
+    graft.queries.ScalarQueries,
+    graft.queries.TrainingQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline.
+  *
+  * Exact (content-hash group-by), n-gram Jaccard via an inverted
+  * shingle index, MinHash+LSH banding, and SimHash — each a
+  * shuffle-bounded declarative plan:
+  *
+  *  - exact: one hash aggregate on the content hash.
+  *  - Jaccard: the candidate join is an equi-join on shingle value;
+  *    super-common shingles are droppable via `maxDf` (the standard
+  *    fan-out cap — quadratic pair blow-up comes only from shingles
+  *    shared by many documents).
+  *  - MinHash: one aggregate builds 64-component signatures; LSH
+  *    banding turns near-dup search into an equi-join on
+  *    (band, band-hash) — no all-pairs comparison at any scale.
+  *  - SimHash: one aggregate of 64 bit-majority counters.
+  */
+object Dedup {
+
+  /** Exact dedup clusters: one row per distinct content hash. */
+  def exactClusters(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("fp"))
+      .agg(
+        count(lit(1)).as("n_copies"),
+        min(col(idCol)).as("canonical_id"))
+
+  /** Distinct word n-gram shingles, one row per (id, shingle).
+    * Documents shorter than n tokens drop out (they cannot shingle). */
+  def wordShingles(df: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame = {
+    val w = TextAnalysis.tokens(col(textCol))
+    df.select(col(idCol).as("id"), w.as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("id"), explode(array_distinct(
+        transform(sequence(lit(0), size(col("w")) - n),
+          i => concat_ws(" ", slice(col("w"), i + 1, lit(n)))))).as("g"))
+  }
+
+  /** Shingle index with document-frequency cap: shingles appearing in
+    * more than `maxDf` docs are dropped (fan-out bound; part of the
+    * operator's declared semantics, mirrored by the oracle). */
+  def cappedIndex(sh: DataFrame, maxDf: Long): DataFrame = {
+    val dfreq = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    sh.join(dfreq.select("g"), Seq("g"))
+  }
+
+  /** Exact n-gram Jaccard over candidate pairs from the inverted
+    * index: jaccard = shared / (|A| + |B| - shared). Top-k by
+    * (jaccard desc, ids) keeps output bounded and deterministic. */
+  def jaccardPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, maxDf: Long = 1000L, topK: Int = 100): DataFrame = {
+    val sh = cappedIndex(wordShingles(df, textCol, idCol, n), maxDf)
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_g"))
+    val a = sh.select(col("id").as("id1"), col("g"))
+    val b = sh.select(col("id").as("id2"), col("g"))
+    val shared = a.join(b, Seq("g"))
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("id").as("id1"), col("n_g").as("n1")), Seq("id1"))
+      .join(sizes.select(col("id").as("id2"), col("n_g").as("n2")), Seq("id2"))
+      .withColumn("jaccard",
+        col("shared") / (col("n1") + col("n2") - col("shared")))
+      .select("id1", "id2", "shared", "n1", "n2", "jaccard")
+      .orderBy(col("jaccard").desc, col("id1"), col("id2"))
+      .limit(topK)
+  }
+
+  /** MinHash signatures: k independent hash slots, each the min of
+    * xxhash64(slot, shingle) over the doc's shingles. One aggregate. */
+  def minhashSignatures(sh: DataFrame, k: Int = 64): DataFrame = {
+    val aggs = (0 until k).map(i => min(xxhash64(lit(i), col("g"))).as(s"h$i"))
+    sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: signature -> (band, band-hash) rows. Docs sharing
+    * any band-hash are near-dup candidates. */
+  def lshBands(sig: DataFrame, k: Int = 64, bandSize: Int = 4): DataFrame = {
+    val nBands = k / bandSize
+    val bands = (0 until nBands).map { j =>
+      struct(lit(j).as("band"),
+        xxhash64((j * bandSize until (j + 1) * bandSize).map(i => col(s"h$i")): _*)
+          .as("bh"))
+    }
+    sig.select(col("id"), explode(array(bands: _*)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
+  }
+
+  /** Candidate near-dup pairs: equi-join on (band, band-hash). */
+  def minhashCandidates(bands: DataFrame): DataFrame = {
+    val x = bands.select(col("band"), col("bh"), col("id").as("id1"))
+    val y = bands.select(col("band"), col("bh"), col("id").as("id2"))
+    x.join(y, Seq("band", "bh"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
+  /** SimHash: 64-bit bit-majority fingerprint of token hashes.
+    * One aggregate of 64 counters; near-dups share high-bit buckets. */
+  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("t"))
+      .withColumn("th", xxhash64(col("t")))
+    val bitAggs = (0 until 64).map { b =>
+      sum(when(shiftrightunsigned(col("th"), b).bitwiseAND(1L) === 1L, 1L)
+        .otherwise(-1L)).as(s"b$b")
+    }
+    val counted = tok.groupBy(col("id")).agg(bitAggs.head, bitAggs.tail: _*)
+    val assembled = (0 until 64)
+      .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
+      .reduce(_ + _)
+    counted.select(col("id"), assembled.as("simhash"))
+  }
+}

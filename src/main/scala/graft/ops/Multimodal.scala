@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.util.hashing.MurmurHash3
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata.
+  *
+  * The decode step is a clearly-marked STUB (no media libraries in
+  * this container): [[decodeBatch]] derives deterministic fake
+  * dimensions from a hash of the bytes. Everything around it — the
+  * schema, the `Dataset[MediaRecord]` batch shape, partition-wise
+  * batched processing (the Scala analog of `mapInPandas`), and the
+  * frame-sample explode — is real Spark plumbing and tested.
+  *
+  * `mapPartitions` is used deliberately (SURVEY preference (d)):
+  * opaque binary decode is genuinely imperative per-record work that
+  * no Catalyst expression can express.
+  */
+object Multimodal {
+
+  case class MediaRecord(doc_id: Long, media: Array[Byte], media_type: String)
+
+  case class MediaFeatures(
+      doc_id: Long, media_type: String, byte_len: Long,
+      width: Int, height: Int, n_frames: Int)
+
+  /** Synthesize a media table from documents: utf-8 bytes as the
+    * opaque blob, modality assigned round-robin. */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      col("text").cast("binary").as("media"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"))
+
+  /** STUB decode of one media blob.
+    * A real build decodes image/audio here (javax.imageio / ffmpeg
+    * bindings); this container has neither, so dimensions are a
+    * deterministic function of the bytes. The signature — bytes in,
+    * typed features out — is the real contract. */
+  private def decodeStub(r: MediaRecord): MediaFeatures = {
+    val h = MurmurHash3.bytesHash(r.media, 42)
+    val h2 = MurmurHash3.bytesHash(r.media, 7)
+    MediaFeatures(
+      doc_id = r.doc_id,
+      media_type = r.media_type,
+      byte_len = r.media.length.toLong,
+      width = math.abs(h % 1920) + 1,
+      height = math.abs(h2 % 1080) + 1,
+      n_frames = if (r.media_type == "video") math.abs(h % 240) + 1 else 1)
+  }
+
+  /** Partition-wise batched decode: records are processed in batches
+    * of `batchSize` (the Arrow-batch shape a Python `mapInPandas`
+    * would see), one partition per task, no driver involvement. */
+  def decodeBatch(ds: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch => batch.map(decodeStub) }
+    }
+  }
+
+  /** End-to-end: documents -> media -> features DataFrame. */
+  def features(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    decodeBatch(mediaFromDocuments(docs).as[MediaRecord]).toDF()
+  }
+
+  /** Frame sampling: one row per sampled frame index (every `everyN`
+    * frames) — the explode pattern a video pipeline fans out with. */
+  def frameSample(features: DataFrame, everyN: Int = 24): DataFrame =
+    features.filter(col("media_type") === "video")
+      .select(col("doc_id"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(everyN)))
+          .as("frame_idx"))
+}

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: token
+  * counting, quality scoring, stopword-vote language ID, document
+  * fingerprinting. All pure built-in expressions — codegen'd, no UDFs,
+  * embarrassingly parallel at any scale.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer (single-space delimiter, matching the
+    * corpus format; swap the pattern for `\\s+` corpora). */
+  def tokens(c: Column): Column = split(c, " ")
+
+  /** Tiny per-language stopword lists for the n-gram/stopword-vote
+    * language-ID heuristic. */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "la", "de", "los", "que"),
+    "fr" -> Seq("le", "les", "et", "des", "une"))
+
+  /** Count of tokens (with multiplicity) present in `words`. */
+  def stopwordHits(toks: Column, words: Seq[String]): Column = {
+    val dict = array(words.map(lit): _*)
+    size(filter(toks, t => array_contains(dict, t))).cast("long")
+  }
+
+  /** Stopword-vote language ID: argmax of per-language hit counts,
+    * ties broken by list order (en > de > es > fr). Input columns must
+    * be the hit counts in [[langStopwords]] order. */
+  def langIdFromScores(scores: Seq[Column]): Column = {
+    require(scores.length == langStopwords.length)
+    val names = langStopwords.map(_._1)
+    names.indices.init.foldRight(lit(names.last): Column) { (i, rest) =>
+      val winsAll = scores.drop(i + 1)
+        .map(s => scores(i) >= s).reduce(_ && _)
+      when(winsAll, names(i)).otherwise(rest)
+    }
+  }
+
+  /** Quality metrics, all integer-derived with one final division:
+    * token count, distinct-token ratio, mean token length, stopword
+    * ratio (en). */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("long")
+    val nChars = length(text).cast("long")
+    val tokChars = length(regexp_replace(text, " ", "")).cast("long")
+    val nDistinct = size(array_distinct(toks)).cast("long")
+    val hits = stopwordHits(toks, langStopwords.head._2)
+    Seq(
+      "n_tokens" -> nTok,
+      "n_chars_m" -> nChars,
+      "n_distinct_tokens" -> nDistinct,
+      "mean_token_len" -> (tokChars / nTok),
+      "distinct_ratio" -> (nDistinct / nTok),
+      "stopword_ratio" -> (hits / nTok))
+  }
+
+  /** Document fingerprints: content hash of the raw and normalized
+    * text (md5 here for oracle parity; xxhash64 internally where
+    * cross-engine comparison is not needed). */
+  def fingerprintColumns(text: Column): Seq[(String, Column)] = Seq(
+    "fp" -> md5(text),
+    "fp_norm" -> md5(lower(text)))
+}

@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops._
+
+/** Training-data pipeline queries over `documents` / `embeddings`:
+  * dedup family, similarity search, text analysis, multimodal
+  * plumbing. SQL-expressible ops carry DuckDB oracles; hash-based ops
+  * (xxhash64 has no DuckDB twin) are rows-only checked and covered by
+  * ScalaTest instead.
+  */
+object TrainingQueries extends graft.QueryModule {
+
+  // ---- text analysis -----------------------------------------------------
+
+  def qTextStats(s: SparkSession, dir: String): DataFrame = {
+    val cols = TextAnalysis.qualityColumns(col("text"))
+      .map { case (n, c) => c.as(n) }
+    Tables.documents(s, dir)
+      .select(col("doc_id") +: cols: _*)
+      .orderBy(col("doc_id"))
+  }
+
+  val qTextStatsSql: String =
+    """SELECT doc_id,
+      |  CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(length(text) AS BIGINT) AS n_chars_m,
+      |  CAST(len(list_distinct(str_split(text, ' '))) AS BIGINT)
+      |    AS n_distinct_tokens,
+      |  CAST(length(replace(text, ' ', '')) AS BIGINT)
+      |    / CAST(len(str_split(text, ' ')) AS BIGINT) AS mean_token_len,
+      |  CAST(len(list_distinct(str_split(text, ' '))) AS BIGINT)
+      |    / CAST(len(str_split(text, ' ')) AS BIGINT) AS distinct_ratio,
+      |  CAST(len(list_filter(str_split(text, ' '),
+      |      x -> list_contains(['the','a','of','and','to'], x))) AS BIGINT)
+      |    / CAST(len(str_split(text, ' ')) AS BIGINT) AS stopword_ratio
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  def qLangId(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val scoreCols = TextAnalysis.langStopwords.map { case (l, ws) =>
+      TextAnalysis.stopwordHits(toks, ws).as(s"s_$l")
+    }
+    val names = TextAnalysis.langStopwords.map { case (l, _) => col(s"s_$l") }
+    Tables.documents(s, dir)
+      .select(col("doc_id") +: col("lang") +: scoreCols: _*)
+      .withColumn("lang_pred", TextAnalysis.langIdFromScores(names))
+      .withColumn("matches_label", col("lang_pred") === col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qLangIdSql: String = {
+    def hits(ws: Seq[String]): String = {
+      val lst = ws.map(w => s"'$w'").mkString("[", ",", "]")
+      s"CAST(len(list_filter(str_split(text, ' '), x -> list_contains($lst, x))) AS BIGINT)"
+    }
+    val Seq(en, de, es, fr) = TextAnalysis.langStopwords.map(p => hits(p._2))
+    s"""SELECT doc_id, lang, $en AS s_en, $de AS s_de, $es AS s_es, $fr AS s_fr,
+       |  CASE
+       |    WHEN $en >= $de AND $en >= $es AND $en >= $fr THEN 'en'
+       |    WHEN $de >= $es AND $de >= $fr THEN 'de'
+       |    WHEN $es >= $fr THEN 'es'
+       |    ELSE 'fr' END AS lang_pred,
+       |  (CASE
+       |    WHEN $en >= $de AND $en >= $es AND $en >= $fr THEN 'en'
+       |    WHEN $de >= $es AND $de >= $fr THEN 'de'
+       |    WHEN $es >= $fr THEN 'es'
+       |    ELSE 'fr' END) = lang AS matches_label
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  def qFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val cols = TextAnalysis.fingerprintColumns(col("text"))
+      .map { case (n, c) => c.as(n) }
+    Tables.documents(s, dir)
+      .select(col("doc_id") +: cols: _*)
+      .orderBy(col("doc_id"))
+  }
+
+  val qFingerprintSql: String =
+    """SELECT doc_id, md5(text) AS fp, md5(lower(text)) AS fp_norm
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- dedup family ------------------------------------------------------
+
+  def qExactDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactClusters(Tables.documents(s, dir), "text", "doc_id")
+      .orderBy(col("fp"))
+
+  val qExactDedupSql: String =
+    """SELECT md5(text) AS fp, count(*) AS n_copies,
+      |  CAST(min(doc_id) AS BIGINT) AS canonical_id
+      |FROM documents GROUP BY md5(text) ORDER BY fp""".stripMargin
+
+  def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(Tables.documents(s, dir), "text", "doc_id",
+      n = 3, maxDf = 1000L, topK = 100)
+
+  val qNgramJaccardSql: String =
+    """WITH t AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+      |sh0 AS (SELECT DISTINCT doc_id AS id,
+      |          w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+      |        FROM t, UNNEST(generate_series(1, len(w)-2)) AS u(i)
+      |        WHERE len(w) >= 3),
+      |dfreq AS (SELECT g FROM sh0 GROUP BY g HAVING count(*) <= 1000),
+      |sh AS (SELECT sh0.id, sh0.g FROM sh0 JOIN dfreq USING (g)),
+      |sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS n_g FROM sh GROUP BY id),
+      |shared AS (SELECT a.id AS id1, b.id AS id2,
+      |             CAST(count(*) AS BIGINT) AS shared
+      |           FROM sh a JOIN sh b ON a.g = b.g AND a.id < b.id
+      |           GROUP BY a.id, b.id)
+      |SELECT id1, id2, shared, s1.n_g AS n1, s2.n_g AS n2,
+      |  shared / (s1.n_g + s2.n_g - shared) AS jaccard
+      |FROM shared
+      |JOIN sizes s1 ON s1.id = id1
+      |JOIN sizes s2 ON s2.id = id2
+      |ORDER BY jaccard DESC, id1, id2 LIMIT 100""".stripMargin
+
+  /** MinHash+LSH: per-document signature head + candidate count
+    * (xxhash64-based — rows-only check; exactness covered in specs). */
+  def qMinhashDedup(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.cappedIndex(
+      Dedup.wordShingles(Tables.documents(s, dir), "text", "doc_id"), 1000L)
+    val sig = Dedup.minhashSignatures(sh, 64)
+    val cands = Dedup.minhashCandidates(Dedup.lshBands(sig, 64, 4))
+    val counts = cands.select(col("id1").as("id"))
+      .union(cands.select(col("id2").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_candidates"))
+    sig.select(col("id").as("doc_id"), col("h0"))
+      .join(counts.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_candidates"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** SimHash fingerprint + high-16-bit bucket mates (rows-only). */
+  def qSimhash(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.simhash(Tables.documents(s, dir), "text", "doc_id")
+      .withColumn("bucket", shiftrightunsigned(col("simhash"), 48))
+    val w = Window.partitionBy(col("bucket"))
+    sh.withColumn("n_mates", (count(lit(1)).over(w) - 1).cast("long"))
+      .select(col("id").as("doc_id"), col("simhash"), col("bucket"), col("n_mates"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- similarity search -------------------------------------------------
+
+  def qAnnTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+  }
+
+  val qAnnTopKSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings),
+      |p AS (SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+      |        list_cosine_similarity(q.v, e.v) AS sim
+      |      FROM e q JOIN e ON q.vec_id < 10 AND e.vec_id <> q.vec_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+      |        ORDER BY sim DESC, neighbor_id) AS rn FROM p)
+      |SELECT q_id, CAST(rn AS BIGINT) AS rank, neighbor_id, sim
+      |FROM r WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin
+
+  def qEmbedNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.nearestNeighbor(Tables.embeddings(s, dir))
+
+  val qEmbedNearDupSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings),
+      |p AS (SELECT a.vec_id, b.vec_id AS nn_id,
+      |        list_cosine_similarity(a.v, b.v) AS sim
+      |      FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+      |        ORDER BY sim DESC, nn_id) AS rn FROM p)
+      |SELECT vec_id, nn_id, sim FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
+  /** Sign-LSH bucketed ANN (xxhash64 hyperplanes — rows-only; recall
+    * vs brute force asserted in specs). */
+  def qAnnLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(Tables.embeddings(s, dir), queryMaxId = 10L, k = 5, nBits = 6)
+
+  // ---- multimodal --------------------------------------------------------
+
+  /** Binary-column pipeline: blob -> batched stub decode -> per-type
+    * rollup (rows-only; decode is a documented stub). */
+  def qMultimodal(s: SparkSession, dir: String): DataFrame =
+    Multimodal.features(s, Tables.documents(s, dir))
+      .groupBy(col("media_type"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("byte_len")).as("sum_bytes"),
+        min(col("width")).as("min_width"),
+        max(col("height")).as("max_height"),
+        sum(col("n_frames")).as("sum_frames"))
+      .orderBy(col("media_type"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats" -> (qTextStats _),
+    "q_langid" -> (qLangId _),
+    "q_fingerprint" -> (qFingerprint _),
+    "q_exact_dedup" -> (qExactDedup _),
+    "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_minhash_dedup" -> (qMinhashDedup _),
+    "q_simhash" -> (qSimhash _),
+    "q_ann_topk" -> (qAnnTopK _),
+    "q_embed_neardup" -> (qEmbedNearDup _),
+    "q_ann_lsh" -> (qAnnLsh _),
+    "q_multimodal" -> (qMultimodal _))
+
+  def oracleSql: Map[String, String] = Map(
+    "q_text_stats" -> qTextStatsSql,
+    "q_langid" -> qLangIdSql,
+    "q_fingerprint" -> qFingerprintSql,
+    "q_exact_dedup" -> qExactDedupSql,
+    "q_ngram_jaccard" -> qNgramJaccardSql,
+    "q_ann_topk" -> qAnnTopKSql,
+    "q_embed_neardup" -> qEmbedNearDupSql)
+}

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup clusters duplicates") {
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val r = Dedup.exactClusters(df, "text", "doc_id")
+      .orderBy("canonical_id").collect()
+    assert(r.length === 2)
+    assert(r(0).getLong(1) === 2L && r(0).getLong(2) === 1L)
+  }
+
+  test("jaccard: identical docs score 1.0, disjoint docs absent") {
+    val df = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"), (3L, "p q r s t"))
+      .toDF("doc_id", "text")
+    val r = Dedup.jaccardPairs(df, "text", "doc_id").collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(0) === 1L && r(0).getLong(1) === 2L)
+    assert(r(0).getDouble(5) === 1.0)
+  }
+
+  test("minhash LSH finds identical docs as candidates") {
+    val df = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g h"), (3L, "p q r s t u v w"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.wordShingles(df, "text", "doc_id")
+    val cands = Dedup.minhashCandidates(
+      Dedup.lshBands(Dedup.minhashSignatures(sh))).collect()
+    assert(cands.length === 1)
+    assert(cands(0).getLong(0) === 1L && cands(0).getLong(1) === 2L)
+  }
+
+  test("simhash: identical texts get identical hashes, hamming sane") {
+    val df = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "w x y z"))
+      .toDF("doc_id", "text")
+    val r = Dedup.simhash(df, "text", "doc_id")
+      .orderBy("id").collect().map(_.getLong(1))
+    assert(r(0) === r(1))
+    assert(r(0) !== r(2))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine of identical vectors is 1") {
+    val df = Seq((1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(1.0f, 2.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.nearestNeighbor(df).collect()
+    assert(r.forall(row => math.abs(row.getDouble(2) - 1.0) < 1e-12))
+  }
+
+  test("brute-force topk is ordered and self-free") {
+    val emb = Tables.embeddings(spark, sf)
+    val r = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 3), 5).collect()
+    assert(r.length === 15)
+    r.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val sims = rows.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(sims.sorted.reverse.toSeq === sims.toSeq, s"not descending for $q")
+      assert(rows.forall(_.getLong(2) != q))
+    }
+  }
+
+  test("lsh topk results appear in brute-force ranking with same sim") {
+    val emb = Tables.embeddings(spark, sf)
+    val brute = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 10), 500)
+      .select("q_id", "neighbor_id", "sim").as[(Long, Long, Double)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    val lsh = Similarity.lshTopK(emb, 10L, 5, nBits = 6)
+      .select("q_id", "neighbor_id", "sim").as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (q, n, s) =>
+      assert(brute.contains((q, n)) && brute((q, n)) === s)
+    }
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  test("decode plumbing is deterministic and schema-complete") {
+    val docs = Tables.documents(spark, sf)
+    val f1 = Multimodal.features(spark, docs).orderBy("doc_id").collect()
+    val f2 = Multimodal.features(spark, docs).orderBy("doc_id").collect()
+    assert(f1.toSeq === f2.toSeq)
+    assert(f1.length === docs.count())
+    assert(f1.forall(r => r.getInt(3) > 0 && r.getInt(4) > 0 && r.getInt(5) > 0))
+  }
+  test("frame sampling explodes only videos") {
+    val f = Multimodal.features(spark, Tables.documents(spark, sf))
+    val frames = Multimodal.frameSample(f, everyN = 24)
+    assert(frames.count() > 0)
+    val joined = frames.join(f, Seq("doc_id"))
+      .filter(col("media_type") =!= "video").count()
+    assert(joined === 0)
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+  test("langid picks the language with most stopword hits") {
+    val df = Seq(
+      (1L, "xx", "the cat and the dog of a to"),
+      (2L, "xx", "der hund und die katze ist"),
+      (3L, "xx", "el perro la casa de los que"))
+      .toDF("doc_id", "lang", "text")
+    val toks = TextAnalysis.tokens($"text")
+    val scores = TextAnalysis.langStopwords.map { case (l, ws) =>
+      TextAnalysis.stopwordHits(toks, ws).as(s"s_$l") }
+    val r = df.select($"doc_id" +: scores: _*)
+      .withColumn("pred", TextAnalysis.langIdFromScores(
+        TextAnalysis.langStopwords.map(p => col(s"s_${p._1}"))))
+      .orderBy("doc_id").select("pred").as[String].collect()
+    assert(r.toSeq === Seq("en", "de", "es"))
+  }
+}
