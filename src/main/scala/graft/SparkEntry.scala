@@ -17,7 +17,8 @@ object SparkEntry {
     graft.queries.ReportQueries,
     graft.queries.JoinQueries,
     graft.queries.ScalarQueries,
-    graft.queries.TrainingQueries)
+    graft.queries.TrainingQueries,
+    graft.queries.StreamQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

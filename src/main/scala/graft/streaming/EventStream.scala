@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+import graft.core.Num
+
+/** Structured-Streaming surface (SURVEY §2.9).
+  *
+  * The reference's only "stream" is an S3 drop-box of one-JSON-per-run
+  * files pulled in batch (s3pull.py); the Spark-native generalization
+  * is a file-source micro-batch stream: `readStream` over the landing
+  * directory, event-time windowed aggregation with a watermark, and
+  * stateful per-key processing via `flatMapGroupsWithState`.
+  */
+object EventStream {
+
+  /** events schema as the nanos-as-long reader sees it. */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos since epoch (TIMESTAMP(NANOS))
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over the events landing path. */
+  def read(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // glob, not bare file: FileStreamSource requires its basePath (the
+    // non-glob prefix) to be a directory
+    s.readStream.schema(rawSchema).parquet(s"$dir/events*.parquet")
+      .withColumn("ts_us", expr("ts DIV 1000"))
+      .withColumn("tsT", timestamp_micros(col("ts_us")))
+  }
+
+  /** Event-time tumbling-window aggregation with a watermark: count +
+    * exact-cents sum per (1h window, event_type). */
+  def windowedAgg(stream: DataFrame): DataFrame =
+    stream
+      .withWatermark("tsT", "1 hour")
+      .groupBy(window(col("tsT"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(Num.cents(col("value"))).as("sum_c"))
+
+  /** Run a streaming aggregation to completion against a static
+    * landing dir (memory sink, complete mode) and return the result
+    * table. This is a real streaming execution — micro-batches,
+    * state store, watermarks — driven synchronously. */
+  def runToMemory(s: SparkSession, agg: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Complete): DataFrame = {
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(name)
+  }
+
+  // ---- stateful sessionization (flatMapGroupsWithState) ------------------
+
+  case class Ev(user_id: Long, event_id: Long, ts_us: Long)
+  case class SessionState(sessionIdx: Long, lastTsUs: Long)
+  case class SessionAssign(user_id: Long, event_id: Long, ts_us: Long, session_idx: Long)
+
+  /** Gap-based sessionization as a custom stateful streaming op: a
+    * new session starts when the gap to the previous event exceeds
+    * `gapUs`. Events must arrive in order per key within a batch
+    * (guaranteed by sorting each group's iterator). */
+  def sessionizeStateful(s: SparkSession, stream: DataFrame, gapUs: Long): DataFrame = {
+    import s.implicits._
+    stream.select(col("user_id"), col("event_id"), col("ts_us")).as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionAssign](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
+          val out = sorted.map { e =>
+            val idx =
+              if (st.lastTsUs == Long.MinValue) st.sessionIdx
+              else if (e.ts_us - st.lastTsUs > gapUs) st.sessionIdx + 1
+              else st.sessionIdx
+            st = SessionState(idx, e.ts_us)
+            SessionAssign(e.user_id, e.event_id, e.ts_us, idx)
+          }
+          state.update(st)
+          out.iterator
+      }.toDF()
+  }
+
+  /** Batch-declarative equivalent of the sessionizer: break flags via
+    * `lag`, session index via running sum — one window, no state
+    * store. This is the plan to prefer when the input is at rest. */
+  def sessionizeBatch(events: DataFrame, gapUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("brk",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(byUser) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("brk")).over(cum))
+  }
+}
