@@ -105,6 +105,38 @@ object SalesTransform {
       dedupFirstWins(df, "order_id", dedupOrder)
         .withColumn("order_priority", recodePriority(col("order_priority"))))
 
-  def transformed(s: SparkSession, dir: String): DataFrame =
-    transform(sales(s, dir))
+  /** Plan-optimized Transform: the first-wins dedup runs on the slim
+    * lineitem projection BEFORE any join — the window shuffle then
+    * moves only the five fact columns it needs, and the joins see one
+    * row per order instead of every line. Semantically identical to
+    * [[transform]] over [[sales]] (all joined attributes are constant
+    * per order). */
+  def transformed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).select(
+      $"l_orderkey".as("order_id"),
+      $"l_linenumber".as("line_number"),
+      $"l_shipdate".as("ship_date"),
+      Num.cents($"l_extendedprice").as("revenue_c"),
+      Num.cents($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("cost_c"),
+      Num.cents($"l_quantity").as("units_c"))
+    val deduped = dedupFirstWins(li, "order_id", dedupOrder)
+    val ord = Tables.orders(s, dir).select(
+      $"o_orderkey".as("order_id"),
+      $"o_custkey",
+      recodePriority($"o_orderpriority").as("order_priority"),
+      $"o_orderdate".as("order_date"))
+    val geo = broadcast(
+      Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, dir)),
+          $"n_regionkey" === $"r_regionkey")
+        .select($"c_custkey", $"r_name".as("region"), $"n_name".as("country")))
+    derive(
+      deduped
+        .join(ord, Seq("order_id"))
+        .join(geo, $"o_custkey" === $"c_custkey")
+        .drop("o_custkey", "c_custkey"))
+  }
 }

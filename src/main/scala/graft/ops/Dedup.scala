@@ -33,7 +33,10 @@ object Dedup {
     * Documents shorter than n tokens drop out (they cannot shingle). */
   def wordShingles(df: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame = {
     val w = TextAnalysis.tokens(col(textCol))
-    df.select(col(idCol).as("id"), w.as("w"))
+    // spread docs before the explode so shingling parallelizes even
+    // when the source is a single local file split
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"), w.as("w"))
       .filter(size(col("w")) >= n)
       .select(col("id"), explode(array_distinct(
         transform(sequence(lit(0), size(col("w")) - n),
@@ -55,7 +58,9 @@ object Dedup {
   def jaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, maxDf: Long = 1000L, topK: Int = 100): DataFrame = {
-    val sh = cappedIndex(wordShingles(df, textCol, idCol, n), maxDf)
+    // the index feeds four consumers (both self-join sides, sizes,
+    // df-cap) — cache it or every branch re-explodes the corpus
+    val sh = cappedIndex(wordShingles(df, textCol, idCol, n), maxDf).cache()
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_g"))
     val a = sh.select(col("id").as("id1"), col("g"))
     val b = sh.select(col("id").as("id2"), col("g"))
@@ -105,7 +110,8 @@ object Dedup {
   /** SimHash: 64-bit bit-majority fingerprint of token hashes.
     * One aggregate of 64 counters; near-dups share high-bit buckets. */
   def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val tok = df.select(col(idCol).as("id"),
+    val tok = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"),
       explode(TextAnalysis.tokens(col(textCol))).as("t"))
       .withColumn("th", xxhash64(col("t")))
     val bitAggs = (0 until 64).map { b =>

@@ -29,7 +29,8 @@ object Multimodal {
   /** Synthesize a media table from documents: utf-8 bytes as the
     * opaque blob, modality assigned round-robin. */
   def mediaFromDocuments(docs: DataFrame): DataFrame =
-    docs.select(
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(
       col("doc_id"),
       col("text").cast("binary").as("media"),
       element_at(array(lit("image"), lit("audio"), lit("video")),

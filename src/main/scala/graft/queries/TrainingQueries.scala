@@ -124,8 +124,8 @@ object TrainingQueries extends graft.QueryModule {
   def qMinhashDedup(s: SparkSession, dir: String): DataFrame = {
     val sh = Dedup.cappedIndex(
       Dedup.wordShingles(Tables.documents(s, dir), "text", "doc_id"), 1000L)
-    val sig = Dedup.minhashSignatures(sh, 64)
-    val cands = Dedup.minhashCandidates(Dedup.lshBands(sig, 64, 4))
+    val sig = Dedup.minhashSignatures(sh, 64).cache()
+    val cands = Dedup.minhashCandidates(Dedup.lshBands(sig, 64, 4)).cache()
     val counts = cands.select(col("id1").as("id"))
       .union(cands.select(col("id2").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("n_candidates"))

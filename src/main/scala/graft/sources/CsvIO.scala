@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** S1-S6: reader/writer wrappers with reference option parity.
+  *
+  * The reference's CSV parser splits on bare commas with no
+  * quoting/escaping (Transform.java:123, 245); `quote=""` disables
+  * Spark's quote handling for byte parity. The JDBC sink mirrors the
+  * 100-row `executeBatch` of LoadData.java:135.
+  */
+object CsvIO {
+
+  /** S1: header CSV scan, no-quote mode, optional explicit schema
+    * (P18 typed ingest). */
+  def readCsv(s: SparkSession, path: String, schema: Option[StructType] = None): DataFrame = {
+    val r = s.read.option("header", "true").option("quote", "")
+    schema.fold(r.option("inferSchema", "true"))(r.schema).csv(path)
+  }
+
+  /** S3: header CSV sink, no-quote mode. */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").option("quote", "")
+      .csv(path)
+
+  /** S5: JSON-directory scan — one record per file, schema unioned
+    * across files (the reference's report_from_folder). */
+  def readJsonDir(s: SparkSession, dir: String): DataFrame = s.read.json(dir)
+
+  /** S6: JSON-per-record sink. */
+  def writeJson(df: DataFrame, dir: String): Unit =
+    df.write.mode("overwrite").json(dir)
+
+  /** S4: JDBC batch-insert sink (batchsize 100 = LoadData.java:135).
+    * Untestable in this container (no database); thin declarative
+    * wrapper only. */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+      user: String, password: String, batchSize: Int = 100): Unit =
+    df.write.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("user", user)
+      .option("password", password)
+      .option("batchsize", batchSize)
+      .mode("append")
+      .save()
+
+  /** S11/Q: the TLQ Query surface — SQL over a registered table. */
+  def query(s: SparkSession, df: DataFrame, table: String, sql: String): DataFrame = {
+    df.createOrReplaceTempView(table)
+    s.sql(sql)
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.etl.SalesTransform
+import graft.report.{ExperimentSpec, Report}
+import graft.runner.PipelineRunner
+import graft.sources.{CsvIO, ReportWriter}
+
+class CsvIoSpec extends SparkSpec {
+  test("sales transform survives a no-quote CSV round-trip") {
+    val tmp = Files.createTempDirectory("graft_csv").toString
+    val out = SalesTransform.transformed(spark, sf)
+      .select("order_id", "region", "order_priority", "processing_days", "revenue_c")
+    CsvIO.writeCsv(out, s"$tmp/sales")
+    val back = CsvIO.readCsv(spark, s"$tmp/sales")
+    assert(back.count() === out.count())
+    assert(back.columns.toSeq === out.columns.toSeq)
+    val a = out.orderBy("order_id").collect().map(_.toSeq.map(String.valueOf))
+    val b = back.orderBy("order_id").collect().map(_.toSeq.map(String.valueOf))
+    assert(a.toSeq === b.toSeq)
+  }
+  test("json round-trip unions schema") {
+    val tmp = Files.createTempDirectory("graft_json").toString
+    CsvIO.writeJson(Tables.nation(spark, sf), s"$tmp/j")
+    assert(CsvIO.readJsonDir(spark, s"$tmp/j").count() === 25)
+  }
+  test("TLQ query surface answers SQL over the loaded table") {
+    val r = CsvIO.query(spark, SalesTransform.transformed(spark, sf), "SalesData",
+      """SELECT region, round(sum(revenue_c) / 100.0, 2) AS revenue
+        |FROM SalesData GROUP BY region ORDER BY region""".stripMargin)
+    assert(r.count() === 5)
+  }
+}
+
+class ReportSpecFull extends SparkSpec {
+  test("report lifecycle builds sections and writes a splittable CSV") {
+    val runs = Tables.events(spark, sf)
+      .withColumn("value_c", graft.core.Num.cents(col("value")))
+      .select("event_id", "user_id", "event_type", "value_c")
+    val spec = ExperimentSpec(
+      outputGroups = Seq("event_type"),
+      showAsList = Set("user_id"),
+      showAsSum = Set("value_c"),
+      invalidators = Map("event_type" -> "error"))
+    val sections = Report.build(runs, spec,
+      idCol = Some("user_id"), attrCol = Some("event_type"))
+    assert(sections.successfulRuns > 0)
+    assert(sections.groups.contains("event_type"))
+    // invalidated group value must be gone
+    val cats = sections.groups("event_type").select("event_type")
+      .collect().map(_.getString(0))
+    assert(!cats.contains("error"))
+    val csv = ReportWriter.reportCsv("t", sections)
+    val parts = ReportWriter.split(csv)
+    assert(parts.exists(_.startsWith("Raw results")))
+    assert(parts.exists(_.startsWith("Category event_type:")))
+    val tmp = Files.createTempDirectory("graft_rep").toString
+    val p1 = ReportWriter.write(tmp, "report", csv)
+    val p2 = ReportWriter.write(tmp, "report", csv)
+    assert(p1.endsWith("report.csv") && p2.endsWith("report-1.csv"))
+  }
+}
+
+class PipelineRunnerSpec extends SparkSpec {
+  import spark.implicits._
+  test("linear chain applies all stages with stage tags") {
+    val in = Seq((1, 10)).toDF("id", "x")
+    val out = PipelineRunner.run(in, Seq(
+      PipelineRunner.Stage("a", _.withColumn("x", $"x" + 1)),
+      PipelineRunner.Stage("b", _.withColumn("x", $"x" * 2))))
+    val r = out.collect()(0)
+    assert(r.getAs[Int]("x") === 22)
+    assert(r.getAs[Int]("3_pipeline_stage") === 1)
+  }
+  test("transition hook can re-route and stop") {
+    val in = Seq((1, 0)).toDF("id", "x")
+    // run stage 0 twice then stop via -1
+    var visits = 0
+    val t: PipelineRunner.Transition = (i, n, _) => {
+      visits += 1
+      if (visits < 2) 0 else -1
+    }
+    val out = PipelineRunner.run(in, Seq(
+      PipelineRunner.Stage("inc", _.withColumn("x", $"x" + 1))), t)
+    assert(out.collect()(0).getAs[Int]("x") === 2)
+  }
+}
