@@ -18,7 +18,8 @@ object SparkEntry {
     graft.queries.JoinQueries,
     graft.queries.ScalarQueries,
     graft.queries.TrainingQueries,
-    graft.queries.StreamQueries)
+    graft.queries.StreamQueries,
+    graft.queries.MiscQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

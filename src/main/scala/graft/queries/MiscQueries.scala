@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{Num, Tables}
+import graft.report.Overlap
+
+/** Remaining SURVEY §2 surface: snapshot delta metrics (P20/P21),
+  * histogram (A11), the multi-category report as GROUPING SETS
+  * (SURVEY §2.4 note), unfiltered overlap (J1 without overlapFilter),
+  * payload multiplication with seeded shuffle (U2).
+  */
+object MiscQueries extends graft.QueryModule {
+
+  /** P20/P21: delta metrics between the first and last snapshot per
+    * key — `X Delta = X_now - X_start`, runtime = span. */
+  def qDeltaMetrics(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("value_c", Num.cents(col("value")))
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("value_c"))
+    val asc = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val desc = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    ev.withColumn("rn_a", row_number().over(asc))
+      .withColumn("rn_d", row_number().over(desc))
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("rn_a") === 1, col("value_c"))).as("start_c"),
+        max(when(col("rn_d") === 1, col("value_c"))).as("end_c"),
+        max(when(col("rn_a") === 1, col("ts_us"))).as("start_us"),
+        max(when(col("rn_d") === 1, col("ts_us"))).as("end_us"))
+      .select(col("user_id"),
+        (col("end_c") - col("start_c")).as("value_delta_c"),
+        (col("end_us") - col("start_us")).as("runtime_us"))
+      .orderBy(col("user_id"))
+  }
+
+  val qDeltaMetricsSql: String =
+    s"""WITH o AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       |    ${Num.centsSql("value")} AS value_c,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY epoch_us(ts), event_id) AS rn_a,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn_d
+       |  FROM events)
+       |SELECT user_id,
+       |  max(CASE WHEN rn_d = 1 THEN value_c END)
+       |    - max(CASE WHEN rn_a = 1 THEN value_c END) AS value_delta_c,
+       |  max(CASE WHEN rn_d = 1 THEN ts_us END)
+       |    - max(CASE WHEN rn_a = 1 THEN ts_us END) AS runtime_us
+       |FROM o GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** A11: histogram of event values — fixed-width buckets. */
+  def qHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("bucket", floor(col("value") / 33.0).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(Num.cents(col("value"))).as("sum_c"))
+      .orderBy(col("bucket"))
+
+  val qHistogramSql: String =
+    s"""SELECT CAST(floor(value / 33.0) AS BIGINT) AS bucket,
+       |  count(*) AS n, ${Num.sumSql(Num.centsSql("value"))} AS sum_c
+       |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  /** The multi-category report as one GROUPING SETS pass (SURVEY
+    * §2.4: one section per category over the same input). */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .withColumn("value_c", Num.cents(col("value")))
+      .createOrReplaceTempView("ev_gs")
+    s.sql(
+      """SELECT event_type, user_id, count(*) AS uses,
+        |  sum(value_c) AS sum_value_c
+        |FROM ev_gs
+        |GROUP BY GROUPING SETS ((event_type), (user_id))
+        |ORDER BY event_type ASC NULLS FIRST, user_id ASC NULLS FIRST""".stripMargin)
+  }
+
+  val qGroupingSetsSql: String =
+    s"""SELECT event_type, user_id, count(*) AS uses,
+       |  ${Num.sumSql(Num.centsSql("value"))} AS sum_value_c
+       |FROM events
+       |GROUP BY GROUPING SETS ((event_type), (user_id))
+       |ORDER BY event_type ASC NULLS FIRST, user_id ASC NULLS FIRST""".stripMargin
+
+  /** J1 without overlapFilter: every pair competes (reference default
+    * when `overlapFilter` is ""). Same binned plan, constant key. */
+  def qOverlapAll(s: SparkSession, dir: String): DataFrame =
+    Overlap.binned(Tables.events(s, dir), equiKey = None)
+
+  val qOverlapAllSql: String =
+    """WITH iv AS (
+      |  SELECT event_id AS id, epoch_us(ts) AS s,
+      |         epoch_us(ts) + CAST(round(value*1000000,0) AS BIGINT) AS e
+      |  FROM events),
+      |pairs AS (
+      |  SELECT a.id, least(a.e, b.e) - greatest(a.s, b.s) AS ov
+      |  FROM iv a JOIN iv b
+      |    ON a.id <> b.id AND a.s < b.e AND b.s < a.e)
+      |SELECT i.id AS event_id,
+      |  CAST(COALESCE(sum(p.ov), 0) AS BIGINT) AS ov_us,
+      |  COALESCE(sum(p.ov), 0) / (i.e - i.s) AS overlap_ratio
+      |FROM iv i LEFT JOIN pairs p ON i.id = p.id
+      |GROUP BY i.id, i.e, i.s
+      |ORDER BY i.id""".stripMargin
+
+  /** U2: payload multiplication + seeded shuffle — repeat the payload
+    * list to cover `runs`, shuffle with a seeded rand (deterministic
+    * within Spark; no cross-engine oracle for rand). */
+  def qPayloadShuffle(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Seq("""{"name":"Bob"}""", """{"name":"Joe"}""", """{"name":"Steve"}""")
+    val runs = 50
+    val reps = (runs + payloads.size - 1) / payloads.size
+    payloads.toDF("payload")
+      .withColumn("copy", explode(array_repeat(lit(1), reps)))
+      .withColumn("r", rand(42L))
+      .orderBy(col("r"))
+      .limit(runs)
+      .select(col("payload"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_delta_metrics" -> (qDeltaMetrics _),
+    "q_histogram" -> (qHistogram _),
+    "q_grouping_sets" -> (qGroupingSets _),
+    "q_overlap_all" -> (qOverlapAll _),
+    "q_payload_shuffle" -> (qPayloadShuffle _))
+
+  def oracleSql: Map[String, String] = Map(
+    "q_delta_metrics" -> qDeltaMetricsSql,
+    "q_histogram" -> qHistogramSql,
+    "q_grouping_sets" -> qGroupingSetsSql,
+    "q_overlap_all" -> qOverlapAllSql)
+}

@@ -36,16 +36,21 @@ object Groups {
     concat_ws(";", sort_array(collect_set(regexp_replace(c.cast("string"), ",", ";"))))
 
   def sectionAggs(df: DataFrame, cfg: GroupConfig): Seq[Column] = {
+    val present = df.columns.toSet
     val numeric = df.schema.fields
       .filter(_.dataType.isInstanceOf[NumericType]).map(_.name).toSet
     val excluded = cfg.ignore + cfg.category
-    val avgCols = (numeric -- cfg.showAsSum -- cfg.showAsList -- excluded).toSeq.sorted
-    val sumCols = (cfg.showAsSum -- excluded).toSeq.sorted
-    val listCols = (cfg.showAsList -- excluded).toSeq.sorted
-    Seq(count(lit(1)).as("uses")) ++
-      avgCols.map(c => round(avg(col(c)), 2).as(s"avg_$c")) ++
-      sumCols.map(c => sum(col(c)).as(s"sum_$c")) ++
-      listCols.map(c => distinctSortedList(col(c)).as(s"${c}_list"))
+    val avgCols = numeric -- cfg.showAsSum -- cfg.showAsList -- excluded
+    val sumCols = cfg.showAsSum.intersect(present) -- excluded
+    val listCols = cfg.showAsList.intersect(present) -- excluded
+    // reference column order: aggregates interleaved in sorted order
+    // of the UNDERLYING column name (report_generator.py:177-182)
+    val aggs = (
+      avgCols.map(c => c -> round(avg(col(c)), 2).as(s"avg_$c")) ++
+      sumCols.map(c => c -> sum(col(c)).as(s"sum_$c")) ++
+      listCols.map(c => c -> distinctSortedList(col(c)).as(s"${c}_list"))
+    ).toSeq.sortBy(_._1).map(_._2)
+    count(lit(1)).as("uses") +: aggs
   }
 
   /** A1-A8: one report section — grouped aggregate rows ordered by

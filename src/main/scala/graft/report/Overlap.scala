@@ -28,11 +28,13 @@ import org.apache.spark.sql.functions._
 object Overlap {
 
   /** Build [id, equiKey, s, e) interval frame from events:
-    * s = ts in micros, e = s + value seconds. */
-  def intervals(events: DataFrame): DataFrame =
+    * s = ts in micros, e = s + value seconds. `equiKey` is the
+    * optional `overlapFilter` attribute (None = all pairs compete,
+    * reference default). */
+  def intervals(events: DataFrame, equiKey: Option[String] = Some("event_type")): DataFrame =
     events.select(
       col("event_id").as("id"),
-      col("event_type").as("k"),
+      equiKey.map(col).getOrElse(lit("all")).as("k"),
       col("ts_us").as("s"),
       (col("ts_us") + round(col("value") * 1e6, 0).cast("long")).as("e"))
 
@@ -47,8 +49,8 @@ object Overlap {
   }
 
   /** Direct theta self-join (reference-shaped; BNL at small n). */
-  def naive(events: DataFrame): DataFrame = {
-    val iv = intervals(events)
+  def naive(events: DataFrame, equiKey: Option[String] = Some("event_type")): DataFrame = {
+    val iv = intervals(events, equiKey)
     val a = iv.alias("a")
     val b = iv.alias("b")
     val pairs = a.join(b,
@@ -63,8 +65,9 @@ object Overlap {
   /** Time-binned equi-join plan. `binUs` trades shuffle volume
     * (long intervals explode onto more bins) against per-bin fan-out
     * (short bins -> fewer candidate pairs per key). */
-  def binned(events: DataFrame, binUs: Long = 600000000L): DataFrame = {
-    val iv = intervals(events)
+  def binned(events: DataFrame, binUs: Long = 600000000L,
+      equiKey: Option[String] = Some("event_type")): DataFrame = {
+    val iv = intervals(events, equiKey)
     val binned = iv.withColumn("bin",
       explode(sequence(expr(s"s DIV $binUs"), expr(s"e DIV $binUs"))))
     val a = binned.alias("a")

@@ -67,12 +67,13 @@ class GroupsSpec extends SparkSpec {
       .toDF("cat", "metric", "extra", "who")
     val out = Groups.section(df, Groups.GroupConfig(
       "cat", showAsSum = Set("extra"), showAsList = Set("who")))
+    // aggregates interleave in base-name sort order (extra < metric < who)
     assert(out.columns.toSeq ===
-      Seq("cat", "uses", "avg_metric", "sum_extra", "who_list"))
+      Seq("cat", "uses", "sum_extra", "avg_metric", "who_list"))
     val r = out.collect()
     assert(r(0).getString(0) === "g1" && r(0).getLong(1) === 2L)
-    assert(r(0).getDouble(2) === 150.0)
-    assert(r(0).getLong(3) === 3L)
+    assert(r(0).getLong(2) === 3L)
+    assert(r(0).getDouble(3) === 150.0)
     assert(r(0).getString(4) === "u1;u2")
   }
 }
