@@ -29,6 +29,14 @@ case class ExperimentSpec(
     passPayloads: Boolean = false,
     transitions: Map[String, String] = Map.empty) {
 
+  /** P17 category auto-repair (reference report_generator.py:62-71):
+    * drop weak ids from the group list when better ones exist in the
+    * data — vmuptime is superseded by vmID, uuid by containerID. */
+  def normalizedGroups(availableCols: Set[String]): Seq[String] =
+    outputGroups.filterNot(g =>
+      (g == "vmuptime" && availableCols.contains("vmID")) ||
+        (g == "uuid" && availableCols.contains("containerID")))
+
   def groupConfig(category: String): Groups.GroupConfig =
     Groups.GroupConfig(
       category = category,

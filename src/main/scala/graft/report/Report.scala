@@ -37,7 +37,7 @@ object Report {
     df.cache()
 
     val raw = RunRecords.sortedColumns(df)
-    val groups = spec.outputGroups
+    val groups = spec.normalizedGroups(df.columns.toSet)
       .filter(df.columns.contains)
       .map { cat =>
         cat -> Groups.section(
