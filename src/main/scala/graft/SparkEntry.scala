@@ -21,9 +21,11 @@ object SparkEntry {
     graft.queries.StreamQueries,
     graft.queries.MiscQueries)
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The SURVEY §7.2 end-to-end slice: sales synthesis ->
+    * TLQ Transform -> region rollup. */
   def entry(spark: SparkSession): DataFrame =
-    graft.queries.BaseQueries.q1Agg(spark, "/root/testdata/sf0.001")
+    graft.queries.SalesQueries.qSalesReport(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

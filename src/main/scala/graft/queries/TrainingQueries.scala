@@ -181,6 +181,12 @@ object TrainingQueries extends graft.QueryModule {
   def qAnnLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(Tables.embeddings(s, dir), queryMaxId = 10L, k = 5, nBits = 6)
 
+  /** IVF ANN: k-means coarse quantizer + probe-limited search
+    * (rows-only; exactness-within-probe asserted in specs). */
+  def qAnnIvf(s: SparkSession, dir: String): DataFrame =
+    Ivf.ivfTopK(Tables.embeddings(s, dir), queryMaxId = 10L, k = 5,
+      nClusters = 16, nProbe = 4, iters = 2)
+
   // ---- multimodal --------------------------------------------------------
 
   /** Binary-column pipeline: blob -> batched stub decode -> per-type
@@ -207,6 +213,7 @@ object TrainingQueries extends graft.QueryModule {
     "q_ann_topk" -> (qAnnTopK _),
     "q_embed_neardup" -> (qEmbedNearDup _),
     "q_ann_lsh" -> (qAnnLsh _),
+    "q_ann_ivf" -> (qAnnIvf _),
     "q_multimodal" -> (qMultimodal _))
 
   def oracleSql: Map[String, String] = Map(

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.{Ivf, Salting, Similarity}
+
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ivf results appear in brute-force ranking with identical sims") {
+    val emb = Tables.embeddings(spark, sf)
+    val brute = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 5), 600)
+      .select("q_id", "neighbor_id", "sim").as[(Long, Long, Double)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    val ivf = Ivf.ivfTopK(emb, queryMaxId = 5L, k = 5,
+      nClusters = 8, nProbe = 3, iters = 2)
+      .select("q_id", "neighbor_id", "sim").as[(Long, Long, Double)].collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (q, n, s) =>
+      assert(brute.contains((q, n)) && brute((q, n)) === s)
+    }
+  }
+
+  test("probing all clusters recovers exact brute-force top-k") {
+    val emb = Tables.embeddings(spark, sf).limit(200)
+    val brute = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 3), 5)
+      .select("q_id", "rank", "neighbor_id").collect().map(_.toSeq)
+    val ivf = Ivf.ivfTopK(emb, queryMaxId = 3L, k = 5,
+      nClusters = 4, nProbe = 4, iters = 1)
+      .select("q_id", "rank", "neighbor_id").collect().map(_.toSeq)
+    assert(ivf.toSeq === brute.toSeq)
+  }
+}
+
+class SaltingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted count equals direct count under heavy skew") {
+    val df = (Seq.fill(5000)("hot") ++ Seq("a", "b", "c")).zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }.toDF("k", "payload")
+    val direct = df.groupBy("k").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Salting.saltedCount(df, "k", col("payload"), 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted === direct)
+  }
+
+  test("salted join equals plain join under heavy skew") {
+    val big = (Seq.fill(3000)(1L) ++ Seq(2L, 3L)).zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }.toDF("k", "payload")
+    val small = Seq((1L, "x"), (2L, "y"), (4L, "z")).toDF("k", "tag")
+    val direct = big.join(small, Seq("k")).select("k", "payload", "tag")
+      .collect().map(_.toSeq).toSet
+    val salted = Salting.saltedJoin(big, small, "k", col("payload"), 8)
+      .select("k", "payload", "tag").collect().map(_.toSeq).toSet
+    assert(salted === direct)
+  }
+}
