@@ -28,7 +28,30 @@ object Groups {
       category: String,
       showAsSum: Set[String] = Set.empty,
       showAsList: Set[String] = Set.empty,
-      ignore: Set[String] = Set.empty)
+      ignore: Set[String] = Set.empty,
+      /** true = the reference's dynamic probe (first row's value must
+        * parse as Decimal — report_generator.py:311-326); false = the
+        * deterministic schema-driven detection (default, SURVEY
+        * §7.4.2). */
+      probeNumerics: Boolean = false)
+
+  /** A6, reference-faithful variant: a column counts as numeric when
+    * the FIRST row's value parses as a decimal — string-typed numeric
+    * columns are aggregated, mixed columns follow their first row.
+    * One driver-side row fetch; the aggregation itself casts lazily. */
+  def probedNumericColumns(df: DataFrame): Set[String] = {
+    val first = df.limit(1).collect().headOption
+    first match {
+      case None => Set.empty
+      case Some(row) =>
+        df.columns.zipWithIndex.filter { case (_, i) =>
+          row.get(i) match {
+            case null => false
+            case v => scala.util.Try(BigDecimal(v.toString)).isSuccess
+          }
+        }.map(_._1).toSet
+    }
+  }
 
   /** A5: distinct values, sorted, ';'-joined (CSV-text parity with
     * the reference's `,`->`;` escape). */
@@ -37,17 +60,24 @@ object Groups {
 
   def sectionAggs(df: DataFrame, cfg: GroupConfig): Seq[Column] = {
     val present = df.columns.toSet
-    val numeric = df.schema.fields
-      .filter(_.dataType.isInstanceOf[NumericType]).map(_.name).toSet
+    val numeric =
+      if (cfg.probeNumerics) probedNumericColumns(df)
+      else df.schema.fields
+        .filter(_.dataType.isInstanceOf[NumericType]).map(_.name).toSet
     val excluded = cfg.ignore + cfg.category
     val avgCols = numeric -- cfg.showAsSum -- cfg.showAsList -- excluded
     val sumCols = cfg.showAsSum.intersect(present) -- excluded
     val listCols = cfg.showAsList.intersect(present) -- excluded
+    // probe mode aggregates through try_cast: values that fail to
+    // parse become null and drop out of avg/sum — the reference's
+    // per-value try/except (report_generator.py:372-379)
+    def num(c: String): Column =
+      if (cfg.probeNumerics) expr(s"try_cast(`$c` AS double)") else col(c)
     // reference column order: aggregates interleaved in sorted order
     // of the UNDERLYING column name (report_generator.py:177-182)
     val aggs = (
-      avgCols.map(c => c -> round(avg(col(c)), 2).as(s"avg_$c")) ++
-      sumCols.map(c => c -> sum(col(c)).as(s"sum_$c")) ++
+      avgCols.map(c => c -> round(avg(num(c)), 2).as(s"avg_$c")) ++
+      sumCols.map(c => c -> sum(num(c)).as(s"sum_$c")) ++
       listCols.map(c => c -> distinctSortedList(col(c)).as(s"${c}_list"))
     ).toSeq.sortBy(_._1).map(_._2)
     count(lit(1)).as("uses") +: aggs
