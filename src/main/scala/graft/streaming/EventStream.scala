@@ -61,6 +61,24 @@ object EventStream {
     s.table(name)
   }
 
+  /** St5: live progress observation — the Spark-native form of the
+    * reference's `.progress.txt` polling (experiment_caller.py:103-111
+    * / interactive_helpers.py:589-617): a StreamingQueryListener
+    * accumulating per-micro-batch input-row counts. */
+  class ProgressListener extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    val batches = new java.util.concurrent.CopyOnWriteArrayList[Long]()
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit =
+      batches.add(e.progress.numInputRows)
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    def totalRows: Long = {
+      var s = 0L
+      batches.forEach(n => s += n)
+      s
+    }
+  }
+
   // ---- stateful sessionization (flatMapGroupsWithState) ------------------
 
   case class Ev(user_id: Long, event_id: Long, ts_us: Long)

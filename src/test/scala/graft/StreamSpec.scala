@@ -22,6 +22,20 @@ class StreamSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("progress listener observes every input row (St5)") {
+    val listener = new EventStream.ProgressListener
+    spark.streams.addListener(listener)
+    try {
+      EventStream.runToMemory(spark,
+        EventStream.windowedAgg(EventStream.read(spark, sf)), "t_progress")
+      // listener events are async; wait for delivery
+      val deadline = System.currentTimeMillis() + 30000
+      while (listener.totalRows < 1000 && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      assert(listener.totalRows === 1000L)
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("stateful streaming sessionization equals batch sessionization") {
     val gap = 1800000000L
     val stateful = EventStream.sessionizeStateful(
