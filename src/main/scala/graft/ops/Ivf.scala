@@ -29,10 +29,11 @@ object Ivf {
     array_max(array(scored.toIndexedSeq: _*)).getField("j")
   }
 
-  /** Deterministic init (first k vectors) + `iters` Lloyd steps. */
-  def train(emb: DataFrame, k: Int = 16, iters: Int = 3): Array[Array[Double]] = {
-    val e = Similarity.prepared(emb).select(col("vec_id"), col("v")).cache()
-    val dims = e.select(size(col("v"))).first().getInt(0)
+  /** Deterministic init (first k vectors) + `iters` Lloyd steps.
+    * `prepared` must be [[Similarity.prepared]] output (cached by the
+    * caller when reused downstream). */
+  def train(prepared: DataFrame, k: Int = 16, iters: Int = 3): Array[Array[Double]] = {
+    val e = prepared.select(col("vec_id"), col("v"))
     var centroids: Array[Array[Double]] = e.orderBy(col("vec_id")).limit(k)
       .select(col("v")).collect()
       .map(_.getSeq[Double](0).toArray)
@@ -47,7 +48,6 @@ object Ivf {
       means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
       centroids = next
     }
-    e.unpersist()
     centroids
   }
 
@@ -56,9 +56,9 @@ object Ivf {
   def ivfTopK(
       emb: DataFrame, queryMaxId: Long, k: Int,
       nClusters: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
-    val centroids = train(emb, nClusters, iters)
-    val e = Similarity.prepared(emb)
-      .withColumn("cluster", assignExpr(col("v"), centroids))
+    val base = Similarity.prepared(emb).cache() // shared by train + assign + probes
+    val centroids = train(base, nClusters, iters)
+    val e = base.withColumn("cluster", assignExpr(col("v"), centroids))
     // query -> its nProbe nearest clusters (small side, exploded)
     val probes = e.filter(col("vec_id") < queryMaxId)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),

@@ -185,7 +185,7 @@ object TrainingQueries extends graft.QueryModule {
     * (rows-only; exactness-within-probe asserted in specs). */
   def qAnnIvf(s: SparkSession, dir: String): DataFrame =
     Ivf.ivfTopK(Tables.embeddings(s, dir), queryMaxId = 10L, k = 5,
-      nClusters = 16, nProbe = 4, iters = 2)
+      nClusters = 8, nProbe = 3, iters = 1)
 
   // ---- multimodal --------------------------------------------------------
 
