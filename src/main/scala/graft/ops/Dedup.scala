@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.HashParity
 
 /** Deduplication operators for a training-data pipeline.
   *
@@ -78,20 +79,33 @@ object Dedup {
       .limit(topK)
   }
 
-  /** MinHash signatures: k independent hash slots, each the min of
-    * xxhash64(slot, shingle) over the doc's shingles. One aggregate. */
+  /** MinHash signatures: k affine permutations of ONE 28-bit md5
+    * shingle hash — `h_i = (a_i * h28(g) + b_i) mod (2^31-1)` — each
+    * slot the min over the doc's shingles. One aggregate.
+    *
+    * md5-parity ([[graft.functions.HashParity]]) rather than xxhash64
+    * is deliberate: the affine scheme hashes each shingle ONCE (the k
+    * slots are fused multiply-adds in the same codegen stage) instead
+    * of k times, and the whole signature replays in DuckDB SQL, so the
+    * operator is independently oracle-checked. */
   def minhashSignatures(sh: DataFrame, k: Int = 64): DataFrame = {
-    val aggs = (0 until k).map(i => min(xxhash64(lit(i), col("g"))).as(s"h$i"))
-    sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    val hashed = sh.withColumn("hg", HashParity.h28(col("g")))
+    val aggs = (0 until k).map { i =>
+      min((lit(HashParity.minhashA(i)) * col("hg") + lit(HashParity.minhashB(i)))
+        % HashParity.MinhashP).as(s"h$i")
+    }
+    hashed.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: signature -> (band, band-hash) rows. Docs sharing
-    * any band-hash are near-dup candidates. */
+    * any band-hash are near-dup candidates. Band hash = 60-bit md5 of
+    * the comma-joined slot minima (cross-engine replayable). */
   def lshBands(sig: DataFrame, k: Int = 64, bandSize: Int = 4): DataFrame = {
     val nBands = k / bandSize
     val bands = (0 until nBands).map { j =>
       struct(lit(j).as("band"),
-        xxhash64((j * bandSize until (j + 1) * bandSize).map(i => col(s"h$i")): _*)
+        HashParity.h60(concat_ws(",",
+          (j * bandSize until (j + 1) * bandSize).map(i => col(s"h$i")): _*))
           .as("bh"))
     }
     sig.select(col("id"), explode(array(bands: _*)).as("b"))
@@ -107,19 +121,24 @@ object Dedup {
       .select("id1", "id2").distinct()
   }
 
-  /** SimHash: 64-bit bit-majority fingerprint of token hashes.
-    * One aggregate of 64 counters; near-dups share high-bit buckets. */
+  /** SimHash bit width: 60 (the md5-parity hash is 60-bit so the
+    * fingerprint replays in DuckDB; 60 vs 64 bits is semantically
+    * equivalent for bit-majority fingerprinting). */
+  val SimhashBits: Int = 60
+
+  /** SimHash: 60-bit bit-majority fingerprint of token hashes.
+    * One aggregate of 60 counters; near-dups share high-bit buckets. */
   def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val tok = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"),
       explode(TextAnalysis.tokens(col(textCol))).as("t"))
-      .withColumn("th", xxhash64(col("t")))
-    val bitAggs = (0 until 64).map { b =>
+      .withColumn("th", HashParity.h60(col("t")))
+    val bitAggs = (0 until SimhashBits).map { b =>
       sum(when(shiftrightunsigned(col("th"), b).bitwiseAND(1L) === 1L, 1L)
         .otherwise(-1L)).as(s"b$b")
     }
     val counted = tok.groupBy(col("id")).agg(bitAggs.head, bitAggs.tail: _*)
-    val assembled = (0 until 64)
+    val assembled = (0 until SimhashBits)
       .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
       .reduce(_ + _)
     counted.select(col("id"), assembled.as("simhash"))

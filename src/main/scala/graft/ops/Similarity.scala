@@ -66,20 +66,22 @@ object Similarity {
     rankTopK(scored, k)
   }
 
-  /** Deterministic ±1 hyperplane matrix (SplitMix64 from a fixed
-    * seed), materialized driver-side and shipped as literals — the
-    * per-row work is then `nBits` codegen'd dot products instead of
-    * interpreted lambda+hash evaluation per element. */
-  private def planes(nBits: Int, dims: Int): Seq[Array[Double]] =
+  /** Deterministic ±1 hyperplane matrix — sign = low bit of the
+    * md5-parity hash of "p<plane>-<dim>" ([[graft.functions.HashParity]]),
+    * materialized driver-side and shipped as literals: the per-row work
+    * is `nBits` codegen'd dot products, and the very same matrix can be
+    * re-embedded as literals in a DuckDB oracle ([[planesLiteral]]). */
+  private[graft] def planes(nBits: Int, dims: Int): Seq[Array[Double]] =
     (0 until nBits).map { j =>
       Array.tabulate(dims) { i =>
-        var z = j.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xBF58476D1CE4E5B9L + 42L
-        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-        z = z ^ (z >>> 31)
-        if ((z & 1L) == 1L) 1.0 else -1.0
+        if ((graft.functions.HashParity.h28(s"p$j-$i") & 1L) == 1L) 1.0 else -1.0
       }
     }
+
+  /** The hyperplane matrix as SQL DOUBLE[] literals, one per plane —
+    * for oracle generation. */
+  def planesLiteral(nBits: Int, dims: Int): Seq[String] =
+    planes(nBits, dims).map(_.mkString("[", ",", "]::DOUBLE[]"))
 
   /** Sign-LSH bucket id: `nBits` hyperplane sign bits packed into a
     * long. Random-hyperplane LSH preserves cosine locality. */
@@ -103,9 +105,36 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Bucketed near-duplicate top-1: nearest neighbor within each
+    * vector's sign-LSH bucket — the 100 TB shape of
+    * [[nearestNeighbor]]. The self-join is an equi-join on bucket id
+    * (shuffle on a bounded key domain; hot buckets would be salted at
+    * cluster scale), so pair fan-out is Σ bucket² instead of n².
+    * Vectors alone in their bucket have no candidate and drop out —
+    * the standard recall trade, asserted against brute force in specs
+    * and replayed exactly by the DuckDB oracle. */
+  def lshNearestNeighbor(emb: DataFrame, nBits: Int = 8): DataFrame = {
+    // bucket assignment feeds both join sides — cache, don't recompute
+    val e = prepared(emb)
+      .withColumn("bucket", lshBucket(col("v"), nBits)).cache()
+    val a = e.select(col("bucket"), col("vec_id").as("q_id"),
+      col("v").as("qv"), col("nrm").as("qn"))
+    val scored = e.join(a, Seq("bucket"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("sim", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    scored
+      .select(col("q_id"), col("vec_id"), col("sim")) // slim before exchange
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("q_id").as("vec_id"), col("vec_id").as("nn_id"), col("sim"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Nearest neighbor (top-1) for every vector — the embedding-cosine
-    * near-duplicate detector. Brute force here; [[lshTopK]] is the
-    * 100 TB path. */
+    * near-duplicate detector. Brute force here; [[lshNearestNeighbor]]
+    * is the 100 TB path. */
   def nearestNeighbor(emb: DataFrame): DataFrame = {
     val e = prepared(emb)
     val a = e.select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))

@@ -119,8 +119,10 @@ object TrainingQueries extends graft.QueryModule {
       |JOIN sizes s2 ON s2.id = id2
       |ORDER BY jaccard DESC, id1, id2 LIMIT 100""".stripMargin
 
-  /** MinHash+LSH: per-document signature head + candidate count
-    * (xxhash64-based — rows-only check; exactness covered in specs). */
+  /** MinHash+LSH: per-document signature head + candidate count.
+    * md5-parity hashing throughout ([[graft.functions.HashParity]]),
+    * so the whole pipeline — shingle hash, 64 affine slots, band
+    * hashes, candidate join — replays in the DuckDB oracle. */
   def qMinhashDedup(s: SparkSession, dir: String): DataFrame = {
     val sh = Dedup.cappedIndex(
       Dedup.wordShingles(Tables.documents(s, dir), "text", "doc_id"), 1000L)
@@ -135,14 +137,71 @@ object TrainingQueries extends graft.QueryModule {
       .orderBy(col("doc_id"))
   }
 
-  /** SimHash fingerprint + high-16-bit bucket mates (rows-only). */
+  /** DuckDB replay of [[qMinhashDedup]]: same shingles, same affine
+    * MinHash constants (embedded as literals), same band-hash md5. */
+  val qMinhashDedupSql: String = {
+    import graft.functions.HashParity
+    val k = 64; val bandSize = 4
+    val sigCols = (0 until k).map(i =>
+      s"min((${HashParity.minhashA(i)}*hg + ${HashParity.minhashB(i)}) % ${HashParity.MinhashP}) AS h$i")
+      .mkString(", ")
+    val bandRows = (0 until k / bandSize).map { j =>
+      val cat = (j * bandSize until (j + 1) * bandSize).map(i => s"h$i").mkString(" || ',' || ")
+      s"SELECT id, $j AS band, CAST('0x' || substr(md5($cat), 1, 15) AS BIGINT) AS bh FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+       |sh0 AS (SELECT DISTINCT doc_id AS id,
+       |          w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+       |        FROM t, UNNEST(generate_series(1, len(w)-2)) AS u(i)
+       |        WHERE len(w) >= 3),
+       |dfreq AS (SELECT g FROM sh0 GROUP BY g HAVING count(*) <= 1000),
+       |sh AS (SELECT sh0.id, CAST('0x' || substr(md5(sh0.g), 1, 7) AS BIGINT) AS hg
+       |       FROM sh0 JOIN dfreq USING (g)),
+       |sig AS (SELECT id, $sigCols FROM sh GROUP BY id),
+       |bands AS ($bandRows),
+       |cand AS (SELECT DISTINCT x.id AS id1, y.id AS id2
+       |         FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh
+       |         WHERE x.id < y.id),
+       |counts AS (SELECT id, CAST(count(*) AS BIGINT) AS n_candidates
+       |           FROM (SELECT id1 AS id FROM cand UNION ALL SELECT id2 AS id FROM cand)
+       |           GROUP BY id)
+       |SELECT sig.id AS doc_id, sig.h0,
+       |  COALESCE(counts.n_candidates, 0) AS n_candidates
+       |FROM sig LEFT JOIN counts ON sig.id = counts.id
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** SimHash fingerprint + high-16-bit bucket mates (md5-parity token
+    * hashes — oracle-replayable). */
   def qSimhash(s: SparkSession, dir: String): DataFrame = {
+    val bucketShift = Dedup.SimhashBits - 16
     val sh = Dedup.simhash(Tables.documents(s, dir), "text", "doc_id")
-      .withColumn("bucket", shiftrightunsigned(col("simhash"), 48))
+      .withColumn("bucket", shiftrightunsigned(col("simhash"), bucketShift))
     val w = Window.partitionBy(col("bucket"))
     sh.withColumn("n_mates", (count(lit(1)).over(w) - 1).cast("long"))
       .select(col("id").as("doc_id"), col("simhash"), col("bucket"), col("n_mates"))
       .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB replay of [[qSimhash]]: 60 bit-majority counters over
+    * 60-bit md5 token hashes, reassembled with literal bit weights. */
+  val qSimhashSql: String = {
+    val nb = Dedup.SimhashBits
+    val shift = nb - 16
+    val cnt = (0 until nb)
+      .map(b => s"sum(CASE WHEN (th >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
+      .mkString(", ")
+    val asm = (0 until nb)
+      .map(b => s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id AS id, u.t AS t
+       |             FROM documents, UNNEST(str_split(text, ' ')) AS u(t)),
+       |th AS (SELECT id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS th FROM tok),
+       |cnt AS (SELECT id, $cnt FROM th GROUP BY id),
+       |asm AS (SELECT id, $asm AS simhash FROM cnt)
+       |SELECT id AS doc_id, simhash, simhash >> $shift AS bucket,
+       |  CAST(count(*) OVER (PARTITION BY (simhash >> $shift)) - 1 AS BIGINT) AS n_mates
+       |FROM asm ORDER BY doc_id""".stripMargin
   }
 
   // ---- similarity search -------------------------------------------------
@@ -176,10 +235,51 @@ object TrainingQueries extends graft.QueryModule {
       |        ORDER BY sim DESC, nn_id) AS rn FROM p)
       |SELECT vec_id, nn_id, sim FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
-  /** Sign-LSH bucketed ANN (xxhash64 hyperplanes — rows-only; recall
-    * vs brute force asserted in specs). */
+  /** Sign-LSH bucketed ANN (md5-parity hyperplanes — the oracle
+    * rebuilds the same ±1 matrix; recall vs brute force additionally
+    * asserted in specs). */
   def qAnnLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(Tables.embeddings(s, dir), queryMaxId = 10L, k = 5, nBits = 6)
+
+  /** DuckDB replay of [[qAnnLsh]]: hyperplanes embedded as DOUBLE[]
+    * literals, bucket = packed sign bits, candidates within bucket. */
+  val qAnnLshSql: String = {
+    val bucket = Similarity.planesLiteral(nBits = 6, dims = 64).zipWithIndex
+      .map { case (p, j) =>
+        s"(CASE WHEN list_dot_product(v, $p) > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, $bucket AS bucket FROM e),
+       |q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM b WHERE vec_id < 10),
+       |p AS (SELECT q.q_id, b.vec_id AS neighbor_id,
+       |        list_cosine_similarity(q.qv, b.v) AS sim
+       |      FROM b JOIN q ON b.bucket = q.bucket AND b.vec_id <> q.q_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |        ORDER BY sim DESC, neighbor_id) AS rn FROM p)
+       |SELECT q_id, CAST(rn AS BIGINT) AS rank, neighbor_id, sim
+       |FROM r WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** Bucketed near-dup top-1 — the scale path of [[qEmbedNearDup]]
+    * shipped as its own oracle-checked entry (mirroring how Overlap
+    * ships naive + binned). */
+  def qEmbedNearDupLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshNearestNeighbor(Tables.embeddings(s, dir), nBits = 8)
+
+  val qEmbedNearDupLshSql: String = {
+    val bucket = Similarity.planesLiteral(nBits = 8, dims = 64).zipWithIndex
+      .map { case (p, j) =>
+        s"(CASE WHEN list_dot_product(v, $p) > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, $bucket AS bucket FROM e),
+       |p AS (SELECT q.vec_id, t.vec_id AS nn_id,
+       |        list_cosine_similarity(q.v, t.v) AS sim
+       |      FROM b q JOIN b t ON q.bucket = t.bucket AND q.vec_id <> t.vec_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY sim DESC, nn_id) AS rn FROM p)
+       |SELECT vec_id, nn_id, sim FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
+  }
 
   /** IVF ANN: k-means coarse quantizer + probe-limited search
     * (rows-only; exactness-within-probe asserted in specs). */
@@ -212,6 +312,7 @@ object TrainingQueries extends graft.QueryModule {
     "q_simhash" -> (qSimhash _),
     "q_ann_topk" -> (qAnnTopK _),
     "q_embed_neardup" -> (qEmbedNearDup _),
+    "q_embed_neardup_lsh" -> (qEmbedNearDupLsh _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_multimodal" -> (qMultimodal _))
@@ -222,6 +323,10 @@ object TrainingQueries extends graft.QueryModule {
     "q_fingerprint" -> qFingerprintSql,
     "q_exact_dedup" -> qExactDedupSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
+    "q_minhash_dedup" -> qMinhashDedupSql,
+    "q_simhash" -> qSimhashSql,
     "q_ann_topk" -> qAnnTopKSql,
-    "q_embed_neardup" -> qEmbedNearDupSql)
+    "q_embed_neardup" -> qEmbedNearDupSql,
+    "q_embed_neardup_lsh" -> qEmbedNearDupLshSql,
+    "q_ann_lsh" -> qAnnLshSql)
 }

@@ -30,4 +30,25 @@ class FunctionsSpec extends SparkSpec {
       .as[Double].collect()
     assert(r(0) === 11.0)
   }
+
+  test("HashParity: Spark h28/h60 equal driver-side md5Hex derivation") {
+    import graft.functions.HashParity
+    val samples = Seq("", "a", "hello world", "p3-17", "Bob#4", "über-ascii")
+    val got = samples.toDF("s")
+      .select(HashParity.h28($"s").as("h28"), HashParity.h60($"s").as("h60"))
+      .as[(Long, Long)].collect()
+    samples.zip(got).foreach { case (s, (c28, c60)) =>
+      assert(c28 === HashParity.h28(s), s"h28($s)")
+      assert(c60 === java.lang.Long.parseLong(HashParity.md5Hex(s).take(15), 16),
+        s"h60($s)")
+    }
+  }
+
+  test("HashParity: known md5 vector (cross-engine constant)") {
+    import graft.functions.HashParity
+    // md5("hello") = 5d41402abc4b2a76b9719d911017c592 in Spark, DuckDB,
+    // and MessageDigest alike; h28 = 0x5d41402 = 97784834.
+    assert(HashParity.md5Hex("hello") === "5d41402abc4b2a76b9719d911017c592")
+    assert(HashParity.h28("hello") === 97784834L)
+  }
 }
