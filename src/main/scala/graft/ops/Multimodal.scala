@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import scala.util.hashing.MurmurHash3
+import graft.functions.HashParity
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata.
@@ -39,18 +39,21 @@ object Multimodal {
   /** STUB decode of one media blob.
     * A real build decodes image/audio here (javax.imageio / ffmpeg
     * bindings); this container has neither, so dimensions are a
-    * deterministic function of the bytes. The signature — bytes in,
-    * typed features out — is the real contract. */
+    * deterministic function of the bytes: three 28-bit slices of the
+    * blob's md5 ([[graft.functions.HashParity]]) — replayable as pure
+    * SQL (`md5(text)` substring arithmetic), so even the stub path is
+    * oracle-checked. The signature — bytes in, typed features out —
+    * is the real contract. */
   private def decodeStub(r: MediaRecord): MediaFeatures = {
-    val h = MurmurHash3.bytesHash(r.media, 42)
-    val h2 = MurmurHash3.bytesHash(r.media, 7)
+    val hex = HashParity.md5Hex(r.media)
+    def h(off: Int): Long = java.lang.Long.parseLong(hex.slice(off, off + 7), 16)
     MediaFeatures(
       doc_id = r.doc_id,
       media_type = r.media_type,
       byte_len = r.media.length.toLong,
-      width = math.abs(h % 1920) + 1,
-      height = math.abs(h2 % 1080) + 1,
-      n_frames = if (r.media_type == "video") math.abs(h % 240) + 1 else 1)
+      width = (h(0) % 1920 + 1).toInt,
+      height = (h(7) % 1080 + 1).toInt,
+      n_frames = if (r.media_type == "video") (h(14) % 240 + 1).toInt else 1)
   }
 
   /** Partition-wise batched decode: records are processed in batches

@@ -110,19 +110,37 @@ object MiscQueries extends graft.QueryModule {
       |ORDER BY i.id""".stripMargin
 
   /** U2: payload multiplication + seeded shuffle — repeat the payload
-    * list to cover `runs`, shuffle with a seeded rand (deterministic
-    * within Spark; no cross-engine oracle for rand). */
+    * list to cover `runs`, shuffle by a deterministic md5 sort key
+    * over (payload, copy index). Same "seeded shuffle" semantics as
+    * the reference's random.seed + shuffle (experiment_caller.py:272-
+    * 278) but replayable in any engine with md5 — so the trim-to-runs
+    * selection is oracle-checked. */
+  private val shufflePayloads =
+    Seq("""{"name":"Bob"}""", """{"name":"Joe"}""", """{"name":"Steve"}""")
+  private val shuffleRuns = 50
+  private val shuffleReps =
+    (shuffleRuns + shufflePayloads.size - 1) / shufflePayloads.size
+
   def qPayloadShuffle(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val payloads = Seq("""{"name":"Bob"}""", """{"name":"Joe"}""", """{"name":"Steve"}""")
-    val runs = 50
-    val reps = (runs + payloads.size - 1) / payloads.size
+    val (payloads, runs, reps) = (shufflePayloads, shuffleRuns, shuffleReps)
     payloads.toDF("payload")
-      .withColumn("copy", explode(array_repeat(lit(1), reps)))
-      .withColumn("r", rand(42L))
-      .orderBy(col("r"))
+      .select(col("payload"),
+        posexplode(array_repeat(lit(1), reps)).as(Seq("copy_idx", "one")))
+      .withColumn("r", graft.functions.HashParity.h28(
+        concat_ws("#", col("payload"), col("copy_idx"))))
+      .orderBy(col("r"), col("payload"))
       .limit(runs)
       .select(col("payload"))
+  }
+
+  val qPayloadShuffleSql: String = {
+    val vals = shufflePayloads.map(p => s"('$p')").mkString(", ")
+    s"""WITH p(payload) AS (SELECT * FROM (VALUES $vals)),
+       |x AS (SELECT payload,
+       |        CAST('0x' || substr(md5(payload || '#' || i), 1, 7) AS BIGINT) AS r
+       |      FROM p CROSS JOIN UNNEST(generate_series(0, ${shuffleReps - 1})) AS u(i))
+       |SELECT payload FROM x ORDER BY r, payload LIMIT $shuffleRuns""".stripMargin
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -136,5 +154,6 @@ object MiscQueries extends graft.QueryModule {
     "q_delta_metrics" -> qDeltaMetricsSql,
     "q_histogram" -> qHistogramSql,
     "q_grouping_sets" -> qGroupingSetsSql,
-    "q_overlap_all" -> qOverlapAllSql)
+    "q_overlap_all" -> qOverlapAllSql,
+    "q_payload_shuffle" -> qPayloadShuffleSql)
 }

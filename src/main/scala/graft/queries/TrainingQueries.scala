@@ -8,9 +8,10 @@ import graft.ops._
 
 /** Training-data pipeline queries over `documents` / `embeddings`:
   * dedup family, similarity search, text analysis, multimodal
-  * plumbing. SQL-expressible ops carry DuckDB oracles; hash-based ops
-  * (xxhash64 has no DuckDB twin) are rows-only checked and covered by
-  * ScalaTest instead.
+  * plumbing. Every entry carries a DuckDB oracle: hash-based operators
+  * derive their pseudo-randomness from md5
+  * ([[graft.functions.HashParity]]) — the one hash both engines share
+  * — and the data-dependent IVF oracle is generated post-training.
   */
 object TrainingQueries extends graft.QueryModule {
 
@@ -281,26 +282,89 @@ object TrainingQueries extends graft.QueryModule {
        |SELECT vec_id, nn_id, sim FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
   }
 
-  /** IVF ANN: k-means coarse quantizer + probe-limited search
-    * (rows-only; exactness-within-probe asserted in specs). */
+  /** IVF ANN: k-means coarse quantizer + probe-limited search.
+    * Training is data-dependent, so the DuckDB oracle is GENERATED
+    * after the query runs, with the trained centroids embedded as
+    * literals ([[ivfOracle]] reads [[Ivf.lastModel]]; Verify dumps
+    * oracle_sql.json only after running every query). */
   def qAnnIvf(s: SparkSession, dir: String): DataFrame =
     Ivf.ivfTopK(Tables.embeddings(s, dir), queryMaxId = 10L, k = 5,
       nClusters = 8, nProbe = 3, iters = 1)
 
+  /** DuckDB replay of [[qAnnIvf]] for the trained model: assignment
+    * argmax (ties to larger j, like Spark's max(struct)), probe
+    * selection (ties to smaller j), probe-limited scoring. */
+  private def ivfOracleSql(m: Ivf.Model): String = {
+    val values = m.centroids.zipWithIndex.map { case (c, j) =>
+      val half = c.map(x => x * x).sum / 2.0
+      s"($j, ${c.mkString("[", ",", "]")}::DOUBLE[], $half)"
+    }.mkString(", ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c(j, cv, half) AS (SELECT * FROM (VALUES $values)),
+       |scored AS (SELECT e.vec_id, e.v, c.j,
+       |             list_dot_product(e.v, c.cv) - c.half AS s
+       |           FROM e CROSS JOIN c),
+       |assign AS (SELECT vec_id, v, j AS cluster FROM (
+       |             SELECT *, row_number() OVER (PARTITION BY vec_id
+       |               ORDER BY s DESC, j DESC) AS rn FROM scored)
+       |           WHERE rn = 1),
+       |probes AS (SELECT q_id, qv, cluster FROM (
+       |             SELECT vec_id AS q_id, v AS qv, j AS cluster,
+       |               row_number() OVER (PARTITION BY vec_id
+       |                 ORDER BY s DESC, j) AS rn
+       |             FROM scored WHERE vec_id < ${m.queryMaxId})
+       |           WHERE rn <= ${m.nProbe}),
+       |p AS (SELECT q.q_id, a.vec_id AS neighbor_id,
+       |        list_cosine_similarity(q.qv, a.v) AS sim
+       |      FROM assign a JOIN probes q ON a.cluster = q.cluster
+       |        AND a.vec_id <> q.q_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |        ORDER BY sim DESC, neighbor_id) AS rn FROM p)
+       |SELECT q_id, CAST(rn AS BIGINT) AS rank, neighbor_id, sim
+       |FROM r WHERE rn <= ${m.k} ORDER BY q_id, rank""".stripMargin
+  }
+
+  private def ivfOracle: Map[String, String] =
+    Ivf.lastModel.map(m => "q_ann_ivf" -> ivfOracleSql(m)).toMap
+
   // ---- multimodal --------------------------------------------------------
 
   /** Binary-column pipeline: blob -> batched stub decode -> per-type
-    * rollup (rows-only; decode is a documented stub). */
+    * rollup. The decode stub derives dimensions from the blob's md5,
+    * so the whole pipeline — including the mapPartitions decode —
+    * replays as DuckDB SQL. */
   def qMultimodal(s: SparkSession, dir: String): DataFrame =
     Multimodal.features(s, Tables.documents(s, dir))
       .groupBy(col("media_type"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("byte_len")).as("sum_bytes"),
-        min(col("width")).as("min_width"),
-        max(col("height")).as("max_height"),
+        min(col("width")).cast("long").as("min_width"),
+        max(col("height")).cast("long").as("max_height"),
         sum(col("n_frames")).as("sum_frames"))
       .orderBy(col("media_type"))
+
+  /** DuckDB replay of [[qMultimodal]]: the media blob is the utf-8
+    * text, so `md5(text)` / `strlen(text)` reproduce the stub decode
+    * byte-for-byte (strlen = BYTE length, matching `media.length`). */
+  val qMultimodalSql: String =
+    """WITH m AS (SELECT doc_id,
+      |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+      |    WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |  strlen(text) AS byte_len, md5(text) AS hx FROM documents),
+      |f AS (SELECT doc_id, media_type, byte_len,
+      |  CAST('0x' || substr(hx, 1, 7) AS BIGINT) % 1920 + 1 AS width,
+      |  CAST('0x' || substr(hx, 8, 7) AS BIGINT) % 1080 + 1 AS height,
+      |  CASE WHEN media_type = 'video'
+      |    THEN CAST('0x' || substr(hx, 15, 7) AS BIGINT) % 240 + 1
+      |    ELSE 1 END AS n_frames
+      |  FROM m)
+      |SELECT media_type, count(*) AS n_docs,
+      |  CAST(sum(byte_len) AS BIGINT) AS sum_bytes,
+      |  CAST(min(width) AS BIGINT) AS min_width,
+      |  CAST(max(height) AS BIGINT) AS max_height,
+      |  CAST(sum(n_frames) AS BIGINT) AS sum_frames
+      |FROM f GROUP BY media_type ORDER BY media_type""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats" -> (qTextStats _),
@@ -328,5 +392,6 @@ object TrainingQueries extends graft.QueryModule {
     "q_ann_topk" -> qAnnTopKSql,
     "q_embed_neardup" -> qEmbedNearDupSql,
     "q_embed_neardup_lsh" -> qEmbedNearDupLshSql,
-    "q_ann_lsh" -> qAnnLshSql)
+    "q_ann_lsh" -> qAnnLshSql,
+    "q_multimodal" -> qMultimodalSql) ++ ivfOracle
 }
