@@ -22,15 +22,25 @@ object Report {
       groups: Map[String, DataFrame],
       rawOfGroups: Map[String, DataFrame])
 
+  /** @param arrivalCol ingest-order column for the duplicate-container
+    *   purge: the reference keeps the FIRST run per container in
+    *   arrival order (report_generator.py:209-213), so P13 needs a
+    *   total order — pass the run/event sequence id. Without one, the
+    *   pick falls back to a deterministic sort over the remaining
+    *   columns (stable, but not arrival order). */
   def build(
       runs: DataFrame,
       spec: ExperimentSpec,
       idCol: Option[String] = None,
-      attrCol: Option[String] = None): Sections = {
+      attrCol: Option[String] = None,
+      arrivalCol: Option[String] = None): Sections = {
 
     var df = RunRecords.invalidatorFilter(runs, spec.invalidators)
-    if (spec.removeDuplicateContainers && idCol.isDefined)
-      df = df.dropDuplicates(idCol.get)
+    if (spec.removeDuplicateContainers && idCol.isDefined) {
+      val order = arrivalCol.map(Seq(_)).getOrElse(
+        (df.columns.toSet - idCol.get).toSeq.sorted)
+      df = graft.etl.SalesTransform.dedupFirstWins(df, idCol.get, order)
+    }
     for (id <- idCol; attr <- attrCol)
       df = Tenancy.enrich(df, id, attr)
     df = RunRecords.prune(df, spec.ignoreFromAll)

@@ -23,21 +23,42 @@ object PipelineRunner {
 
   val linear: Transition = (i, _, _) => i + 1
 
+  /** J4: the `transitions` key-rename map (reference
+    * experiment_caller.py:186-196, doc test/README.md:142-143) —
+    * between stages, each key `k` present in the passed-on frame is
+    * COPIED to `transitions(k)`, overriding any existing column of
+    * that name, so stage N's output key feeds stage N+1's
+    * differently-named input. The original key stays visible, exactly
+    * like the reference's `{**passOn, **lastPayload}` merge. Applied
+    * only on frames that continue to another stage, never to the
+    * final output. */
+  def applyRenames(df: DataFrame, renames: Map[String, String]): DataFrame =
+    renames.foldLeft(df) { case (d, (k, k2)) =>
+      if (d.columns.contains(k)) d.withColumn(k2, col(k)) else d
+    }
+
   def run(
       input: DataFrame,
       stages: Seq[Stage],
       transition: Transition = linear,
       tagStages: Boolean = true,
-      maxSteps: Int = 1000): DataFrame = {
+      maxSteps: Int = 1000,
+      keyRenames: Map[String, String] = Map.empty): DataFrame = {
+
+    def continues(idx: Int, step: Int): Boolean =
+      idx >= 0 && idx < stages.length && step < maxSteps
 
     @tailrec
     def loop(df: DataFrame, idx: Int, step: Int): DataFrame = {
-      if (idx < 0 || idx >= stages.length || step >= maxSteps) df
+      if (!continues(idx, step)) df
       else {
         val out0 = stages(idx).fn(df)
         val out = if (tagStages)
           out0.withColumn("3_pipeline_stage", lit(idx)) else out0
-        loop(out, transition(idx, stages.length, out), step + 1)
+        val next = transition(idx, stages.length, out)
+        val fed = if (continues(next, step + 1)) applyRenames(out, keyRenames)
+        else out
+        loop(fed, next, step + 1)
       }
     }
     loop(input, 0, 0)

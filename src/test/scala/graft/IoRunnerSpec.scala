@@ -61,6 +61,19 @@ class ReportSpecFull extends SparkSpec {
     val p2 = ReportWriter.write(tmp, "report", csv)
     assert(p1.endsWith("report.csv") && p2.endsWith("report-1.csv"))
   }
+  test("P13: duplicate-container purge keeps the FIRST run in arrival order") {
+    import spark.implicits._
+    val runs = Seq(
+      (1L, "c1", "warm"), (2L, "c2", "cold"),
+      (3L, "c1", "hot"), (4L, "c2", "mild"))
+      .toDF("seq", "containerID", "state")
+    val spec = ExperimentSpec(removeDuplicateContainers = true)
+    val sections = Report.build(runs, spec,
+      idCol = Some("containerID"), arrivalCol = Some("seq"))
+    val kept = sections.raw.orderBy("seq")
+      .select("containerID", "state").as[(String, String)].collect()
+    assert(kept.toSeq === Seq("c1" -> "warm", "c2" -> "cold"))
+  }
 }
 
 class PipelineRunnerSpec extends SparkSpec {
@@ -85,5 +98,50 @@ class PipelineRunnerSpec extends SparkSpec {
     val out = PipelineRunner.run(in, Seq(
       PipelineRunner.Stage("inc", _.withColumn("x", $"x" + 1))), t)
     assert(out.collect()(0).getAs[Int]("x") === 2)
+  }
+  test("J4: keyRenames feed a stage's output into the next stage's input name") {
+    val in = Seq((1, 5)).toDF("id", "x")
+    val out = PipelineRunner.run(in, Seq(
+      PipelineRunner.Stage("produce", _.withColumn("result", $"x" * 10)),
+      PipelineRunner.Stage("consume", df => df.withColumn("y", col("input2") + 1))),
+      keyRenames = Map("result" -> "input2"))
+    val r = out.collect()(0)
+    // original key survives the pass (reference {**passOn, **payload})
+    assert(r.getAs[Int]("result") === 50)
+    assert(r.getAs[Int]("input2") === 50)
+    assert(r.getAs[Int]("y") === 51)
+  }
+  test("J4: renames are not applied to the final output") {
+    val in = Seq((1, 5)).toDF("id", "x")
+    val out = PipelineRunner.run(in, Seq(
+      PipelineRunner.Stage("produce", _.withColumn("result", $"x" * 10))),
+      keyRenames = Map("result" -> "input2"))
+    assert(!out.columns.contains("input2"))
+  }
+}
+
+class PayloadInheritanceSpec extends SparkSpec {
+  import graft.runner.PayloadInheritance._
+  test("J3: priority is payloads > folder > parent, list cycled to folder length") {
+    val payloads = Seq(Map[String, Any]("a" -> 1, "b" -> 1), Map[String, Any]("a" -> 2))
+    val folder = Seq(
+      Map[String, Any]("b" -> 10, "c" -> 10), Map[String, Any]("c" -> 20),
+      Map[String, Any]("a" -> 30, "d" -> 30))
+    val parent = Map[String, Any]("c" -> 100, "e" -> 100)
+    val r = prepare(payloads, folder, parent)
+    assert(r.length === 3)
+    // payload key beats folder key beats parent key
+    assert(r(0) === Map("a" -> 1, "b" -> 1, "c" -> 10, "e" -> 100))
+    assert(r(1) === Map("a" -> 2, "c" -> 20, "e" -> 100))
+    // third entry: payload list cycled back to its head
+    assert(r(2) === Map("a" -> 1, "b" -> 1, "d" -> 30, "c" -> 100, "e" -> 100))
+  }
+  test("J3: no folder leaves list length; parent still merges under") {
+    val r = prepare(Seq(Map("a" -> 1)), Nil, Map("a" -> 9, "p" -> 9))
+    assert(r === Seq(Map("a" -> 1, "p" -> 9)))
+  }
+  test("J3: empty payload list against a folder yields folder+parent") {
+    val r = prepare(Nil, Seq(Map("f" -> 1)), Map("p" -> 2))
+    assert(r === Seq(Map("f" -> 1, "p" -> 2)))
   }
 }
