@@ -27,7 +27,7 @@ object SalesQueries extends graft.QueryModule {
        |    ORDER BY line_number, ship_date, revenue_c, cost_c, units_c) AS rn
        |  FROM sales),
        |transformed AS (
-       |  SELECT order_id, region, country,
+       |  SELECT order_id, region, country, order_date,
        |    ${SalesTransform.recodePrioritySql} AS order_priority,
        |    (revenue_c - cost_c) / revenue_c AS gross_margin,
        |    datediff('day', order_date, ship_date) AS processing_days,
@@ -74,11 +74,62 @@ object SalesQueries extends graft.QueryModule {
        |    ${Num.sumSql("revenue_c")} AS margin_ratio
        |FROM transformed GROUP BY region ORDER BY region""".stripMargin
 
+  /** SURVEY §7.4.5 Query-stage contract: the TLQ "Q" runs `spark.sql`
+    * over the loaded SalesData view (S11 surface), with the filter
+    * variants the reference documents — OrderPriority, Region, and
+    * order-date range. */
+  private def salesView(s: SparkSession, dir: String): Unit =
+    SalesTransform.transformed(s, dir).createOrReplaceTempView("SalesData")
+
+  /** OrderPriority filter + per-priority rollup. */
+  def qSalesPriority(s: SparkSession, dir: String): DataFrame = {
+    salesView(s, dir)
+    s.sql("""SELECT order_priority, count(*) AS n_orders,
+            |  sum(revenue_c) AS sum_revenue_c, sum(units_c) AS sum_units_c
+            |FROM SalesData
+            |WHERE order_priority IN ('Critical', 'High')
+            |GROUP BY order_priority ORDER BY order_priority""".stripMargin)
+  }
+
+  val qSalesPrioritySql: String =
+    s"""$salesCte
+       |SELECT order_priority, count(*) AS n_orders,
+       |  ${Num.sumSql("revenue_c")} AS sum_revenue_c,
+       |  ${Num.sumSql("units_c")} AS sum_units_c
+       |FROM transformed
+       |WHERE order_priority IN ('Critical', 'High')
+       |GROUP BY order_priority ORDER BY order_priority""".stripMargin
+
+  /** Region + order-date-range filter, per-country rollup. */
+  def qSalesDateRange(s: SparkSession, dir: String): DataFrame = {
+    salesView(s, dir)
+    s.sql("""SELECT country, count(*) AS n_orders,
+            |  sum(revenue_c) AS sum_revenue_c
+            |FROM SalesData
+            |WHERE region = 'EUROPE'
+            |  AND CAST(order_date AS DATE)
+            |    BETWEEN DATE'1996-01-01' AND DATE'1998-12-31'
+            |GROUP BY country ORDER BY country""".stripMargin)
+  }
+
+  val qSalesDateRangeSql: String =
+    s"""$salesCte
+       |SELECT country, count(*) AS n_orders,
+       |  ${Num.sumSql("revenue_c")} AS sum_revenue_c
+       |FROM transformed
+       |WHERE region = 'EUROPE'
+       |  AND order_date BETWEEN DATE '1996-01-01' AND DATE '1998-12-31'
+       |GROUP BY country ORDER BY country""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sales_transform" -> (qSalesTransform _),
-    "q_sales_report" -> (qSalesReport _))
+    "q_sales_report" -> (qSalesReport _),
+    "q_sales_priority" -> (qSalesPriority _),
+    "q_sales_date_range" -> (qSalesDateRange _))
 
   def oracleSql: Map[String, String] = Map(
     "q_sales_transform" -> qSalesTransformSql,
-    "q_sales_report" -> qSalesReportSql)
+    "q_sales_report" -> qSalesReportSql,
+    "q_sales_priority" -> qSalesPrioritySql,
+    "q_sales_date_range" -> qSalesDateRangeSql)
 }
