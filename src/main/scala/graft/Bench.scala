@@ -21,7 +21,8 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val errors = scala.collection.mutable.ListBuffer.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val wanted = if (args.nonEmpty) args.toSet else SparkEntry.queries.keySet
+    val results = SparkEntry.queries.view.filterKeys(wanted).toMap.map { case (name, fn) =>
       val times = (0 until nRuns).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {

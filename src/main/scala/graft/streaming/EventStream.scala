@@ -87,27 +87,40 @@ object EventStream {
 
   /** Gap-based sessionization as a custom stateful streaming op: a
     * new session starts when the gap to the previous event exceeds
-    * `gapUs`. Events must arrive in order per key within a batch
-    * (guaranteed by sorting each group's iterator). */
-  def sessionizeStateful(s: SparkSession, stream: DataFrame, gapUs: Long): DataFrame = {
+    * `gapUs`. Events must be processed in (ts_us, event_id) order per
+    * key within a batch; by default each group's iterator is buffered
+    * and sorted to guarantee that.
+    *
+    * Scale contract: with `assumeSorted = true` the group iterator is
+    * consumed LAZILY — one element at a time, state updated per
+    * element (Spark commits group state after draining the returned
+    * iterator) — so a hot key with millions of events per micro-batch
+    * never materializes in memory. Use it when the upstream already
+    * guarantees per-key order (e.g. a sorted source or
+    * `sortWithinPartitions` after the key repartition); the default
+    * buffering path is the safe general case. */
+  def sessionizeStateful(
+      s: SparkSession, stream: DataFrame, gapUs: Long,
+      assumeSorted: Boolean = false): DataFrame = {
     import s.implicits._
     stream.select(col("user_id"), col("event_id"), col("ts_us")).as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionAssign](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
-          val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          val ordered: Iterator[Ev] =
+            if (assumeSorted) evs
+            else evs.toSeq.sortBy(e => (e.ts_us, e.event_id)).iterator
           var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
-          val out = sorted.map { e =>
+          ordered.map { e =>
             val idx =
               if (st.lastTsUs == Long.MinValue) st.sessionIdx
               else if (e.ts_us - st.lastTsUs > gapUs) st.sessionIdx + 1
               else st.sessionIdx
             st = SessionState(idx, e.ts_us)
+            state.update(st)
             SessionAssign(e.user_id, e.event_id, e.ts_us, idx)
           }
-          state.update(st)
-          out.iterator
       }.toDF()
   }
 

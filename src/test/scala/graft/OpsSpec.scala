@@ -68,6 +68,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("bucketed near-dup finds exact duplicates (same bucket by construction)") {
+    val emb = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").limit(100)
+    // plant an exact duplicate of vector 0 under a fresh id
+    val dup = emb.filter($"vec_id" === 0L)
+      .select(lit(900000L).as("vec_id"), $"embedding")
+    val rows = Similarity.lshNearestNeighbor(emb.unionByName(dup), nBits = 8)
+      .filter($"vec_id".isin(0L, 900000L))
+      .select("vec_id", "nn_id", "sim").collect()
+    assert(rows.map(_.getLong(0)).toSet === Set(0L, 900000L))
+    rows.foreach { row =>
+      assert(Set(0L, 900000L).contains(row.getLong(1)), "dup pair must be mutual NN")
+      assert(math.abs(row.getDouble(2) - 1.0) < 1e-12)
+    }
+  }
+
   test("lsh topk results appear in brute-force ranking with same sim") {
     val emb = Tables.embeddings(spark, sf)
     val brute = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 10), 500)

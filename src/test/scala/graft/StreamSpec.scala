@@ -50,4 +50,25 @@ class StreamSpec extends SparkSpec {
     assert(out.length === batch.length)
     out.zip(batch).foreach { case (a, b) => assert(a === b) }
   }
+
+  test("sessionization assumeSorted streams a pre-sorted single-key source lazily") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sorted").toString
+    // one file, one partition, rows already in (ts_us, event_id) order:
+    // the sorted-source contract assumeSorted=true relies on
+    Seq((1L, 1L, 0L), (1L, 2L, 50L), (1L, 3L, 300L), (1L, 4L, 350L))
+      .toDF("user_id", "event_id", "ts_us")
+      .coalesce(1).sortWithinPartitions("ts_us", "event_id")
+      .write.parquet(s"$tmp/ev")
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_id", LongType),
+      StructField("ts_us", LongType)))
+    val src = spark.readStream.schema(schema).parquet(s"$tmp/ev")
+    val out = EventStream.runToMemory(spark,
+      EventStream.sessionizeStateful(spark, src, gapUs = 100L, assumeSorted = true),
+      "t_sorted_sessions", org.apache.spark.sql.streaming.OutputMode.Append)
+      .orderBy("event_id").select("session_idx").as[Long].collect()
+    assert(out.toSeq === Seq(0L, 0L, 1L, 1L))
+  }
 }
