@@ -2,16 +2,17 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Throughput bench: each query timed SPARK_GRAFT_BENCH_RUNS times
-  * (default 2) and reported at its MINIMUM — this box's load swings
+  * (default 3) and reported at its MINIMUM — this box's load swings
   * single-run timings 3-10x (PLANS.md), so the min is the only number
   * stable enough for round-over-round comparison. Total = sum of
-  * per-query minima.
+  * per-query minima. Optional args restrict the run to the named
+  * queries (for re-checking a single outlier).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
