@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for each left row, the single right row with the same
+  * key and the greatest timestamp <= the left row's timestamp
+  * (inclusive; left rows with no prior right row get nulls).
+  *
+  * Spark has no ASOF JOIN operator, and the naive spelling — a range
+  * theta-join plus a per-left-row window — degenerates to a broadcast
+  * nested loop at scale. This implementation uses the union + running
+  * `last(ignoreNulls)` formulation instead: tag both inputs, union
+  * them into one stream, sort per key by (ts, side, tiebreak) so a
+  * right row at the exact left timestamp sorts first (inclusive
+  * semantics), and carry the most recent right payload forward with
+  * one running window. Cost: ONE shuffle on the join key, no join
+  * operator at all — the same plan shape at 100 TB, with per-key
+  * partitions bounded by that key's event count.
+  */
+object AsofJoin {
+
+  /** @param key   equi-join key column (present on both sides)
+    * @param ts    ordering timestamp column (both sides, same unit)
+    * @param tie   deterministic tiebreak column for equal timestamps
+    *              (both sides; e.g. an event id)
+    * @param leftOut  left columns to emit, unchanged
+    * @param rightOut right columns to emit, prefixed `asof_`
+    */
+  def asofJoin(
+      left: DataFrame, right: DataFrame,
+      key: String, ts: String, tie: String,
+      leftOut: Seq[String], rightOut: Seq[String]): DataFrame = {
+    val lStruct = struct(leftOut.map(col): _*)
+    val rStruct = struct(rightOut.map(col): _*)
+    val lType = left.select(lStruct).schema.head.dataType
+    val rType = right.select(rStruct).schema.head.dataType
+
+    val shapedR = right.select(
+      col(key).as("_k"), col(ts).as("_ts"), col(tie).as("_tie"),
+      lit(0).as("_side"),
+      lit(null).cast(lType).as("_l"), rStruct.as("_r"))
+    val shapedL = left.select(
+      col(key).as("_k"), col(ts).as("_ts"), col(tie).as("_tie"),
+      lit(1).as("_side"),
+      lStruct.as("_l"), lit(null).cast(rType).as("_r"))
+
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_ts"), col("_side"), col("_tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val outCols: Seq[Column] =
+      leftOut.map(c => col(s"_l.$c").as(c)) ++
+        rightOut.map(c => col(s"_r_asof.$c").as(s"asof_$c"))
+    shapedR.unionByName(shapedL)
+      .withColumn("_r_asof", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(outCols: _*)
+  }
+}

@@ -66,4 +66,42 @@ object TextAnalysis {
   def fingerprintColumns(text: Column): Seq[(String, Column)] = Seq(
     "fp" -> md5(text),
     "fp_norm" -> md5(lower(text)))
+
+  /** Top-k characteristic terms per document by tf-idf, with the
+    * ratio idf variant `idf = N/df` (same per-document ranking as
+    * `ln(N/df)` since ln is monotone and N is corpus-constant, but a
+    * single IEEE division instead of a transcendental — `ln`
+    * implementations differ in the last ulp across engines, which
+    * would break the cross-engine hash check).
+    *
+    * Plan: explode -> tf aggregate; df derived FROM the tf frame (one
+    * extra aggregate on (term) — no second pass over the corpus);
+    * corpus size joined in as a broadcast one-row aggregate, not a
+    * driver-side action; per-doc top-k via window. Three shuffles
+    * total (tf, df, final rank), all on slim columns.
+    */
+  def tfidfTopTerms(
+      df: org.apache.spark.sql.DataFrame, textCol: String, idCol: String,
+      k: Int = 5): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+    // the tf frame feeds two consumers (df aggregate + scoring join)
+    val tf = tok.groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf")).cache()
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.agg(count_distinct(col(idCol)).as("n_docs"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf") * (col("n_docs").cast("double") / col("df")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("id").as("doc_id"), col("rank"), col("term"),
+        col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
 }

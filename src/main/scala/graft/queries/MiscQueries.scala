@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{Num, Tables}
+import graft.ops.{AsofJoin, Profile}
 import graft.report.Overlap
 
 /** Remaining SURVEY §2 surface: snapshot delta metrics (P20/P21),
@@ -143,17 +144,124 @@ object MiscQueries extends graft.QueryModule {
        |SELECT payload FROM x ORDER BY r, payload LIMIT $shuffleRuns""".stripMargin
   }
 
+  /** As-of join ([[graft.ops.AsofJoin]]): each purchase matched to
+    * the latest same-user click at or before it. The oracle is
+    * DuckDB's NATIVE `ASOF LEFT JOIN` — an independently implemented
+    * operator, not a replay of our plan. */
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_us"))
+    val purchases = ev.filter(col("event_type") === "purchase").drop("event_type")
+    val clicks = ev.filter(col("event_type") === "click").drop("event_type")
+    AsofJoin.asofJoin(purchases, clicks,
+        key = "user_id", ts = "ts_us", tie = "event_id",
+        leftOut = Seq("event_id", "user_id", "ts_us"),
+        rightOut = Seq("event_id", "ts_us"))
+      .withColumn("gap_us", col("ts_us") - col("asof_ts_us"))
+      .orderBy(col("event_id"))
+  }
+
+  val qAsofJoinSql: String =
+    """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+      |            FROM events),
+      |p AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'purchase'),
+      |c AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'click')
+      |SELECT p.event_id, p.user_id, p.ts_us,
+      |  c.event_id AS asof_event_id, c.ts_us AS asof_ts_us,
+      |  p.ts_us - c.ts_us AS gap_us
+      |FROM p ASOF LEFT JOIN c
+      |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+      |ORDER BY p.event_id""".stripMargin
+
+  private val profileCols =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** Column profiling ([[graft.ops.Profile]]) over lineitem. */
+  def qProfile(s: SparkSession, dir: String): DataFrame =
+    Profile.profile(Tables.lineitem(s, dir), profileCols)
+
+  val qProfileSql: String = Profile.profileSql("lineitem", profileCols)
+
+  /** Time-based rolling window via a RANGE frame: for every event,
+    * the count and exact-cents sum of the same user's events in the
+    * preceding hour (exclusive of the current row). Range frames are
+    * the windowed form Spark executes without buffering the whole
+    * partition per row — one shuffle on user_id, a sorted scan per
+    * partition with a sliding frame boundary. */
+  def qRollingWindow(s: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-hourUs, -1L)
+    Tables.events(s, dir)
+      .withColumn("value_c", Num.cents(col("value")))
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("value_c"))
+      .withColumn("n_prev_1h", count(lit(1)).over(w))
+      .withColumn("sum_prev_1h_c", coalesce(sum(col("value_c")).over(w), lit(0L)))
+      .select("event_id", "user_id", "ts_us", "n_prev_1h", "sum_prev_1h_c")
+      .orderBy(col("event_id"))
+  }
+
+  val qRollingWindowSql: String =
+    s"""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       |              ${Num.centsSql("value")} AS value_c FROM events)
+       |SELECT event_id, user_id, ts_us,
+       |  count(*) OVER w AS n_prev_1h,
+       |  CAST(COALESCE(sum(value_c) OVER w, 0) AS BIGINT) AS sum_prev_1h_c
+       |FROM ev
+       |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+       |             RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)
+       |ORDER BY event_id""".stripMargin
+
+  private val pivotTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Pivot: per-user wide table of event counts and cents sums by
+    * event_type. The type list is pinned (`pivot(col, values)`) so the
+    * plan is a single pass — Spark otherwise runs an extra distinct
+    * job to discover values, and the output schema becomes
+    * data-dependent, which no downstream contract wants. */
+  def qPivot(s: SparkSession, dir: String): DataFrame = {
+    val agg = Tables.events(s, dir)
+      .withColumn("value_c", Num.cents(col("value")))
+      .groupBy(col("user_id"))
+      .pivot("event_type", pivotTypes)
+      .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_c"))
+      .na.fill(0L)
+    agg.select(col("user_id") +: pivotTypes.flatMap(t =>
+      Seq(col(s"${t}_n").as(s"n_$t"), col(s"${t}_sum_c").as(s"sum_c_$t"))): _*)
+      .orderBy(col("user_id"))
+  }
+
+  val qPivotSql: String = {
+    val arms = pivotTypes.map(t =>
+      s"""  count(*) FILTER (event_type = '$t') AS n_$t,
+         |  CAST(COALESCE(sum(value_c) FILTER (event_type = '$t'), 0) AS BIGINT) AS sum_c_$t""".stripMargin)
+      .mkString(",\n")
+    s"""WITH ev AS (SELECT user_id, event_type,
+       |              ${Num.centsSql("value")} AS value_c FROM events)
+       |SELECT user_id,
+       |$arms
+       |FROM ev GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_delta_metrics" -> (qDeltaMetrics _),
     "q_histogram" -> (qHistogram _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_overlap_all" -> (qOverlapAll _),
-    "q_payload_shuffle" -> (qPayloadShuffle _))
+    "q_payload_shuffle" -> (qPayloadShuffle _),
+    "q_asof_join" -> (qAsofJoin _),
+    "q_profile" -> (qProfile _),
+    "q_rolling_window" -> (qRollingWindow _),
+    "q_pivot" -> (qPivot _))
 
   def oracleSql: Map[String, String] = Map(
     "q_delta_metrics" -> qDeltaMetricsSql,
     "q_histogram" -> qHistogramSql,
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_overlap_all" -> qOverlapAllSql,
-    "q_payload_shuffle" -> qPayloadShuffleSql)
+    "q_payload_shuffle" -> qPayloadShuffleSql,
+    "q_asof_join" -> qAsofJoinSql,
+    "q_profile" -> qProfileSql,
+    "q_rolling_window" -> qRollingWindowSql,
+    "q_pivot" -> qPivotSql)
 }

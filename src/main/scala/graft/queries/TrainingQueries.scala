@@ -138,9 +138,12 @@ object TrainingQueries extends graft.QueryModule {
       .orderBy(col("doc_id"))
   }
 
-  /** DuckDB replay of [[qMinhashDedup]]: same shingles, same affine
-    * MinHash constants (embedded as literals), same band-hash md5. */
-  val qMinhashDedupSql: String = {
+  /** Shared DuckDB CTE chain replaying the MinHash+LSH candidate
+    * pipeline: shingles -> df cap -> md5-parity shingle hash -> 64
+    * affine signature slots -> band hashes -> candidate pairs
+    * (`cand(id1, id2)`). Used by both [[qMinhashDedupSql]] and the
+    * connected-components oracle [[qDedupClustersSql]]. */
+  private val minhashCandCtes: String = {
     import graft.functions.HashParity
     val k = 64; val bandSize = 4
     val sigCols = (0 until k).map(i =>
@@ -150,7 +153,7 @@ object TrainingQueries extends graft.QueryModule {
       val cat = (j * bandSize until (j + 1) * bandSize).map(i => s"h$i").mkString(" || ',' || ")
       s"SELECT id, $j AS band, CAST('0x' || substr(md5($cat), 1, 15) AS BIGINT) AS bh FROM sig"
     }.mkString(" UNION ALL ")
-    s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+    s"""t AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
        |sh0 AS (SELECT DISTINCT doc_id AS id,
        |          w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
        |        FROM t, UNNEST(generate_series(1, len(w)-2)) AS u(i)
@@ -162,7 +165,13 @@ object TrainingQueries extends graft.QueryModule {
        |bands AS ($bandRows),
        |cand AS (SELECT DISTINCT x.id AS id1, y.id AS id2
        |         FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh
-       |         WHERE x.id < y.id),
+       |         WHERE x.id < y.id)""".stripMargin
+  }
+
+  /** DuckDB replay of [[qMinhashDedup]]: same shingles, same affine
+    * MinHash constants (embedded as literals), same band-hash md5. */
+  val qMinhashDedupSql: String =
+    s"""WITH $minhashCandCtes,
        |counts AS (SELECT id, CAST(count(*) AS BIGINT) AS n_candidates
        |           FROM (SELECT id1 AS id FROM cand UNION ALL SELECT id2 AS id FROM cand)
        |           GROUP BY id)
@@ -170,7 +179,61 @@ object TrainingQueries extends graft.QueryModule {
        |  COALESCE(counts.n_candidates, 0) AS n_candidates
        |FROM sig LEFT JOIN counts ON sig.id = counts.id
        |ORDER BY doc_id""".stripMargin
+
+  /** Cluster resolution over the MinHash candidate pairs: connected
+    * components ([[Components.connectedComponents]]) turn pairwise
+    * candidates into per-document cluster ids + sizes — the step that
+    * makes LSH output actionable (keep one canonical doc per
+    * component). */
+  def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val sh = Dedup.cappedIndex(
+      Dedup.wordShingles(docs, "text", "doc_id"), 1000L)
+    val cands = Dedup.minhashCandidates(
+      Dedup.lshBands(Dedup.minhashSignatures(sh, 64), 64, 4)).cache()
+    val labels = Components.connectedComponents(
+      docs.select(col("doc_id").as("id")), cands)
+    Components.withClusterSizes(labels)
+      .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
   }
+
+  /** DuckDB replay of [[qDedupClusters]]: same candidate pairs, then
+    * a recursive min-reachable-id closure — an independent algorithm
+    * (transitive closure by recursion vs. iterative label
+    * propagation) arriving at the same components. */
+  val qDedupClustersSql: String =
+    s"""WITH RECURSIVE $minhashCandCtes,
+       |sym AS (SELECT id1 AS id, id2 AS nbr FROM cand
+       |        UNION ALL SELECT id2, id1 FROM cand),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT sym.id, reach.r FROM sym JOIN reach ON sym.nbr = reach.id),
+       |lbl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+       |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+       |       FROM lbl GROUP BY cluster_id)
+       |SELECT lbl.doc_id, lbl.cluster_id, sz.cluster_size
+       |FROM lbl JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin
+
+  /** Top-5 characteristic terms per document by ratio-idf tf-idf
+    * ([[TextAnalysis.tfidfTopTerms]]). */
+  def qTfidf(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), "text", "doc_id", k = 5)
+
+  val qTfidfSql: String =
+    """WITH tok AS (SELECT doc_id AS id, u.t AS term
+      |             FROM documents, UNNEST(str_split(text, ' ')) AS u(t)),
+      |tf AS (SELECT id, term, count(*) AS tf FROM tok GROUP BY id, term),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+      |s AS (SELECT tf.id, tf.term, tf.tf, dfreq.df,
+      |        tf.tf * (CAST(n.n_docs AS DOUBLE) / dfreq.df) AS score
+      |      FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY id
+      |        ORDER BY score DESC, term) AS rn FROM s)
+      |SELECT id AS doc_id, CAST(rn AS BIGINT) AS rank, term, tf, df, score
+      |FROM r WHERE rn <= 5 ORDER BY doc_id, rank""".stripMargin
 
   /** SimHash fingerprint + high-16-bit bucket mates (md5-parity token
     * hashes — oracle-replayable). */
@@ -373,6 +436,8 @@ object TrainingQueries extends graft.QueryModule {
     "q_exact_dedup" -> (qExactDedup _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_minhash_dedup" -> (qMinhashDedup _),
+    "q_dedup_clusters" -> (qDedupClusters _),
+    "q_tfidf" -> (qTfidf _),
     "q_simhash" -> (qSimhash _),
     "q_ann_topk" -> (qAnnTopK _),
     "q_embed_neardup" -> (qEmbedNearDup _),
@@ -388,6 +453,8 @@ object TrainingQueries extends graft.QueryModule {
     "q_exact_dedup" -> qExactDedupSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_minhash_dedup" -> qMinhashDedupSql,
+    "q_dedup_clusters" -> qDedupClustersSql,
+    "q_tfidf" -> qTfidfSql,
     "q_simhash" -> qSimhashSql,
     "q_ann_topk" -> qAnnTopKSql,
     "q_embed_neardup" -> qEmbedNearDupSql,

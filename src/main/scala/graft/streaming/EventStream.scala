@@ -61,6 +61,19 @@ object EventStream {
     s.table(name)
   }
 
+  /** Streaming exact dedup: drop duplicate event ids across
+    * micro-batches — the streaming twin of
+    * [[graft.ops.Dedup.exactClusters]]'s keep-first semantics (the
+    * landing dir redelivers runs; the reference's `-N` report dedupe
+    * is the batch shape of the same need). State is bounded by the
+    * watermark: an id whose event time falls `delay` behind the
+    * watermark is evicted, so state stays O(ids per horizon) at any
+    * ingest rate instead of growing forever like a plain
+    * `dropDuplicates` on a stream would. */
+  def dedupStream(stream: DataFrame, delay: String = "1 hour"): DataFrame =
+    stream.withWatermark("tsT", delay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** St5: live progress observation — the Spark-native form of the
     * reference's `.progress.txt` polling (experiment_caller.py:103-111
     * / interactive_helpers.py:589-617): a StreamingQueryListener

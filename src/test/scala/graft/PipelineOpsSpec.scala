@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{AsofJoin, Components, Profile, TextAnalysis}
+
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("min-label propagation finds components on a chain (diameter > 1 round)") {
+    // 1-2-3-4 is a chain: the min label needs 3 hops to reach node 4,
+    // proving the loop iterates to fixpoint rather than one round
+    val nodes = (1L to 7L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("id1", "id2")
+    val got = Components.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("cluster sizes attach per node") {
+    val nodes = (1L to 4L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
+    val got = Components.withClusterSizes(
+        Components.connectedComponents(nodes, edges))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L), (4L, 4L, 1L)))
+  }
+}
+
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(left: Seq[(Long, Long, Long)], right: Seq[(Long, Long, Long)]) =
+    AsofJoin.asofJoin(
+        left.toDF("event_id", "user_id", "ts_us"),
+        right.toDF("event_id", "user_id", "ts_us"),
+        key = "user_id", ts = "ts_us", tie = "event_id",
+        leftOut = Seq("event_id", "user_id", "ts_us"),
+        rightOut = Seq("event_id", "ts_us"))
+      .collect()
+      .map(r => r.getLong(0) -> (
+        if (r.isNullAt(3)) None else Some((r.getLong(3), r.getLong(4)))))
+      .toMap
+
+  test("picks the latest right row at or before each left row, per key") {
+    val got = run(
+      left = Seq((100L, 1L, 10L), (101L, 1L, 5L), (102L, 2L, 7L)),
+      right = Seq((200L, 1L, 3L), (201L, 1L, 10L), (202L, 2L, 1L)))
+    assert(got === Map(
+      100L -> Some((201L, 10L)), // inclusive: right at the exact left ts wins
+      101L -> Some((200L, 3L)),
+      102L -> Some((202L, 1L))))
+  }
+
+  test("left rows with no prior right row get nulls") {
+    val got = run(
+      left = Seq((100L, 1L, 2L), (101L, 3L, 9L)),
+      right = Seq((200L, 1L, 5L)))
+    assert(got === Map(100L -> None, 101L -> None))
+  }
+}
+
+class TfidfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("a corpus-unique term outranks ubiquitous terms") {
+    val docs = Seq(
+      (1L, "the cat sat"),
+      (2L, "the dog sat"),
+      (3L, "the cat ran fast")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopTerms(docs, "text", "doc_id", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // 'the' (df=3, score 1) loses to each doc's rarer terms (df=1 -> 3)
+    assert(top(1L) != "the")
+    assert(top(2L) === "dog")
+    assert(top(3L) != "the")
+  }
+
+  test("scores are tf * N/df and ranks are dense per doc") {
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val rows = TextAnalysis.tfidfTopTerms(docs, "text", "doc_id", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    // doc 1: a tf=2 df=1 -> 4.0 ; b tf=1 df=2 -> 1.0
+    assert(rows.filter(_._1 == 1L).map(t => (t._2, t._3, t._6)).toSeq ===
+      Seq((1L, "a", 4.0), (2L, "b", 1.0)))
+    // doc 2: c tf=1 df=1 -> 2.0 ; b tf=1 df=2 -> 1.0
+    assert(rows.filter(_._1 == 2L).map(t => (t._2, t._3, t._6)).toSeq ===
+      Seq((1L, "c", 2.0), (2L, "b", 1.0)))
+  }
+}
+
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("per-column counts, nulls, distincts, extrema, exact cents sum") {
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.5, 2.0), (1.5, null), (3.25, 4.0))
+      .toDF("x", "y")
+    val got = Profile.profile(df, Seq("x", "y"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5), r.getLong(6))).toMap
+    assert(got("x") === ((3L, 0L, 2L, 1.5, 3.25, 625L)))
+    assert(got("y") === ((3L, 1L, 2L, 2.0, 4.0, 600L)))
+  }
+}

@@ -51,6 +51,28 @@ class StreamSpec extends SparkSpec {
     out.zip(batch).foreach { case (a, b) => assert(a === b) }
   }
 
+  test("streaming dedup drops redelivered event ids across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dedup").toString
+    // second file redelivers event 2 (the landing-dir redelivery case)
+    Seq((1L, 1000000L), (2L, 2000000L)).toDF("event_id", "ts_us")
+      .coalesce(1).write.parquet(s"$tmp/a.parquet")
+    Seq((2L, 2000000L), (3L, 3000000L)).toDF("event_id", "ts_us")
+      .coalesce(1).write.parquet(s"$tmp/b.parquet")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts_us", LongType)))
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1) // force separate micro-batches
+      .parquet(s"$tmp/*.parquet")
+      .withColumn("tsT", timestamp_micros(col("ts_us")))
+    val out = EventStream.runToMemory(spark,
+      EventStream.dedupStream(src, "10 minutes"), "t_dedup_stream",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+      .select("event_id").as[Long].collect().sorted
+    assert(out.toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("sessionization assumeSorted streams a pre-sorted single-key source lazily") {
     import spark.implicits._
     import org.apache.spark.sql.types._
