@@ -1,0 +1,35 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.HashParity
+
+/** Deterministic dataset splitting for training pipelines: every row
+  * lands in exactly one named split, decided by a salted md5 of its
+  * id — stable across runs, engines, partitionings, and data order
+  * (unlike `randomSplit`, which depends on partition layout), and
+  * replayable in the DuckDB oracle. Changing the salt re-deals the
+  * split; rows added later don't move existing rows between splits.
+  */
+object Split {
+
+  /** Percent bucket in [0,100) from a salted 28-bit md5 of the id. */
+  def bucket(id: Column, salt: String): Column =
+    HashParity.h28(concat(id.cast("string"), lit("#" + salt))) % 100
+
+  /** Split label from cumulative percentage cuts, e.g.
+    * `Seq("train" -> 80, "val" -> 10, "test" -> 10)`. */
+  def splitLabel(id: Column, salt: String, cuts: Seq[(String, Int)]): Column = {
+    require(cuts.map(_._2).sum == 100, "split percentages must sum to 100")
+    val b = bucket(id, salt)
+    val thresholds = cuts.scanLeft(0)(_ + _._2).tail
+    cuts.map(_._1).zip(thresholds).init
+      .foldRight(lit(cuts.last._1): Column) { case ((name, cut), rest) =>
+        when(b < cut, name).otherwise(rest)
+      }
+  }
+
+  /** DuckDB spelling of [[bucket]] — keep in lock-step. */
+  def bucketSql(idExpr: String, salt: String): String =
+    s"CAST('0x' || substr(md5(CAST($idExpr AS VARCHAR) || '#$salt'), 1, 7) AS BIGINT) % 100"
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{Num, Tables}
-import graft.ops.{AsofJoin, Profile}
+import graft.ops.{AsofJoin, Profile, Upsert}
 import graft.report.Overlap
 
 /** Remaining SURVEY §2 surface: snapshot delta metrics (P20/P21),
@@ -243,6 +243,41 @@ object MiscQueries extends graft.QueryModule {
        |FROM ev GROUP BY user_id ORDER BY user_id""".stripMargin
   }
 
+  /** Apply-changes merge ([[graft.ops.Upsert]]): a deterministic
+    * carve of orders plays base snapshot (keys not divisible by 3)
+    * and changes batch (even keys: re-priced + restatused upserts,
+    * every 7th a delete tombstone). */
+  def qUpsert(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        Num.cents(col("o_totalprice")).as("tp_c"))
+    val base = o.filter(col("o_orderkey") % 3 =!= 0)
+    val changes = o.filter(col("o_orderkey") % 2 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("tp_c", col("tp_c") + 500L)
+      .withColumn("is_deleted", col("o_orderkey") % 7 === 0)
+    Upsert.applyChanges(base, changes, "o_orderkey", "is_deleted")
+      .orderBy(col("o_orderkey"))
+  }
+
+  val qUpsertSql: String =
+    s"""WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+       |             ${Num.centsSql("o_totalprice")} AS tp_c FROM orders),
+       |b AS (SELECT * FROM o WHERE o_orderkey % 3 <> 0),
+       |c AS (SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+       |        tp_c + 500 AS tp_c, (o_orderkey % 7 = 0) AS del
+       |      FROM o WHERE o_orderkey % 2 = 0)
+       |SELECT COALESCE(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+       |  CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_custkey
+       |       ELSE b.o_custkey END AS o_custkey,
+       |  CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_orderstatus
+       |       ELSE b.o_orderstatus END AS o_orderstatus,
+       |  CAST(CASE WHEN c.o_orderkey IS NOT NULL THEN c.tp_c
+       |       ELSE b.tp_c END AS BIGINT) AS tp_c
+       |FROM b FULL OUTER JOIN c ON b.o_orderkey = c.o_orderkey
+       |WHERE NOT COALESCE(c.del, false)
+       |ORDER BY o_orderkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_delta_metrics" -> (qDeltaMetrics _),
     "q_histogram" -> (qHistogram _),
@@ -252,7 +287,8 @@ object MiscQueries extends graft.QueryModule {
     "q_asof_join" -> (qAsofJoin _),
     "q_profile" -> (qProfile _),
     "q_rolling_window" -> (qRollingWindow _),
-    "q_pivot" -> (qPivot _))
+    "q_pivot" -> (qPivot _),
+    "q_upsert" -> (qUpsert _))
 
   def oracleSql: Map[String, String] = Map(
     "q_delta_metrics" -> qDeltaMetricsSql,
@@ -263,5 +299,6 @@ object MiscQueries extends graft.QueryModule {
     "q_asof_join" -> qAsofJoinSql,
     "q_profile" -> qProfileSql,
     "q_rolling_window" -> qRollingWindowSql,
-    "q_pivot" -> qPivotSql)
+    "q_pivot" -> qPivotSql,
+    "q_upsert" -> qUpsertSql)
 }

@@ -235,6 +235,38 @@ object TrainingQueries extends graft.QueryModule {
       |SELECT id AS doc_id, CAST(rn AS BIGINT) AS rank, term, tf, df, score
       |FROM r WHERE rn <= 5 ORDER BY doc_id, rank""".stripMargin
 
+  private val splitCuts = Seq("train" -> 80, "val" -> 10, "test" -> 10)
+  private val splitSalt = "graft-r3"
+
+  /** Deterministic salted-hash train/val/test split
+    * ([[graft.ops.Split]]): per-split counts, id extrema, and per-lang
+    * doc counts — the sanity profile a pipeline checks after dealing
+    * a split. */
+  def qTrainSplit(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("split",
+        Split.splitLabel(col("doc_id"), splitSalt, splitCuts))
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"),
+        count(when(col("lang") === "en", 1)).as("n_en"))
+      .orderBy(col("split"))
+
+  val qTrainSplitSql: String = {
+    val b = Split.bucketSql("doc_id", splitSalt)
+    s"""WITH s AS (SELECT doc_id, lang,
+       |  CASE WHEN $b < 80 THEN 'train'
+       |       WHEN $b < 90 THEN 'val' ELSE 'test' END AS split
+       |  FROM documents)
+       |SELECT split, count(*) AS n_docs,
+       |  CAST(min(doc_id) AS BIGINT) AS min_id,
+       |  CAST(max(doc_id) AS BIGINT) AS max_id,
+       |  CAST(count(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS n_en
+       |FROM s GROUP BY split ORDER BY split""".stripMargin
+  }
+
   /** SimHash fingerprint + high-16-bit bucket mates (md5-parity token
     * hashes — oracle-replayable). */
   def qSimhash(s: SparkSession, dir: String): DataFrame = {
@@ -438,6 +470,7 @@ object TrainingQueries extends graft.QueryModule {
     "q_minhash_dedup" -> (qMinhashDedup _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_tfidf" -> (qTfidf _),
+    "q_train_split" -> (qTrainSplit _),
     "q_simhash" -> (qSimhash _),
     "q_ann_topk" -> (qAnnTopK _),
     "q_embed_neardup" -> (qEmbedNearDup _),
@@ -455,6 +488,7 @@ object TrainingQueries extends graft.QueryModule {
     "q_minhash_dedup" -> qMinhashDedupSql,
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_tfidf" -> qTfidfSql,
+    "q_train_split" -> qTrainSplitSql,
     "q_simhash" -> qSimhashSql,
     "q_ann_topk" -> qAnnTopKSql,
     "q_embed_neardup" -> qEmbedNearDupSql,

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{AsofJoin, Components, Profile, TextAnalysis}
+import graft.ops.{AsofJoin, Components, Profile, Split, TextAnalysis, Upsert}
 
 class ComponentsSpec extends SparkSpec {
   import spark.implicits._
@@ -87,6 +87,55 @@ class TfidfSpec extends SparkSpec {
     // doc 2: c tf=1 df=1 -> 2.0 ; b tf=1 df=2 -> 1.0
     assert(rows.filter(_._1 == 2L).map(t => (t._2, t._3, t._6)).toSeq ===
       Seq((1L, "c", 2.0), (2L, "b", 1.0)))
+  }
+}
+
+class UpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("insert, row-wise update (null cells override), delete, untouched") {
+    val base = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("k", "s", "v")
+    val changes = Seq(
+      (2L, null.asInstanceOf[String], 99L, false), // update: null REPLACES "b"
+      (3L, "x", 0L, true),                         // tombstone
+      (4L, "d", 40L, false))                       // insert
+      .toDF("k", "s", "v", "is_deleted")
+    val got = Upsert.applyChanges(base, changes, "k", "is_deleted")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1), r.getLong(2))).toSet
+    assert(got === Set((1L, "a", 10L), (2L, null, 99L), (4L, "d", 40L)))
+  }
+}
+
+class SplitSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cuts = Seq("train" -> 80, "val" -> 10, "test" -> 10)
+
+  test("every row gets exactly one split; proportions are roughly honored") {
+    val ids = (0L until 2000L).toDF("id")
+    val n = ids.withColumn("split", Split.splitLabel(col("id"), "s1", cuts))
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(n.values.sum === 2000L)
+    assert(n("train") > 1500 && n("train") < 1700)
+    assert(n("val") > 120 && n("val") < 280)
+    assert(n("test") > 120 && n("test") < 280)
+  }
+
+  test("assignment is stable across runs and orderings, and salt re-deals") {
+    val a = (0L until 500L).toDF("id")
+      .withColumn("split", Split.splitLabel(col("id"), "s1", cuts))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = (0L until 500L).reverse.toDF("id").repartition(7)
+      .withColumn("split", Split.splitLabel(col("id"), "s1", cuts))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a === b)
+    val c = (0L until 500L).toDF("id")
+      .withColumn("split", Split.splitLabel(col("id"), "other", cuts))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a !== c)
   }
 }
 
