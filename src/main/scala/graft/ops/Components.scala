@@ -18,10 +18,10 @@ import org.apache.spark.sql.functions._
   * typical. Each round is two bounded shuffles over slim (long, long)
   * rows: one equi-join of the symmetric edge list against the current
   * labels, one min-aggregate — no all-pairs work, no driver-side
-  * graph. `localCheckpoint()` truncates the per-round lineage so the
-  * plan does not grow with iterations (the classic iterative-DataFrame
-  * trap), and the convergence test reads the already-materialized
-  * checkpoint, costing one cheap count per round.
+  * graph. `localCheckpoint()` truncates the lineage at each batch of
+  * rounds so the plan does not grow with iterations (the classic
+  * iterative-DataFrame trap), and the convergence test reads the
+  * already-materialized checkpoint, costing one cheap count per batch.
   */
 object Components {
 

@@ -278,6 +278,38 @@ object MiscQueries extends graft.QueryModule {
        |WHERE NOT COALESCE(c.del, false)
        |ORDER BY o_orderkey""".stripMargin
 
+  /** Sliding event-time windows (1h window, 30m slide): every event
+    * lands in exactly window/slide = 2 windows. Same
+    * `groupBy(window(...))` plan Structured Streaming executes for the
+    * streaming variant (q_stream_window covers the tumbling +
+    * watermark path); the window explosion happens map-side before
+    * the aggregate exchange, so shuffle volume is slide-factor ×
+    * groups, not slide-factor × events. */
+  def qSlidingWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(Num.cents(col("value"))).as("sum_c"))
+      .select(unix_micros(col("window.start")).as("w_start_us"),
+        col("event_type"), col("n"), col("sum_c"))
+      .orderBy(col("w_start_us"), col("event_type"))
+
+  /** DuckDB replay: each event contributes to the two epoch-aligned
+    * 30m-slide starts covering it. */
+  val qSlidingWindowSql: String = {
+    val slide = 1800000000L
+    s"""WITH ev AS (SELECT event_type, epoch_us(ts) AS ts_us,
+       |              ${Num.centsSql("value")} AS value_c FROM events),
+       |w AS (SELECT event_type, value_c,
+       |        (ts_us // $slide - u.i) * $slide AS w_start_us
+       |      FROM ev, UNNEST(generate_series(0, 1)) AS u(i))
+       |SELECT w_start_us, event_type, count(*) AS n,
+       |  ${Num.sumSql("value_c")} AS sum_c
+       |FROM w GROUP BY w_start_us, event_type
+       |ORDER BY w_start_us, event_type""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_delta_metrics" -> (qDeltaMetrics _),
     "q_histogram" -> (qHistogram _),
@@ -288,7 +320,8 @@ object MiscQueries extends graft.QueryModule {
     "q_profile" -> (qProfile _),
     "q_rolling_window" -> (qRollingWindow _),
     "q_pivot" -> (qPivot _),
-    "q_upsert" -> (qUpsert _))
+    "q_upsert" -> (qUpsert _),
+    "q_sliding_window" -> (qSlidingWindow _))
 
   def oracleSql: Map[String, String] = Map(
     "q_delta_metrics" -> qDeltaMetricsSql,
@@ -300,5 +333,6 @@ object MiscQueries extends graft.QueryModule {
     "q_profile" -> qProfileSql,
     "q_rolling_window" -> qRollingWindowSql,
     "q_pivot" -> qPivotSql,
-    "q_upsert" -> qUpsertSql)
+    "q_upsert" -> qUpsertSql,
+    "q_sliding_window" -> qSlidingWindowSql)
 }
