@@ -143,4 +143,26 @@ object Dedup {
       .reduce(_ + _)
     counted.select(col("id"), assembled.as("simhash"))
   }
+
+  /** Verified SimHash near-dup pairs: equi-join on the high
+    * `bucketBits` of the fingerprint (candidate generation), then the
+    * exact Hamming distance — `bit_count(xor)`, a codegen'd builtin —
+    * as the verifier. One bucket family misses pairs that differ
+    * within the high bits; production recall for distance <= k uses
+    * several rotated bucket tables (same join shape repeated), which
+    * this operator's single family stands in for. No all-pairs work:
+    * the join key bounds the candidate fan-out exactly like MinHash
+    * banding. */
+  def simhashPairs(
+      sh: DataFrame, maxHamming: Int, bucketBits: Int = 16): DataFrame = {
+    val bucketed = sh.withColumn("bucket",
+      shiftrightunsigned(col("simhash"), SimhashBits - bucketBits))
+    val a = bucketed.select(col("bucket"), col("id").as("id1"), col("simhash").as("f1"))
+    val b = bucketed.select(col("bucket"), col("id").as("id2"), col("simhash").as("f2"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("hamming", bit_count(col("f1").bitwiseXOR(col("f2"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id1"), col("id2"), col("hamming"))
+  }
 }

@@ -20,16 +20,25 @@ import graft.core.Num
   */
 object Profile {
 
-  /** Profile the named numeric (double-castable) columns. */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  /** Profile the named numeric (double-castable) columns.
+    * `exactDistinct = false` swaps the exact distinct (a full expand
+    * shuffle) for the HLL++ sketch `approx_count_distinct` — the
+    * 100 TB survey mode; sketch values differ across engines, so only
+    * the exact mode is oracle-comparable. */
+  def profile(
+      df: DataFrame, cols: Seq[String],
+      exactDistinct: Boolean = true): DataFrame = {
     val melted = df.select(explode(array(cols.map(c =>
       struct(lit(c).as("col_name"), col(c).cast("double").as("v"))): _*)).as("m"))
       .select(col("m.col_name").as("col_name"), col("m.v").as("v"))
+    val distinctAgg =
+      if (exactDistinct) count_distinct(col("v"))
+      else approx_count_distinct(col("v"))
     melted.groupBy(col("col_name"))
       .agg(
         count(lit(1)).as("n_rows"),
         (count(lit(1)) - count(col("v"))).as("n_null"),
-        count_distinct(col("v")).as("n_distinct"),
+        distinctAgg.as("n_distinct"),
         min(col("v")).as("min_v"),
         max(col("v")).as("max_v"),
         sum(Num.cents(col("v"))).as("sum_c"))

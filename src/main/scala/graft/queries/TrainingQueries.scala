@@ -279,25 +279,51 @@ object TrainingQueries extends graft.QueryModule {
       .orderBy(col("doc_id"))
   }
 
-  /** DuckDB replay of [[qSimhash]]: 60 bit-majority counters over
-    * 60-bit md5 token hashes, reassembled with literal bit weights. */
-  val qSimhashSql: String = {
+  /** Shared DuckDB CTE chain replaying [[Dedup.simhash]]: 60
+    * bit-majority counters over 60-bit md5 token hashes, reassembled
+    * with literal bit weights into `asm(id, simhash)`. */
+  private val simhashCtes: String = {
     val nb = Dedup.SimhashBits
-    val shift = nb - 16
     val cnt = (0 until nb)
       .map(b => s"sum(CASE WHEN (th >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
       .mkString(", ")
     val asm = (0 until nb)
       .map(b => s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END")
       .mkString(" + ")
-    s"""WITH tok AS (SELECT doc_id AS id, u.t AS t
+    s"""tok AS (SELECT doc_id AS id, u.t AS t
        |             FROM documents, UNNEST(str_split(text, ' ')) AS u(t)),
        |th AS (SELECT id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS th FROM tok),
        |cnt AS (SELECT id, $cnt FROM th GROUP BY id),
-       |asm AS (SELECT id, $asm AS simhash FROM cnt)
+       |asm AS (SELECT id, $asm AS simhash FROM cnt)""".stripMargin
+  }
+
+  /** DuckDB replay of [[qSimhash]]. */
+  val qSimhashSql: String = {
+    val shift = Dedup.SimhashBits - 16
+    s"""WITH $simhashCtes
        |SELECT id AS doc_id, simhash, simhash >> $shift AS bucket,
        |  CAST(count(*) OVER (PARTITION BY (simhash >> $shift)) - 1 AS BIGINT) AS n_mates
        |FROM asm ORDER BY doc_id""".stripMargin
+  }
+
+  /** Bucket-verified SimHash near-dup pairs
+    * ([[Dedup.simhashPairs]]): high-16-bit bucket candidates filtered
+    * by exact Hamming distance. */
+  def qSimhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(
+        Dedup.simhash(Tables.documents(s, dir), "text", "doc_id"),
+        maxHamming = 8)
+      .orderBy(col("id1"), col("id2"))
+
+  val qSimhashPairsSql: String = {
+    val shift = Dedup.SimhashBits - 16
+    s"""WITH $simhashCtes,
+       |b AS (SELECT id, simhash, simhash >> $shift AS bucket FROM asm)
+       |SELECT x.id AS id1, y.id AS id2,
+       |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+       |FROM b x JOIN b y ON x.bucket = y.bucket AND x.id < y.id
+       |WHERE bit_count(xor(x.simhash, y.simhash)) <= 8
+       |ORDER BY id1, id2""".stripMargin
   }
 
   // ---- similarity search -------------------------------------------------
@@ -472,6 +498,7 @@ object TrainingQueries extends graft.QueryModule {
     "q_tfidf" -> (qTfidf _),
     "q_train_split" -> (qTrainSplit _),
     "q_simhash" -> (qSimhash _),
+    "q_simhash_pairs" -> (qSimhashPairs _),
     "q_ann_topk" -> (qAnnTopK _),
     "q_embed_neardup" -> (qEmbedNearDup _),
     "q_embed_neardup_lsh" -> (qEmbedNearDupLsh _),
@@ -490,6 +517,7 @@ object TrainingQueries extends graft.QueryModule {
     "q_tfidf" -> qTfidfSql,
     "q_train_split" -> qTrainSplitSql,
     "q_simhash" -> qSimhashSql,
+    "q_simhash_pairs" -> qSimhashPairsSql,
     "q_ann_topk" -> qAnnTopKSql,
     "q_embed_neardup" -> qEmbedNearDupSql,
     "q_embed_neardup_lsh" -> qEmbedNearDupLshSql,

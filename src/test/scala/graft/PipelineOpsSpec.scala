@@ -153,4 +153,30 @@ class ProfileSpec extends SparkSpec {
     assert(got("x") === ((3L, 0L, 2L, 1.5, 3.25, 625L)))
     assert(got("y") === ((3L, 1L, 2L, 2.0, 4.0, 600L)))
   }
+
+  test("approx-distinct survey mode tracks the exact count") {
+    val li = graft.core.Tables.lineitem(spark, sf)
+    val exact = Profile.profile(li, Seq("l_extendedprice"))
+      .collect().head.getLong(3)
+    val approx = Profile.profile(li, Seq("l_extendedprice"), exactDistinct = false)
+      .collect().head.getLong(3)
+    assert(math.abs(approx - exact).toDouble / exact < 0.15,
+      s"approx=$approx exact=$exact")
+  }
+}
+
+class SimhashPairsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("identical docs pair at hamming 0; threshold filters the rest") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "totally different words entirely here now")).toDF("doc_id", "text")
+    val sh = graft.ops.Dedup.simhash(docs, "text", "doc_id")
+    val pairs = graft.ops.Dedup.simhashPairs(sh, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs.contains((1L, 2L, 0L)))
+    assert(pairs.forall(_._3 === 0L))
+  }
 }
