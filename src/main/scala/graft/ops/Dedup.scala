@@ -155,8 +155,12 @@ object Dedup {
     * banding. */
   def simhashPairs(
       sh: DataFrame, maxHamming: Int, bucketBits: Int = 16): DataFrame = {
+    // both self-join sides consume the fingerprints; without the cache
+    // each side re-runs the full simhash pipeline (scan, explode, 60
+    // bit-counter aggregate) — the measured multi-consumer trap
     val bucketed = sh.withColumn("bucket",
       shiftrightunsigned(col("simhash"), SimhashBits - bucketBits))
+      .cache()
     val a = bucketed.select(col("bucket"), col("id").as("id1"), col("simhash").as("f1"))
     val b = bucketed.select(col("bucket"), col("id").as("id2"), col("simhash").as("f2"))
     a.join(b, Seq("bucket"))

@@ -310,6 +310,45 @@ object MiscQueries extends graft.QueryModule {
        |ORDER BY w_start_us, event_type""".stripMargin
   }
 
+  private val quantilePs = Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+
+  /** Exact per-group discrete quantiles (p50/p90/p99 of cents values):
+    * rank-based selection — the element at row_number ceil(p*n) in
+    * value order — so both engines pick the identical value with no
+    * interpolation arithmetic and no sketch. One window + one
+    * aggregate, both keyed on the group: the sort is per-group, not
+    * global. At 100 TB survey scale the sketch alternative is
+    * `approx_percentile` (same plan shape, no sort), which like HLL
+    * is not cross-engine comparable. */
+  def qQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value_c"))
+    val ranked = Tables.events(s, dir)
+      .withColumn("value_c", Num.cents(col("value")))
+      .select(col("event_type"), col("value_c"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    val qAggs = quantilePs.map { case (name, p) =>
+      max(when(col("rn") === ceil(lit(p) * col("n")), col("value_c"))).as(name)
+    }
+    ranked.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), qAggs: _*)
+      .orderBy(col("event_type"))
+  }
+
+  val qQuantilesSql: String = {
+    val arms = quantilePs.map { case (name, p) =>
+      s"max(CASE WHEN rn = CAST(ceil($p * n) AS BIGINT) THEN value_c END) AS $name"
+    }.mkString(",\n  ")
+    s"""WITH ev AS (SELECT event_type, ${Num.centsSql("value")} AS value_c FROM events),
+       |r AS (SELECT event_type, value_c,
+       |        row_number() OVER (PARTITION BY event_type ORDER BY value_c) AS rn,
+       |        count(*) OVER (PARTITION BY event_type) AS n
+       |      FROM ev)
+       |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       |  $arms
+       |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_delta_metrics" -> (qDeltaMetrics _),
     "q_histogram" -> (qHistogram _),
@@ -321,7 +360,8 @@ object MiscQueries extends graft.QueryModule {
     "q_rolling_window" -> (qRollingWindow _),
     "q_pivot" -> (qPivot _),
     "q_upsert" -> (qUpsert _),
-    "q_sliding_window" -> (qSlidingWindow _))
+    "q_sliding_window" -> (qSlidingWindow _),
+    "q_quantiles" -> (qQuantiles _))
 
   def oracleSql: Map[String, String] = Map(
     "q_delta_metrics" -> qDeltaMetricsSql,
@@ -334,5 +374,6 @@ object MiscQueries extends graft.QueryModule {
     "q_rolling_window" -> qRollingWindowSql,
     "q_pivot" -> qPivotSql,
     "q_upsert" -> qUpsertSql,
-    "q_sliding_window" -> qSlidingWindowSql)
+    "q_sliding_window" -> qSlidingWindowSql,
+    "q_quantiles" -> qQuantilesSql)
 }
