@@ -7,10 +7,14 @@ import graft.core.{Num, Tables}
 import graft.ops.{AsofJoin, Profile, Upsert}
 import graft.report.Overlap
 
-/** Remaining SURVEY §2 surface: snapshot delta metrics (P20/P21),
+/** Remaining SURVEY §2 surface — snapshot delta metrics (P20/P21),
   * histogram (A11), the multi-category report as GROUPING SETS
   * (SURVEY §2.4 note), unfiltered overlap (J1 without overlapFilter),
-  * payload multiplication with seeded shuffle (U2).
+  * payload multiplication with seeded shuffle (U2) — plus the
+  * general-analytics operators a reference user reaches for next:
+  * as-of join, column profiling, RANGE-frame rolling windows, pivot,
+  * apply-changes merge, sliding event-time windows, and exact
+  * per-group quantiles. Every entry is DuckDB-oracle-checked.
   */
 object MiscQueries extends graft.QueryModule {
 
