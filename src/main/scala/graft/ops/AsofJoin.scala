@@ -22,27 +22,36 @@ import org.apache.spark.sql.functions._
 object AsofJoin {
 
   /** @param key   equi-join key column (present on both sides)
-    * @param ts    ordering timestamp column (both sides, same unit)
+    * @param ts    ordering timestamp column (both sides, same unit,
+    *              numeric)
     * @param tie   deterministic tiebreak column for equal timestamps
     *              (both sides; e.g. an event id)
     * @param leftOut  left columns to emit, unchanged
     * @param rightOut right columns to emit, prefixed `asof_`
+    * @param forward false (default): latest right row at-or-before
+    *                each left row. true: EARLIEST right row
+    *                at-or-after — the "next event" direction (e.g.
+    *                funnel conversion). Implemented by negating the
+    *                sort timestamp; everything else is the same
+    *                single-shuffle plan.
     */
   def asofJoin(
       left: DataFrame, right: DataFrame,
       key: String, ts: String, tie: String,
-      leftOut: Seq[String], rightOut: Seq[String]): DataFrame = {
+      leftOut: Seq[String], rightOut: Seq[String],
+      forward: Boolean = false): DataFrame = {
     val lStruct = struct(leftOut.map(col): _*)
     val rStruct = struct(rightOut.map(col): _*)
     val lType = left.select(lStruct).schema.head.dataType
     val rType = right.select(rStruct).schema.head.dataType
+    val sortTs = if (forward) -col(ts) else col(ts)
 
     val shapedR = right.select(
-      col(key).as("_k"), col(ts).as("_ts"), col(tie).as("_tie"),
+      col(key).as("_k"), sortTs.as("_ts"), col(tie).as("_tie"),
       lit(0).as("_side"),
       lit(null).cast(lType).as("_l"), rStruct.as("_r"))
     val shapedL = left.select(
-      col(key).as("_k"), col(ts).as("_ts"), col(tie).as("_tie"),
+      col(key).as("_k"), sortTs.as("_ts"), col(tie).as("_tie"),
       lit(1).as("_side"),
       lStruct.as("_l"), lit(null).cast(rType).as("_r"))
 

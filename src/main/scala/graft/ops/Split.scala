@@ -32,4 +32,19 @@ object Split {
   /** DuckDB spelling of [[bucket]] — keep in lock-step. */
   def bucketSql(idExpr: String, salt: String): String =
     s"CAST('0x' || substr(md5(CAST($idExpr AS VARCHAR) || '#$salt'), 1, 7) AS BIGINT) % 100"
+
+  /** Stratified-sampling predicate: keep a row iff its salted bucket
+    * falls under its group's percentage (`rates`, with `defaultPct`
+    * for unlisted groups). Same determinism contract as
+    * [[splitLabel]]; rates are exact in expectation per group, and a
+    * group's sample is a SUBSET of any higher-rate sample under the
+    * same salt (nested samples — useful for scaling experiments). */
+  def stratifiedFilter(
+      id: Column, group: Column, salt: String,
+      rates: Seq[(String, Int)], defaultPct: Int): Column = {
+    val pct = rates.foldRight(lit(defaultPct): Column) { case ((g, p), rest) =>
+      when(group === g, p).otherwise(rest)
+    }
+    bucket(id, salt) < pct
+  }
 }

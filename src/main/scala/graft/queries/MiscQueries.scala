@@ -177,6 +177,48 @@ object MiscQueries extends graft.QueryModule {
       |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
       |ORDER BY p.event_id""".stripMargin
 
+  /** Funnel conversion via the FORWARD as-of direction: each click
+    * matched to the same user's earliest purchase at-or-after it,
+    * then per-user click counts, 1h-conversion counts, and the
+    * conversion ratio (one final long/long division). The oracle
+    * replays the forward direction with DuckDB's backward-only ASOF
+    * JOIN on negated timestamps — the same trick the operator uses
+    * internally, implemented independently. */
+  def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_us"))
+    val clicks = ev.filter(col("event_type") === "click").drop("event_type")
+    val purchases = ev.filter(col("event_type") === "purchase").drop("event_type")
+    AsofJoin.asofJoin(clicks, purchases,
+        key = "user_id", ts = "ts_us", tie = "event_id",
+        leftOut = Seq("event_id", "user_id", "ts_us"),
+        rightOut = Seq("ts_us"), forward = true)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_clicks"),
+        count(when(col("asof_ts_us") - col("ts_us") <= hourUs, 1)).as("n_conv_1h"))
+      .withColumn("conv_ratio", col("n_conv_1h") / col("n_clicks"))
+      .orderBy(col("user_id"))
+  }
+
+  val qFunnelSql: String =
+    """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+      |            FROM events),
+      |c AS (SELECT event_id, user_id, ts_us, -ts_us AS nts
+      |      FROM ev WHERE event_type = 'click'),
+      |p AS (SELECT user_id, ts_us, -ts_us AS nts
+      |      FROM ev WHERE event_type = 'purchase'),
+      |j AS (SELECT c.user_id, c.ts_us, p.ts_us AS p_ts_us
+      |      FROM c ASOF LEFT JOIN p
+      |        ON c.user_id = p.user_id AND c.nts >= p.nts)
+      |SELECT user_id, count(*) AS n_clicks,
+      |  CAST(count(CASE WHEN p_ts_us - ts_us <= 3600000000 THEN 1 END) AS BIGINT)
+      |    AS n_conv_1h,
+      |  CAST(count(CASE WHEN p_ts_us - ts_us <= 3600000000 THEN 1 END) AS BIGINT)
+      |    / count(*) AS conv_ratio
+      |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin
+
   private val profileCols =
     Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
@@ -365,7 +407,8 @@ object MiscQueries extends graft.QueryModule {
     "q_pivot" -> (qPivot _),
     "q_upsert" -> (qUpsert _),
     "q_sliding_window" -> (qSlidingWindow _),
-    "q_quantiles" -> (qQuantiles _))
+    "q_quantiles" -> (qQuantiles _),
+    "q_funnel" -> (qFunnel _))
 
   def oracleSql: Map[String, String] = Map(
     "q_delta_metrics" -> qDeltaMetricsSql,
@@ -379,5 +422,6 @@ object MiscQueries extends graft.QueryModule {
     "q_pivot" -> qPivotSql,
     "q_upsert" -> qUpsertSql,
     "q_sliding_window" -> qSlidingWindowSql,
-    "q_quantiles" -> qQuantilesSql)
+    "q_quantiles" -> qQuantilesSql,
+    "q_funnel" -> qFunnelSql)
 }

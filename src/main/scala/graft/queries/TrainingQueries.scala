@@ -267,6 +267,32 @@ object TrainingQueries extends graft.QueryModule {
        |FROM s GROUP BY split ORDER BY split""".stripMargin
   }
 
+  private val stratRates = Seq("en" -> 50, "de" -> 25)
+
+  /** Stratified sampling ([[Split.stratifiedFilter]]): per-language
+    * sampling rates (en 50%, de 25%, rest 10%), audited per group. */
+  def qStratified(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    docs
+      .filter(Split.stratifiedFilter(
+        col("doc_id"), col("lang"), splitSalt, stratRates, defaultPct = 10))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"),
+        min(col("doc_id")).as("min_id"))
+      .orderBy(col("lang"))
+  }
+
+  val qStratifiedSql: String = {
+    val b = Split.bucketSql("doc_id", splitSalt)
+    val pct = stratRates.foldRight("10") { case ((g, p), rest) =>
+      s"CASE WHEN lang = '$g' THEN $p ELSE $rest END"
+    }
+    s"""SELECT lang, count(*) AS n_sampled,
+       |  CAST(min(doc_id) AS BIGINT) AS min_id
+       |FROM documents WHERE $b < $pct
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** SimHash fingerprint + high-16-bit bucket mates (md5-parity token
     * hashes — oracle-replayable). */
   def qSimhash(s: SparkSession, dir: String): DataFrame = {
@@ -497,6 +523,7 @@ object TrainingQueries extends graft.QueryModule {
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_tfidf" -> (qTfidf _),
     "q_train_split" -> (qTrainSplit _),
+    "q_stratified" -> (qStratified _),
     "q_simhash" -> (qSimhash _),
     "q_simhash_pairs" -> (qSimhashPairs _),
     "q_ann_topk" -> (qAnnTopK _),
@@ -516,6 +543,7 @@ object TrainingQueries extends graft.QueryModule {
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_tfidf" -> qTfidfSql,
     "q_train_split" -> qTrainSplitSql,
+    "q_stratified" -> qStratifiedSql,
     "q_simhash" -> qSimhashSql,
     "q_simhash_pairs" -> qSimhashPairsSql,
     "q_ann_topk" -> qAnnTopKSql,

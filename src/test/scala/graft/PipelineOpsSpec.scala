@@ -58,6 +58,23 @@ class AsofJoinSpec extends SparkSpec {
       right = Seq((200L, 1L, 5L)))
     assert(got === Map(100L -> None, 101L -> None))
   }
+
+  test("forward direction picks the earliest right row at or after") {
+    val got = AsofJoin.asofJoin(
+        Seq((100L, 1L, 5L), (101L, 1L, 11L)).toDF("event_id", "user_id", "ts_us"),
+        Seq((200L, 1L, 3L), (201L, 1L, 5L), (202L, 1L, 10L))
+          .toDF("event_id", "user_id", "ts_us"),
+        key = "user_id", ts = "ts_us", tie = "event_id",
+        leftOut = Seq("event_id"), rightOut = Seq("event_id", "ts_us"),
+        forward = true)
+      .collect()
+      .map(r => r.getLong(0) -> (
+        if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2)))))
+      .toMap
+    assert(got === Map(
+      100L -> Some((201L, 5L)), // inclusive: right at the exact ts
+      101L -> None))            // nothing at or after ts=11
+  }
 }
 
 class TfidfSpec extends SparkSpec {
@@ -122,6 +139,18 @@ class SplitSpec extends SparkSpec {
     assert(n("train") > 1500 && n("train") < 1700)
     assert(n("val") > 120 && n("val") < 280)
     assert(n("test") > 120 && n("test") < 280)
+  }
+
+  test("stratified samples are nested across rates under one salt") {
+    val df = (0L until 1000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "g")
+    def sampled(rates: Seq[(String, Int)]) = df
+      .filter(Split.stratifiedFilter(col("id"), col("g"), "s1", rates, 10))
+      .select("id").as[Long].collect().toSet
+    val low = sampled(Seq("a" -> 20))
+    val high = sampled(Seq("a" -> 60))
+    assert(low.subsetOf(high)) // same salt: lower rate nests in higher
+    assert(low.nonEmpty && high.size > low.size)
   }
 
   test("assignment is stable across runs and orderings, and salt re-deals") {
