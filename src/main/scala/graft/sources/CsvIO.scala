@@ -46,6 +46,15 @@ object CsvIO {
       .mode("append")
       .save()
 
+  /** Columnar interchange beyond parquet: ORC read/write (bundled
+    * with Spark; same pushdown/pruning machinery). A reference user
+    * landing data in either columnar format round-trips through the
+    * same engine surface. */
+  def readOrc(s: SparkSession, path: String): DataFrame = s.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** S11/Q: the TLQ Query surface — SQL over a registered table. */
   def query(s: SparkSession, df: DataFrame, table: String, sql: String): DataFrame = {
     df.createOrReplaceTempView(table)

@@ -21,6 +21,17 @@ class CsvIoSpec extends SparkSpec {
     val b = back.orderBy("order_id").collect().map(_.toSeq.map(String.valueOf))
     assert(a.toSeq === b.toSeq)
   }
+  test("orc round-trip is value-identical and typed") {
+    val tmp = Files.createTempDirectory("graft_orc").toString
+    val out = Tables.lineitem(spark, sf)
+    CsvIO.writeOrc(out, s"$tmp/li")
+    val back = CsvIO.readOrc(spark, s"$tmp/li")
+    assert(back.schema === out.schema) // ORC keeps types, unlike CSV
+    val key = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    val a = out.orderBy(key.head, key.tail: _*).collect().map(_.toSeq)
+    val b = back.orderBy(key.head, key.tail: _*).collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+  }
   test("json round-trip unions schema") {
     val tmp = Files.createTempDirectory("graft_json").toString
     CsvIO.writeJson(Tables.nation(spark, sf), s"$tmp/j")

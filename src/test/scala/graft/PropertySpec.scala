@@ -108,3 +108,78 @@ object SessionProps extends SparkProperties("sessionize") {
       got.map(_._2).toSeq == want.toSeq
     }
 }
+
+object AsofProps extends SparkProperties("asof") {
+  import spark.implicits._
+
+  private val genSides: org.scalacheck.Gen[(List[(Long, Long, Long)], List[(Long, Long, Long)])] =
+    for {
+      nl <- Gen.choose(1, 20)
+      nr <- Gen.choose(0, 20)
+      mk = (base: Int) => (i: Int) => for {
+        key <- Gen.choose(1L, 3L)
+        ts <- Gen.choose(0L, 50L) // small domain to force ts collisions
+      } yield ((base + i).toLong, key, ts)
+      l <- Gen.sequence[List[(Long, Long, Long)], (Long, Long, Long)](
+        (0 until nl).map(mk(100)).toList)
+      r <- Gen.sequence[List[(Long, Long, Long)], (Long, Long, Long)](
+        (0 until nr).map(mk(500)).toList)
+    } yield (l, r)
+
+  /** Brute-force oracle: for each left row, the right row with max
+    * (ts, event_id) among those with same key and ts <= left ts. */
+  private def brute(l: List[(Long, Long, Long)], r: List[(Long, Long, Long)]) =
+    l.map { case (id, k, ts) =>
+      val m = r.filter(x => x._2 == k && x._3 <= ts)
+        .sortBy(x => (x._3, x._1)).lastOption
+      id -> m.map(x => (x._1, x._3))
+    }.toMap
+
+  property("union+window plan == brute-force backward as-of") =
+    Prop.forAll(genSides) { case (l, r) =>
+      val got = graft.ops.AsofJoin.asofJoin(
+          l.toDF("event_id", "user_id", "ts_us"),
+          r.toDF("event_id", "user_id", "ts_us"),
+          key = "user_id", ts = "ts_us", tie = "event_id",
+          leftOut = Seq("event_id"), rightOut = Seq("event_id", "ts_us"))
+        .collect().map(row => row.getLong(0) -> (
+          if (row.isNullAt(1)) None else Some((row.getLong(1), row.getLong(2)))))
+        .toMap
+      got == brute(l, r)
+    }
+}
+
+object ComponentsProps extends SparkProperties("components") {
+  import spark.implicits._
+
+  private val genGraph: org.scalacheck.Gen[(Int, List[(Long, Long)])] =
+    for {
+      n <- Gen.choose(2, 20)
+      ne <- Gen.choose(0, 25)
+      es <- Gen.listOfN(ne, for {
+        a <- Gen.choose(0L, (n - 1).toLong)
+        b <- Gen.choose(0L, (n - 1).toLong)
+      } yield (a, b))
+    } yield (n, es.filter(e => e._1 != e._2))
+
+  /** Brute-force union-find oracle. */
+  private def brute(n: Int, es: List[(Long, Long)]): Map[Long, Long] = {
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+  }
+
+  property("min-label propagation == union-find") =
+    Prop.forAll(genGraph) { case (n, es) =>
+      val nodes = (0L until n.toLong).toDF("id")
+      val edges = es.toDF("id1", "id2")
+      val got = graft.ops.Components.connectedComponents(nodes, edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == brute(n, es)
+    }
+}
