@@ -144,7 +144,30 @@ object ReportQueries extends graft.QueryModule {
        |GROUP BY i.id, i.e, i.s
        |ORDER BY i.id""".stripMargin
 
+  /** A8 per-group raw dump + A9 successful-run count, as one entry:
+    * every "run" of the `click` group, columns name-sorted (O1), with
+    * the section's run count riding along. Drops `props` (free-text
+    * JSON with commas/newlines — the report writer sanitizes it, but
+    * the raw dump here mirrors the pruned section shape, P15). */
+  def qRawOfGroup(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsC(s, dir)
+      .select("event_id", "user_id", "event_type", "ts_us", "value_c")
+    Groups.rawOfGroup(ev, "event_type", "click")
+      .withColumn("n_runs", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
+      .orderBy(col("event_id"))
+  }
+
+  val qRawOfGroupSql: String =
+    s"""WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+       |              ${Num.centsSql("value")} AS value_c FROM events
+       |            WHERE event_type = 'click')
+       |SELECT event_id, event_type, ts_us, user_id, value_c,
+       |  CAST(count(*) OVER () AS BIGINT) AS n_runs
+       |FROM ev ORDER BY event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_raw_of_group" -> (qRawOfGroup _),
     "q_sentinel_fill" -> (qSentinelFill _),
     "q_report_groups" -> (qReportGroups _),
     "q_tenancy" -> (qTenancy _),
@@ -153,6 +176,7 @@ object ReportQueries extends graft.QueryModule {
     "q_overlap" -> (qOverlap _))
 
   def oracleSql: Map[String, String] = Map(
+    "q_raw_of_group" -> qRawOfGroupSql,
     "q_sentinel_fill" -> qSentinelFillSql,
     "q_report_groups" -> qReportGroupsSql,
     "q_tenancy" -> qTenancySql,
