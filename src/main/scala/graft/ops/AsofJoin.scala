@@ -55,8 +55,12 @@ object AsofJoin {
       lit(1).as("_side"),
       lStruct.as("_l"), lit(null).cast(rType).as("_r"))
 
+    // among right rows at the SAME timestamp, backward keeps the max
+    // tie (latest) and forward must mirror it with the MIN tie
+    // (earliest) — so the tie direction flips with the mode
+    val sortTie = if (forward) col("_tie").desc else col("_tie").asc
     val w = Window.partitionBy(col("_k"))
-      .orderBy(col("_ts"), col("_side"), col("_tie"))
+      .orderBy(col("_ts").asc, col("_side").asc, sortTie)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val outCols: Seq[Column] =

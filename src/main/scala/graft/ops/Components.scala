@@ -65,15 +65,16 @@ object Components {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
+      val rounds = math.min(roundsPerCheck, maxIters - iter)
       var cur = labels.withColumn("lbl0", col("lbl"))
-      for (_ <- 0 until roundsPerCheck) cur = propagateOnce(sym, cur)
+      for (_ <- 0 until rounds) cur = propagateOnce(sym, cur)
       val next = cur
         .withColumn("chg", col("lbl") =!= col("lbl0"))
         .select(col("id"), col("lbl"), col("chg"))
         .localCheckpoint()
       changed = next.filter(col("chg")).count()
       labels = next.select(col("id"), col("lbl"))
-      iter += roundsPerCheck
+      iter += rounds
     }
     sym.unpersist()
     labels.select(col("id"), col("lbl").as("cluster_id"))

@@ -61,8 +61,9 @@ class AsofJoinSpec extends SparkSpec {
 
   test("forward direction picks the earliest right row at or after") {
     val got = AsofJoin.asofJoin(
-        Seq((100L, 1L, 5L), (101L, 1L, 11L)).toDF("event_id", "user_id", "ts_us"),
-        Seq((200L, 1L, 3L), (201L, 1L, 5L), (202L, 1L, 10L))
+        Seq((100L, 1L, 5L), (101L, 1L, 11L), (102L, 2L, 0L))
+          .toDF("event_id", "user_id", "ts_us"),
+        Seq((200L, 1L, 3L), (201L, 1L, 5L), (202L, 1L, 5L), (203L, 2L, 2L))
           .toDF("event_id", "user_id", "ts_us"),
         key = "user_id", ts = "ts_us", tie = "event_id",
         leftOut = Seq("event_id"), rightOut = Seq("event_id", "ts_us"),
@@ -72,8 +73,9 @@ class AsofJoinSpec extends SparkSpec {
         if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2)))))
       .toMap
     assert(got === Map(
-      100L -> Some((201L, 5L)), // inclusive: right at the exact ts
-      101L -> None))            // nothing at or after ts=11
+      100L -> Some((201L, 5L)), // inclusive; MIN tie among ts ties (201 < 202)
+      101L -> None,             // nothing at or after ts=11
+      102L -> Some((203L, 2L))))
   }
 }
 

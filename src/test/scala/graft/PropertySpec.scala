@@ -135,6 +135,28 @@ object AsofProps extends SparkProperties("asof") {
       id -> m.map(x => (x._1, x._3))
     }.toMap
 
+  /** Forward brute-force oracle: min (ts, event_id) among at-or-after. */
+  private def bruteFwd(l: List[(Long, Long, Long)], r: List[(Long, Long, Long)]) =
+    l.map { case (id, k, ts) =>
+      val m = r.filter(x => x._2 == k && x._3 >= ts)
+        .sortBy(x => (x._3, x._1)).headOption
+      id -> m.map(x => (x._1, x._3))
+    }.toMap
+
+  property("forward mode == brute-force earliest-at-or-after") =
+    Prop.forAll(genSides) { case (l, r) =>
+      val got = graft.ops.AsofJoin.asofJoin(
+          l.toDF("event_id", "user_id", "ts_us"),
+          r.toDF("event_id", "user_id", "ts_us"),
+          key = "user_id", ts = "ts_us", tie = "event_id",
+          leftOut = Seq("event_id"), rightOut = Seq("event_id", "ts_us"),
+          forward = true)
+        .collect().map(row => row.getLong(0) -> (
+          if (row.isNullAt(1)) None else Some((row.getLong(1), row.getLong(2)))))
+        .toMap
+      got == bruteFwd(l, r)
+    }
+
   property("union+window plan == brute-force backward as-of") =
     Prop.forAll(genSides) { case (l, r) =>
       val got = graft.ops.AsofJoin.asofJoin(
