@@ -8,16 +8,18 @@ import graft.streaming.EventStream
 /** Streaming + sessionization queries (SURVEY §2.9). */
 object StreamQueries extends graft.QueryModule {
 
-  private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
-
   /** Real Structured-Streaming execution (file source -> watermarked
-    * windowed agg -> memory sink), result returned as a table.
-    * Windows are epoch-aligned 1h tumbling — identical to DuckDB's
-    * time_bucket. */
+    * windowed agg -> Update-mode foreachBatch parquet upsert), result
+    * read back from the file sink. The scale-safe path: each
+    * micro-batch writes only the windows it changed (distributed),
+    * never the whole aggregate, and never through driver memory —
+    * the memory-sink harness is specs-only. Windows are epoch-aligned
+    * 1h tumbling — identical to DuckDB's time_bucket. */
   def qStreamWindow(s: SparkSession, dir: String): DataFrame = {
-    val name = s"stream_win_${counter.incrementAndGet()}"
-    val out = EventStream.runToMemory(s,
-      EventStream.windowedAgg(EventStream.read(s, dir)), name)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_win")
+    val out = EventStream.runUpdateToParquet(s,
+      EventStream.windowedAgg(EventStream.read(s, dir)),
+      s"$tmp/out", s"$tmp/ckpt", keyCols = Seq("window", "event_type"))
     out.select(
         unix_micros(col("window.start")).as("win_start_us"),
         col("event_type"), col("n"), col("sum_c"))
@@ -62,11 +64,34 @@ object StreamQueries extends graft.QueryModule {
       |FROM y GROUP BY user_id, session_idx
       |ORDER BY user_id, session_idx""".stripMargin
 
+  /** The stateful STREAMING sessionizer as an oracle-checked entry:
+    * `flatMapGroupsWithState` over the landing-dir file stream,
+    * per-event session assignments landed append-only in the parquet
+    * file sink, then the same session summary as [[qSessionize]] —
+    * so the batch twin's DuckDB oracle gates the streaming plan's
+    * answers too (twin equivalence, promoted from spec-only). */
+  def qSessionizeStream(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_sess")
+    val assigned = EventStream.runAppendToParquet(s,
+      EventStream.sessionizeStateful(s, EventStream.read(s, dir),
+        gapUs = 1800000000L),
+      s"$tmp/out", s"$tmp/ckpt")
+    assigned
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("session_start_us"),
+        max(col("ts_us")).as("session_end_us"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_window" -> (qStreamWindow _),
-    "q_sessionize" -> (qSessionize _))
+    "q_sessionize" -> (qSessionize _),
+    "q_sessionize_stream" -> (qSessionizeStream _))
 
   def oracleSql: Map[String, String] = Map(
     "q_stream_window" -> qStreamWindowSql,
-    "q_sessionize" -> qSessionizeSql)
+    "q_sessionize" -> qSessionizeSql,
+    "q_sessionize_stream" -> qSessionizeSql)
 }

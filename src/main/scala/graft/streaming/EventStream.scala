@@ -1,8 +1,9 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
 import graft.core.Num
 
@@ -45,10 +46,14 @@ object EventStream {
         count(lit(1)).as("n"),
         sum(Num.cents(col("value"))).as("sum_c"))
 
-  /** Run a streaming aggregation to completion against a static
-    * landing dir (memory sink, complete mode) and return the result
-    * table. This is a real streaming execution — micro-batches,
-    * state store, watermarks — driven synchronously. */
+  /** SPEC-ONLY sink: run a streaming query to completion against a
+    * static landing dir into the in-memory table sink and return the
+    * result table. The memory sink accumulates the whole result on
+    * the driver (and Complete mode re-emits the entire aggregate per
+    * micro-batch), so this harness is for tests at test scale only —
+    * production entries go through [[runUpdateToParquet]] /
+    * [[runAppendToParquet]], which keep every batch's output
+    * distributed. */
   def runToMemory(s: SparkSession, agg: DataFrame, name: String,
       mode: OutputMode = OutputMode.Complete): DataFrame = {
     val q = agg.writeStream
@@ -59,6 +64,62 @@ object EventStream {
     try q.processAllAvailable()
     finally q.stop()
     s.table(name)
+  }
+
+  /** Production sink for streaming AGGREGATIONS: Update-mode
+    * `foreachBatch` upsert into a parquet directory. Each micro-batch
+    * appends only the (watermark-bounded) set of groups it changed,
+    * tagged with the batch id; [[latestPerKey]] compacts the log to
+    * final values at read time — the plain-parquet shape of the
+    * standard streaming-MERGE-to-a-table pattern. Nothing ever
+    * collects on the driver: per-batch output is written by executors,
+    * state is bounded by the watermark, and the compaction is one
+    * distributed shuffle. `Trigger.AvailableNow` drains a static
+    * landing dir and terminates (the reference's batch-pull cadence,
+    * s3pull.py, expressed as a self-stopping stream). */
+  def runUpdateToParquet(
+      s: SparkSession, agg: DataFrame, outDir: String,
+      checkpointDir: String, keyCols: Seq[String]): DataFrame = {
+    val q = agg.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("_batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    latestPerKey(s.read.parquet(outDir), keyCols)
+  }
+
+  /** Last-update-wins compaction of an Update-mode batch log: for each
+    * key keep the row from the highest `_batch_id`. */
+  def latestPerKey(log: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_batch_id").desc)
+    log.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_batch_id")
+  }
+
+  /** Production sink for APPEND-ONLY streams (per-event outputs such
+    * as the stateful sessionizer): the built-in parquet file sink with
+    * `Trigger.AvailableNow`. Exactly-once via the sink's commit log;
+    * no driver materialization at any point. */
+  def runAppendToParquet(
+      s: SparkSession, stream: DataFrame, outDir: String,
+      checkpointDir: String): DataFrame = {
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(outDir)
   }
 
   /** Streaming exact dedup: drop duplicate event ids across

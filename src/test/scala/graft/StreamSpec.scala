@@ -22,6 +22,73 @@ class StreamSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("Update-mode parquet upsert sink equals batch windowed agg (scale path)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_upsink").toString
+    val streamed = EventStream.runUpdateToParquet(spark,
+      EventStream.windowedAgg(EventStream.read(spark, sf)),
+      s"$tmp/out", s"$tmp/ckpt", keyCols = Seq("window", "event_type"))
+      .select(unix_micros(col("window.start")).as("w"), col("event_type"),
+        col("n"), col("sum_c"))
+      .orderBy("w", "event_type").collect()
+    val batch = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(graft.core.Num.cents(col("value"))).as("sum_c"))
+      .select(unix_micros(col("window.start")).as("w"), col("event_type"),
+        col("n"), col("sum_c"))
+      .orderBy("w", "event_type").collect()
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
+  test("late-past-watermark rows are dropped (drop-box semantics)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val hourUs = 3600L * 1000000L
+    val tmp = java.nio.file.Files.createTempDirectory("graft_late").toString
+    // batch 0: events in hours 1 and 5 -> the watermark computed from
+    // this batch (5:00 - 1h delay = 4:00) closes window [1:00,2:00)
+    Seq((1L, 1L * hourUs + 30 * 60000000L, "a", 1.0),
+        (2L, 5L * hourUs, "a", 1.0))
+      .toDF("event_id", "ts_us", "event_type", "value")
+      .coalesce(1).write.parquet(s"$tmp/in/a.parquet")
+    // batch 1: on-time only. Spark's late-record filter for batch N
+    // uses the watermark PLANNED FOR batch N-1 (deterministic-replay
+    // semantics), so the 4:00 watermark first FILTERS in batch 2.
+    Seq((3L, 5L * hourUs + 600000000L, "a", 1.0))
+      .toDF("event_id", "ts_us", "event_type", "value")
+      .coalesce(1).write.parquet(s"$tmp/in/b.parquet")
+    // batch 2: one LATE event back in hour 1 (window end 2:00 <= 4:00
+    // watermark -> must be dropped) + one on-time event in hour 5
+    Seq((4L, 1L * hourUs + 40 * 60000000L, "a", 1.0),
+        (5L, 5L * hourUs + 1200000000L, "a", 1.0))
+      .toDF("event_id", "ts_us", "event_type", "value")
+      .coalesce(1).write.parquet(s"$tmp/in/c.parquet")
+    // file order = mtime order; force one file per micro-batch in order
+    def stamp(sub: String, t: Long): Unit = {
+      val d = new java.io.File(s"$tmp/in/$sub")
+      (d +: d.listFiles().toSeq).foreach(_.setLastModified(t))
+    }
+    stamp("a.parquet", 1000000L)
+    stamp("b.parquet", 2000000L)
+    stamp("c.parquet", 3000000L)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts_us", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1) // one file per micro-batch
+      .parquet(s"$tmp/in/*.parquet")
+      .withColumn("tsT", timestamp_micros(col("ts_us")))
+    val out = EventStream.runUpdateToParquet(spark,
+      EventStream.windowedAgg(src),
+      s"$tmp/out", s"$tmp/ckpt", keyCols = Seq("window", "event_type"))
+      .select(unix_micros(col("window.start")).as("w"), col("n"))
+      .orderBy("w")
+      .as[(Long, Long)].collect().toSeq
+    // hour-1 window counts only the on-time event (late event 4 dropped);
+    // hour-5 window counts its three on-time events
+    assert(out === Seq((1L * hourUs, 1L), (5L * hourUs, 3L)))
+  }
+
   test("progress listener observes every input row (St5)") {
     val listener = new EventStream.ProgressListener
     spark.streams.addListener(listener)
