@@ -1,7 +1,9 @@
 package graft.sources
 
-import java.nio.file.{Files, Paths}
-import org.apache.spark.sql.DataFrame
+import java.io.Writer
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import graft.report.Report
 
 /** S7: the multi-section CSV report sink + its splitter inverse
@@ -9,9 +11,15 @@ import graft.report.Report
   * test/tools/report_splitter.py:27-40 section structure: sections
   * separated by blank lines).
   *
-  * Sections are k-row aggregates by construction, so the driver-side
-  * collect here is bounded by report size, never by input size — the
-  * heavy computation stays distributed.
+  * Two section shapes, two write paths:
+  *  - aggregate sections (Category groups) are k-row by construction,
+  *    so a driver-side render ([[sectionCsv]]) is bounded by report
+  *    size;
+  *  - the raw section and the per-group raw dumps are the FULL run
+  *    set, so they are formatted on executors and written as ordered
+  *    part files ([[writeSection]]) — the driver only streams the
+  *    finished parts into the report file, never holding more than an
+  *    IO buffer. No full-input `collect()` anywhere on the raw path.
   */
 object ReportWriter {
 
@@ -20,48 +28,123 @@ object ReportWriter {
     case s => s.toString.replace(",", ";").replace("\t", "\\t").replace("\n", "\\n")
   }
 
-  /** One section as CSV text: header row + data rows. */
-  def sectionCsv(df: DataFrame): String = {
+  /** Escaped CSV lines, built on executors (no collect). */
+  private def csvLines(df: DataFrame): Dataset[String] = {
     val cols = df.columns
-    val header = cols.mkString(",")
-    val rows = df.collect().map(r =>
-      cols.indices.map(i => esc(r.get(i))).mkString(","))
+    df.map(r => cols.indices.map(i => esc(r.get(i))).mkString(","))(Encoders.STRING)
+  }
+
+  /** Driver-side section render. ONLY for bounded aggregate sections
+    * (k rows); raw sections must go through [[writeSection]]. */
+  def sectionCsv(df: DataFrame): String = {
+    val header = df.columns.mkString(",")
+    val rows = csvLines(df).collect()
     (header +: rows).mkString("\n")
   }
 
+  /** Distributed section write: executors format rows and write one
+    * text part file per partition; the driver then streams the part
+    * files into `out` in partition-index order — the exact sequence a
+    * `collect()` would have produced, so the report layout is
+    * byte-identical to the driver-side render. Every line (header and
+    * rows) is newline-terminated.
+    *
+    * At cluster scale the staging dir must be on shared storage
+    * (HDFS/S3/warehouse dir); pass it via `staging`. Locally the
+    * default temp dir suffices.
+    */
+  def writeSection(df: DataFrame, out: Writer,
+      staging: Option[String] = None): Unit = {
+    out.write(df.columns.mkString(","))
+    out.write("\n")
+    val tmp = staging match {
+      case Some(root) =>
+        Files.createDirectories(Paths.get(root))
+        Files.createTempDirectory(Paths.get(root), "graft-section")
+      case None => Files.createTempDirectory("graft-section")
+    }
+    try {
+      val stage = tmp.resolve("parts")
+      csvLines(df).write.text(stage.toString)
+      val parts = Files.list(stage).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-"))
+        .toSeq.sortBy(_.getFileName.toString)
+      parts.foreach { p =>
+        val reader = Files.newBufferedReader(p)
+        try {
+          var line = reader.readLine()
+          while (line != null) {
+            out.write(line); out.write("\n")
+            line = reader.readLine()
+          }
+        } finally reader.close()
+      }
+    } finally deleteRecursively(tmp)
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+    }
+
   /** The reference's report layout: preamble, raw section, successful
     * run count, one titled section per category (with unique-count
-    * footer), raw dumps — sections separated by blank lines. */
+    * footer), raw dumps — sections separated by blank lines. Streamed
+    * to `dir/baseName.csv` (with the `-N` dedupe of [[nextFreePath]]);
+    * raw and per-group dumps go through the distributed path. */
+  def writeReport(dir: String, baseName: String, title: String,
+      s: Report.Sections, staging: Option[String] = None): String = {
+    Files.createDirectories(Paths.get(dir))
+    val path = nextFreePath(dir, baseName)
+    val w = Files.newBufferedWriter(path)
+    try {
+      w.write(s"Report: $title\n\n")
+      w.write("Raw results of each run:\n")
+      writeSection(s.raw, w, staging)
+      w.write(s"Successful Runs: ${s.successfulRuns}\n\n")
+      s.groups.toSeq.sortBy(_._1).foreach { case (cat, df) =>
+        w.write(s"Category $cat:\n")
+        w.write(sectionCsv(df)); w.write("\n")
+        w.write(s"Total number of unique ${cat}s: ${df.count()}\n\n")
+      }
+      s.rawOfGroups.toSeq.sortBy(_._1).foreach { case (cat, df) =>
+        w.write(s"--- Runs of Group $cat ---\n")
+        writeSection(df, w, staging)
+        w.write("\n")
+      }
+    } finally w.close()
+    path.toString
+  }
+
+  /** Full report as a string — test/debug convenience over
+    * [[writeReport]] (one code path: raw sections stay distributed,
+    * the string is read back from the finished file). */
   def reportCsv(name: String, s: Report.Sections): String = {
-    val sb = new StringBuilder
-    sb.append(s"Report: $name\n\n")
-    sb.append("Raw results of each run:\n")
-    sb.append(sectionCsv(s.raw)).append("\n")
-    sb.append(s"Successful Runs: ${s.successfulRuns}\n\n")
-    s.groups.toSeq.sortBy(_._1).foreach { case (cat, df) =>
-      sb.append(s"Category $cat:\n")
-      sb.append(sectionCsv(df)).append("\n")
-      sb.append(s"Total number of unique ${cat}s: ${df.count()}\n\n")
-    }
-    s.rawOfGroups.toSeq.sortBy(_._1).foreach { case (cat, df) =>
-      sb.append(s"--- Runs of Group $cat ---\n")
-      sb.append(sectionCsv(df)).append("\n\n")
-    }
-    sb.toString
+    val tmp = Files.createTempDirectory("graft-report")
+    try Files.readString(
+      Paths.get(writeReport(tmp.toString, "report", name, s)))
+    finally deleteRecursively(tmp)
   }
 
   /** Filename `-N` dedupe (reference report_generator.py:464-505):
     * never overwrite an existing report. */
-  def write(dir: String, baseName: String, text: String): String = {
-    Files.createDirectories(Paths.get(dir))
+  private def nextFreePath(dir: String, baseName: String): Path = {
     var candidate = Paths.get(dir, s"$baseName.csv")
     var i = 0
     while (Files.exists(candidate)) {
       i += 1
       candidate = Paths.get(dir, s"$baseName-$i.csv")
     }
-    Files.writeString(candidate, text)
-    candidate.toString
+    candidate
+  }
+
+  /** Write pre-rendered report text with the `-N` dedupe. */
+  def write(dir: String, baseName: String, text: String): String = {
+    Files.createDirectories(Paths.get(dir))
+    val path = nextFreePath(dir, baseName)
+    Files.writeString(path, text)
+    path.toString
   }
 
   /** Splitter inverse (report_splitter.py parity): break a report

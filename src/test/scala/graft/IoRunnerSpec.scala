@@ -72,6 +72,38 @@ class ReportSpecFull extends SparkSpec {
     val p2 = ReportWriter.write(tmp, "report", csv)
     assert(p1.endsWith("report.csv") && p2.endsWith("report-1.csv"))
   }
+  test("raw sections are written distributed — no collect on the raw path") {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val runs = spark.range(0, 10000, 1, 8)
+      .select(col("id"), (col("id") % 7).as("k"))
+    val sections = Report.Sections(
+      raw = runs, successfulRuns = 10000L, groups = Map.empty,
+      rawOfGroups = Map("k" -> runs.orderBy("k", "id")))
+    Bridge.drainListenerBus(spark) // flush prior tests' events
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit = seen.add(funcName)
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = seen.add(funcName)
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val tmp = Files.createTempDirectory("graft_nocollect").toString
+      val p = ReportWriter.writeReport(tmp, "r", "no-collect", sections)
+      Bridge.drainListenerBus(spark)
+      val lines = Files.readAllLines(java.nio.file.Paths.get(p))
+      // both full-input sections landed: 2 headers + 2x10000 rows + framing
+      assert(lines.size() > 20000)
+      import scala.jdk.CollectionConverters._
+      val funcs = seen.iterator().asScala.toSeq
+      assert(funcs.nonEmpty) // the distributed writes were observed
+      assert(!funcs.exists(_.toLowerCase.contains("collect")),
+        s"driver-side collect on raw path: $funcs")
+    } finally spark.listenerManager.unregister(listener)
+  }
   test("P13: duplicate-container purge keeps the FIRST run in arrival order") {
     import spark.implicits._
     val runs = Seq(
