@@ -144,15 +144,14 @@ object Dedup {
     counted.select(col("id"), assembled.as("simhash"))
   }
 
-  /** Verified SimHash near-dup pairs: equi-join on the high
+  /** Single-family SimHash near-dup pairs: equi-join on the high
     * `bucketBits` of the fingerprint (candidate generation), then the
     * exact Hamming distance — `bit_count(xor)`, a codegen'd builtin —
-    * as the verifier. One bucket family misses pairs that differ
-    * within the high bits; production recall for distance <= k uses
-    * several rotated bucket tables (same join shape repeated), which
-    * this operator's single family stands in for. No all-pairs work:
-    * the join key bounds the candidate fan-out exactly like MinHash
-    * banding. */
+    * as the verifier. CHEAP BUT UNDER-RECALLING: a pair that differs
+    * inside the high bits lands in different buckets and is silently
+    * missed. [[simhashPairsBanded]] is the full-recall production
+    * operator; this one survives as the explicitly lower-cost,
+    * lower-recall variant (one join instead of nBands). */
   def simhashPairs(
       sh: DataFrame, maxHamming: Int, bucketBits: Int = 16): DataFrame = {
     // both self-join sides consume the fingerprints; without the cache
@@ -168,5 +167,56 @@ object Dedup {
       .withColumn("hamming", bit_count(col("f1").bitwiseXOR(col("f2"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id1"), col("id2"), col("hamming"))
+  }
+
+  /** Full-recall SimHash near-dup pairs via pigeonhole banding
+    * (the Manku/Jain/Sarma WWW'07 near-duplicate scheme, same
+    * public construction as MinHash banding): split the fingerprint
+    * into `nBands = ceil(60/bandBits)` contiguous bands and equi-join
+    * on (band-index, band-value). Any pair at Hamming distance
+    * `<= nBands - 1` agrees EXACTLY on at least one band (pigeonhole:
+    * d differing bits can dirty at most d bands), so for
+    * `maxHamming <= nBands - 1` recall is 100% — not probabilistic.
+    * With the default 6-bit bands, nBands = 10 and every pair at
+    * distance <= 9 is found; the `bit_count(xor)` verify then keeps
+    * exactly the pairs within `maxHamming`.
+    *
+    * Scale shape: nBands repeated equi-joins (one exploded join in
+    * practice), candidate fan-out = sum of per-bucket squares. At
+    * billions of documents 6-bit band values collide heavily; widen
+    * `bandBits` (fewer, wider bands — exact threshold drops to
+    * nBands-1) or move to multi-band combination keys, trading the
+    * exact guarantee for fan-out, exactly as the reference literature
+    * does. The same-pair-in-many-bands duplicates are removed by one
+    * distinct() on the verified output. */
+  def simhashPairsBanded(
+      sh: DataFrame, maxHamming: Int, bandBits: Int = 6): DataFrame = {
+    val nBands = (SimhashBits + bandBits - 1) / bandBits
+    require(nBands > maxHamming,
+      s"banding is exact only for maxHamming <= ${nBands - 1}; " +
+        s"got $maxHamming with $nBands bands — narrow bandBits")
+    val bands = (0 until nBands).map { j =>
+      struct(lit(j).as("band"),
+        shiftrightunsigned(col("simhash"), j * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1)).as("bv"))
+    }
+    // two self-join sides read the banded frame; cache or the whole
+    // simhash aggregate re-runs per side (measured multi-consumer trap)
+    val banded = sh
+      .select(col("id"), col("simhash"), explode(array(bands: _*)).as("b"))
+      .select(col("id"), col("simhash"),
+        col("b.band").as("band"), col("b.bv").as("bv"))
+      .cache()
+    val a = banded.select(col("band"), col("bv"),
+      col("id").as("id1"), col("simhash").as("f1"))
+    val b = banded.select(col("band"), col("bv"),
+      col("id").as("id2"), col("simhash").as("f2"))
+    a.join(b, Seq("band", "bv"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("hamming",
+        bit_count(col("f1").bitwiseXOR(col("f2"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id1"), col("id2"), col("hamming"))
+      .distinct()
   }
 }

@@ -332,25 +332,25 @@ object TrainingQueries extends graft.QueryModule {
        |FROM asm ORDER BY doc_id""".stripMargin
   }
 
-  /** Bucket-verified SimHash near-dup pairs
-    * ([[Dedup.simhashPairs]]): high-16-bit bucket candidates filtered
-    * by exact Hamming distance. */
+  /** Full-recall SimHash near-dup pairs
+    * ([[Dedup.simhashPairsBanded]]): pigeonhole banding (10 x 6-bit
+    * bands — exact for Hamming <= 9) then the bit_count(xor) verify.
+    * Because the banding provably loses nothing at maxHamming = 8,
+    * the oracle is the INDEPENDENT brute-force all-pairs Hamming
+    * join — it validates recall, not just the plan replay. */
   def qSimhashPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(
+    Dedup.simhashPairsBanded(
         Dedup.simhash(Tables.documents(s, dir), "text", "doc_id"),
         maxHamming = 8)
       .orderBy(col("id1"), col("id2"))
 
-  val qSimhashPairsSql: String = {
-    val shift = Dedup.SimhashBits - 16
-    s"""WITH $simhashCtes,
-       |b AS (SELECT id, simhash, simhash >> $shift AS bucket FROM asm)
+  val qSimhashPairsSql: String =
+    s"""WITH $simhashCtes
        |SELECT x.id AS id1, y.id AS id2,
        |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
-       |FROM b x JOIN b y ON x.bucket = y.bucket AND x.id < y.id
+       |FROM asm x JOIN asm y ON x.id < y.id
        |WHERE bit_count(xor(x.simhash, y.simhash)) <= 8
        |ORDER BY id1, id2""".stripMargin
-  }
 
   // ---- similarity search -------------------------------------------------
 

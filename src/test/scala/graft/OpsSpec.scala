@@ -45,6 +45,23 @@ class DedupSpec extends SparkSpec {
     assert(r(0) === r(1))
     assert(r(0) !== r(2))
   }
+
+  test("simhash banding recovers pairs the single high-bit family misses") {
+    // plant a pair at Hamming 8 whose differing bits ALL sit inside
+    // the high 16 bucket bits (44..59): different buckets, so the
+    // single-family operator is blind to it by construction
+    val diff = Seq(45, 46, 47, 48, 49, 50, 55, 58)
+      .map(b => 1L << b).reduce(_ | _)
+    val base = 0x0123456789ABCL // arbitrary 52-bit fingerprint
+    val sh = Seq((1L, base), (2L, base ^ diff), (3L, ~base & ((1L << 60) - 1)))
+      .toDF("id", "simhash")
+    val single = Dedup.simhashPairs(sh, maxHamming = 8, bucketBits = 16)
+    assert(single.count() === 0) // missed: differs inside the bucket
+    val banded = Dedup.simhashPairsBanded(sh, maxHamming = 8).collect()
+    assert(banded.length === 1)
+    assert(banded(0).getLong(0) === 1L && banded(0).getLong(1) === 2L)
+    assert(banded(0).getLong(2) === 8L)
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
