@@ -8,6 +8,25 @@ import graft.streaming.EventStream
 /** Streaming + sessionization queries (SURVEY §2.9). */
 object StreamQueries extends graft.QueryModule {
 
+  /** Per-JVM scratch root for stream sinks/checkpoints, removed by a
+    * shutdown hook — repeated Bench/Verify invocations don't strand
+    * parquet logs and state-store checkpoints in /tmp. (On a real
+    * cluster the sink/checkpoint roots come from the deployment's
+    * shared storage, not driver-local temp dirs.) */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_scratch")
+    sys.addShutdownHook {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(root))
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq
+          .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    root
+  }
+
+  private def scratch(prefix: String): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory(scratchRoot, prefix)
+
   /** Real Structured-Streaming execution (file source -> watermarked
     * windowed agg -> Update-mode foreachBatch parquet upsert), result
     * read back from the file sink. The scale-safe path: each
@@ -16,7 +35,7 @@ object StreamQueries extends graft.QueryModule {
     * the memory-sink harness is specs-only. Windows are epoch-aligned
     * 1h tumbling — identical to DuckDB's time_bucket. */
   def qStreamWindow(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_win")
+    val tmp = scratch("win")
     val out = EventStream.runUpdateToParquet(s,
       EventStream.windowedAgg(EventStream.read(s, dir)),
       s"$tmp/out", s"$tmp/ckpt", keyCols = Seq("window", "event_type"))
@@ -69,11 +88,24 @@ object StreamQueries extends graft.QueryModule {
     * per-event session assignments landed append-only in the parquet
     * file sink, then the same session summary as [[qSessionize]] —
     * so the batch twin's DuckDB oracle gates the streaming plan's
-    * answers too (twin equivalence, promoted from spec-only). */
+    * answers too (twin equivalence, promoted from spec-only).
+    *
+    * Uses the hot-key-safe sorted route: a planted key-repartition +
+    * secondary sort (SecondarySortRule) + a lazily-drained group
+    * iterator, so no per-key buffering however large a user's batch.
+    *
+    * Oracle caveat (documented, deliberate): the sort guarantees
+    * per-key event order WITHIN a micro-batch; equivalence with the
+    * whole-history DuckDB oracle additionally needs batches to arrive
+    * in per-key event-time order across batches. AvailableNow with no
+    * `maxFilesPerTrigger` drains the static landing dir in a single
+    * batch, which satisfies that trivially — setting a source limit
+    * here would make the entry legitimately diverge from its oracle
+    * on cross-batch-disordered data, not signal a regression. */
   def qSessionizeStream(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_sess")
+    val tmp = scratch("sess")
     val assigned = EventStream.runAppendToParquet(s,
-      EventStream.sessionizeStateful(s, EventStream.read(s, dir),
+      EventStream.sessionizeStatefulSorted(s, EventStream.read(s, dir),
         gapUs = 1800000000L),
       s"$tmp/out", s"$tmp/ckpt")
     assigned

@@ -76,7 +76,13 @@ object EventStream {
     * state is bounded by the watermark, and the compaction is one
     * distributed shuffle. `Trigger.AvailableNow` drains a static
     * landing dir and terminates (the reference's batch-pull cadence,
-    * s3pull.py, expressed as a self-stopping stream). */
+    * s3pull.py, expressed as a self-stopping stream).
+    *
+    * `outDir`/`checkpointDir` must live on storage every executor AND
+    * the driver can reach — on a cluster that means a shared
+    * filesystem (HDFS/S3/warehouse dir), not a driver-local temp
+    * path; local[N] tests may use /tmp because driver and executors
+    * share the machine. */
   def runUpdateToParquet(
       s: SparkSession, agg: DataFrame, outDir: String,
       checkpointDir: String, keyCols: Seq[String]): DataFrame = {
@@ -91,8 +97,20 @@ object EventStream {
       }
       .start()
     q.awaitTermination()
-    latestPerKey(s.read.parquet(outDir), keyCols)
+    latestPerKey(
+      readBackOrEmpty(s, outDir, agg.schema.add("_batch_id", LongType)),
+      keyCols)
   }
+
+  /** A zero-row stream writes nothing, so the sink dir may be absent
+    * or data-file-free; reading back with the expected schema (rather
+    * than inference) returns an empty frame instead of erroring. */
+  private def readBackOrEmpty(
+      s: SparkSession, outDir: String, schema: StructType): DataFrame =
+    if (new java.io.File(outDir).exists)
+      s.read.schema(schema).parquet(outDir)
+    else s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
   /** Last-update-wins compaction of an Update-mode batch log: for each
     * key keep the row from the highest `_batch_id`. */
@@ -107,7 +125,9 @@ object EventStream {
   /** Production sink for APPEND-ONLY streams (per-event outputs such
     * as the stateful sessionizer): the built-in parquet file sink with
     * `Trigger.AvailableNow`. Exactly-once via the sink's commit log;
-    * no driver materialization at any point. */
+    * no driver materialization at any point. Same shared-storage
+    * requirement for `outDir`/`checkpointDir` as
+    * [[runUpdateToParquet]]. */
   def runAppendToParquet(
       s: SparkSession, stream: DataFrame, outDir: String,
       checkpointDir: String): DataFrame = {
@@ -119,7 +139,7 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.read.parquet(outDir)
+    readBackOrEmpty(s, outDir, stream.schema)
   }
 
   /** Streaming exact dedup: drop duplicate event ids across
@@ -159,6 +179,14 @@ object EventStream {
   case class SessionState(sessionIdx: Long, lastTsUs: Long)
   case class SessionAssign(user_id: Long, event_id: Long, ts_us: Long, session_idx: Long)
 
+  /** Parse an interval string ("2 hours") to milliseconds. */
+  private def intervalMs(delay: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(delay))
+    require(iv.months == 0, s"month-based eviction delay not supported: $delay")
+    iv.days * 86400000L + iv.microseconds / 1000L
+  }
+
   /** Gap-based sessionization as a custom stateful streaming op: a
     * new session starts when the gap to the previous event exceeds
     * `gapUs`. Events must be processed in (ts_us, event_id) order per
@@ -169,33 +197,91 @@ object EventStream {
     * consumed LAZILY — one element at a time, state updated per
     * element (Spark commits group state after draining the returned
     * iterator) — so a hot key with millions of events per micro-batch
-    * never materializes in memory. Use it when the upstream already
-    * guarantees per-key order (e.g. a sorted source or
-    * `sortWithinPartitions` after the key repartition); the default
-    * buffering path is the safe general case. */
+    * never materializes in memory. Per-key event order must then be
+    * guaranteed by the plan; [[sessionizeStatefulSorted]] packages
+    * that via [[graft.plans.SecondarySortRule]] (streaming forbids
+    * `sortWithinPartitions` at the API level, so the secondary sort
+    * is planted as an optimizer rule). The grouping uses
+    * `groupBy(col).as[K, V]` rather than a `groupByKey` lambda so the
+    * planted repartition+sort on the REAL `user_id` column satisfies
+    * the operator's requirements with no further exchange or sort.
+    * The default buffering path is the safe general case.
+    *
+    * State lifecycle: with `evictAfter = None` state is never dropped —
+    * correct for `Trigger.AvailableNow` drains of a static landing dir
+    * (the reference's batch-pull cadence), unbounded for a continuous
+    * stream. For continuous runs pass an event-time eviction delay
+    * (requires a `tsT` watermark column upstream): a user idle past
+    * the watermark by that delay has its state removed. A user
+    * reappearing AFTER eviction restarts at session_idx 0, so session
+    * ids are unique per (user, activity epoch) — choose the delay
+    * above the max tolerated inactivity. */
   def sessionizeStateful(
       s: SparkSession, stream: DataFrame, gapUs: Long,
-      assumeSorted: Boolean = false): DataFrame = {
+      assumeSorted: Boolean = false,
+      evictAfter: Option[String] = None): DataFrame = {
     import s.implicits._
-    stream.select(col("user_id"), col("event_id"), col("ts_us")).as[Ev]
-      .groupByKey(_.user_id)
+    val src = evictAfter match {
+      case Some(delay) => stream.withWatermark("tsT", delay)
+      case None => stream
+    }
+    val timeoutConf =
+      if (evictAfter.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    val evictMs = evictAfter.map(intervalMs)
+    // the watermarked column must reach the stateful operator's input
+    // for event-time timeout (the checker demands a delay-tagged
+    // attribute there); the Ev value encoder binds by name and
+    // tolerates the extra column
+    val evCols = Seq(col("user_id"), col("event_id"), col("ts_us")) ++
+      (if (evictAfter.isDefined) Seq(col("tsT")) else Nil)
+    src.select(evCols: _*)
+      .groupBy(col("user_id")).as[Long, Ev]
       .flatMapGroupsWithState[SessionState, SessionAssign](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (_: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
-          val ordered: Iterator[Ev] =
-            if (assumeSorted) evs
-            else evs.toSeq.sortBy(e => (e.ts_us, e.event_id)).iterator
-          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
-          ordered.map { e =>
-            val idx =
-              if (st.lastTsUs == Long.MinValue) st.sessionIdx
-              else if (e.ts_us - st.lastTsUs > gapUs) st.sessionIdx + 1
-              else st.sessionIdx
-            st = SessionState(idx, e.ts_us)
-            state.update(st)
-            SessionAssign(e.user_id, e.event_id, e.ts_us, idx)
+          if (state.hasTimedOut) {
+            // idle past the eviction horizon: free the state row
+            state.remove()
+            Iterator.empty
+          } else {
+            val ordered: Iterator[Ev] =
+              if (assumeSorted) evs
+              else evs.toSeq.sortBy(e => (e.ts_us, e.event_id)).iterator
+            var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
+            ordered.map { e =>
+              val idx =
+                if (st.lastTsUs == Long.MinValue) st.sessionIdx
+                else if (e.ts_us - st.lastTsUs > gapUs) st.sessionIdx + 1
+                else st.sessionIdx
+              st = SessionState(idx, e.ts_us)
+              state.update(st)
+              // ticket the eviction clock forward as events drain;
+              // lazily-evaluated inside the map, after state.update,
+              // which Spark commits post-drain like the state itself
+              evictMs.foreach { d =>
+                state.setTimeoutTimestamp(
+                  math.max(e.ts_us / 1000L + d, state.getCurrentWatermarkMs + 1))
+              }
+              SessionAssign(e.user_id, e.event_id, e.ts_us, idx)
+            }
           }
       }.toDF()
+  }
+
+  /** Production route for the stateful sessionizer: hot-key-safe.
+    * [[graft.plans.SecondarySortRule]] plants a key repartition plus a
+    * local (user_id, ts_us, event_id) sort under the stateful
+    * operator — satisfying its required distribution and key-prefix
+    * ordering, so planning inserts nothing further and the group
+    * iterator streams lazily in event order (`assumeSorted = true`),
+    * sorted by a SPILLING SortExec rather than an in-memory buffer
+    * (plan-asserted in StreamSpec). */
+  def sessionizeStatefulSorted(
+      s: SparkSession, stream: DataFrame, gapUs: Long,
+      evictAfter: Option[String] = None): DataFrame = {
+    graft.plans.SecondarySortRule.register(s)
+    sessionizeStateful(s, stream, gapUs, assumeSorted = true, evictAfter)
   }
 
   /** Batch-declarative equivalent of the sessionizer: break flags via

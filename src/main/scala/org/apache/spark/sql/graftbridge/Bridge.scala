@@ -17,4 +17,14 @@ object Bridge {
     * (e.g. that a write path issued no collect) without sleeps. */
   def drainListenerBus(spark: SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
+
+  /** Executed physical plan of a streaming query's last micro-batch —
+    * lets specs assert planning facts (e.g. that a planted repartition
+    * + secondary sort satisfied a stateful operator's required
+    * distribution/ordering and no extra exchange/sort was inserted).
+    * The wrapper and StreamExecution types are private[sql], hence
+    * this bridge. */
+  def lastStreamingPlan(q: org.apache.spark.sql.streaming.StreamingQuery): String =
+    q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+      .streamingQuery.lastExecution.executedPlan.toString
 }

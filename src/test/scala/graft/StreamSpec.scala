@@ -140,6 +140,92 @@ class StreamSpec extends SparkSpec {
     assert(out.toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("sorted sessionizer route: one exchange, one sort, equals batch on disordered input") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.graftbridge.Bridge
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sorted_route").toString
+    // rows arrive time-SHUFFLED within the file (37 is coprime with
+    // 200, so ts is a permutation of 0..199 minutes per user): any
+    // order leakage into the lazily-drained group iterator fabricates
+    // session breaks, so twin equality proves the sort survived
+    val rows = for (u <- 1L to 5L; i <- 0L until 200L)
+      yield (u, u * 1000L + i, (i * 37L % 200L) * 60000000L)
+    rows.toDF("user_id", "event_id", "ts_us")
+      .coalesce(1).write.parquet(s"$tmp/in")
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_id", LongType),
+      StructField("ts_us", LongType)))
+    val src = spark.readStream.schema(schema).parquet(s"$tmp/in")
+    val q = EventStream.sessionizeStatefulSorted(spark, src, gapUs = 90L * 1000000L)
+      .writeStream.format("memory").queryName("t_sorted_route")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val plan = Bridge.lastStreamingPlan(q)
+      assert(plan.contains("FlatMapGroupsWithState"))
+      // the rule-planted repartition+secondary-sort must satisfy the
+      // stateful op's requirements: NO second exchange or sort appears
+      assert(plan.sliding("Exchange".length).count(_ == "Exchange") === 1, plan)
+      assert(plan.sliding("Sort [".length).count(_ == "Sort [") === 1, plan)
+      assert(plan.linesIterator.filter(_.contains("Sort ["))
+        .forall(_.contains("ts_us")), plan)
+    } finally q.stop()
+    val stateful = spark.table("t_sorted_route")
+      .orderBy("user_id", "event_id").collect()
+    val batch = EventStream.sessionizeBatch(
+        rows.toDF("user_id", "event_id", "ts_us"), gapUs = 90L * 1000000L)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("session_idx"))
+      .orderBy("user_id", "event_id").collect()
+    assert(stateful.length === batch.length)
+    stateful.zip(batch).foreach { case (a, b) => assert(a === b) }
+  }
+
+  test("event-time eviction drops idle users' state; no-eviction keeps it") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val hourUs = 3600L * 1000000L
+    def landing(): String = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_evict").toString
+      def put(name: String, mtime: Long, rows: Seq[(Long, Long, Long)]): Unit = {
+        rows.toDF("user_id", "event_id", "ts_us")
+          .coalesce(1).write.parquet(s"$tmp/in/$name")
+        val d = new java.io.File(s"$tmp/in/$name")
+        (d +: d.listFiles().toSeq).foreach(_.setLastModified(mtime))
+      }
+      // user 1 active at 10h, then idle far past the 1h horizon while
+      // the watermark advances on other users' traffic, then returns
+      put("a.parquet", 1000000L,
+        Seq((1L, 1L, 10L * hourUs), (1L, 2L, 10L * hourUs + 600000000L)))
+      put("b.parquet", 2000000L, Seq((2L, 10L, 40L * hourUs)))
+      put("c.parquet", 3000000L, Seq((3L, 11L, 41L * hourUs)))
+      put("d.parquet", 4000000L, Seq((1L, 3L, 42L * hourUs)))
+      tmp
+    }
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_id", LongType),
+      StructField("ts_us", LongType)))
+    def run(evict: Option[String], name: String): Map[Long, Long] = {
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1) // one file per micro-batch
+        .parquet(s"${landing()}/in/*.parquet")
+        .withColumn("tsT", timestamp_micros(col("ts_us")))
+      EventStream.runToMemory(spark,
+        EventStream.sessionizeStateful(spark, src, gapUs = 1800000000L,
+          evictAfter = evict),
+        name, org.apache.spark.sql.streaming.OutputMode.Append)
+        .filter(col("user_id") === 1L)
+        .select("event_id", "session_idx").as[(Long, Long)].collect().toMap
+    }
+    // evicted: user 1's state is gone when they return, so their new
+    // activity epoch restarts at session 0 (documented semantics)
+    assert(run(Some("1 hour"), "t_evict") ===
+      Map(1L -> 0L, 2L -> 0L, 3L -> 0L))
+    // without eviction the state survives and the 32h gap increments
+    assert(run(None, "t_noevict") ===
+      Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
+  }
+
   test("sessionization assumeSorted streams a pre-sorted single-key source lazily") {
     import spark.implicits._
     import org.apache.spark.sql.types._
