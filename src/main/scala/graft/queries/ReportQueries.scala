@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{Num, Tables}
 import graft.report._
@@ -166,7 +166,125 @@ object ReportQueries extends graft.QueryModule {
        |  CAST(count(*) OVER () AS BIGINT) AS n_runs
        |FROM ev ORDER BY event_id""".stripMargin
 
+  // ---- End-to-end combined-report lifecycle (SURVEY §3.1/§3.2) -----------
+
+  /** The reference's full experiment lifecycle as ONE oracle-checked
+    * entry (experiment_orchestrator.py:222-237): payload inheritance
+    * resolves per-memory-setting payloads (J3), each setting runs the
+    * staged pipeline per iteration (St3 state machine with a
+    * re-routing transition + J4 `transitions` renames), iterations are
+    * union-tagged (U1) with the warm-up iteration dropped (P16), both
+    * settings are schema-unioned into one combined run list, the
+    * invalidator purge runs (P12), and the report's W1 running totals
+    * accumulate each metric across pipeline stages within a
+    * (memory, iteration, user) group.
+    *
+    * The pipeline frame is the accumulated run list: each stage
+    * derives its invocation records from the previous stage's rows
+    * (input fed through the `out_c`→`in_c` rename, exactly the
+    * reference's `{**passOn, **lastPayload}` pass) and appends them,
+    * so the staged union the reference builds run-by-run falls out of
+    * one declarative plan per (setting, iteration) — narrow per-row
+    * ops plus ONE window shuffle at the end; no driver-side data.
+    *
+    * The transition hook skips the poison stage (index 2) — if the
+    * state machine ever routed through it the oracle would mismatch,
+    * so the re-route is verified, not just exercised. */
+  def qE2eReport(s: SparkSession, dir: String): DataFrame = {
+    import graft.runner.{PayloadInheritance, PipelineRunner}
+    import PipelineRunner.Stage
+
+    // J3: experiment payloads override the parent default; the folder
+    // level contributes the experiment name. A broken merge bias would
+    // surface as memory_mb=128 or a missing experiment column.
+    val payloads = PayloadInheritance.prepare(
+      payloads = Seq(Map("memory_mb" -> 512L), Map("memory_mb" -> 1024L)),
+      folder = Seq(Map("experiment" -> "e2e-demo"), Map("experiment" -> "e2e-demo")),
+      parent = Map("memory_mb" -> 128L))
+
+    val stage0 = Stage("invoke", df => df
+      .withColumn("value_c", col("value0_c") + col("memory_mb") * 100)
+      .withColumn("out_c", col("value_c"))
+      .withColumn("3_pipeline_stage", lit(0)))
+    // Later stages read the renamed `in_c` (J4) of the previous
+    // stage's rows and append their own invocation records.
+    def follow(k: Int, prev: Int, f: Column => Column) = Stage(s"s$k", df => {
+      val next = df.filter(col("3_pipeline_stage") === prev)
+        .withColumn("value_c", f(col("in_c")))
+        .withColumn("out_c", col("value_c"))
+        .withColumn("3_pipeline_stage", lit(k))
+      df.unionByName(next)
+    })
+    val stages = Seq(
+      stage0,
+      follow(1, 0, in => in - col("memory_mb") * 50),
+      Stage("poison", _.withColumn("value_c", lit(-1L))), // skipped
+      follow(3, 1, in => in + lit(13L)))
+    val skipPoison: PipelineRunner.Transition =
+      (i, _, _) => if (i == 1) 3 else i + 1
+
+    val ev = eventsC(s, dir).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      col("value_c").as("value0_c"))
+
+    val perSetting = payloads.map { p =>
+      val iters = (0 until 3).map { i =>
+        val slice = ev
+          .filter(pmod(col("event_id"), lit(3)) === i)
+          .withColumn("memory_mb", lit(p("memory_mb").asInstanceOf[Long]))
+          .withColumn("experiment", lit(p("experiment").toString))
+        PipelineRunner.run(slice, stages, skipPoison,
+          tagStages = false, keyRenames = Map("out_c" -> "in_c"))
+      }
+      RunRecords.warmupFilter(
+        RunRecords.combineIterations(iters, "user_id"), "iteration", 1)
+    }
+    val combined = RunRecords.invalidatorFilter(
+      RunRecords.unionFill(perSetting), Map("event_type" -> "error"))
+
+    PipelineWindow.runningTotalLong(combined,
+        partitionCols = Seq("memory_mb", "iteration", "user_id"),
+        orderCols = Seq("3_pipeline_stage", "event_id"),
+        metric = "value_c", as = "run_c")
+      .select(col("event_id"), col("user_id"), col("user_id_iter"),
+        col("iteration").cast("long").as("iteration"),
+        col("memory_mb"), col("experiment"),
+        col("3_pipeline_stage").cast("long").as("pipeline_stage"),
+        col("value_c"), col("run_c"))
+      .orderBy(col("memory_mb"), col("event_id"), col("pipeline_stage"))
+  }
+
+  val qE2eReportSql: String =
+    s"""WITH base AS (
+       |  SELECT event_id, user_id, CAST(event_id % 3 AS BIGINT) AS iteration,
+       |         ${Num.centsSql("value")} AS v0
+       |  FROM events
+       |  WHERE event_id % 3 >= 1
+       |    AND NOT (CAST(event_type AS VARCHAR) = 'error')),
+       |m AS (SELECT CAST(v AS BIGINT) AS memory_mb FROM (VALUES (512), (1024)) t(v)),
+       |st AS (SELECT CAST(v AS BIGINT) AS pipeline_stage FROM (VALUES (0), (1), (3)) t(v)),
+       |runs AS (
+       |  SELECT b.event_id, b.user_id,
+       |    CAST(b.user_id AS VARCHAR) || '[' || CAST(b.iteration AS VARCHAR)
+       |      || ']' AS user_id_iter,
+       |    b.iteration, m.memory_mb, 'e2e-demo' AS experiment,
+       |    st.pipeline_stage,
+       |    CASE st.pipeline_stage
+       |      WHEN 0 THEN b.v0 + m.memory_mb * 100
+       |      WHEN 1 THEN b.v0 + m.memory_mb * 50
+       |      ELSE b.v0 + m.memory_mb * 50 + 13 END AS value_c
+       |  FROM base b CROSS JOIN m CROSS JOIN st)
+       |SELECT event_id, user_id, user_id_iter, iteration, memory_mb,
+       |  experiment, pipeline_stage, value_c,
+       |  CAST(sum(value_c) OVER (
+       |    PARTITION BY memory_mb, iteration, user_id
+       |    ORDER BY pipeline_stage, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_c
+       |FROM runs
+       |ORDER BY memory_mb, event_id, pipeline_stage""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_e2e_report" -> (qE2eReport _),
     "q_raw_of_group" -> (qRawOfGroup _),
     "q_sentinel_fill" -> (qSentinelFill _),
     "q_report_groups" -> (qReportGroups _),
@@ -176,6 +294,7 @@ object ReportQueries extends graft.QueryModule {
     "q_overlap" -> (qOverlap _))
 
   def oracleSql: Map[String, String] = Map(
+    "q_e2e_report" -> qE2eReportSql,
     "q_raw_of_group" -> qRawOfGroupSql,
     "q_sentinel_fill" -> qSentinelFillSql,
     "q_report_groups" -> qReportGroupsSql,
