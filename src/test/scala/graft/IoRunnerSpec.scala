@@ -163,6 +163,66 @@ class PipelineRunnerSpec extends SparkSpec {
   }
 }
 
+/** S8: the cloud-connector surface. No egress in this container, so
+  * the `s3a` scheme is bound to [[S3AStubFileSystem]] (local-backed);
+  * everything else — URIs, option plumbing, reader/writer code paths,
+  * Hadoop FileSystem resolution — is the real production route.
+  */
+class S3AIoSpec extends SparkSpec {
+  import graft.sources.ObjectStore
+
+  private def bindStub(): Unit = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.s3a.impl", classOf[S3AStubFileSystem].getName)
+    // Hadoop's defaults pre-bind the s3a committer factory from
+    // hadoop-aws; that jar is deliberately absent here (no egress), so
+    // unbind it and let writes take the default FileOutputCommitter.
+    // Production keeps the S3A factory (see README "Object stores").
+    hc.set("mapreduce.outputcommitter.factory.scheme.s3a", "")
+  }
+
+  test("S8: fs.s3a.* production settings land in the session's Hadoop conf") {
+    val settings = ObjectStore.s3aSettings(
+      endpoint = Some("http://minio.local:9000"),
+      region = Some("eu-central-1"),
+      pathStyleAccess = true,
+      connectionMaximum = 128)
+    ObjectStore.configure(spark, settings)
+    val hc = spark.sparkContext.hadoopConfiguration
+    assert(hc.get("fs.s3a.endpoint") === "http://minio.local:9000")
+    assert(hc.get("fs.s3a.endpoint.region") === "eu-central-1")
+    assert(hc.get("fs.s3a.path.style.access") === "true")
+    assert(hc.get("fs.s3a.connection.maximum") === "128")
+    assert(hc.get("fs.s3a.committer.name") === "magic")
+    assert(hc.get("fs.s3a.experimental.input.fadvise") === "random")
+  }
+
+  test("S8: CSV round-trips through s3a:// URIs (S1/S3 over the object store)") {
+    bindStub()
+    val tmp = Files.createTempDirectory("graft_s3a").toString
+    val out = Tables.nation(spark, sf)
+    CsvIO.writeCsv(out, s"s3a://test-bucket$tmp/nation")
+    val back = CsvIO.readCsv(spark, s"s3a://test-bucket$tmp/nation")
+    assert(back.count() === out.count())
+    assert(back.columns.sorted.toSeq === out.columns.sorted.toSeq)
+  }
+
+  test("S8: parquet scan over s3a:// keeps pushdown and pruning") {
+    bindStub()
+    val tmp = Files.createTempDirectory("graft_s3a_pq").toString
+    Tables.nation(spark, sf).write.mode("overwrite")
+      .parquet(s"s3a://test-bucket$tmp/nation")
+    val scan = spark.read.parquet(s"s3a://test-bucket$tmp/nation")
+      .filter(col("n_regionkey") === 0).select("n_name")
+    assert(scan.count() === 5)
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(n_regionkey,0)"),
+      s"filter not pushed to the s3a scan:\n$plan")
+    assert(plan.contains("ReadSchema: struct<n_name:string,n_regionkey:"),
+      s"scan not pruned to the 2 needed columns:\n$plan")
+  }
+}
+
 class PayloadInheritanceSpec extends SparkSpec {
   import graft.runner.PayloadInheritance._
   test("J3: priority is payloads > folder > parent, list cycled to folder length") {
