@@ -157,6 +157,48 @@ object AsofProps extends SparkProperties("asof") {
       got == bruteFwd(l, r)
     }
 
+  /** Tie-saturated generator: timestamps from a 4-value domain over a
+    * single key, so nearly every sample has equal-ts collisions within
+    * each side AND across sides — the b714fe4 tie semantics (backward:
+    * an equal-ts right row matches, max event_id wins among equal ts;
+    * forward: equal-ts matches too, min event_id wins) are exercised
+    * on every run rather than only when the wide domain happens to
+    * collide. */
+  private val genTieSides: org.scalacheck.Gen[(List[(Long, Long, Long)], List[(Long, Long, Long)])] =
+    for {
+      nl <- Gen.choose(2, 12)
+      nr <- Gen.choose(2, 12)
+      mk = (base: Int) => (i: Int) => for {
+        ts <- Gen.choose(0L, 3L)
+      } yield ((base + i).toLong, 1L, ts)
+      l <- Gen.sequence[List[(Long, Long, Long)], (Long, Long, Long)](
+        (0 until nl).map(mk(100)).toList)
+      r <- Gen.sequence[List[(Long, Long, Long)], (Long, Long, Long)](
+        (0 until nr).map(mk(500)).toList)
+    } yield (l, r)
+
+  private def runAsof(l: List[(Long, Long, Long)], r: List[(Long, Long, Long)],
+      forward: Boolean): Map[Long, Option[(Long, Long)]] =
+    graft.ops.AsofJoin.asofJoin(
+        l.toDF("event_id", "user_id", "ts_us"),
+        r.toDF("event_id", "user_id", "ts_us"),
+        key = "user_id", ts = "ts_us", tie = "event_id",
+        leftOut = Seq("event_id"), rightOut = Seq("event_id", "ts_us"),
+        forward = forward)
+      .collect().map(row => row.getLong(0) -> (
+        if (row.isNullAt(1)) None else Some((row.getLong(1), row.getLong(2)))))
+      .toMap
+
+  property("equal-ts ties, backward: at-ts matches; max tie id wins") =
+    Prop.forAll(genTieSides) { case (l, r) =>
+      runAsof(l, r, forward = false) == brute(l, r)
+    }
+
+  property("equal-ts ties, forward: at-ts matches; min tie id wins") =
+    Prop.forAll(genTieSides) { case (l, r) =>
+      runAsof(l, r, forward = true) == bruteFwd(l, r)
+    }
+
   property("union+window plan == brute-force backward as-of") =
     Prop.forAll(genSides) { case (l, r) =>
       val got = graft.ops.AsofJoin.asofJoin(
