@@ -18,6 +18,7 @@ object SparkEntry {
     graft.queries.JoinQueries,
     graft.queries.ScalarQueries,
     graft.queries.TrainingQueries,
+    graft.queries.CurationQueries,
     graft.queries.StreamQueries,
     graft.queries.MiscQueries)
 

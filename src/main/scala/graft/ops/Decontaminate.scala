@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Eval-set decontamination: flag training documents whose n-gram
+  * overlap with any benchmark/eval document exceeds a threshold — the
+  * standard guard against test-set leakage when assembling pretraining
+  * corpora (the GPT-3/PaLM-style n-gram collision check, here with
+  * configurable n and an overlap-fraction criterion suited to short
+  * documents).
+  *
+  * Scale shape: the candidate generator is an equi-join on the shingle
+  * value between the corpus index and the EVAL index. Benchmark suites
+  * are tiny next to a 100 TB corpus (thousands-to-millions of rows),
+  * so the eval side is broadcast — the corpus is scanned once, nothing
+  * shuffles on the corpus side, and per-doc aggregation is map-side
+  * combined on (doc, eval_doc). No all-pairs plan at any scale.
+  */
+object Decontaminate {
+
+  /** One row per shingle-able corpus doc: its best-overlapping eval
+    * doc (by fraction of the EVAL doc's distinct n-grams present,
+    * ties to the lowest eval id), with `contaminated` = 1 when that
+    * fraction reaches `flagAt`. Docs shorter than `n` tokens cannot
+    * collide and drop out (they carry no n-gram evidence).
+    *
+    * @param flagAt eval-coverage fraction at which a doc is flagged;
+    *   1.0 = the whole eval doc appears n-gram-for-n-gram.
+    */
+  def overlapReport(
+      corpus: DataFrame, evalSet: DataFrame,
+      textCol: String, idCol: String, evalIdCol: String,
+      n: Int = 3, flagAt: Double = 0.2): DataFrame = {
+    val shC = Dedup.wordShingles(corpus, textCol, idCol, n)
+    val shE = Dedup.wordShingles(evalSet, textCol, evalIdCol, n)
+      .withColumnRenamed("id", "eval_id")
+    val evalSizes = shE.groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("eval_ng"))
+    val shared = shC.join(broadcast(shE), Seq("g"))
+      .groupBy(col("id"), col("eval_id"))
+      .agg(count(lit(1)).as("shared"))
+    val best = shared
+      .join(broadcast(evalSizes), Seq("eval_id"))
+      .withColumn("ratio", col("shared") / col("eval_ng"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id"))
+          .orderBy(col("ratio").desc, col("eval_id"))))
+      .filter(col("rn") === 1)
+      .drop("rn")
+    // base = shingle-able corpus docs, derived WITHOUT a second
+    // corpus explode (the shingle index is consumed once; a
+    // distinct-over-shC base would re-run the scan+explode)
+    val base = corpus
+      .filter(size(TextAnalysis.tokens(col(textCol))) >= n)
+      .select(col(idCol).as("id"))
+    base
+      .join(best, Seq("id"), "left")
+      .withColumn("shared", coalesce(col("shared"), lit(0L)))
+      .withColumn("ratio", coalesce(col("ratio"), lit(0.0)))
+      .withColumn("contaminated", (col("ratio") >= flagAt).cast("long"))
+      .select(col("id"), col("eval_id"), col("shared"), col("eval_ng"),
+        col("ratio"), col("contaminated"))
+  }
+}

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Context packing: assign documents to fixed-token-budget training
+  * sequences ("packs"). Docs are laid out in a deterministic
+  * md5-shuffled order (so packs mix sources instead of preserving
+  * ingest order) and cut into budget-B bins by exclusive prefix sum:
+  * a doc belongs to the bin its first token falls in, so a bin can
+  * overflow by at most one doc's tail — the streaming-packer
+  * semantics every pretraining loader uses, made deterministic and
+  * replayable.
+  *
+  * Scale shape: packing is a running sum, which is inherently
+  * sequential — so the order is defined WITHIN hash shards, one
+  * window partition each. Shards scale the sequential bottleneck
+  * out (each is an independent task at any corpus size); the only
+  * shuffle is the one window exchange on the shard key. All
+  * pseudo-randomness is md5 ([[graft.functions.HashParity]]), so the
+  * layout replays bit-for-bit in the DuckDB oracle and across
+  * re-runs at any partitioning.
+  */
+object Pack {
+
+  /** Per-pack summary: (shard, pack_id) with doc count, token total,
+    * and the first doc in layout order. `budget` is the context
+    * length in tokens; `nShards` bounds the per-task sequential
+    * chain — size it to (corpus tokens / executor-task throughput),
+    * not to the cluster (packs never span shards). */
+  def packSummary(
+      df: DataFrame, textCol: String, idCol: String,
+      budget: Long = 512L, nShards: Int = 8): DataFrame = {
+    val perDoc = assignPacks(df, textCol, idCol, budget, nShards)
+    perDoc.groupBy(col("shard"), col("pack_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("pack_tokens"),
+        min(col("id")).as("first_doc"))
+      .orderBy(col("shard"), col("pack_id"))
+  }
+
+  /** Per-doc pack assignment: (id, toks, shard, pack_id). */
+  def assignPacks(
+      df: DataFrame, textCol: String, idCol: String,
+      budget: Long, nShards: Int): DataFrame = {
+    val toks = size(TextAnalysis.tokens(col(textCol))).cast("long")
+    val base = df.select(
+        col(idCol).as("id"),
+        toks.as("toks"),
+        md5(col(idCol).cast("string")).as("k"))
+      .withColumn("shard",
+        conv(substring(col("k"), 1, 7), 16, 10).cast("long") % nShards)
+    val w = Window.partitionBy(col("shard")).orderBy(col("k"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("excl", coalesce(sum(col("toks")).over(w), lit(0L)))
+      .withColumn("pack_id", floor(col("excl") / budget).cast("long"))
+      .select(col("id"), col("toks"), col("shard"), col("pack_id"))
+  }
+}

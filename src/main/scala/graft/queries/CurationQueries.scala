@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.{Decontaminate, Pack}
+
+/** Corpus-curation queries over the `documents` table: eval-set
+  * decontamination and context packing — the two layout steps between
+  * "deduped corpus" and "training batches".
+  */
+object CurationQueries extends graft.QueryModule {
+
+  /** Decontamination against a synthetic "benchmark" slice: every
+    * 53rd document plays the eval set (a real pipeline passes a
+    * separate suite table; the operator takes two arbitrary frames).
+    * Eval members are excluded from the corpus side so self-overlap
+    * doesn't flag everything. */
+  def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(53)) =!= 0)
+    val evalSet = docs.filter(pmod(col("doc_id"), lit(53)) === 0)
+    Decontaminate.overlapReport(corpus, evalSet,
+        textCol = "text", idCol = "doc_id", evalIdCol = "doc_id",
+        n = 3, flagAt = 0.2)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  val qDecontaminateSql: String =
+    """WITH t AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id AS id,
+      |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+      |       FROM t, UNNEST(generate_series(1, len(w)-2)) AS u(i)
+      |       WHERE len(w) >= 3),
+      |shc AS (SELECT * FROM sh WHERE id % 53 <> 0),
+      |she AS (SELECT id AS eval_id, g FROM sh WHERE id % 53 = 0),
+      |esz AS (SELECT eval_id, CAST(count(*) AS BIGINT) AS eval_ng
+      |        FROM she GROUP BY eval_id),
+      |shared AS (SELECT c.id, e.eval_id, CAST(count(*) AS BIGINT) AS shared
+      |           FROM shc c JOIN she e USING (g) GROUP BY c.id, e.eval_id),
+      |best AS (SELECT * FROM (
+      |    SELECT s.id, s.eval_id, s.shared, z.eval_ng,
+      |      s.shared / z.eval_ng AS ratio,
+      |      row_number() OVER (PARTITION BY s.id
+      |        ORDER BY s.shared / z.eval_ng DESC, s.eval_id) AS rn
+      |    FROM shared s JOIN esz z USING (eval_id))
+      |  WHERE rn = 1)
+      |SELECT d.id AS doc_id, b.eval_id,
+      |  COALESCE(b.shared, 0) AS shared, b.eval_ng,
+      |  COALESCE(b.ratio, 0.0) AS ratio,
+      |  CAST(COALESCE(b.ratio, 0.0) >= 0.2 AS BIGINT) AS contaminated
+      |FROM (SELECT DISTINCT id FROM shc) d
+      |LEFT JOIN best b USING (id)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Context packing at a 512-token budget over 8 hash shards. */
+  def qPack(s: SparkSession, dir: String): DataFrame =
+    Pack.packSummary(Tables.documents(s, dir),
+      textCol = "text", idCol = "doc_id", budget = 512L, nShards = 8)
+
+  val qPackSql: String =
+    """WITH d AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS k,
+      |    CAST(len(str_split(text, ' ')) AS BIGINT) AS toks FROM documents),
+      |s AS (SELECT *,
+      |    CAST('0x' || substr(k, 1, 7) AS BIGINT) % 8 AS shard FROM d),
+      |e AS (SELECT *, COALESCE(CAST(sum(toks) OVER (
+      |    PARTITION BY shard ORDER BY k, doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+      |    0) AS excl FROM s),
+      |p AS (SELECT *, CAST(floor(excl / 512) AS BIGINT) AS pack_id FROM e)
+      |SELECT shard, pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(toks) AS BIGINT) AS pack_tokens, min(doc_id) AS first_doc
+      |FROM p GROUP BY shard, pack_id
+      |ORDER BY shard, pack_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_decontaminate" -> (qDecontaminate _),
+    "q_pack" -> (qPack _))
+
+  def oracleSql: Map[String, String] = Map(
+    "q_decontaminate" -> qDecontaminateSql,
+    "q_pack" -> qPackSql)
+}

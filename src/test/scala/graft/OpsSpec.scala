@@ -152,3 +152,45 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.toSeq === Seq("en", "de", "es"))
   }
 }
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decontamination flags a planted eval copy, not a disjoint doc") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // exact eval copy
+      (2L, "alpha beta gamma one two three four"), // partial overlap
+      (3L, "completely different words entirely here now"))
+      .toDF("doc_id", "text")
+    val evalSet = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val r = Decontaminate.overlapReport(corpus, evalSet,
+        "text", "doc_id", "doc_id", n = 3, flagAt = 0.5)
+      .orderBy("id")
+      .select("id", "eval_id", "ratio", "contaminated")
+      .collect()
+    assert(r(0).getLong(3) === 1L && r(0).getDouble(2) === 1.0) // full copy
+    assert(r(1).getLong(3) === 0L && r(1).getDouble(2) === 0.25) // 1 of 4 eval 3-grams
+    assert(r(2).getLong(3) === 0L && r(2).isNullAt(1)) // no candidate at all
+  }
+
+  test("packing: exclusive-prefix bins, one-doc overflow bound, md5-deterministic") {
+    val docs = Tables.documents(spark, sf)
+    val per = Pack.assignPacks(docs, "text", "doc_id", budget = 512L, nShards = 8)
+      .collect()
+    // every doc assigned exactly once
+    assert(per.length === docs.count())
+    // within a (shard, pack), tokens-before-last-doc stay under budget:
+    // a pack only overflows by its final doc's tail
+    val byPack = per.groupBy(r => (r.getLong(2), r.getLong(3)))
+    byPack.foreach { case (_, rows) =>
+      val toks = rows.map(_.getLong(1))
+      assert(toks.sum - toks.max < 512L)
+    }
+    // deterministic under different input partitioning
+    val again = Pack.assignPacks(docs.repartition(13), "text", "doc_id",
+        budget = 512L, nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(again === per.map(r => (r.getLong(0), r.getLong(3))).toSet)
+  }
+}
