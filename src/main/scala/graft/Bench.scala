@@ -25,18 +25,22 @@ object Bench {
     * listed default to [[DefaultFloor]]. Update when a plan change
     * legitimately moves a floor. */
   private val Floors: Map[String, Double] = Map(
+    // round-5 quiet-box full sweep (52 entries, 34.6 s total): the
+    // r4 q_dedup_clusters 12.8 s isolated reading was box state —
+    // 4.7 s here on byte-identical code, below even the r3 floor.
     "q_ngram_jaccard" -> 2.3,
-    "q_dedup_clusters" -> 5.9, // r3 floor; r4 isolated read 12.8 — re-establish
-    "q_stream_window" -> 9.5,
-    "q_sessionize_stream" -> 8.8,
+    "q_dedup_clusters" -> 4.7,
+    "q_stream_window" -> 2.1,
+    "q_sessionize_stream" -> 1.6,
     "q_minhash_dedup" -> 1.7,
-    "q_sales_report" -> 4.4,
-    "q_sales_date_range" -> 3.2,
-    "q_ann_ivf" -> 2.3,
-    "q_sales_transform" -> 2.3,
-    "q_sales_priority" -> 1.5,
-    "q_tfidf" -> 1.3,
-    "q_simhash_pairs" -> 1.3,
+    "q_sales_report" -> 1.6,
+    "q_sales_date_range" -> 1.6,
+    "q_ann_ivf" -> 1.1,
+    "q_sales_transform" -> 1.6,
+    "q_sales_priority" -> 1.6,
+    "q_tfidf" -> 1.1,
+    "q_simhash_pairs" -> 1.1,
+    "q_decontaminate" -> 1.1,
     "q_embed_neardup_lsh" -> 1.1,
     "q_multimodal" -> 0.9,
     "q_simhash" -> 0.9,
