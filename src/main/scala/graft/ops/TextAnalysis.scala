@@ -14,6 +14,52 @@ object TextAnalysis {
     * corpus format; swap the pattern for `\\s+` corpora). */
   def tokens(c: Column): Column = split(c, " ")
 
+  /** Gopher-style repetition metrics, per doc: duplicate-word ratio
+    * and the most frequent word bigram's share of all bigrams — the
+    * standard filters for degenerate/boilerplate text. Defined over
+    * docs with ≥ 2 tokens (a single token has no bigram).
+    *
+    * Scale shape: doc-level counts are per-row expressions; the
+    * bigram mode needs one explode + one map-side-combined aggregate
+    * on (doc, bigram) + a top-1 window on the slim count frame —
+    * the same shuffle budget as the shingle index. All ratios are
+    * single long/long IEEE divisions (oracle-exact). */
+  def repetitionReport(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String, idCol: String,
+      flagAt: Double = 0.1): org.apache.spark.sql.DataFrame = {
+    val w = tokens(col(textCol))
+    val base = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"), w.as("w"))
+      .withColumn("n_tokens", size(col("w")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("w"))).cast("long"))
+      .filter(col("n_tokens") >= 2)
+    val bigrams = base.select(
+      col("id"), col("n_tokens"), col("n_distinct"),
+      explode(transform(sequence(lit(1), size(col("w")) - 1),
+        i => concat_ws(" ",
+          element_at(col("w"), i), element_at(col("w"), i + 1)))).as("g"))
+    val counts = bigrams
+      .groupBy(col("id"), col("n_tokens"), col("n_distinct"), col("g"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id")).orderBy(col("n").desc, col("g"))))
+      .filter(col("rn") === 1)
+      .select(
+        col("id"),
+        col("n_tokens"),
+        ((col("n_tokens") - col("n_distinct")) / col("n_tokens"))
+          .as("dup_word_ratio"),
+        col("g").as("top_bigram"),
+        col("n").as("top_bigram_n"),
+        (col("n") / (col("n_tokens") - 1)).as("top_bigram_frac"),
+        (col("n") / (col("n_tokens") - 1) >= flagAt).cast("long")
+          .as("repetitive"))
+  }
+
   /** Tiny per-language stopword lists for the n-gram/stopword-vote
     * language-ID heuristic. */
   val langStopwords: Seq[(String, Seq[String])] = Seq(

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ops.{Decontaminate, Pack}
+import graft.ops.{Decontaminate, Pack, Scrub, TextAnalysis}
 
 /** Corpus-curation queries over the `documents` table: eval-set
   * decontamination and context packing — the two layout steps between
@@ -74,11 +74,70 @@ object CurationQueries extends graft.QueryModule {
       |FROM p GROUP BY shard, pack_id
       |ORDER BY shard, pack_id""".stripMargin
 
+  /** Gopher-style repetition metrics (duplicate-word ratio, top
+    * bigram share) with a repetition flag. */
+  def qRepetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionReport(Tables.documents(s, dir),
+        textCol = "text", idCol = "doc_id", flagAt = 0.1)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
+  val qRepetitionSql: String =
+    """WITH t AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+      |m AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_tokens,
+      |        CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct
+      |      FROM t WHERE len(w) >= 2),
+      |bi AS (SELECT doc_id, n_tokens, n_distinct,
+      |         w[i] || ' ' || w[i+1] AS g
+      |       FROM m, UNNEST(generate_series(1, len(w)-1)) AS u(i)),
+      |cnt AS (SELECT doc_id, n_tokens, n_distinct, g,
+      |          CAST(count(*) AS BIGINT) AS n
+      |        FROM bi GROUP BY doc_id, n_tokens, n_distinct, g),
+      |top AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |          ORDER BY n DESC, g) AS rn FROM cnt)
+      |SELECT doc_id, n_tokens,
+      |  (n_tokens - n_distinct) / n_tokens AS dup_word_ratio,
+      |  g AS top_bigram, n AS top_bigram_n,
+      |  n / (n_tokens - 1) AS top_bigram_frac,
+      |  CAST(n / (n_tokens - 1) >= 0.1 AS BIGINT) AS repetitive
+      |FROM top WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  /** Normalization + PII scrub with redaction counts. The synthetic
+    * corpus contains no PII, so this entry's oracle validates the
+    * cross-engine regex machinery on real text (identity output is
+    * the correct answer here); `CurationSpec` plants PII and proves
+    * the redaction itself. */
+  def qTextClean(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        Scrub.redact(Scrub.cleanText(col("text"))).as("clean_text"),
+        Scrub.emailCount(col("text")).as("n_emails"),
+        Scrub.ipv4Count(col("text")).as("n_ips"))
+      .orderBy(col("doc_id"))
+
+  val qTextCleanSql: String =
+    """SELECT doc_id,
+      |  regexp_replace(
+      |    regexp_replace(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean_text,
+      |  CAST(len(regexp_extract_all(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+      |    AS n_emails,
+      |  CAST(len(regexp_extract_all(text,
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_decontaminate" -> (qDecontaminate _),
-    "q_pack" -> (qPack _))
+    "q_pack" -> (qPack _),
+    "q_repetition" -> (qRepetition _),
+    "q_text_clean" -> (qTextClean _))
 
   def oracleSql: Map[String, String] = Map(
     "q_decontaminate" -> qDecontaminateSql,
-    "q_pack" -> qPackSql)
+    "q_pack" -> qPackSql,
+    "q_repetition" -> qRepetitionSql,
+    "q_text_clean" -> qTextCleanSql)
 }

@@ -174,6 +174,39 @@ class CurationSpec extends SparkSpec {
     assert(r(2).getLong(3) === 0L && r(2).isNullAt(1)) // no candidate at all
   }
 
+  test("scrub redacts planted PII and counts it; clean text normalizes") {
+    val df = Seq(
+      (1L, "  Contact   Bob@Example.COM or 10.0.0.1 NOW  "),
+      (2L, "no pii here at all"))
+      .toDF("doc_id", "text")
+    val r = df.select(
+        col("doc_id"),
+        Scrub.redact(Scrub.cleanText(col("text"))).as("clean"),
+        Scrub.emailCount(col("text")).as("ne"),
+        Scrub.ipv4Count(col("text")).as("ni"))
+      .orderBy("doc_id").collect()
+    assert(r(0).getString(1) === "contact <EMAIL> or <IP> now")
+    assert(r(0).getLong(2) === 1L && r(0).getLong(3) === 1L)
+    assert(r(1).getString(1) === "no pii here at all")
+    assert(r(1).getLong(2) === 0L && r(1).getLong(3) === 0L)
+  }
+
+  test("repetition metrics: dup-word ratio and top-bigram share") {
+    val df = Seq(
+      (1L, "spam spam spam spam"),   // 3 bigrams, all "spam spam"
+      (2L, "all words here differ"), // no dup words, all bigrams unique
+      (3L, "solo"))                  // < 2 tokens: drops out
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionReport(df, "text", "doc_id", flagAt = 0.5)
+      .orderBy("id").collect()
+    assert(r.length === 2)
+    assert(r(0).getDouble(2) === 0.75) // 4 tokens, 1 distinct
+    assert(r(0).getString(3) === "spam spam" && r(0).getDouble(5) === 1.0)
+    assert(r(0).getLong(6) === 1L)
+    assert(r(1).getDouble(2) === 0.0 && r(1).getDouble(5) === (1.0 / 3))
+    assert(r(1).getLong(6) === 0L)
+  }
+
   test("packing: exclusive-prefix bins, one-doc overflow bound, md5-deterministic") {
     val docs = Tables.documents(spark, sf)
     val per = Pack.assignPacks(docs, "text", "doc_id", budget = 512L, nShards = 8)
