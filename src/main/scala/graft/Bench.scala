@@ -29,7 +29,7 @@ object Bench {
     // r4 q_dedup_clusters 12.8 s isolated reading was box state —
     // 4.7 s here on byte-identical code, below even the r3 floor.
     "q_ngram_jaccard" -> 2.3,
-    "q_dedup_clusters" -> 4.7,
+    "q_dedup_clusters" -> 3.9, // pointer jumping + in-batch fixpoint test
     "q_stream_window" -> 2.1,
     "q_sessionize_stream" -> 1.6,
     "q_minhash_dedup" -> 1.7,

@@ -13,12 +13,13 @@ import org.apache.spark.sql.functions._
   * Algorithm: iterative min-label propagation. Every node starts
   * labeled with its own id; each round a node takes the min of its
   * label and its neighbors' labels; fixpoint = every node carries the
-  * min id of its component. Rounds = O(component diameter) — near-dup
-  * graphs are dense cliques with tiny diameter, so 2-4 rounds is
-  * typical. Each round is two bounded shuffles over slim (long, long)
-  * rows: one equi-join of the symmetric edge list against the current
-  * labels, one min-aggregate — no all-pairs work, no driver-side
-  * graph. `localCheckpoint()` truncates the lineage at each batch of
+  * min id of its component. Near-dup graphs are dense cliques with
+  * tiny diameter, so 2-4 rounds is typical; a pointer-jumping step
+  * per batch doubles the established reach, so even long-path
+  * components converge in O(log diameter) batches. Each round is two
+  * bounded shuffles over slim (long, long) rows: one equi-join of the
+  * symmetric edge list against the current labels, one min-aggregate
+  * — no all-pairs work, no driver-side graph. `localCheckpoint()` truncates the lineage at each batch of
   * rounds so the plan does not grow with iterations (the classic
   * iterative-DataFrame trap), and the convergence test reads the
   * already-materialized checkpoint, costing one cheap count per batch.
@@ -38,6 +39,21 @@ object Components {
       .drop("nlbl")
   }
 
+  /** One pointer-jumping round: every node's label becomes the min of
+    * its label and its LABEL's label (labels are node ids, so the
+    * label table joins against itself). Jumping doubles the reach a
+    * propagation chain has already established, so a batch of
+    * propagations + one jump converges in O(log diameter) batches
+    * instead of O(diameter) — near-dup cliques never notice (they
+    * converge in 1-2 batches either way), but a long-path component
+    * at 100 TB does. One extra slim equi-join per batch. */
+  private def pointerJumpOnce(cur: DataFrame): DataFrame = {
+    val parent = cur.select(col("lbl").as("jlbl"), col("id").as("lbl"))
+    cur.join(parent, Seq("lbl"), "left")
+      .withColumn("lbl", least(col("lbl"), coalesce(col("jlbl"), col("lbl"))))
+      .drop("jlbl")
+  }
+
   /** Per-node component labels for `nodes` (single column `id`) under
     * `edges` (`id1`, `id2`, undirected). Output: (id, cluster_id)
     * where cluster_id = min node id reachable from id.
@@ -47,9 +63,11 @@ object Components {
     * plus one cheap count over the materialized result — sequential
     * tiny jobs, not data volume, dominate this loop's cost, so halving
     * the action count roughly halves the wall clock. Convergence is
-    * detected by carrying the batch-start label (`lbl0`) through the
-    * chain: no comparison join needed. A no-change batch is a
-    * fortiori a no-change round, so the fixpoint test stays exact.
+    * detected by carrying the label as of the LAST round's entry
+    * (`lblp`) through the chain — labels only decrease, so
+    * final-round-and-jump-changed-nothing is exactly "that application
+    * was a no-op", i.e. the propagation fixpoint: the batch that
+    * converges also detects it, with no confirmation batch after.
     */
   def connectedComponents(
       nodes: DataFrame, edges: DataFrame, maxIters: Int = 25,
@@ -66,10 +84,14 @@ object Components {
     var iter = 0
     while (changed > 0 && iter < maxIters) {
       val rounds = math.min(roundsPerCheck, maxIters - iter)
-      var cur = labels.withColumn("lbl0", col("lbl"))
-      for (_ <- 0 until rounds) cur = propagateOnce(sym, cur)
+      var cur = labels
+      for (i <- 0 until rounds) {
+        if (i == rounds - 1) cur = cur.withColumn("lblp", col("lbl"))
+        cur = propagateOnce(sym, cur)
+      }
+      cur = pointerJumpOnce(cur)
       val next = cur
-        .withColumn("chg", col("lbl") =!= col("lbl0"))
+        .withColumn("chg", col("lbl") =!= col("lblp"))
         .select(col("id"), col("lbl"), col("chg"))
         .localCheckpoint()
       changed = next.filter(col("chg")).count()
@@ -77,6 +99,13 @@ object Components {
       iter += rounds
     }
     sym.unpersist()
+    // wrong-loud beats wrong-silent: a non-converged exit would hand
+    // the dedup filter partial clusters (docs kept that should drop)
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIters rounds " +
+        s"($changed labels still moving); raise maxIters — with pointer " +
+        "jumping the reachable diameter doubles per batch, so a few " +
+        "extra rounds cover any practical graph")
     labels.select(col("id"), col("lbl").as("cluster_id"))
   }
 

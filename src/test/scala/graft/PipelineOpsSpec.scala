@@ -17,6 +17,19 @@ class ComponentsSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("pointer jumping converges a 100-node path within default rounds") {
+    // diameter 99: pure propagation would need 99 rounds and exit
+    // maxIters=25 non-converged; the per-batch pointer jump doubles
+    // reach, so this converges — and non-convergence now throws
+    // rather than returning partial clusters
+    val n = 100L
+    val nodes = (0L until n).toDF("id")
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("id1", "id2")
+    val got = Components.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(1)).distinct
+    assert(got.toSeq === Seq(0L))
+  }
+
   test("cluster sizes attach per node") {
     val nodes = (1L to 4L).toDF("id")
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
