@@ -28,7 +28,7 @@ object Bench {
     // round-5 quiet-box full sweep (52 entries, 34.6 s total): the
     // r4 q_dedup_clusters 12.8 s isolated reading was box state —
     // 4.7 s here on byte-identical code, below even the r3 floor.
-    "q_ngram_jaccard" -> 2.3,
+    "q_ngram_jaccard" -> 1.6, // sizes ride the index; 2 joins removed
     "q_dedup_clusters" -> 3.9, // pointer jumping + in-batch fixpoint test
     "q_stream_window" -> 2.1,
     "q_sessionize_stream" -> 1.6,

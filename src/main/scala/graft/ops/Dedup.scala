@@ -59,19 +59,21 @@ object Dedup {
   def jaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, maxDf: Long = 1000L, topK: Int = 100): DataFrame = {
-    // the index feeds four consumers (both self-join sides, sizes,
-    // df-cap) — cache it or every branch re-explodes the corpus
-    val sh = cappedIndex(wordShingles(df, textCol, idCol, n), maxDf).cache()
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_g"))
-    val a = sh.select(col("id").as("id1"), col("g"))
-    val b = sh.select(col("id").as("id2"), col("g"))
-    val shared = a.join(b, Seq("g"))
+    // per-doc shingle counts ride ON the index rows (one window
+    // exchange at build time) instead of joining a sizes aggregate
+    // onto the candidate pairs twice — two shuffle joins removed from
+    // the post-candidate path. The index feeds both self-join sides;
+    // cache it or each side re-explodes the corpus.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+    val sh = cappedIndex(wordShingles(df, textCol, idCol, n), maxDf)
+      .withColumn("n_g", count(lit(1)).over(w))
+      .cache()
+    val a = sh.select(col("id").as("id1"), col("n_g").as("n1"), col("g"))
+    val b = sh.select(col("id").as("id2"), col("n_g").as("n2"), col("g"))
+    a.join(b, Seq("g"))
       .filter(col("id1") < col("id2"))
-      .groupBy(col("id1"), col("id2"))
+      .groupBy(col("id1"), col("id2"), col("n1"), col("n2"))
       .agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.select(col("id").as("id1"), col("n_g").as("n1")), Seq("id1"))
-      .join(sizes.select(col("id").as("id2"), col("n_g").as("n2")), Seq("id2"))
       .withColumn("jaccard",
         col("shared") / (col("n1") + col("n2") - col("shared")))
       .select("id1", "id2", "shared", "n1", "n2", "jaccard")
