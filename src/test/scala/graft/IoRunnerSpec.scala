@@ -104,6 +104,27 @@ class ReportSpecFull extends SparkSpec {
         s"driver-side collect on raw path: $funcs")
     } finally spark.listenerManager.unregister(listener)
   }
+  test("e2e lifecycle lands as the reference's -COMBINED multi-section report") {
+    // the full orchestrator flow (payloads -> pipeline -> iteration
+    // union -> report) ending in the reference's artifact: one
+    // multi-section CSV named <experiment>-COMBINED
+    val combined = graft.queries.ReportQueries.qE2eReport(spark, sf)
+    val spec = ExperimentSpec(
+      experimentName = "e2e-demo",
+      outputGroups = Seq("experiment"),
+      showAsSum = Set("value_c"))
+    val sections = Report.build(combined, spec)
+    assert(sections.successfulRuns === combined.count())
+    val tmp = Files.createTempDirectory("graft_comb").toString
+    val p = ReportWriter.writeReport(
+      tmp, s"${spec.experimentName}-COMBINED", spec.experimentName, sections)
+    assert(p.endsWith("e2e-demo-COMBINED.csv"))
+    val parts = ReportWriter.split(
+      new String(Files.readAllBytes(java.nio.file.Paths.get(p))))
+    assert(parts.exists(_.startsWith("Raw results")))
+    assert(parts.exists(_.startsWith("Category experiment:")))
+  }
+
   test("P13: duplicate-container purge keeps the FIRST run in arrival order") {
     import spark.implicits._
     val runs = Seq(
