@@ -213,6 +213,77 @@ object AsofProps extends SparkProperties("asof") {
     }
 }
 
+object PackProps extends SparkProperties("pack") {
+  import spark.implicits._
+
+  private val genDocs: Gen[List[(Long, Int)]] =
+    Gen.choose(1, 60).flatMap { nd =>
+      Gen.listOfN(nd, Gen.choose(1, 40)).map(_.zipWithIndex
+        .map { case (nw, i) => (i.toLong, nw) })
+    }
+
+  private def df(docs: List[(Long, Int)]) =
+    docs.map { case (id, nw) =>
+      (id, Seq.fill(nw)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+
+  property("every doc packed once; bins overflow only by their last doc") =
+    Prop.forAll(genDocs, Gen.choose(8L, 64L)) { (docs, budget) =>
+      val per = graft.ops.Pack.assignPacks(df(docs), "text", "doc_id",
+          budget = budget, nShards = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val allOnce = per.map(_._1).sorted.toSeq == docs.map(_._1).sorted
+      val bound = per.groupBy(r => (r._3, r._4)).values.forall { rows =>
+        val t = rows.map(_._2)
+        t.sum - t.max < budget
+      }
+      allOnce && bound
+    }
+}
+
+object DecontaminateProps extends SparkProperties("decontaminate") {
+  import spark.implicits._
+
+  // tiny vocab forces n-gram collisions between corpus and eval
+  private val genTexts: Gen[(List[(Long, String)], List[(Long, String)])] =
+    for {
+      nc <- Gen.choose(1, 12)
+      ne <- Gen.choose(1, 3)
+      word = Gen.oneOf("a", "b", "c")
+      mk = (base: Int) => (i: Int) => Gen.choose(3, 8).flatMap(len =>
+        Gen.listOfN(len, word).map(ws => ((base + i).toLong, ws.mkString(" "))))
+      c <- Gen.sequence[List[(Long, String)], (Long, String)](
+        (0 until nc).map(mk(0)).toList)
+      e <- Gen.sequence[List[(Long, String)], (Long, String)](
+        (0 until ne).map(mk(100)).toList)
+    } yield (c, e)
+
+  private def trigrams(t: String): Set[String] = {
+    val w = t.split(" ")
+    (0 to w.length - 3).map(i => w.slice(i, i + 3).mkString(" ")).toSet
+  }
+
+  property("best-match ratio equals brute-force eval-coverage") =
+    Prop.forAll(genTexts) { case (c, e) =>
+      val got = graft.ops.Decontaminate.overlapReport(
+          c.toDF("doc_id", "text"), e.toDF("doc_id", "text"),
+          "text", "doc_id", "doc_id", n = 3, flagAt = 0.5)
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getDouble(4)))))
+        .toMap
+      val want = c.map { case (id, t) =>
+        val cg = trigrams(t)
+        val overlaps = e.map { case (eid, et) =>
+          val eg = trigrams(et)
+          (eid, cg.intersect(eg).size.toDouble / eg.size)
+        }.filter(_._2 > 0)
+        id -> (if (overlaps.isEmpty) None
+               else Some(overlaps.minBy { case (eid, r) => (-r, eid) }))
+      }.toMap
+      got == want
+    }
+}
+
 object ComponentsProps extends SparkProperties("components") {
   import spark.implicits._
 
