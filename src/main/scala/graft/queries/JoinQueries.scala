@@ -62,11 +62,47 @@ object JoinQueries extends graft.QueryModule {
       |    AS n_inactive
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** Product-side star: revenue by part brand × supplier nation —
+    * the lineitem fact against BOTH its product dimensions (part,
+    * supplier→nation), all broadcast, with the aggregate partial
+    * map-side. Covers the two fixture tables no other entry touches;
+    * at cluster scale the fact never shuffles before the group-by
+    * exchange, whose volume is O(brands × nations). */
+  def qPartsSupplier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .select($"l_partkey", $"l_suppkey",
+        Num.cents($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev_c"))
+      .join(broadcast(Tables.part(s, dir).select($"p_partkey", $"p_brand")),
+        $"l_partkey" === $"p_partkey")
+      .join(broadcast(Tables.supplier(s, dir).select($"s_suppkey", $"s_nationkey")),
+        $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(Tables.nation(s, dir).select($"n_nationkey", $"n_name")),
+        $"s_nationkey" === $"n_nationkey")
+      .groupBy($"p_brand", $"n_name".as("supp_nation"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum($"rev_c").as("revenue_c"))
+      .orderBy($"p_brand", $"supp_nation")
+  }
+
+  val qPartsSupplierSql: String =
+    s"""SELECT p_brand, n_name AS supp_nation, count(*) AS n_lines,
+       |  ${Num.sumSql(Num.centsSql("l_extendedprice*(1.0-l_discount)"))}
+       |    AS revenue_c
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |GROUP BY p_brand, n_name ORDER BY p_brand, supp_nation""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_star" -> (qJoinStar _),
-    "q_join_semi_anti" -> (qJoinSemiAnti _))
+    "q_join_semi_anti" -> (qJoinSemiAnti _),
+    "q_parts_supplier" -> (qPartsSupplier _))
 
   def oracleSql: Map[String, String] = Map(
     "q_join_star" -> qJoinStarSql,
-    "q_join_semi_anti" -> qJoinSemiAntiSql)
+    "q_join_semi_anti" -> qJoinSemiAntiSql,
+    "q_parts_supplier" -> qPartsSupplierSql)
 }
