@@ -234,7 +234,8 @@ object ReportQueries extends graft.QueryModule {
           .withColumn("memory_mb", lit(p("memory_mb").asInstanceOf[Long]))
           .withColumn("experiment", lit(p("experiment").toString))
         PipelineRunner.run(slice, stages, skipPoison,
-          tagStages = false, keyRenames = Map("out_c" -> "in_c"))
+          tagStages = false, keyRenames = Map("out_c" -> "in_c"),
+          materializeStages = true)
       }
       RunRecords.warmupFilter(
         RunRecords.combineIterations(iters, "user_id"), "iteration", 1)

@@ -37,13 +37,23 @@ object PipelineRunner {
       if (d.columns.contains(k)) d.withColumn(k2, col(k)) else d
     }
 
+  /** @param materializeStages mirror the reference's between-stage
+    *   materialization (each invocation's output lands before the
+    *   next reads it) with a LAZY `localCheckpoint` at every stage
+    *   boundary. Besides fidelity, this caps plan growth: a stage
+    *   that references its input more than once (e.g. the
+    *   accumulated-run-list shape, `df.union(f(df))`) would otherwise
+    *   double the upstream scan count per stage — checkpointed, each
+    *   stage computes exactly once however many times the next stage
+    *   refers to it. Batch-only (streaming frames cannot checkpoint). */
   def run(
       input: DataFrame,
       stages: Seq[Stage],
       transition: Transition = linear,
       tagStages: Boolean = true,
       maxSteps: Int = 1000,
-      keyRenames: Map[String, String] = Map.empty): DataFrame = {
+      keyRenames: Map[String, String] = Map.empty,
+      materializeStages: Boolean = false): DataFrame = {
 
     def continues(idx: Int, step: Int): Boolean =
       idx >= 0 && idx < stages.length && step < maxSteps
@@ -53,8 +63,9 @@ object PipelineRunner {
       if (!continues(idx, step)) df
       else {
         val out0 = stages(idx).fn(df)
-        val out = if (tagStages)
+        val out1 = if (tagStages)
           out0.withColumn("3_pipeline_stage", lit(idx)) else out0
+        val out = if (materializeStages) out1.localCheckpoint(false) else out1
         val next = transition(idx, stages.length, out)
         val fed = if (continues(next, step + 1)) applyRenames(out, keyRenames)
         else out

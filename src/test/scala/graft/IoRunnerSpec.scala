@@ -175,6 +175,25 @@ class PipelineRunnerSpec extends SparkSpec {
     assert(r.getAs[Int]("input2") === 50)
     assert(r.getAs[Int]("y") === 51)
   }
+  test("materializeStages checkpoints between stages without changing results") {
+    val in = Seq((1, 10), (2, 20)).toDF("id", "x")
+    val stages = Seq(
+      PipelineRunner.Stage("grow", df => df.unionByName(
+        df.withColumn("x", $"x" + 1))), // self-referencing stage
+      PipelineRunner.Stage("scale", _.withColumn("x", $"x" * 2)))
+    val plain = PipelineRunner.run(in, stages)
+      .orderBy("id", "x").collect().map(_.toSeq)
+    val mat = PipelineRunner.run(in, stages, materializeStages = true)
+      .orderBy("id", "x").collect().map(_.toSeq)
+    assert(mat.toSeq === plain.toSeq)
+    // the checkpointed route truncates lineage: no parquet/LocalRelation
+    // scan multiplication in the final plan
+    val plan = PipelineRunner.run(in, stages, materializeStages = true)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("LogicalRDD") || plan.contains("Scan ExistingRDD"),
+      s"expected an RDD-backed checkpoint boundary in:\n$plan")
+  }
+
   test("J4: renames are not applied to the final output") {
     val in = Seq((1, 5)).toDF("id", "x")
     val out = PipelineRunner.run(in, Seq(
