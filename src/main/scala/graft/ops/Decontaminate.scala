@@ -63,4 +63,35 @@ object Decontaminate {
       .select(col("id"), col("eval_id"), col("shared"), col("eval_ng"),
         col("ratio"), col("contaminated"))
   }
+
+  /** Semantic (embedding-cosine) decontamination — the modern
+    * complement to the n-gram check: a paraphrased eval document
+    * shares no n-grams but sits next to it in embedding space. For
+    * each corpus vector, the highest-cosine eval vector (ties to the
+    * lowest eval id) and a flag at `flagAt`.
+    *
+    * Scale shape: the eval set broadcasts; the corpus side never
+    * shuffles for scoring (codegen'd [[Similarity.dot]], norms
+    * precomputed once per vector), and the per-doc argmax is a
+    * plain aggregate — `max(struct(sim, -eval_id))` — so it
+    * partial-aggregates map-side; there is NO window exchange
+    * anywhere in the plan. */
+  def semanticOverlap(
+      corpusEmb: DataFrame, evalEmb: DataFrame,
+      flagAt: Double = 0.9): DataFrame = {
+    val e = Similarity.prepared(corpusEmb)
+    val q = Similarity.prepared(evalEmb).select(
+      col("vec_id").as("eval_id"), col("v").as("qv"), col("nrm").as("qn"))
+    e.join(broadcast(q))
+      .withColumn("sim",
+        Similarity.dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("sim"), (-col("eval_id")).as("neg"),
+        col("eval_id"))).as("m"))
+      .select(
+        col("vec_id"),
+        col("m.eval_id").as("eval_id"),
+        col("m.sim").as("sim"),
+        (col("m.sim") >= flagAt).cast("long").as("contaminated"))
+  }
 }

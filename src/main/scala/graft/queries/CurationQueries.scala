@@ -74,6 +74,32 @@ object CurationQueries extends graft.QueryModule {
       |FROM p GROUP BY shard, pack_id
       |ORDER BY shard, pack_id""".stripMargin
 
+  /** Semantic decontamination: best eval-slice cosine per corpus
+    * embedding (every 53rd vector plays the eval set, as in
+    * [[qDecontaminate]]). */
+  def qDecontaminateSemantic(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Decontaminate.semanticOverlap(
+        emb.filter(pmod(col("vec_id"), lit(53)) =!= 0),
+        emb.filter(pmod(col("vec_id"), lit(53)) === 0),
+        flagAt = 0.9)
+      .orderBy(col("vec_id"))
+  }
+
+  val qDecontaminateSemanticSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings),
+      |c AS (SELECT * FROM e WHERE vec_id % 53 <> 0),
+      |q AS (SELECT vec_id AS eval_id, v AS qv FROM e WHERE vec_id % 53 = 0),
+      |p AS (SELECT c.vec_id, q.eval_id,
+      |        list_cosine_similarity(c.v, q.qv) AS sim
+      |      FROM c CROSS JOIN q),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+      |        ORDER BY sim DESC, eval_id) AS rn FROM p)
+      |SELECT vec_id, eval_id, sim,
+      |  CAST(sim >= 0.9 AS BIGINT) AS contaminated
+      |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
   /** Gopher-style repetition metrics (duplicate-word ratio, top
     * bigram share) with a repetition flag. */
   def qRepetition(s: SparkSession, dir: String): DataFrame =
@@ -131,12 +157,14 @@ object CurationQueries extends graft.QueryModule {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_decontaminate" -> (qDecontaminate _),
+    "q_decontaminate_semantic" -> (qDecontaminateSemantic _),
     "q_pack" -> (qPack _),
     "q_repetition" -> (qRepetition _),
     "q_text_clean" -> (qTextClean _))
 
   def oracleSql: Map[String, String] = Map(
     "q_decontaminate" -> qDecontaminateSql,
+    "q_decontaminate_semantic" -> qDecontaminateSemanticSql,
     "q_pack" -> qPackSql,
     "q_repetition" -> qRepetitionSql,
     "q_text_clean" -> qTextCleanSql)

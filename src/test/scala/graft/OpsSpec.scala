@@ -174,6 +174,19 @@ class CurationSpec extends SparkSpec {
     assert(r(2).getLong(3) === 0L && r(2).isNullAt(1)) // no candidate at all
   }
 
+  test("semantic decontamination flags a planted eval-identical vector") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),   // identical direction to eval 100
+      (2L, Array(0.0f, 1.0f, 0.0f)))   // orthogonal
+      .toDF("vec_id", "embedding")
+    val evalSet = Seq((100L, Array(2.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Decontaminate.semanticOverlap(corpus, evalSet, flagAt = 0.9)
+      .orderBy("vec_id").collect()
+    assert(r(0).getLong(3) === 1L && math.abs(r(0).getDouble(2) - 1.0) < 1e-12)
+    assert(r(1).getLong(3) === 0L && math.abs(r(1).getDouble(2)) < 1e-12)
+  }
+
   test("scrub redacts planted PII and counts it; clean text normalizes") {
     val df = Seq(
       (1L, "  Contact   Bob@Example.COM or 10.0.0.1 NOW  "),
