@@ -41,6 +41,9 @@ object Bench {
     "q_tfidf" -> 1.1,
     "q_simhash_pairs" -> 1.1,
     "q_decontaminate" -> 1.1,
+    "q_decontaminate_semantic" -> 0.9,
+    "q_parts_supplier" -> 0.9,
+    "q_e2e_report" -> 1.0,
     "q_repetition" -> 0.9,
     "q_embed_neardup_lsh" -> 1.1,
     "q_multimodal" -> 0.9,
