@@ -174,6 +174,15 @@ class CurationSpec extends SparkSpec {
     assert(r(2).getLong(3) === 0L && r(2).isNullAt(1)) // no candidate at all
   }
 
+  test("decontamination with an empty eval set marks nothing, drops nothing") {
+    val corpus = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val evalSet = corpus.filter(col("doc_id") < 0)
+    val r = Decontaminate.overlapReport(corpus, evalSet,
+      "text", "doc_id", "doc_id").collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(2) === 0L && r(0).getLong(5) === 0L) // shared, flag
+  }
+
   test("semantic decontamination flags a planted eval-identical vector") {
     val corpus = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),   // identical direction to eval 100
