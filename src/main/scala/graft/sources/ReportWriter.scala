@@ -151,4 +151,28 @@ object ReportWriter {
     * back into blank-line-separated sections. */
   def split(text: String): Seq[String] =
     text.split("\n\\s*\n").toSeq.map(_.trim).filter(_.nonEmpty)
+
+  /** The reference's standalone splitter tool on disk
+    * (report_splitter.py:19-39): `<report> - split/` next to the
+    * file, one `<section header, colon stripped>.csv` per
+    * blank-line-separated section, keeping only comma-bearing lines
+    * (headers and prose drop out — "makes importing into R
+    * significantly easier"). No-op if the directory already exists,
+    * exactly like the reference. Returns the written paths. */
+  def splitToFiles(reportPath: String): Seq[String] = {
+    val dir = Paths.get(reportPath.stripSuffix(".csv") + " - split")
+    if (Files.exists(dir)) return Seq.empty
+    Files.createDirectories(dir)
+    split(Files.readString(Paths.get(reportPath))).flatMap { chunk =>
+      val lines = chunk.split("\n")
+      if (lines.length <= 1) None
+      else {
+        val name = lines.head.replace(":", "")
+        val out = dir.resolve(s"$name.csv")
+        Files.writeString(out,
+          lines.tail.filter(_.contains(",")).map(_ + "\n").mkString)
+        Some(out.toString)
+      }
+    }
+  }
 }

@@ -104,6 +104,21 @@ class ReportSpecFull extends SparkSpec {
         s"driver-side collect on raw path: $funcs")
     } finally spark.listenerManager.unregister(listener)
   }
+  test("splitToFiles mirrors report_splitter.py: per-section CSVs, colon-free names") {
+    val tmp = Files.createTempDirectory("graft_split").toString
+    val report = "Report title\n\nRaw results of experiment:\na,b\n1,2\n\n" +
+      "Category event_type:\nnote without comma\nx,y\n3,4\n"
+    val p = ReportWriter.write(tmp, "rep", report)
+    val written = ReportWriter.splitToFiles(p)
+    assert(written.map(w => java.nio.file.Paths.get(w).getFileName.toString)
+      .toSet === Set("Raw results of experiment.csv", "Category event_type.csv"))
+    val cat = written.find(_.contains("Category")).get
+    // only comma-bearing lines survive, like the reference
+    assert(Files.readString(java.nio.file.Paths.get(cat)) === "x,y\n3,4\n")
+    // second call: directory exists -> no-op, reference behavior
+    assert(ReportWriter.splitToFiles(p) === Seq.empty)
+  }
+
   test("e2e lifecycle lands as the reference's -COMBINED multi-section report") {
     // the full orchestrator flow (payloads -> pipeline -> iteration
     // union -> report) ending in the reference's artifact: one
