@@ -278,6 +278,63 @@ class S3AIoSpec extends SparkSpec {
   }
 }
 
+/** The user-facing config format: the reference's experiment JSON
+  * files parse onto [[ExperimentSpec]] with missing-key defaults,
+  * golden-tested against the reference's own checked-in experiments.
+  */
+class ExperimentJsonSpec extends SparkSpec {
+  import graft.report.ExperimentSpec
+
+  private def ref(name: String): String =
+    Files.readString(java.nio.file.Paths.get(
+      s"/root/reference/test/experiments/$name"))
+
+  test("the reference's exampleExperiment.json parses field-for-field") {
+    val json = ref("exampleExperiment.json")
+    val spec = ExperimentSpec.fromJson(json)
+    assert(spec.runs === 50 && spec.threads === 50 && spec.iterations === 3)
+    assert(spec.outputGroups.size === 10)
+    assert(spec.outputGroups.contains("zTenancy[vmID[iteration]]"))
+    assert(spec.outputRawOfGroup ===
+      Seq("zTenancy[vmID[iteration]]", "zTenancy[vmID]", "cpuType"))
+    assert(spec.showAsSum === Set("newcontainer"))
+    assert(spec.ignoreByGroup("zTenancy[vmID]") === Set("cpuType"))
+    assert(spec.overlapFilter === Some("functionName"))
+    assert(spec.combineSheets)
+    assert(!spec.removeDuplicateContainers)
+    // unknown / invocation-side keys are accepted and ignored
+    assert(spec.experimentName === ExperimentSpec().experimentName)
+    val (payloads, parent) = ExperimentSpec.payloadsFromJson(json)
+    assert(payloads.map(_("name")) === Seq("Bob Amazing", "Joe", "Steve"))
+    assert(parent === Map("name" -> "Jose"))
+  }
+
+  test("missing keys fall back to the reference defaults") {
+    val spec = ExperimentSpec.fromJson("""{"runs": 7}""")
+    assert(spec.runs === 7)
+    assert(spec === ExperimentSpec(runs = 7))
+  }
+
+  test("compile-results tool: JSON run folder + experiment json -> report file") {
+    import org.apache.spark.sql.functions._
+    val tmp = Files.createTempDirectory("graft_compile").toString
+    CsvIO.writeJson(
+      Tables.events(spark, sf)
+        .withColumn("value_c", graft.core.Num.cents(col("value")))
+        .select("event_id", "user_id", "event_type", "value_c"),
+      s"$tmp/runs")
+    Files.writeString(java.nio.file.Paths.get(s"$tmp/myExp.json"),
+      """{"outputGroups": ["event_type"], "showAsSum": ["value_c"],
+        |"invalidators": {"event_type": "error"}}""".stripMargin)
+    val p = graft.runner.CompileResults.run(spark, s"$tmp/runs", s"$tmp/myExp.json")
+    assert(p.endsWith("compiled-results-myExp.csv"))
+    val parts = ReportWriter.split(
+      Files.readString(java.nio.file.Paths.get(p)))
+    assert(parts.exists(_.startsWith("Raw results")))
+    assert(parts.exists(_.startsWith("Category event_type:")))
+  }
+}
+
 class PayloadInheritanceSpec extends SparkSpec {
   import graft.runner.PayloadInheritance._
   test("J3: priority is payloads > folder > parent, list cycled to folder length") {
