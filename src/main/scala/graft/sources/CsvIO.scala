@@ -55,6 +55,20 @@ object CsvIO {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
 
+  /** XML interchange (Spark 4's native `xml` source): row-per-rowTag
+    * scan and sink — rounding out the text-interchange surface next
+    * to CSV (S1/S3) and JSON (S5/S6), with the same split planning
+    * and schema inference machinery. */
+  def readXml(s: SparkSession, path: String, rowTag: String): DataFrame =
+    s.read.format("xml").option("rowTag", rowTag).load(path)
+
+  def writeXml(df: DataFrame, path: String, rowTag: String): Unit =
+    df.write.format("xml")
+      .option("rowTag", rowTag)
+      .option("rootTag", s"${rowTag}s")
+      .mode("overwrite")
+      .save(path)
+
   /** S11/Q: the TLQ Query surface — SQL over a registered table. */
   def query(s: SparkSession, df: DataFrame, table: String, sql: String): DataFrame = {
     df.createOrReplaceTempView(table)

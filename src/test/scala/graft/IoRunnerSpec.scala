@@ -37,6 +37,17 @@ class CsvIoSpec extends SparkSpec {
     CsvIO.writeJson(Tables.nation(spark, sf), s"$tmp/j")
     assert(CsvIO.readJsonDir(spark, s"$tmp/j").count() === 25)
   }
+  test("xml round-trip preserves rows through the native source") {
+    val tmp = Files.createTempDirectory("graft_xml").toString
+    val out = Tables.nation(spark, sf)
+    CsvIO.writeXml(out, s"$tmp/x", rowTag = "nation")
+    val back = CsvIO.readXml(spark, s"$tmp/x", rowTag = "nation")
+    assert(back.count() === 25)
+    assert(back.columns.sorted.toSeq === out.columns.sorted.toSeq)
+    val key = back.select("n_nationkey").collect().map(_.getLong(0)).sorted
+    assert(key.toSeq === (0L until 25L))
+  }
+
   test("TLQ query surface answers SQL over the loaded table") {
     val r = CsvIO.query(spark, SalesTransform.transformed(spark, sf), "SalesData",
       """SELECT region, round(sum(revenue_c) / 100.0, 2) AS revenue
