@@ -226,6 +226,45 @@ class StreamSpec extends SparkSpec {
       Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
   }
 
+  test("sorted route continues sessions across event-time-ordered micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // the oracle-documented contract: when landing files arrive in
+    // per-key event-time order ACROSS batches (maxFilesPerTrigger=1
+    // here forces three), the sorted stateful route equals the
+    // whole-history batch twin — session indices continue through
+    // batch boundaries via state, gaps spanning batches included
+    val tmp = java.nio.file.Files.createTempDirectory("graft_xbatch").toString
+    val gap = 100L
+    val batches = Seq(
+      Seq((1L, 1L, 0L), (1L, 2L, 50L), (2L, 10L, 0L)),
+      Seq((1L, 3L, 300L), (2L, 11L, 30L)),   // u1 gap spans batches 1->2
+      Seq((1L, 4L, 320L), (2L, 12L, 500L)))  // u2 gap spans batches 2->3
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("user_id", "event_id", "ts_us")
+        .coalesce(1).sortWithinPartitions("ts_us", "event_id")
+        .write.parquet(s"$tmp/in/b$i.parquet")
+      val d = new java.io.File(s"$tmp/in/b$i.parquet")
+      (d +: d.listFiles().toSeq).foreach(_.setLastModified(1000000L * (i + 1)))
+    }
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_id", LongType),
+      StructField("ts_us", LongType)))
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/in/*.parquet")
+    val got = EventStream.runToMemory(spark,
+      EventStream.sessionizeStatefulSorted(spark, src, gapUs = gap),
+      "t_xbatch", org.apache.spark.sql.streaming.OutputMode.Append)
+      .select("event_id", "session_idx").as[(Long, Long)].collect().toMap
+    val want = EventStream.sessionizeBatch(
+        batches.flatten.toDF("user_id", "event_id", "ts_us"), gap)
+      .select("event_id", "session_idx").as[(Long, Long)].collect().toMap
+    assert(got === want)
+    assert(got(3L) === 1L && got(4L) === 1L) // u1's cross-batch gap split
+    assert(got(12L) === 1L)                  // u2's too
+  }
+
   test("sessionization assumeSorted streams a pre-sorted single-key source lazily") {
     import spark.implicits._
     import org.apache.spark.sql.types._
