@@ -44,6 +44,7 @@ object Bench {
     "q_decontaminate_semantic" -> 0.9,
     "q_parts_supplier" -> 0.9,
     "q_e2e_report" -> 1.0,
+    "q_asof_bucketed" -> 0.9,
     "q_repetition" -> 0.9,
     "q_embed_neardup_lsh" -> 1.1,
     "q_multimodal" -> 0.9,

@@ -177,6 +177,24 @@ object MiscQueries extends graft.QueryModule {
       |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
       |ORDER BY p.event_id""".stripMargin
 
+  /** The hot-key-safe bucketed as-of plan ([[AsofJoin.asofJoinBucketed]]:
+    * per-(key, day) windows + bucket-tail carry), gated by the same
+    * independent DuckDB native ASOF oracle as [[qAsofJoin]] — the
+    * oracle validates the split-and-stitch, not a replay of it. */
+  def qAsofBucketed(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_us"))
+    val purchases = ev.filter(col("event_type") === "purchase").drop("event_type")
+    val clicks = ev.filter(col("event_type") === "click").drop("event_type")
+    AsofJoin.asofJoinBucketed(purchases, clicks,
+        key = "user_id", ts = "ts_us", tie = "event_id",
+        leftOut = Seq("event_id", "user_id", "ts_us"),
+        rightOut = Seq("event_id", "ts_us"),
+        bucketWidth = 86400L * 1000000L) // one day
+      .withColumn("gap_us", col("ts_us") - col("asof_ts_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** Funnel conversion via the FORWARD as-of direction: each click
     * matched to the same user's earliest purchase at-or-after it,
     * then per-user click counts, 1h-conversion counts, and the
@@ -402,6 +420,7 @@ object MiscQueries extends graft.QueryModule {
     "q_overlap_all" -> (qOverlapAll _),
     "q_payload_shuffle" -> (qPayloadShuffle _),
     "q_asof_join" -> (qAsofJoin _),
+    "q_asof_bucketed" -> (qAsofBucketed _),
     "q_profile" -> (qProfile _),
     "q_rolling_window" -> (qRollingWindow _),
     "q_pivot" -> (qPivot _),
@@ -417,6 +436,7 @@ object MiscQueries extends graft.QueryModule {
     "q_overlap_all" -> qOverlapAllSql,
     "q_payload_shuffle" -> qPayloadShuffleSql,
     "q_asof_join" -> qAsofJoinSql,
+    "q_asof_bucketed" -> qAsofJoinSql, // same independent native-ASOF oracle
     "q_profile" -> qProfileSql,
     "q_rolling_window" -> qRollingWindowSql,
     "q_pivot" -> qPivotSql,

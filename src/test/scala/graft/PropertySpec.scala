@@ -199,6 +199,30 @@ object AsofProps extends SparkProperties("asof") {
       runAsof(l, r, forward = true) == bruteFwd(l, r)
     }
 
+  private def runAsofBucketed(l: List[(Long, Long, Long)],
+      r: List[(Long, Long, Long)], forward: Boolean,
+      width: Long): Map[Long, Option[(Long, Long)]] =
+    graft.ops.AsofJoin.asofJoinBucketed(
+        l.toDF("event_id", "user_id", "ts_us"),
+        r.toDF("event_id", "user_id", "ts_us"),
+        key = "user_id", ts = "ts_us", tie = "event_id",
+        leftOut = Seq("event_id"), rightOut = Seq("event_id", "ts_us"),
+        bucketWidth = width, forward = forward)
+      .collect().map(row => row.getLong(0) -> (
+        if (row.isNullAt(1)) None else Some((row.getLong(1), row.getLong(2)))))
+      .toMap
+
+  property("hot-key bucketed plan == single-window plan (widths 1, 7, 1000)") =
+    Prop.forAll(genSides, Gen.oneOf(1L, 7L, 1000L), Gen.oneOf(false, true)) {
+      case ((l, r), width, fwd) =>
+        runAsofBucketed(l, r, fwd, width) == runAsof(l, r, fwd)
+    }
+
+  property("bucketed equal-ts ties match, both directions") =
+    Prop.forAll(genTieSides, Gen.oneOf(false, true)) { case ((l, r), fwd) =>
+      runAsofBucketed(l, r, fwd, 2L) == runAsof(l, r, fwd)
+    }
+
   property("union+window plan == brute-force backward as-of") =
     Prop.forAll(genSides) { case (l, r) =>
       val got = graft.ops.AsofJoin.asofJoin(
