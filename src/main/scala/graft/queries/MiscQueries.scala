@@ -413,7 +413,56 @@ object MiscQueries extends graft.QueryModule {
        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
   }
 
+  /** Data-quality expectations over the events table: three row-level
+    * rules folded into one aggregate pass, two uniqueness checks, one
+    * referential check against customer — the promote-gate report. */
+  def qQuality(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Quality
+    import graft.ops.Quality.{Expect, InParent, Unique}
+    val ev = Tables.events(s, dir)
+    Quality.check(ev, Seq(
+        Expect("value_non_negative", col("value") >= 0),
+        Expect("value_under_500", col("value") < 500),
+        Expect("event_type_nonempty", length(col("event_type")) > 0),
+        Unique("event_id_unique", Seq("event_id")),
+        Unique("user_event_type_unique", Seq("user_id", "event_type")),
+        InParent("user_in_customer", "user_id",
+          Tables.customer(s, dir), "c_custkey")))
+      .withColumn("pass", col("pass").cast("long"))
+      .orderBy(col("rule"))
+  }
+
+  val qQualitySql: String =
+    """WITH total AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events),
+      |v AS (
+      |  SELECT 'value_non_negative' AS rule, CAST(count(*) FILTER (
+      |    WHERE NOT COALESCE(value >= 0, FALSE)) AS BIGINT) AS violations
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 'value_under_500', CAST(count(*) FILTER (
+      |    WHERE NOT COALESCE(value < 500, FALSE)) AS BIGINT) FROM events
+      |  UNION ALL
+      |  SELECT 'event_type_nonempty', CAST(count(*) FILTER (
+      |    WHERE NOT COALESCE(length(event_type) > 0, FALSE)) AS BIGINT)
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 'event_id_unique', CAST(COALESCE(sum(n - 1), 0) AS BIGINT)
+      |  FROM (SELECT count(*) AS n FROM events GROUP BY event_id
+      |        HAVING count(*) > 1)
+      |  UNION ALL
+      |  SELECT 'user_event_type_unique', CAST(COALESCE(sum(n - 1), 0) AS BIGINT)
+      |  FROM (SELECT count(*) AS n FROM events GROUP BY user_id, event_type
+      |        HAVING count(*) > 1)
+      |  UNION ALL
+      |  SELECT 'user_in_customer', CAST(count(*) AS BIGINT)
+      |  FROM events e WHERE user_id IS NOT NULL AND NOT EXISTS (
+      |    SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id))
+      |SELECT v.rule, v.violations, total.n AS total,
+      |  CAST(v.violations = 0 AS BIGINT) AS pass
+      |FROM v CROSS JOIN total ORDER BY rule""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality" -> (qQuality _),
     "q_delta_metrics" -> (qDeltaMetrics _),
     "q_histogram" -> (qHistogram _),
     "q_grouping_sets" -> (qGroupingSets _),
@@ -430,6 +479,7 @@ object MiscQueries extends graft.QueryModule {
     "q_funnel" -> (qFunnel _))
 
   def oracleSql: Map[String, String] = Map(
+    "q_quality" -> qQualitySql,
     "q_delta_metrics" -> qDeltaMetricsSql,
     "q_histogram" -> qHistogramSql,
     "q_grouping_sets" -> qGroupingSetsSql,

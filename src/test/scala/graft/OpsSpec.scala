@@ -174,6 +174,26 @@ class CurationSpec extends SparkSpec {
     assert(r(2).getLong(3) === 0L && r(2).isNullAt(1)) // no candidate at all
   }
 
+  test("quality expectations count violations per rule kind") {
+    import graft.ops.Quality
+    import graft.ops.Quality.{Expect, InParent, Unique}
+    val df = Seq(
+      (1L, 10L, "a"), (2L, -5L, "a"), (3L, 7L, ""), (3L, 8L, "b"))
+      .toDF("id", "v", "tag")
+    val parent = Seq(Tuple1(1L), Tuple1(2L)).toDF("pid")
+    val r = Quality.check(df, Seq(
+        Expect("v_non_negative", col("v") >= 0),
+        Expect("tag_nonempty", length(col("tag")) > 0),
+        Unique("id_unique", Seq("id")),
+        InParent("id_in_parent", "id", parent, "pid")))
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getBoolean(3)))
+      .toMap
+    assert(r("v_non_negative") === (1L, false))
+    assert(r("tag_nonempty") === (1L, false))
+    assert(r("id_unique") === (1L, false))   // id 3 twice -> 1 extra row
+    assert(r("id_in_parent") === (2L, false)) // both id-3 rows orphaned
+  }
+
   test("decontamination with an empty eval set marks nothing, drops nothing") {
     val corpus = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
     val evalSet = corpus.filter(col("doc_id") < 0)
