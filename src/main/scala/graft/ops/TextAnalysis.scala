@@ -14,6 +14,20 @@ object TextAnalysis {
     * corpus format; swap the pattern for `\\s+` corpora). */
   def tokens(c: Column): Column = split(c, " ")
 
+  /** BPE-ish pre-tokenizer segments: letter runs, digit runs, and
+    * punctuation runs, each with an optional leading space, plus
+    * stray space runs — the RE2-compatible core of the GPT-2
+    * pre-tokenization pattern (contraction splits and the
+    * trailing-space lookahead dropped so the same pattern replays in
+    * the DuckDB oracle; Java regex and RE2 both take the FIRST
+    * matching alternative, so the segmentation agrees). Counting
+    * these segments approximates BPE token counts far better than
+    * whitespace words on punctuation- or number-heavy text. */
+  val BpeishPattern: String = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+  def bpeishTokenCount(c: Column): Column =
+    regexp_count(c, lit(BpeishPattern)).cast("long")
+
   /** Gopher-style repetition metrics, per doc: duplicate-word ratio
     * and the most frequent word bigram's share of all bigrams — the
     * standard filters for degenerate/boilerplate text. Defined over

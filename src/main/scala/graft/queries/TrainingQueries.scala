@@ -19,7 +19,8 @@ object TrainingQueries extends graft.QueryModule {
 
   def qTextStats(s: SparkSession, dir: String): DataFrame = {
     val cols = TextAnalysis.qualityColumns(col("text"))
-      .map { case (n, c) => c.as(n) }
+      .map { case (n, c) => c.as(n) } :+
+      TextAnalysis.bpeishTokenCount(col("text")).as("n_tokens_bpeish")
     Tables.documents(s, dir)
       .select(col("doc_id") +: cols: _*)
       .orderBy(col("doc_id"))
@@ -27,6 +28,9 @@ object TrainingQueries extends graft.QueryModule {
 
   val qTextStatsSql: String =
     """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text,
+      |    ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +')) AS BIGINT)
+      |    AS n_tokens_bpeish,
       |  CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
       |  CAST(length(text) AS BIGINT) AS n_chars_m,
       |  CAST(len(list_distinct(str_split(text, ' '))) AS BIGINT)

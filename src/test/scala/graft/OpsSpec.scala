@@ -174,6 +174,19 @@ class CurationSpec extends SparkSpec {
     assert(r(2).getLong(3) === 0L && r(2).isNullAt(1)) // no candidate at all
   }
 
+  test("BPE-ish token count segments letter/digit/punct runs") {
+    import graft.ops.TextAnalysis
+    val df = Seq(
+      (1L, "hello world"),        // 2 segments
+      (2L, "price: $12.50 now!"), // price|:| $|12|.|50| now|! = 8
+      (3L, "abc123"))             // abc|123 = 2
+      .toDF("doc_id", "text")
+    val r = df.select(col("doc_id"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("n"))
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    assert(r.toSeq === Seq(2L, 8L, 2L))
+  }
+
   test("quality expectations count violations per rule kind") {
     import graft.ops.Quality
     import graft.ops.Quality.{Expect, InParent, Unique}
