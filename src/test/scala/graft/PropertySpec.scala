@@ -69,6 +69,73 @@ object DedupProps extends SparkProperties("dedup") {
     }
 }
 
+object JaccardProps extends SparkProperties("jaccard") {
+  import spark.implicits._
+
+  // tiny vocab + short docs: shingle collisions everywhere
+  private val genDocs: Gen[List[(Long, String)]] =
+    Gen.choose(2, 10).flatMap { nd =>
+      Gen.listOfN(nd, Gen.choose(3, 7).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("a", "b", "c")).map(_.mkString(" "))))
+        .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    }
+
+  private def shingles(t: String): Set[String] = {
+    val w = t.split(" ")
+    (0 to w.length - 3).map(i => w.slice(i, i + 3).mkString(" ")).toSet
+  }
+
+  property("inverted-index pairs == brute-force jaccard (cap + topK included)") =
+    Prop.forAll(genDocs, Gen.oneOf(2L, 100L)) { (docs, maxDf) =>
+      val got = graft.ops.Dedup.jaccardPairs(
+          docs.toDF("doc_id", "text"), "text", "doc_id",
+          n = 3, maxDf = maxDf, topK = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+      // brute force with the SAME declared semantics: distinct
+      // shingles, df-capped index, pairs sharing >=1 surviving shingle
+      val sh = docs.map { case (id, t) => id -> shingles(t) }
+        .filter(_._2.nonEmpty)
+      val df = sh.flatMap(_._2).groupBy(identity).view.mapValues(_.size)
+      val keep: Set[String] = df.filter(_._2 <= maxDf).keySet.toSet
+      val capped = sh.map { case (id, g) => id -> g.intersect(keep) }
+        .filter(_._2.nonEmpty).toMap
+      val want = (for {
+        (i1, g1) <- capped; (i2, g2) <- capped if i1 < i2
+        shared = g1.intersect(g2).size if shared > 0
+      } yield (i1, i2, shared.toLong, g1.size.toLong, g2.size.toLong,
+        shared.toDouble / (g1.size + g2.size - shared))).toSeq
+        .sortBy { case (a, b, _, _, _, j) => (-j, a, b) }.take(5)
+      got == want
+    }
+}
+
+object MinhashProps extends SparkProperties("minhash") {
+  import spark.implicits._
+
+  private val genDocs: Gen[List[String]] =
+    Gen.choose(1, 6).flatMap(nd =>
+      Gen.listOfN(nd, Gen.choose(3, 8).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))))
+
+  property("identical documents are ALWAYS LSH candidates (dup recall = 1)") =
+    Prop.forAll(genDocs) { texts =>
+      // plant an exact duplicate of every doc
+      val docs = texts.zipWithIndex.flatMap { case (t, i) =>
+        Seq((i * 2L, t), (i * 2L + 1L, t))
+      }
+      val sh = graft.ops.Dedup.wordShingles(
+        docs.toDF("doc_id", "text"), "text", "doc_id", 3)
+      val cands = graft.ops.Dedup.minhashCandidates(
+          graft.ops.Dedup.lshBands(
+            graft.ops.Dedup.minhashSignatures(sh, 64), 64, 4))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      texts.indices.forall { i =>
+        cands.contains((i * 2L, i * 2L + 1L))
+      }
+    }
+}
+
 object RunRecordProps extends SparkProperties("runrecords") {
   import spark.implicits._
 
