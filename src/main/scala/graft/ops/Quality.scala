@@ -31,18 +31,19 @@ object Quality {
   def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
-    val total = df.count()
 
+    // the row count rides the same single aggregate pass as the
+    // row-level rules — no separate count() scan of the frame
     val expects = rules.collect { case e: Expect => e }
-    val expectRows: Seq[(String, Long)] = if (expects.isEmpty) Nil else {
-      val counters = expects.map(e =>
-        sum(when(coalesce(e.predicate, lit(false)), 0L).otherwise(1L))
-          .as(e.name))
-      val row = df.agg(counters.head, counters.tail: _*).collect()(0)
+    val counters = count(lit(1)).as("_total") +: expects.map(e =>
+      sum(when(coalesce(e.predicate, lit(false)), 0L).otherwise(1L))
+        .as(e.name))
+    val row = df.agg(counters.head, counters.tail: _*).collect()(0)
+    val total = row.getLong(0)
+    val expectRows: Seq[(String, Long)] =
       expects.zipWithIndex.map { case (e, i) =>
-        e.name -> (if (row.isNullAt(i)) 0L else row.getLong(i))
+        e.name -> (if (row.isNullAt(i + 1)) 0L else row.getLong(i + 1))
       }
-    }
     val uniqueRows: Seq[(String, Long)] = rules.collect { case u: Unique =>
       val dupes = df.groupBy(u.cols.map(col): _*)
         .agg(count(lit(1)).as("n")).filter(col("n") > 1)
