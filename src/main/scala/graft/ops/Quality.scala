@@ -29,6 +29,8 @@ object Quality {
 
   /** One row per rule: (rule, violations, total, pass). */
   def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.map(_.name).distinct.size == rules.size,
+      "rule names must be unique — results are keyed by name")
     val s = df.sparkSession
     import s.implicits._
 

@@ -148,14 +148,18 @@ object ReportQueries extends graft.QueryModule {
     * every "run" of the `click` group, columns name-sorted (O1), with
     * the section's run count riding along. Drops `props` (free-text
     * JSON with commas/newlines — the report writer sanitizes it, but
-    * the raw dump here mirrors the pruned section shape, P15). */
+    * the raw dump here mirrors the pruned section shape, P15).
+    *
+    * The count rides along as a 1-row broadcast (the tf-idf
+    * corpus-size shape), NOT a `count over partitionBy(lit(1))`
+    * window — that window funnels the whole section through one
+    * task, and the raw dump is the full run set. */
   def qRawOfGroup(s: SparkSession, dir: String): DataFrame = {
     val ev = eventsC(s, dir)
       .select("event_id", "user_id", "event_type", "ts_us", "value_c")
-    Groups.rawOfGroup(ev, "event_type", "click")
-      .withColumn("n_runs", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
-      .orderBy(col("event_id"))
+    val raw = Groups.rawOfGroup(ev, "event_type", "click")
+    val n = raw.agg(count(lit(1)).as("n_runs"))
+    raw.crossJoin(broadcast(n)).orderBy(col("event_id"))
   }
 
   val qRawOfGroupSql: String =

@@ -167,7 +167,11 @@ object ReportWriter {
       val lines = chunk.split("\n")
       if (lines.length <= 1) None
       else {
+        // the reference strips only ':' (report_splitter.py:30); we
+        // additionally sanitize path-hostile chars so a header like
+        // "../x" can't escape the split directory
         val name = lines.head.replace(":", "")
+          .replaceAll("[^A-Za-z0-9 _\\-().]", "_")
         val out = dir.resolve(s"$name.csv")
         Files.writeString(out,
           lines.tail.filter(_.contains(",")).map(_ + "\n").mkString)
