@@ -11,55 +11,104 @@ import org.apache.spark.sql.SparkSession
   * Adjudication pass: sweep readings have repeatedly shown 2-17x
   * inflation from box interference (rounds 3 and 4 each needed manual
   * isolated re-runs to tell noise from regression). So after the
-  * sweep, any query whose min exceeds 2x its prior recorded floor is
+  * sweep, any query whose min exceeds 2x its recorded floor is
   * re-timed in a quiet tail pass — nothing else interleaved — and the
   * JSON carries BOTH readings per re-run query plus the floor, so a
   * regression call never needs a manual re-run: `isolated` ~ floor
   * means interference; `isolated` >> floor means a real plan change.
   * The headline per-query value is min(sweep, isolated).
+  *
+  * The isolated pass itself retries: a single isolated reading taken
+  * on a loaded box has poisoned two artifacts (round-5 recorded
+  * 21.3 s for a 0.9 s query), so if an isolated attempt still exceeds
+  * 2x floor it re-runs up to SPARK_GRAFT_ISOLATED_ATTEMPTS (default 3)
+  * total attempts and keeps the min — a quiet reading ends the loop
+  * early, and the attempt count is recorded.
+  *
+  * Floors live in a persisted artifact, not source constants:
+  * `bench_floors.json` (override: SPARK_GRAFT_FLOORS), keyed by the
+  * scale-factor directory basename, updated to min-observed after
+  * every run — so the record tightens itself and a new query earns a
+  * floor on its first sweep. Floors from one box transfer to a slower
+  * one via SPARK_GRAFT_FLOOR_SCALE (multiplier, default 1); with no
+  * floor map for the current scale factor the adjudication pass is
+  * skipped entirely (there is nothing sound to adjudicate against —
+  * this also keeps sf0.001 smoke runs from re-running half the sweep
+  * against sf0.1 floors). SPARK_GRAFT_ADJUDICATE=off opts out.
   */
 object Bench {
 
-  /** Prior isolated floors (sec, sf0.1, local[32], min-of-3) from the
-    * round-3/4 adjudicated re-runs (PLANS.md, VERDICT r4); queries not
-    * listed default to [[DefaultFloor]]. Update when a plan change
-    * legitimately moves a floor. */
-  private val Floors: Map[String, Double] = Map(
-    // round-5 quiet-box full sweep (52 entries, 34.6 s total): the
-    // r4 q_dedup_clusters 12.8 s isolated reading was box state —
-    // 4.7 s here on byte-identical code, below even the r3 floor.
-    "q_ngram_jaccard" -> 1.6, // sizes ride the index; 2 joins removed
-    "q_dedup_clusters" -> 3.9, // pointer jumping + in-batch fixpoint test
-    "q_stream_window" -> 2.1,
-    "q_sessionize_stream" -> 1.6,
-    "q_minhash_dedup" -> 1.7,
-    "q_sales_report" -> 1.6,
-    "q_sales_date_range" -> 1.6,
-    "q_ann_ivf" -> 1.1,
-    "q_sales_transform" -> 1.6,
-    "q_sales_priority" -> 1.6,
-    "q_tfidf" -> 1.1,
-    "q_simhash_pairs" -> 1.1,
-    "q_decontaminate" -> 1.1,
-    "q_decontaminate_semantic" -> 0.9,
-    "q_parts_supplier" -> 0.9,
-    "q_e2e_report" -> 1.0,
-    "q_asof_bucketed" -> 0.9,
-    "q_repetition" -> 0.9,
-    "q_embed_neardup_lsh" -> 1.1,
-    "q_multimodal" -> 0.9,
-    "q_simhash" -> 0.9,
-    "q_embed_neardup" -> 0.9,
-    "q_sessionize" -> 0.9,
-    "q_ann_topk" -> 0.9)
+  /** Anything without a recorded floor has always swept under this. */
+  val DefaultFloor = 0.5
 
-  /** Anything unlisted has always swept well under this. */
-  private val DefaultFloor = 0.5
+  /** Min over isolated attempts, stopping early once a reading lands
+    * within 2x floor (= interference ruled out). Returns
+    * (min reading, attempts used). */
+  def retryIsolated(run: () => Double, floor: Double,
+      maxAttempts: Int): (Double, Int) = {
+    var best = Double.MaxValue
+    var n = 0
+    while (n < maxAttempts && best > 2 * floor) {
+      best = math.min(best, run())
+      n += 1
+    }
+    (best, n)
+  }
+
+  /** Floors tighten monotonically: min of the recorded floor and the
+    * new observation; queries without a recorded floor enter at their
+    * observed value. */
+  def mergeFloors(old: Map[String, Double],
+      observed: Map[String, Double]): Map[String, Double] =
+    observed.foldLeft(old) { case (acc, (k, v)) =>
+      acc.updated(k, math.min(acc.getOrElse(k, v), v))
+    }
+
+  import com.fasterxml.jackson.databind.ObjectMapper
+
+  /** {"sf0.1": {"q_x": 1.6, ...}, ...} */
+  def parseFloors(json: String): Map[String, Map[String, Double]] = {
+    val n = new ObjectMapper().readTree(json)
+    val out = scala.collection.mutable.Map.empty[String, Map[String, Double]]
+    n.fields().forEachRemaining { e =>
+      val inner = scala.collection.mutable.Map.empty[String, Double]
+      e.getValue.fields().forEachRemaining { q =>
+        inner += q.getKey -> q.getValue.asDouble()
+      }
+      out += e.getKey -> inner.toMap
+    }
+    out.toMap
+  }
+
+  def renderFloors(floors: Map[String, Map[String, Double]]): String =
+    floors.toSeq.sortBy(_._1).map { case (sf, m) =>
+      val inner = m.toSeq.sortBy(_._1)
+        .map { case (q, v) => s"""    "$q": $v""" }.mkString(",\n")
+      s"""  "$sf": {\n$inner\n  }"""
+    }.mkString("{\n", ",\n", "\n}\n")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val floorsPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_FLOORS", "bench_floors.json"))
+    val floorScale = sys.env.getOrElse("SPARK_GRAFT_FLOOR_SCALE", "1").toDouble
+    val maxAttempts =
+      sys.env.getOrElse("SPARK_GRAFT_ISOLATED_ATTEMPTS", "3").toInt
+    val adjudicateOn =
+      sys.env.getOrElse("SPARK_GRAFT_ADJUDICATE", "on") != "off"
+    val sfKey = java.nio.file.Paths.get(sfDir).getFileName.toString
+
+    val allFloors: Map[String, Map[String, Double]] =
+      if (java.nio.file.Files.exists(floorsPath))
+        parseFloors(java.nio.file.Files.readString(floorsPath))
+      else Map.empty
+    val floorsForSf: Option[Map[String, Double]] = allFloors.get(sfKey)
+    def floorOf(name: String): Double =
+      floorsForSf.fold(DefaultFloor)(
+        _.getOrElse(name, DefaultFloor)) * floorScale
+
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -89,27 +138,44 @@ object Bench {
       name -> timeQuery(name, nRuns)
     }.toMap
 
-    // quiet-tail adjudication of sweep outliers
-    val suspects = sweep.filter { case (name, t) =>
-      t > 2 * Floors.getOrElse(name, DefaultFloor) && !errors.contains(name)
-    }.keys.toSeq.sorted
+    // quiet-tail adjudication of sweep outliers (only when this sf
+    // has a recorded floor map to adjudicate against)
+    val suspects =
+      if (!adjudicateOn || floorsForSf.isEmpty) Seq.empty[String]
+      else sweep.filter { case (name, t) =>
+        t > 2 * floorOf(name) && !errors.contains(name)
+      }.keys.toSeq.sorted
     val isolated = suspects.map { name =>
       System.err.println(s"[bench] re-running sweep outlier $name isolated")
-      name -> timeQuery(name, nRuns)
+      name -> retryIsolated(() => timeQuery(name, nRuns), floorOf(name),
+        maxAttempts)
     }.toMap
 
     val results = sweep.map { case (name, t) =>
-      name -> math.min(t, isolated.getOrElse(name, t))
+      name -> math.min(t, isolated.get(name).map(_._1).getOrElse(t))
     }
     def jmap(m: Map[String, Double]): String =
       m.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
     val adjudicated = suspects.map { name =>
-      s""""$name":{"sweep":${sweep(name)},"isolated":${isolated(name)},"floor":${Floors.getOrElse(name, DefaultFloor)}}"""
+      val (iso, att) = isolated(name)
+      s""""$name":{"sweep":${sweep(name)},"isolated":$iso,"attempts":$att,"floor":${floorOf(name)}}"""
     }.mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"adjudicated":$adjudicated,"runs_per_query":$nRuns,"errors":$errJson,"sf":"$sfDir"}""")
+
+    // persist min-observed floors (errored queries excluded — a
+    // failed run's wall-clock is not a throughput floor)
+    if (floorScale == 1.0) try {
+      val clean = results.filter { case (n, _) => !errors.contains(n) }
+      val merged = allFloors.updated(sfKey,
+        mergeFloors(allFloors.getOrElse(sfKey, Map.empty), clean))
+      java.nio.file.Files.writeString(floorsPath, renderFloors(merged))
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[bench] floors not persisted: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -24,15 +24,23 @@ import org.apache.spark.sql.functions._
   */
 object Pack {
 
+  /** Whitespace token count — the default budget currency; swap in
+    * [[Bpe.tokenCount]] for vocab-faithful budgets. */
+  def whitespaceTokens(c: Column): Column =
+    size(TextAnalysis.tokens(c)).cast("long")
+
   /** Per-pack summary: (shard, pack_id) with doc count, token total,
     * and the first doc in layout order. `budget` is the context
     * length in tokens; `nShards` bounds the per-task sequential
     * chain — size it to (corpus tokens / executor-task throughput),
-    * not to the cluster (packs never span shards). */
+    * not to the cluster (packs never span shards). `tokensOf` is the
+    * budget currency (whitespace words by default; pass a
+    * [[Bpe]]-vocab counter for tokenizer-faithful packing). */
   def packSummary(
       df: DataFrame, textCol: String, idCol: String,
-      budget: Long = 512L, nShards: Int = 8): DataFrame = {
-    val perDoc = assignPacks(df, textCol, idCol, budget, nShards)
+      budget: Long = 512L, nShards: Int = 8,
+      tokensOf: Column => Column = whitespaceTokens): DataFrame = {
+    val perDoc = assignPacks(df, textCol, idCol, budget, nShards, tokensOf)
     perDoc.groupBy(col("shard"), col("pack_id"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -44,8 +52,9 @@ object Pack {
   /** Per-doc pack assignment: (id, toks, shard, pack_id). */
   def assignPacks(
       df: DataFrame, textCol: String, idCol: String,
-      budget: Long, nShards: Int): DataFrame = {
-    val toks = size(TextAnalysis.tokens(col(textCol))).cast("long")
+      budget: Long, nShards: Int,
+      tokensOf: Column => Column = whitespaceTokens): DataFrame = {
+    val toks = tokensOf(col(textCol))
     val base = df.select(
         col(idCol).as("id"),
         toks.as("toks"),

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ops.{Decontaminate, Pack, Scrub, TextAnalysis}
+import graft.ops.{Bpe, Decontaminate, Pack, Scrub, TextAnalysis}
 
 /** Corpus-curation queries over the `documents` table: eval-set
   * decontamination and context packing — the two layout steps between
@@ -59,20 +59,53 @@ object CurationQueries extends graft.QueryModule {
     Pack.packSummary(Tables.documents(s, dir),
       textCol = "text", idCol = "doc_id", budget = 512L, nShards = 8)
 
+  private def packSql(toksExpr: String): String =
+    s"""WITH d AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS k,
+       |    $toksExpr AS toks FROM documents),
+       |s AS (SELECT *,
+       |    CAST('0x' || substr(k, 1, 7) AS BIGINT) % 8 AS shard FROM d),
+       |e AS (SELECT *, COALESCE(CAST(sum(toks) OVER (
+       |    PARTITION BY shard ORDER BY k, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+       |    0) AS excl FROM s),
+       |p AS (SELECT *, CAST(floor(excl / 512) AS BIGINT) AS pack_id FROM e)
+       |SELECT shard, pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(toks) AS BIGINT) AS pack_tokens, min(doc_id) AS first_doc
+       |FROM p GROUP BY shard, pack_id
+       |ORDER BY shard, pack_id""".stripMargin
+
   val qPackSql: String =
-    """WITH d AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS k,
-      |    CAST(len(str_split(text, ' ')) AS BIGINT) AS toks FROM documents),
-      |s AS (SELECT *,
-      |    CAST('0x' || substr(k, 1, 7) AS BIGINT) % 8 AS shard FROM d),
-      |e AS (SELECT *, COALESCE(CAST(sum(toks) OVER (
-      |    PARTITION BY shard ORDER BY k, doc_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
-      |    0) AS excl FROM s),
-      |p AS (SELECT *, CAST(floor(excl / 512) AS BIGINT) AS pack_id FROM e)
-      |SELECT shard, pack_id, CAST(count(*) AS BIGINT) AS n_docs,
-      |  CAST(sum(toks) AS BIGINT) AS pack_tokens, min(doc_id) AS first_doc
-      |FROM p GROUP BY shard, pack_id
-      |ORDER BY shard, pack_id""".stripMargin
+    packSql("CAST(len(str_split(text, ' ')) AS BIGINT)")
+
+  /** Context packing budgeted by vocab-faithful BPE tokens (greedy
+    * longest-match against the checked-in vocab fixture) instead of
+    * whitespace words — the budget currency an actual training loader
+    * uses. Same layout machinery as [[qPack]]; only the token counter
+    * changes, and the oracle replays the identical compiled pattern. */
+  def qPackBpe(s: SparkSession, dir: String): DataFrame =
+    Pack.packSummary(Tables.documents(s, dir),
+      textCol = "text", idCol = "doc_id", budget = 512L, nShards = 8,
+      tokensOf = c => Bpe.tokenCount(c, Bpe.fixtureVocab))
+
+  val qPackBpeSql: String =
+    packSql(s"CAST(len(regexp_extract_all(text, '${Bpe.fixturePattern}')) AS BIGINT)")
+
+  /** BPE vocabulary learning: top-160 prefix-closed subword pieces by
+    * merge savings over the documents corpus. The checked-in fixture
+    * driving [[qPackBpe]] IS this query's output (BpeSpec pins that). */
+  def qBpeVocab(s: SparkSession, dir: String): DataFrame =
+    Bpe.learnVocab(Tables.documents(s, dir), textCol = "text", k = 160)
+
+  val qBpeVocabSql: String =
+    s"""WITH pt AS (SELECT unnest(regexp_extract_all(text,
+       |              '${Bpe.PreTokenPattern}')) AS w FROM documents),
+       |cand AS (SELECT substr(w, 1, i) AS piece
+       |         FROM (SELECT w, unnest(generate_series(2, length(w))) AS i
+       |               FROM pt WHERE length(w) >= 2)),
+       |agg AS (SELECT piece, CAST(count(*) AS BIGINT) AS n
+       |        FROM cand GROUP BY piece)
+       |SELECT piece, n, CAST(n * (length(piece) - 1) AS BIGINT) AS score
+       |FROM agg ORDER BY score DESC, piece LIMIT 160""".stripMargin
 
   /** Semantic decontamination: best eval-slice cosine per corpus
     * embedding (every 53rd vector plays the eval set, as in
@@ -156,16 +189,20 @@ object CurationQueries extends graft.QueryModule {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_vocab" -> (qBpeVocab _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_decontaminate_semantic" -> (qDecontaminateSemantic _),
     "q_pack" -> (qPack _),
+    "q_pack_bpe" -> (qPackBpe _),
     "q_repetition" -> (qRepetition _),
     "q_text_clean" -> (qTextClean _))
 
   def oracleSql: Map[String, String] = Map(
+    "q_bpe_vocab" -> qBpeVocabSql,
     "q_decontaminate" -> qDecontaminateSql,
     "q_decontaminate_semantic" -> qDecontaminateSemanticSql,
     "q_pack" -> qPackSql,
+    "q_pack_bpe" -> qPackBpeSql,
     "q_repetition" -> qRepetitionSql,
     "q_text_clean" -> qTextCleanSql)
 }

@@ -20,14 +20,17 @@ object TrainingQueries extends graft.QueryModule {
   def qTextStats(s: SparkSession, dir: String): DataFrame = {
     val cols = TextAnalysis.qualityColumns(col("text"))
       .map { case (n, c) => c.as(n) } :+
-      TextAnalysis.bpeishTokenCount(col("text")).as("n_tokens_bpeish")
+      TextAnalysis.bpeishTokenCount(col("text")).as("n_tokens_bpeish") :+
+      Bpe.tokenCount(col("text"), Bpe.fixtureVocab).as("n_tokens_bpe")
     Tables.documents(s, dir)
       .select(col("doc_id") +: cols: _*)
       .orderBy(col("doc_id"))
   }
 
   val qTextStatsSql: String =
-    """SELECT doc_id,
+    s"""SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text,
+      |    '${Bpe.fixturePattern}')) AS BIGINT) AS n_tokens_bpe,
       |  CAST(len(regexp_extract_all(text,
       |    ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +')) AS BIGINT)
       |    AS n_tokens_bpeish,
