@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ops.{Bpe, Decontaminate, Pack, Scrub, TextAnalysis}
+import graft.ops.{Bpe, Decontaminate, Mix, Pack, Scrub, TextAnalysis}
 
 /** Corpus-curation queries over the `documents` table: eval-set
   * decontamination and context packing — the two layout steps between
@@ -107,6 +107,44 @@ object CurationQueries extends graft.QueryModule {
        |SELECT piece, n, CAST(n * (length(piece) - 1) AS BIGINT) AS score
        |FROM agg ORDER BY score DESC, piece LIMIT 160""".stripMargin
 
+  /** Source mixing: a 4-source whitelist mixture (40/30/20/10) at a
+    * 3000-token budget, salted-md5 deterministic — kept rows carry
+    * the per-source availability, target, rate, and kept-set audit. */
+  def qMix(s: SparkSession, dir: String): DataFrame =
+    Mix.mix(Tables.documents(s, dir),
+        textCol = "text", idCol = "doc_id", sourceCol = "source",
+        weights = Seq("src0" -> 0.4, "src1" -> 0.3,
+          "src2" -> 0.2, "src3" -> 0.1),
+        budgetTokens = 3000L, salt = "mix6")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
+  val qMixSql: String =
+    s"""WITH base AS (SELECT doc_id, source,
+       |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    ${Mix.bucketPpmSql("doc_id", "mix6")} AS ppm
+       |  FROM documents),
+       |avail AS (SELECT source, CAST(count(*) AS BIGINT) AS avail_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS avail_tokens
+       |  FROM base GROUP BY source),
+       |tgt AS (SELECT *, CAST(floor(
+       |    CASE source WHEN 'src0' THEN 0.4 WHEN 'src1' THEN 0.3
+       |      WHEN 'src2' THEN 0.2 WHEN 'src3' THEN 0.1 ELSE 0.0 END
+       |    * 3000.0) AS BIGINT) AS target_tokens FROM avail),
+       |rt AS (SELECT *, least(1000000, CAST(floor(
+       |    1000000.0 * target_tokens / avail_tokens) AS BIGINT))
+       |    AS rate_ppm FROM tgt),
+       |kept AS (SELECT b.doc_id, b.source, b.n_tokens, r.avail_docs,
+       |    r.avail_tokens, r.target_tokens, r.rate_ppm
+       |  FROM base b JOIN rt r USING (source) WHERE b.ppm < r.rate_ppm),
+       |audit AS (SELECT source, CAST(count(*) AS BIGINT) AS src_kept_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS src_kept_tokens
+       |  FROM kept GROUP BY source)
+       |SELECT k.doc_id, k.source, k.n_tokens, k.avail_docs, k.avail_tokens,
+       |  k.target_tokens, k.rate_ppm, a.src_kept_docs, a.src_kept_tokens
+       |FROM kept k JOIN audit a USING (source)
+       |ORDER BY doc_id""".stripMargin
+
   /** Semantic decontamination: best eval-slice cosine per corpus
     * embedding (every 53rd vector plays the eval set, as in
     * [[qDecontaminate]]). */
@@ -192,6 +230,7 @@ object CurationQueries extends graft.QueryModule {
     "q_bpe_vocab" -> (qBpeVocab _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_decontaminate_semantic" -> (qDecontaminateSemantic _),
+    "q_mix" -> (qMix _),
     "q_pack" -> (qPack _),
     "q_pack_bpe" -> (qPackBpe _),
     "q_repetition" -> (qRepetition _),
@@ -201,6 +240,7 @@ object CurationQueries extends graft.QueryModule {
     "q_bpe_vocab" -> qBpeVocabSql,
     "q_decontaminate" -> qDecontaminateSql,
     "q_decontaminate_semantic" -> qDecontaminateSemanticSql,
+    "q_mix" -> qMixSql,
     "q_pack" -> qPackSql,
     "q_pack_bpe" -> qPackBpeSql,
     "q_repetition" -> qRepetitionSql,

@@ -223,6 +223,95 @@ object TrainingQueries extends graft.QueryModule {
        |SELECT lbl.doc_id, lbl.cluster_id, sz.cluster_size
        |FROM lbl JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin
 
+  /** The end-to-end dedup artifact a production pipeline actually
+    * emits, as ONE entry: MinHash+LSH candidates -> exact-Jaccard
+    * verification (>= 0.5, computed only on candidate pairs — the
+    * candidate join bounds the verify work, never all-pairs) ->
+    * connected components over VERIFIED edges -> per-document
+    * keep-list (canonical = min doc id per cluster) with the
+    * kept-corpus audit (kept docs / kept tokens) riding along as a
+    * 1-row broadcast, so the manifest carries its own totals.
+    *
+    * The shingle index is built once and cached: it feeds the MinHash
+    * signatures AND both sides of the verification join. Verification
+    * fan-out is sum over candidate pairs of |shingles(id1)| — bounded
+    * by the LSH candidate count, not corpus squared. */
+  def qDedupKeeplist(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+    val idx = Dedup.cappedIndex(
+        Dedup.wordShingles(docs, "text", "doc_id"), 1000L)
+      .withColumn("n_g", count(lit(1)).over(w))
+      .cache()
+    val cands = Dedup.minhashCandidates(
+      Dedup.lshBands(Dedup.minhashSignatures(idx.select("id", "g"), 64), 64, 4))
+    val a = idx.select(col("id").as("id1"), col("g"), col("n_g").as("n1"))
+    val b = idx.select(col("id").as("id2"), col("g"), col("n_g").as("n2"))
+    val verified = cands.join(a, Seq("id1")).join(b, Seq("id2", "g"))
+      .groupBy(col("id1"), col("id2"), col("n1"), col("n2"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") / (col("n1") + col("n2") - col("shared")) >= 0.5)
+      .select("id1", "id2")
+    val labels = Components.connectedComponents(
+      docs.select(col("doc_id").as("id")), verified)
+    // feeds the audit aggregate AND the output rows
+    val keep = Components.withClusterSizes(labels)
+      .withColumn("keep", (col("id") === col("cluster_id")).cast("long"))
+      .join(docs.select(col("doc_id").as("id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")),
+        Seq("id"))
+      .cache()
+    val stats = keep.agg(
+      sum(col("keep")).as("kept_docs"),
+      sum(col("keep") * col("n_tokens")).as("kept_tokens"))
+    keep.crossJoin(broadcast(stats))
+      .select(col("id").as("doc_id"), col("cluster_id"),
+        col("cluster_size"), col("keep"), col("n_tokens"),
+        col("kept_docs"), col("kept_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB replay of [[qDedupKeeplist]]: same candidates, same
+    * Jaccard verify, then an independent recursive closure over the
+    * verified edges. */
+  val qDedupKeeplistSql: String =
+    s"""WITH RECURSIVE $minhashCandCtes,
+       |capped AS (SELECT sh0.id, sh0.g FROM sh0 JOIN dfreq USING (g)),
+       |szs AS (SELECT id, CAST(count(*) AS BIGINT) AS n_g
+       |        FROM capped GROUP BY id),
+       |shared AS (SELECT c.id1, c.id2, CAST(count(*) AS BIGINT) AS shared
+       |           FROM cand c
+       |           JOIN capped a ON a.id = c.id1
+       |           JOIN capped b ON b.id = c.id2 AND b.g = a.g
+       |           GROUP BY c.id1, c.id2),
+       |ver AS (SELECT s.id1, s.id2
+       |        FROM shared s JOIN szs z1 ON z1.id = s.id1
+       |                      JOIN szs z2 ON z2.id = s.id2
+       |        WHERE s.shared / (z1.n_g + z2.n_g - s.shared) >= 0.5),
+       |vsym AS (SELECT id1 AS id, id2 AS nbr FROM ver
+       |         UNION ALL SELECT id2, id1 FROM ver),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT vsym.id, reach.r FROM vsym JOIN reach ON vsym.nbr = reach.id),
+       |lbl AS (SELECT id AS doc_id, min(r) AS cluster_id
+       |        FROM reach GROUP BY id),
+       |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+       |       FROM lbl GROUP BY cluster_id),
+       |tok AS (SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT)
+       |          AS n_tokens FROM documents),
+       |keepl AS (SELECT lbl.doc_id, lbl.cluster_id, sz.cluster_size,
+       |            CAST(lbl.doc_id = lbl.cluster_id AS BIGINT) AS keep,
+       |            tok.n_tokens
+       |          FROM lbl JOIN sz USING (cluster_id) JOIN tok USING (doc_id)),
+       |stats AS (SELECT CAST(sum(keep) AS BIGINT) AS kept_docs,
+       |            CAST(sum(keep * n_tokens) AS BIGINT) AS kept_tokens
+       |          FROM keepl)
+       |SELECT k.doc_id, k.cluster_id, k.cluster_size, k.keep, k.n_tokens,
+       |  s.kept_docs, s.kept_tokens
+       |FROM keepl k CROSS JOIN stats s
+       |ORDER BY doc_id""".stripMargin
+
   /** Top-5 characteristic terms per document by ratio-idf tf-idf
     * ([[TextAnalysis.tfidfTopTerms]]). */
   def qTfidf(s: SparkSession, dir: String): DataFrame =
@@ -528,6 +617,7 @@ object TrainingQueries extends graft.QueryModule {
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_minhash_dedup" -> (qMinhashDedup _),
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_dedup_keeplist" -> (qDedupKeeplist _),
     "q_tfidf" -> (qTfidf _),
     "q_train_split" -> (qTrainSplit _),
     "q_stratified" -> (qStratified _),
@@ -548,6 +638,7 @@ object TrainingQueries extends graft.QueryModule {
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_minhash_dedup" -> qMinhashDedupSql,
     "q_dedup_clusters" -> qDedupClustersSql,
+    "q_dedup_keeplist" -> qDedupKeeplistSql,
     "q_tfidf" -> qTfidfSql,
     "q_train_split" -> qTrainSplitSql,
     "q_stratified" -> qStratifiedSql,
