@@ -8,12 +8,17 @@ import graft.streaming.EventStream
 /** Streaming + sessionization queries (SURVEY §2.9). */
 object StreamQueries extends graft.QueryModule {
 
-  /** Per-JVM scratch root for stream sinks/checkpoints, removed by a
-    * shutdown hook — repeated Bench/Verify invocations don't strand
-    * parquet logs and state-store checkpoints in /tmp. (On a real
-    * cluster the sink/checkpoint roots come from the deployment's
-    * shared storage, not driver-local temp dirs.) */
-  private lazy val scratchRoot: java.nio.file.Path = {
+  /** Config key for the stream sink/checkpoint root. On a cluster,
+    * set it to shared storage every executor and the driver can reach
+    * (HDFS / object store / the warehouse dir); unset, entries fall
+    * back to a driver-local temp root — correct for local[N], where
+    * driver and executors share the machine. */
+  val ScratchDirConf = "spark.graft.stream.scratchDir"
+
+  /** Per-JVM fallback scratch root, removed by a shutdown hook —
+    * repeated Bench/Verify invocations don't strand parquet logs and
+    * state-store checkpoints in /tmp. */
+  private lazy val tempScratchRoot: java.nio.file.Path = {
     val root = java.nio.file.Files.createTempDirectory("graft_stream_scratch")
     sys.addShutdownHook {
       import scala.jdk.CollectionConverters._
@@ -24,8 +29,19 @@ object StreamQueries extends graft.QueryModule {
     root
   }
 
-  private def scratch(prefix: String): java.nio.file.Path =
-    java.nio.file.Files.createTempDirectory(scratchRoot, prefix)
+  /** A fresh sink/checkpoint area under [[ScratchDirConf]] (any
+    * Hadoop-reachable scheme) or the temp fallback. */
+  private[graft] def scratch(s: SparkSession, prefix: String): String =
+    s.conf.getOption(ScratchDirConf) match {
+      case Some(root) =>
+        val p = new org.apache.hadoop.fs.Path(root,
+          s"$prefix-${java.util.UUID.randomUUID().toString.take(8)}")
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).mkdirs(p)
+        p.toString
+      case None =>
+        java.nio.file.Files.createTempDirectory(tempScratchRoot, prefix)
+          .toString
+    }
 
   /** Real Structured-Streaming execution (file source -> watermarked
     * windowed agg -> Update-mode foreachBatch parquet upsert), result
@@ -35,7 +51,7 @@ object StreamQueries extends graft.QueryModule {
     * the memory-sink harness is specs-only. Windows are epoch-aligned
     * 1h tumbling — identical to DuckDB's time_bucket. */
   def qStreamWindow(s: SparkSession, dir: String): DataFrame = {
-    val tmp = scratch("win")
+    val tmp = scratch(s, "win")
     val out = EventStream.runUpdateToParquet(s,
       EventStream.windowedAgg(EventStream.read(s, dir)),
       s"$tmp/out", s"$tmp/ckpt", keyCols = Seq("window", "event_type"))
@@ -94,16 +110,16 @@ object StreamQueries extends graft.QueryModule {
     * secondary sort (SecondarySortRule) + a lazily-drained group
     * iterator, so no per-key buffering however large a user's batch.
     *
-    * Oracle caveat (documented, deliberate): the sort guarantees
-    * per-key event order WITHIN a micro-batch; equivalence with the
-    * whole-history DuckDB oracle additionally needs batches to arrive
-    * in per-key event-time order across batches. AvailableNow with no
-    * `maxFilesPerTrigger` drains the static landing dir in a single
-    * batch, which satisfies that trivially — setting a source limit
-    * here would make the entry legitimately diverge from its oracle
-    * on cross-batch-disordered data, not signal a regression. */
+    * Cross-batch ordering: the sort guarantees per-key event order
+    * WITHIN a micro-batch; equivalence with the whole-history DuckDB
+    * oracle additionally needs batches to arrive in per-key
+    * event-time order across batches. [[EventStream.orderLanding]]
+    * establishes exactly that for `maxFilesPerTrigger`-limited
+    * multi-batch drains (StreamSpec proves batch-twin equality on a
+    * scrambled landing dir at one file per micro-batch); this entry's
+    * single static landing file drains in one batch either way. */
   def qSessionizeStream(s: SparkSession, dir: String): DataFrame = {
-    val tmp = scratch("sess")
+    val tmp = scratch(s, "sess")
     val assigned = EventStream.runAppendToParquet(s,
       EventStream.sessionizeStatefulSorted(s, EventStream.read(s, dir),
         gapUs = 1800000000L),

@@ -26,14 +26,76 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-source stream over the events landing path. */
-  def read(s: SparkSession, dir: String): DataFrame = {
+  /** File-source stream over the events landing path. `options` pass
+    * through to the file source (e.g. `maxFilesPerTrigger` to bound a
+    * drain's micro-batch size — pair with [[orderLanding]] so the
+    * multi-batch replay arrives in event-time order). */
+  def read(s: SparkSession, dir: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // glob, not bare file: FileStreamSource requires its basePath (the
     // non-glob prefix) to be a directory
-    s.readStream.schema(rawSchema).parquet(s"$dir/events*.parquet")
+    s.readStream.schema(rawSchema).options(options)
+      .parquet(s"$dir/events*.parquet")
       .withColumn("ts_us", expr("ts DIV 1000"))
       .withColumn("tsT", timestamp_micros(col("ts_us")))
+  }
+
+  /** Order a landing directory for multi-batch drains: the file
+    * source picks files oldest-modification-first, so a
+    * `maxFilesPerTrigger`-limited drain replays files in modtime
+    * order — which is arrival order, not event order. This helper
+    * rewrites modification times to rank order so cross-batch
+    * arrival IS per-key event-time order and a stateful drain stays
+    * equal to its batch twin:
+    *
+    *  - `byName = true` trusts upstream writer naming (part numbers,
+    *    date prefixes — the common landing-zone contract): pure
+    *    metadata pass, no data read.
+    *  - `byName = false` builds a per-file min-event-time manifest in
+    *    ONE distributed pass (grouped by `input_file_name`; the
+    *    collect is one slim row per file) and ranks by that — for
+    *    landing zones whose names don't encode order.
+    *
+    * O(files) metadata writes, zero data movement — at any corpus
+    * size the cost is the file listing. (Object stores that ignore
+    * `setTimes` need the manifest route into a copy/staging step
+    * instead; HDFS and local FS honor it.) Returns the ordered
+    * paths. */
+  def orderLanding(s: SparkSession, glob: String, byName: Boolean = true,
+      eventTimeCol: String = "ts"): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(glob)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val entries = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+      .map(_.getPath)
+    // a landing "entry" may be a bare file or a directory of part
+    // files (a Spark writer's output); the source tracks leaf files
+    def leaves(e: Path): Seq[Path] =
+      if (fs.getFileStatus(e).isFile) Seq(e)
+      else fs.listStatus(e).toSeq.filter(_.isFile).map(_.getPath)
+        .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+    val ordered: Seq[Path] =
+      if (byName) entries.sortBy(_.getName)
+      else {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val mins = s.read.parquet(glob)
+          .groupBy(input_file_name().as("f"))
+          .agg(min(col(eventTimeCol)).cast("long").as("t0"))
+          .collect()
+          .map(r => new java.net.URI(r.getString(0)).getPath -> r.getLong(1))
+          .toMap
+        def entryMin(e: Path): Long = {
+          val ms = leaves(e).map(_.toUri.getPath).flatMap(mins.get)
+          if (ms.isEmpty) Long.MaxValue else ms.min
+        }
+        entries.sortBy(entryMin)
+      }
+    val base = System.currentTimeMillis() - ordered.size * 2000L
+    ordered.zipWithIndex.foreach { case (e, i) =>
+      (e +: leaves(e)).distinct.foreach(f => fs.setTimes(f, base + i * 1000L, -1L))
+    }
+    ordered.map(_.toString)
   }
 
   /** Event-time tumbling-window aggregation with a watermark: count +

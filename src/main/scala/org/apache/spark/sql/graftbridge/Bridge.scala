@@ -18,6 +18,27 @@ object Bridge {
   def drainListenerBus(spark: SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
 
+  /** The exact CREATE TABLE column list and INSERT statement Spark's
+    * JDBC sink would issue for `url` — dialect dispatch included
+    * (JdbcDialects.get is public, but the SQL builders live in the
+    * private[sql] JdbcUtils). Lets specs pin the MySQL-dialect SQL
+    * for the reference's Load stage without a MySQL server. */
+  def jdbcSchemaString(url: String,
+      schema: org.apache.spark.sql.types.StructType): String = {
+    import org.apache.spark.sql.execution.datasources.jdbc.JdbcUtils
+    JdbcUtils.schemaString(
+      org.apache.spark.sql.jdbc.JdbcDialects.get(url), schema,
+      caseSensitive = false, None)
+  }
+
+  def jdbcInsertStatement(url: String, table: String,
+      schema: org.apache.spark.sql.types.StructType): String = {
+    import org.apache.spark.sql.execution.datasources.jdbc.JdbcUtils
+    JdbcUtils.getInsertStatement(table, schema, None,
+      isCaseSensitive = false,
+      org.apache.spark.sql.jdbc.JdbcDialects.get(url))
+  }
+
   /** Executed physical plan of a streaming query's last micro-batch —
     * lets specs assert planning facts (e.g. that a planted repartition
     * + secondary sort satisfied a stateful operator's required

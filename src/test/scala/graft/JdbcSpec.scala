@@ -31,4 +31,31 @@ class JdbcSpec extends SparkSpec {
         |GROUP BY region ORDER BY region""".stripMargin)
     assert(q.count() === 5)
   }
+
+  test("S4 MySQL dialect: Load-stage DDL and INSERT SQL (db.properties target)") {
+    import org.apache.spark.sql.graftbridge.Bridge
+    // the reference's Load stage writes MySQL TLQ.SalesData
+    // (LoadData.java:131-133, db.properties-empty:4-8); no MySQL
+    // server ships in this container, so pin the dialect-dispatched
+    // SQL Spark would issue for that URL — the half of S4 the Derby
+    // round-trip (same format("jdbc") path) cannot witness
+    val url = "jdbc:mysql://dbhost:3306/TLQ"
+    val schema = SalesTransform.transformed(spark, sf)
+      .select("order_id", "region", "order_priority", "processing_days",
+        "revenue_c").schema
+    val ddl = Bridge.jdbcSchemaString(url, schema)
+    // MySQL dialect: backtick identifier quoting, LONGTEXT strings
+    assert(ddl.contains("`order_id` BIGINT"), ddl)
+    assert(ddl.contains("`region` LONGTEXT"), ddl)
+    assert(ddl.contains("`order_priority` LONGTEXT"), ddl)
+    assert(ddl.contains("`revenue_c` BIGINT"), ddl)
+    val ins = Bridge.jdbcInsertStatement(url, "TLQ.SalesData", schema)
+    assert(ins.startsWith("INSERT INTO TLQ.SalesData"), ins)
+    assert(ins.contains("`region`"), ins)
+    assert(ins.count(_ == '?') === schema.length, ins)
+    // same schema through the Derby dialect quotes with ANSI doubles —
+    // the dialect dispatch itself is what's under test
+    val derby = Bridge.jdbcSchemaString("jdbc:derby:memory:x", schema)
+    assert(derby.contains("\"order_id\" BIGINT"), derby)
+  }
 }

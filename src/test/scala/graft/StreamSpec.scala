@@ -265,6 +265,103 @@ class StreamSpec extends SparkSpec {
     assert(got(12L) === 1L)                  // u2's too
   }
 
+  test("orderLanding(byName) makes a modtime-scrambled multi-batch drain equal the batch twin") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ordname").toString
+    val gap = 100L
+    // names encode event-time order; modtimes are REVERSED, so the
+    // unordered pickup (oldest modtime first) would replay b2 -> b0:
+    // u1's 300-then-0 arrivals would collapse every gap and fabricate
+    // one long session — batch-twin equality proves the reorder ran
+    val batches = Seq(
+      Seq((1L, 1L, 0L), (1L, 2L, 50L), (2L, 10L, 0L)),
+      Seq((1L, 3L, 300L), (2L, 11L, 30L)),
+      Seq((1L, 4L, 320L), (2L, 12L, 500L)))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("user_id", "event_id", "ts_us")
+        .coalesce(1).sortWithinPartitions("ts_us", "event_id")
+        .write.parquet(s"$tmp/in/b$i.parquet")
+      val d = new java.io.File(s"$tmp/in/b$i.parquet")
+      (d +: d.listFiles().toSeq).foreach(_.setLastModified(1000000L * (9 - i)))
+    }
+    EventStream.orderLanding(spark, s"$tmp/in/*.parquet", byName = true)
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_id", LongType),
+      StructField("ts_us", LongType)))
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/in/*.parquet")
+    val got = EventStream.runToMemory(spark,
+      EventStream.sessionizeStatefulSorted(spark, src, gapUs = gap),
+      "t_ordname", org.apache.spark.sql.streaming.OutputMode.Append)
+      .select("event_id", "session_idx").as[(Long, Long)].collect().toMap
+    val want = EventStream.sessionizeBatch(
+        batches.flatten.toDF("user_id", "event_id", "ts_us"), gap)
+      .select("event_id", "session_idx").as[(Long, Long)].collect().toMap
+    assert(got === want)
+    assert(got(3L) === 1L && got(4L) === 1L && got(12L) === 1L)
+  }
+
+  test("orderLanding manifest ranks by min event time when names mislead") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ordmani").toString
+    val gap = 100L
+    // lexicographic name order (a1, m2, z0) contradicts event-time
+    // order (z0, a1, m2); modtimes scrambled too
+    val files = Seq(
+      "z0" -> Seq((1L, 1L, 0L), (1L, 2L, 50L)),
+      "a1" -> Seq((1L, 3L, 300L)),
+      "m2" -> Seq((1L, 4L, 320L), (1L, 5L, 600L)))
+    files.zipWithIndex.foreach { case ((name, rows), i) =>
+      rows.toDF("user_id", "event_id", "ts_us")
+        .coalesce(1).sortWithinPartitions("ts_us", "event_id")
+        .write.parquet(s"$tmp/in/$name.parquet")
+      val d = new java.io.File(s"$tmp/in/$name.parquet")
+      (d +: d.listFiles().toSeq).foreach(_.setLastModified(1000000L * (7 - 2 * i)))
+    }
+    val ordered = EventStream.orderLanding(spark, s"$tmp/in/*.parquet",
+      byName = false, eventTimeCol = "ts_us")
+    assert(ordered.map(p => p.substring(p.lastIndexOf('/') + 1)) ===
+      Seq("z0.parquet", "a1.parquet", "m2.parquet"))
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_id", LongType),
+      StructField("ts_us", LongType)))
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/in/*.parquet")
+    val got = EventStream.runToMemory(spark,
+      EventStream.sessionizeStatefulSorted(spark, src, gapUs = gap),
+      "t_ordmani", org.apache.spark.sql.streaming.OutputMode.Append)
+      .select("event_id", "session_idx").as[(Long, Long)].collect().toMap
+    val want = EventStream.sessionizeBatch(
+        files.flatMap(_._2).toDF("user_id", "event_id", "ts_us"), gap)
+      .select("event_id", "session_idx").as[(Long, Long)].collect().toMap
+    assert(got === want)
+    assert(got(3L) === 1L && got(4L) === 1L && got(5L) === 2L)
+  }
+
+  test("stream entries take their sink root from config") {
+    val root = java.nio.file.Files.createTempDirectory("graft_scratch_conf")
+    spark.conf.set(graft.queries.StreamQueries.ScratchDirConf, root.toString)
+    try {
+      val p = graft.queries.StreamQueries.scratch(spark, "t")
+      assert(p.contains(root.toString))
+      assert(new java.io.File(new java.net.URI(p).getPath).isDirectory ||
+        new java.io.File(p).isDirectory)
+      // end-to-end: the windowed-agg entry lands its sink under the
+      // configured root and still answers
+      val out = graft.queries.StreamQueries.qStreamWindow(spark, sf)
+      assert(out.count() > 0)
+      import scala.jdk.CollectionConverters._
+      val used = java.nio.file.Files.list(root).iterator().asScala.toSeq
+      assert(used.exists(_.getFileName.toString.startsWith("win-")))
+    } finally {
+      spark.conf.unset(graft.queries.StreamQueries.ScratchDirConf)
+    }
+  }
+
   test("sessionization assumeSorted streams a pre-sorted single-key source lazily") {
     import spark.implicits._
     import org.apache.spark.sql.types._
