@@ -123,6 +123,27 @@ object Dedup {
       .select("id1", "id2").distinct()
   }
 
+  /** Incremental dedup candidates: NEW docs against a STANDING band
+    * index — the shape dedup takes in a continuously-ingesting
+    * pipeline at any scale. The historical corpus's (id, band, bh)
+    * rows live as a stored table (plain parquet partitioned by band
+    * works; [[lshBands]] emits the shape); an arriving batch computes
+    * only ITS shingles and signatures, equi-joins the index on
+    * (band, bh), and never re-touches old text. Appending the new
+    * batch's bands to the index afterwards keeps it current.
+    *
+    * Shingle df-caps are computed on the standing corpus's
+    * statistics in production (a batch can't see global df); the
+    * candidate semantics are otherwise identical to
+    * [[minhashCandidates]] restricted to new-vs-old pairs. */
+  def incrementalCandidates(
+      newBands: DataFrame, bandIndex: DataFrame): DataFrame = {
+    val n = newBands.select(col("band"), col("bh"), col("id").as("new_id"))
+    val o = bandIndex.select(col("band"), col("bh"), col("id").as("old_id"))
+    n.join(o, Seq("band", "bh"))
+      .select("new_id", "old_id").distinct()
+  }
+
   /** SimHash bit width: 60 (the md5-parity hash is 60-bit so the
     * fingerprint replays in DuckDB; 60 vs 64 bits is semantically
     * equivalent for bit-majority fingerprinting). */

@@ -223,6 +223,51 @@ object TrainingQueries extends graft.QueryModule {
        |SELECT lbl.doc_id, lbl.cluster_id, sz.cluster_size
        |FROM lbl JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin
 
+  /** Incremental dedup: every 5th document plays the ARRIVING batch,
+    * the rest the standing corpus whose band index is already stored
+    * ([[Dedup.incrementalCandidates]]). Per new doc: the best (min
+    * id) standing match and the standing-candidate count — the
+    * admission decision a continuously-ingesting pipeline makes
+    * without ever re-touching old text. Bands are computed once here
+    * (one corpus in the fixture); production reads the old side from
+    * the stored index. */
+  def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val sh = Dedup.cappedIndex(
+      Dedup.wordShingles(docs, "text", "doc_id"), 1000L)
+    // both the new and standing sides read the banded frame
+    val bands = Dedup.lshBands(Dedup.minhashSignatures(sh, 64), 64, 4)
+      .cache()
+    val cands = Dedup.incrementalCandidates(
+      bands.filter(pmod(col("id"), lit(5)) === 0),
+      bands.filter(pmod(col("id"), lit(5)) =!= 0))
+    val agg = cands.groupBy(col("new_id"))
+      .agg(
+        min(col("old_id")).as("best_old_match"),
+        count(lit(1)).as("n_old_cands"))
+    docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select(col("doc_id"))
+      .join(agg.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_old_cands"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB replay of [[qDedupIncremental]] over the shared band
+    * CTEs. */
+  val qDedupIncrementalSql: String =
+    s"""WITH $minhashCandCtes,
+       |nc AS (SELECT DISTINCT x.id AS new_id, y.id AS old_id
+       |       FROM bands x JOIN bands y
+       |         ON x.band = y.band AND x.bh = y.bh
+       |       WHERE x.id % 5 = 0 AND y.id % 5 <> 0),
+       |agg AS (SELECT new_id, min(old_id) AS best_old_match,
+       |          CAST(count(*) AS BIGINT) AS n_old_cands
+       |        FROM nc GROUP BY new_id)
+       |SELECT d.doc_id, a.best_old_match,
+       |  COALESCE(a.n_old_cands, 0) AS n_old_cands
+       |FROM documents d LEFT JOIN agg a ON a.new_id = d.doc_id
+       |WHERE d.doc_id % 5 = 0 ORDER BY d.doc_id""".stripMargin
+
   /** The end-to-end dedup artifact a production pipeline actually
     * emits, as ONE entry: MinHash+LSH candidates -> exact-Jaccard
     * verification (>= 0.5, computed only on candidate pairs — the
@@ -617,6 +662,7 @@ object TrainingQueries extends graft.QueryModule {
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_minhash_dedup" -> (qMinhashDedup _),
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_keeplist" -> (qDedupKeeplist _),
     "q_tfidf" -> (qTfidf _),
     "q_train_split" -> (qTrainSplit _),
@@ -638,6 +684,7 @@ object TrainingQueries extends graft.QueryModule {
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_minhash_dedup" -> qMinhashDedupSql,
     "q_dedup_clusters" -> qDedupClustersSql,
+    "q_dedup_incremental" -> qDedupIncrementalSql,
     "q_dedup_keeplist" -> qDedupKeeplistSql,
     "q_tfidf" -> qTfidfSql,
     "q_train_split" -> qTrainSplitSql,

@@ -37,6 +37,31 @@ class DedupSpec extends SparkSpec {
     assert(cands(0).getLong(0) === 1L && cands(0).getLong(1) === 2L)
   }
 
+  test("incremental dedup joins a new batch against a STORED band index") {
+    // the standing corpus's bands persist as a plain parquet table;
+    // the arriving batch computes only its own signatures and never
+    // re-reads old text — the continuous-ingest admission shape
+    val old = Seq(
+      (10L, "a b c d e f g h"), (11L, "p q r s t u v w"))
+      .toDF("doc_id", "text")
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_bandidx").toString
+    Dedup.lshBands(Dedup.minhashSignatures(
+        Dedup.wordShingles(old, "text", "doc_id")))
+      .write.mode("overwrite").parquet(idxDir)
+
+    val fresh = Seq(
+      (20L, "a b c d e f g h"),  // copy of standing doc 10
+      (21L, "1 2 3 4 5 6 7 8"))  // genuinely new
+      .toDF("doc_id", "text")
+    val newBands = Dedup.lshBands(Dedup.minhashSignatures(
+      Dedup.wordShingles(fresh, "text", "doc_id")))
+    val cands = Dedup.incrementalCandidates(
+        newBands, spark.read.parquet(idxDir))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cands.toSeq === Seq((20L, 10L)))
+  }
+
   test("simhash: identical texts get identical hashes, hamming sane") {
     val df = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "w x y z"))
       .toDF("doc_id", "text")
