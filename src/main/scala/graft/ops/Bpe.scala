@@ -80,6 +80,15 @@ object Bpe {
   def tokenCount(c: Column, pieces: Seq[String]): Column =
     regexp_count(c, lit(tokenPattern(pieces))).cast("long")
 
+  /** Same count through the trie-walking native expression
+    * ([[graft.functions.BpeExprs]]): O(matched length) per position
+    * instead of O(alternatives tried) — the path to take once the
+    * vocabulary outgrows a few hundred pieces. Result-identical to
+    * [[tokenCount]] (property-pinned in BpeSpec), so the regex
+    * oracle gates both. */
+  def tokenCountFast(c: Column, pieces: Seq[String]): Column =
+    graft.functions.BpeExprs.tokenCountFast(c, pieces)
+
   /** Checked-in vocabulary fixture: `learnVocab` over the sf0.01
     * documents corpus, k=160 (BpeSpec asserts the file matches the
     * operator's output bit-for-bit). A production pipeline would

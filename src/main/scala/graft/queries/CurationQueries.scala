@@ -85,7 +85,10 @@ object CurationQueries extends graft.QueryModule {
   def qPackBpe(s: SparkSession, dir: String): DataFrame =
     Pack.packSummary(Tables.documents(s, dir),
       textCol = "text", idCol = "doc_id", budget = 512L, nShards = 8,
-      tokensOf = c => Bpe.tokenCount(c, Bpe.fixtureVocab))
+      // the trie-walking native expression; the oracle replays the
+      // compiled-alternation regex, which BpeSpec pins result-equal,
+      // so the entry gates both token-count paths
+      tokensOf = c => Bpe.tokenCountFast(c, Bpe.fixtureVocab))
 
   val qPackBpeSql: String =
     packSql(s"CAST(len(regexp_extract_all(text, '${Bpe.fixturePattern}')) AS BIGINT)")

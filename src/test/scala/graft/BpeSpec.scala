@@ -58,4 +58,41 @@ class BpeSpec extends SparkSpec {
       Bpe.tokenPattern(Seq("a.b"))
     }
   }
+
+  test("trie expression equals the regex path on adversarial random text") {
+    // a 2-letter alphabet maximizes piece-boundary collisions (shared
+    // prefixes, pieces that are prefixes of other pieces, matches that
+    // straddle word boundaries via leading-space pieces)
+    val rnd = new scala.util.Random(42)
+    def word() = (1 to 1 + rnd.nextInt(4))
+      .map(_ => "ab" (rnd.nextInt(2))).mkString
+    val vocab = (1 to 24)
+      .map(_ => (if (rnd.nextBoolean()) " " else "") + word())
+      .distinct
+    val texts = (0 until 300).map { i =>
+      (i.toLong, (1 to rnd.nextInt(14)).map(_ => word()).mkString(" "))
+    }
+    val df = texts.toDF("id", "t")
+    val r = df.select(
+        Bpe.tokenCount(col("t"), vocab).as("regex"),
+        Bpe.tokenCountFast(col("t"), vocab).as("trie"))
+      .collect()
+    r.foreach(row => assert(row.getLong(0) === row.getLong(1)))
+    // empty text and fallback-only text
+    val edge = Seq((1L, ""), (2L, "999 ##"), (3L, "  ")).toDF("id", "t")
+    val e = edge.select(
+        Bpe.tokenCount(col("t"), vocab).as("regex"),
+        Bpe.tokenCountFast(col("t"), vocab).as("trie"))
+      .collect()
+    e.foreach(row => assert(row.getLong(0) === row.getLong(1)))
+  }
+
+  test("trie expression equals regex on the real corpus under the fixture vocab") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val bad = docs.select(
+        Bpe.tokenCount(col("text"), Bpe.fixtureVocab).as("regex"),
+        Bpe.tokenCountFast(col("text"), Bpe.fixtureVocab).as("trie"))
+      .filter(col("regex") =!= col("trie")).count()
+    assert(bad === 0L)
+  }
 }
