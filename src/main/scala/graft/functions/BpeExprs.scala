@@ -12,48 +12,52 @@ import org.apache.spark.unsafe.types.UTF8String
   * compiled-alternation regex: the regex scan costs O(pieces tried)
   * per position, the trie walk O(matched length), independent of
   * vocabulary size (a 50k-piece production vocab is ~300x more
-  * alternatives for the regex but the same walk for the trie).
+  * alternatives for the regex but the same walk for the trie —
+  * measured in PLANS.md under `q_pack_bpe50k`).
   *
   * Vocab pieces are ASCII (` ?[A-Za-z]+`, enforced by
   * [[graft.ops.Bpe.tokenPattern]]'s contract), so the trie indexes
   * raw UTF-8 bytes; unmatched positions consume one UTF-8 code point
-  * (the regex path's `[\s\S]` consumes one UTF-16 code unit — the
-  * two agree everywhere except astral-plane characters, where the
-  * code-point count matches RE2/DuckDB and the Java regex counts
-  * surrogate halves; the property spec pins equality on BMP text).
+  * (the regex path's `[\s\S]` also consumes one code point — Java
+  * regex and RE2 both treat a supplementary character as a single
+  * match, pinned by BpeSpec on astral-plane text).
   *
-  * Flat-array layout (`next[node * 128 + byte]`), serializable, one
-  * instance shared per plan via the codegen references array. */
+  * Scale design (the 50k-piece path):
+  *  - the serialized form is ONLY the piece list (~300 KB at 50k
+  *    pieces); the transition tables are `@transient lazy` and built
+  *    on first use in each JVM, NOT shipped with the plan — a flat
+  *    eagerly-serialized table would put tens of MB into every task
+  *    binary.
+  *  - the alphabet is compressed to the symbols the vocab actually
+  *    uses (space + letters = 53 for the Bpe contract) instead of a
+  *    128-way fan-out, cutting the resident table ~2.4x. A vocab
+  *    that is prefix-closed (every node terminal) has ~|pieces|
+  *    nodes, so 50k pieces ≈ 50k * 53 * 4 B ≈ 10 MB resident.
+  *  - builds are memoized per JVM keyed by an md5 of the piece list,
+  *    so the table is constructed once per executor, not once per
+  *    task deserialization.
+  */
 final class ByteTrie(pieces: Seq[String]) extends Serializable {
-  private val (next: Array[Int], terminalLen: Array[Int]) = {
-    require(pieces.forall(_.forall(c => c < 128)), "ASCII vocab only")
-    val maxNodes = pieces.map(_.length).sum + 1
-    val nx = Array.fill(maxNodes * 128)(-1)
-    val tl = Array.fill(maxNodes)(0)
-    var nNodes = 1
-    pieces.foreach { p =>
-      var node = 0
-      p.foreach { c =>
-        val slot = node * 128 + c
-        if (nx(slot) == -1) { nx(slot) = nNodes; nNodes += 1 }
-        node = nx(slot)
-      }
-      tl(node) = p.length
-    }
-    (nx.take(nNodes * 128), tl.take(nNodes))
-  }
+
+  // built per JVM via the companion's memo cache; never serialized
+  @transient private lazy val t: ByteTrie.Tables = ByteTrie.tablesFor(pieces)
 
   /** Longest vocab piece matching at `start`, 0 if none. */
   private def longestMatch(b: Array[Byte], start: Int): Int = {
+    val sym = t.sym
+    val next = t.next
+    val nSyms = t.nSyms
     var node = 0
     var i = start
     var best = 0
     while (i < b.length && b(i) >= 0) { // ASCII bytes only can advance
-      val child = next(node * 128 + b(i))
+      val s = sym(b(i))
+      if (s < 0) return best
+      val child = next(node * nSyms + s)
       if (child == -1) return best
       node = child
       i += 1
-      if (terminalLen(node) > best) best = terminalLen(node)
+      if (t.terminalLen(node) > best) best = t.terminalLen(node)
     }
     best
   }
@@ -78,6 +82,47 @@ final class ByteTrie(pieces: Seq[String]) extends Serializable {
   }
 }
 
+object ByteTrie {
+  /** sym: byte -> compressed symbol id (-1 = not in alphabet);
+    * next: node*nSyms + sym -> child node (-1 = none);
+    * terminalLen: node -> piece length ending here (0 = none). */
+  private[functions] final case class Tables(
+      sym: Array[Int], nSyms: Int, next: Array[Int], terminalLen: Array[Int])
+
+  // one build per (vocab, JVM): executors deserialize a ByteTrie per
+  // task, but every instance with the same pieces shares these tables
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Tables]()
+
+  private def tablesFor(pieces: Seq[String]): Tables =
+    cache.computeIfAbsent(
+      HashParity.md5Hex(pieces.mkString("\u0000")), _ => build(pieces))
+
+  private def build(pieces: Seq[String]): Tables = {
+    require(pieces.forall(_.forall(c => c < 128)), "ASCII vocab only")
+    // compressed alphabet: only bytes the vocab uses get a fan-out slot
+    val sym = Array.fill(128)(-1)
+    var nSyms = 0
+    pieces.foreach(_.foreach { c =>
+      if (sym(c) == -1) { sym(c) = nSyms; nSyms += 1 }
+    })
+    val maxNodes = pieces.map(_.length).sum + 1
+    val nx = Array.fill(maxNodes * nSyms)(-1)
+    val tl = Array.fill(maxNodes)(0)
+    var nNodes = 1
+    pieces.foreach { p =>
+      var node = 0
+      p.foreach { c =>
+        val slot = node * nSyms + sym(c)
+        if (nx(slot) == -1) { nx(slot) = nNodes; nNodes += 1 }
+        node = nx(slot)
+      }
+      tl(node) = p.length
+    }
+    Tables(sym, nSyms, nx.take(nNodes * nSyms), tl.take(nNodes))
+  }
+}
+
 /** Greedy longest-match BPE token count as a native expression: one
   * trie walk per row, codegen'd into the enclosing WholeStageCodegen
   * stage. Result-identical to [[graft.ops.Bpe.tokenCount]]'s
@@ -95,6 +140,8 @@ case class BpeTokenCount(child: Expression, vocab: Seq[String])
     trie.countTokens(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the reference serializes only the piece list; tables rebuild
+    // lazily per executor JVM (memoized in ByteTrie.cache)
     val trieRef = ctx.addReferenceObj("bpeTrie", trie,
       classOf[ByteTrie].getName)
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $trieRef.countTokens($c);")

@@ -102,4 +102,69 @@ object Bpe {
   }
 
   lazy val fixturePattern: String = tokenPattern(fixtureVocab)
+
+  // ---- production-scale (50k-piece) vocabulary ---------------------------
+
+  /** Lexicographic cut for the 4-letter tier of [[prodVocab]]: the
+    * 13,445th 4-letter string, chosen so the vocab totals exactly
+    * 50,000 pieces. Shared with the closed-form oracle
+    * ([[prodTokensSqlExpr]]). */
+  val ProdVocab4Cut: String = "atxc"
+
+  /** Deterministic 50,000-piece vocabulary — the production-scale
+    * trie evidence. Construction (all lowercase):
+    *
+    *  - every 1-3 letter run, with and without a leading space:
+    *    2 * (26 + 26^2 + 26^3) = 36,556 pieces;
+    *  - every space-led 4-letter piece lexicographically below
+    *    [[ProdVocab4Cut]]: 13,444 pieces.
+    *
+    * Total 50,000 — the advertised scale at which the alternation
+    * regex dies and the trie takes over ([[tokenCountFast]]). The
+    * shape mirrors a real tokenizer vocab (dense short pieces, a
+    * longer tail, leading-space variants) while staying CHARACTERIZABLE:
+    * greedy longest-match under this vocab has a closed form — a
+    * space-led word's first token takes 4 letters iff its 4-prefix is
+    * under the cut, else 3; every further run chunks 3 at a time;
+    * anything else is a single-code-point fallback — which is exactly
+    * what [[prodTokensSqlExpr]] replays in DuckDB, so the 50k path is
+    * oracle-gated WITHOUT a 300 KB regex. A production pipeline swaps
+    * in its tokenizer's real piece table; the trie is size-agnostic. */
+  lazy val prodVocab: Seq[String] = {
+    val letters = ('a' to 'z').map(_.toString)
+    val r1 = letters
+    val r2 = for (a <- r1; b <- letters) yield a + b
+    val r3 = for (a <- r2; b <- letters) yield a + b
+    val r4 = for (a <- r3; b <- letters) yield a + b
+    val short = (r1 ++ r2 ++ r3).flatMap(r => Seq(r, " " + r))
+    val tail4 = r4.filter(_ < ProdVocab4Cut).map(" " + _)
+    val v = short ++ tail4
+    require(v.size == 50000, s"prodVocab size drifted: ${v.size}")
+    v
+  }
+
+  /** Token count under [[prodVocab]] — always the trie walk; the
+    * compiled-alternation pattern at 50k pieces is the measured
+    * anti-path (PLANS.md). */
+  def prodTokenCount(c: Column): Column = tokenCountFast(c, prodVocab)
+
+  /** DuckDB closed form of greedy longest-match under [[prodVocab]],
+    * over a text expression `t` — an INDEPENDENT derivation (run
+    * structure + the 4-cut), not a replay of the matcher, so the
+    * oracle cross-checks the trie rather than re-running it:
+    * segment into (space+run | run | any-char), then
+    * space-led run of r letters = 1 + ceil((r - first)/3) tokens with
+    * first = 4 iff r >= 4 and 4-prefix < cut else min(r, 3);
+    * bare run = ceil(r/3); anything else 1 per code point. */
+  def prodTokensSqlExpr(t: String): String =
+    s"""COALESCE(CAST(list_sum(list_transform(
+       |    regexp_extract_all($t, ' [a-z]+|[a-z]+|[\\s\\S]'),
+       |    m -> CASE
+       |      WHEN substr(m, 1, 1) = ' ' AND length(m) >= 2 THEN
+       |        1 + CAST(ceil((length(m) - 1 - (CASE
+       |              WHEN length(m) - 1 >= 4 AND substr(m, 2, 4) < '$ProdVocab4Cut'
+       |              THEN 4 ELSE least(length(m) - 1, 3) END)) / 3.0) AS BIGINT)
+       |      WHEN regexp_matches(m, '^[a-z]+$$') THEN
+       |        CAST(ceil(length(m) / 3.0) AS BIGINT)
+       |      ELSE 1 END)) AS BIGINT), 0)""".stripMargin
 }

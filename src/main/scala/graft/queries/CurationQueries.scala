@@ -59,7 +59,7 @@ object CurationQueries extends graft.QueryModule {
     Pack.packSummary(Tables.documents(s, dir),
       textCol = "text", idCol = "doc_id", budget = 512L, nShards = 8)
 
-  private def packSql(toksExpr: String): String =
+  private def packSql(toksExpr: String, budget: Long = 512L): String =
     s"""WITH d AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS k,
        |    $toksExpr AS toks FROM documents),
        |s AS (SELECT *,
@@ -68,7 +68,7 @@ object CurationQueries extends graft.QueryModule {
        |    PARTITION BY shard ORDER BY k, doc_id
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
        |    0) AS excl FROM s),
-       |p AS (SELECT *, CAST(floor(excl / 512) AS BIGINT) AS pack_id FROM e)
+       |p AS (SELECT *, CAST(floor(excl / $budget) AS BIGINT) AS pack_id FROM e)
        |SELECT shard, pack_id, CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(toks) AS BIGINT) AS pack_tokens, min(doc_id) AS first_doc
        |FROM p GROUP BY shard, pack_id
@@ -92,6 +92,22 @@ object CurationQueries extends graft.QueryModule {
 
   val qPackBpeSql: String =
     packSql(s"CAST(len(regexp_extract_all(text, '${Bpe.fixturePattern}')) AS BIGINT)")
+
+  /** Context packing budgeted by the PRODUCTION-SCALE tokenizer: the
+    * byte-trie expression over the 50,000-piece [[Bpe.prodVocab]] —
+    * the vocabulary size at which the compiled-alternation regex is
+    * no longer viable (PLANS.md benches the crossover) and the trie
+    * is the only sane matcher. Same sharded prefix-sum layout as
+    * [[qPack]]; the oracle replays greedy longest-match through the
+    * vocab's closed form ([[Bpe.prodTokensSqlExpr]]) — an independent
+    * derivation, not a re-run of the matcher. */
+  def qPackBpe50k(s: SparkSession, dir: String): DataFrame =
+    Pack.packSummary(Tables.documents(s, dir),
+      textCol = "text", idCol = "doc_id", budget = 2048L, nShards = 8,
+      tokensOf = Bpe.prodTokenCount)
+
+  val qPackBpe50kSql: String =
+    packSql(Bpe.prodTokensSqlExpr("text"), budget = 2048L)
 
   /** BPE vocabulary learning: top-160 prefix-closed subword pieces by
     * merge savings over the documents corpus. The checked-in fixture
@@ -236,6 +252,7 @@ object CurationQueries extends graft.QueryModule {
     "q_mix" -> (qMix _),
     "q_pack" -> (qPack _),
     "q_pack_bpe" -> (qPackBpe _),
+    "q_pack_bpe50k" -> (qPackBpe50k _),
     "q_repetition" -> (qRepetition _),
     "q_text_clean" -> (qTextClean _))
 
@@ -246,6 +263,7 @@ object CurationQueries extends graft.QueryModule {
     "q_mix" -> qMixSql,
     "q_pack" -> qPackSql,
     "q_pack_bpe" -> qPackBpeSql,
+    "q_pack_bpe50k" -> qPackBpe50kSql,
     "q_repetition" -> qRepetitionSql,
     "q_text_clean" -> qTextCleanSql)
 }

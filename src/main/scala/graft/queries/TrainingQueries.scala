@@ -21,7 +21,9 @@ object TrainingQueries extends graft.QueryModule {
     val cols = TextAnalysis.qualityColumns(col("text"))
       .map { case (n, c) => c.as(n) } :+
       TextAnalysis.bpeishTokenCount(col("text")).as("n_tokens_bpeish") :+
-      Bpe.tokenCount(col("text"), Bpe.fixtureVocab).as("n_tokens_bpe")
+      Bpe.tokenCount(col("text"), Bpe.fixtureVocab).as("n_tokens_bpe") :+
+      // the production-scale currency: 50k-piece trie walk
+      Bpe.prodTokenCount(col("text")).as("n_tokens_bpe50k")
     Tables.documents(s, dir)
       .select(col("doc_id") +: cols: _*)
       .orderBy(col("doc_id"))
@@ -31,6 +33,7 @@ object TrainingQueries extends graft.QueryModule {
     s"""SELECT doc_id,
       |  CAST(len(regexp_extract_all(text,
       |    '${Bpe.fixturePattern}')) AS BIGINT) AS n_tokens_bpe,
+      |  ${Bpe.prodTokensSqlExpr("text")} AS n_tokens_bpe50k,
       |  CAST(len(regexp_extract_all(text,
       |    ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +')) AS BIGINT)
       |    AS n_tokens_bpeish,

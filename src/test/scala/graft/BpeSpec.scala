@@ -87,6 +87,92 @@ class BpeSpec extends SparkSpec {
     e.foreach(row => assert(row.getLong(0) === row.getLong(1)))
   }
 
+  test("trie and regex count astral-plane characters identically (one per code point)") {
+    // ADVICE r6: the trie consumes one UTF-8 code point on fallback;
+    // Java regex `[\s\S]` also matches a supplementary character as a
+    // single unit (Pattern is code-point based), as does RE2 — so all
+    // three paths agree beyond the BMP. Pinned here, not just argued.
+    val vocab = Seq("low", " low", "er")
+    val astral = Seq(
+      (1L, "𝄞"),                    // U+1D11E musical G clef
+      (2L, "low𝄞er"),               // astral char splits pieces
+      (3L, "😀😀 low"),    // two emoji + the " low" piece
+      (4L, "a𝄞b𝄞c")).toDF("id", "t")
+    val r = astral.select(
+        Bpe.tokenCount(col("t"), vocab).as("regex"),
+        Bpe.tokenCountFast(col("t"), vocab).as("trie"))
+      .collect()
+    r.foreach(row => assert(row.getLong(0) === row.getLong(1)))
+    // and the absolute counts are code-point counts, not UTF-16 units
+    val abs = astral.select(col("id"),
+        Bpe.tokenCountFast(col("t"), vocab).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(abs === Map(1L -> 1L, 2L -> 3L, 3L -> 3L, 4L -> 5L))
+  }
+
+  test("prodVocab: 50,000 pieces, shape-legal, prefix-closed") {
+    val v = Bpe.prodVocab
+    assert(v.size === 50000)
+    assert(v.distinct.size === 50000)
+    val set = v.toSet
+    v.foreach { p =>
+      assert(p.matches(Bpe.PreTokenPattern))
+      // prefix closure: greedy falling off a long piece lands on a
+      // shorter piece (every proper prefix that is itself a legal
+      // piece shape is present)
+      (1 until p.length).foreach { k =>
+        val pre = p.substring(0, k)
+        if (pre != " ") assert(set.contains(pre), s"missing prefix '$pre' of '$p'")
+      }
+    }
+  }
+
+  /** Pure-Scala closed form of greedy longest-match under prodVocab —
+    * the same derivation the DuckDB oracle uses
+    * ([[Bpe.prodTokensSqlExpr]]), independent of the trie. */
+  private def prodClosedForm(t: String): Long = {
+    val m = java.util.regex.Pattern.compile(" [a-z]+|[a-z]+|[\\s\\S]").matcher(t)
+    var n = 0L
+    while (m.find()) {
+      val s = m.group()
+      n += (if (s.startsWith(" ") && s.length >= 2) {
+        val r = s.length - 1
+        val first =
+          if (r >= 4 && s.substring(1, 5) < Bpe.ProdVocab4Cut) 4 else math.min(r, 3)
+        1L + ((r - first) + 2) / 3
+      } else if (s.forall(c => c >= 'a' && c <= 'z')) (s.length + 2) / 3
+      else 1L)
+    }
+    n
+  }
+
+  test("50k-piece trie equals the closed form on the corpus and adversarial text") {
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val got = docs
+      .withColumn("n", Bpe.prodTokenCount(col("text")))
+      .collect().map(r => r.getString(1) -> r.getLong(2))
+    got.foreach { case (t, n) => assert(n === prodClosedForm(t), t.take(60)) }
+    val rnd = new scala.util.Random(7)
+    val adv = (0 until 200).map { i =>
+      val s = (0 until rnd.nextInt(30)).map { _ =>
+        rnd.nextInt(6) match {
+          case 0 => " "
+          case 1 => ('a' + rnd.nextInt(26)).toChar.toString
+          case 2 => "atx" // straddles the 4-cut
+          case 3 => ('A' + rnd.nextInt(26)).toChar.toString
+          case 4 => rnd.nextInt(10).toString
+          case _ => ('a' + rnd.nextInt(3)).toChar.toString * (1 + rnd.nextInt(6))
+        }
+      }.mkString
+      (i.toLong, s)
+    }
+    val advGot = adv.toDF("id", "t")
+      .select(col("t"), Bpe.prodTokenCount(col("t")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    advGot.foreach { case (t, n) => assert(n === prodClosedForm(t), s"'$t'") }
+  }
+
   test("trie expression equals regex on the real corpus under the fixture vocab") {
     val docs = graft.core.Tables.documents(spark, sf)
     val bad = docs.select(
