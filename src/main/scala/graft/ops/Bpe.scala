@@ -103,6 +103,114 @@ object Bpe {
 
   lazy val fixturePattern: String = tokenPattern(fixtureVocab)
 
+  // ---- merge-ranked (true) BPE -------------------------------------------
+
+  /** Learn an ordered merge list — the Sennrich et al. (ACL 2016)
+    * byte-pair-encoding construction: start from single characters,
+    * repeatedly merge the most frequent adjacent symbol pair (count
+    * weighted by word frequency, overlapping occurrences counted as
+    * written in the reference implementation), stop after `nMerges`
+    * rules or when no pair occurs twice. Ties break deterministically
+    * by (pair count desc, first symbol asc, second symbol asc).
+    *
+    * Scale shape: the distributed work is ONE aggregate — the
+    * (pre-token, count) table, the classical sufficient statistic for
+    * BPE training (every published trainer runs its merge loop over
+    * exactly this table in memory). The loop itself is driver-side
+    * over that bounded table; `maxWords` is a LOUD bound — exceeding
+    * it throws rather than silently truncating the statistic. */
+  def learnMerges(df: DataFrame, textCol: String, nMerges: Int,
+      maxWords: Int = 1 << 20): Seq[(String, String)] = {
+    val rows = df.select(
+        explode(regexp_extract_all(col(textCol), lit(PreTokenPattern), lit(0)))
+          .as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w"))
+      .limit(maxWords + 1)
+      .collect()
+    require(rows.length <= maxWords,
+      s"distinct pre-tokens exceed maxWords=$maxWords; raise the bound " +
+        "(the merge loop is driver-side over the distinct-word table)")
+    var words: Array[(Array[String], Long)] =
+      rows.map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
+    val out = Vector.newBuilder[(String, String)]
+    var k = 0
+    var exhausted = false
+    while (k < nMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, n) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + n)
+          i += 1
+        }
+      }
+      val best = counts.filter(_._2 >= 2)
+      if (best.isEmpty) exhausted = true
+      else {
+        val (pair, _) = best.minBy { case ((a, b), n) => (-n, a, b) }
+        out += pair
+        words = words.map { case (syms, n) =>
+          if (syms.length < 2) (syms, n)
+          else {
+            val nb = Array.newBuilder[String]
+            var j = 0
+            while (j < syms.length) {
+              if (j < syms.length - 1 &&
+                  syms(j) == pair._1 && syms(j + 1) == pair._2) {
+                nb += pair._1 + pair._2
+                j += 2
+              } else {
+                nb += syms(j)
+                j += 1
+              }
+            }
+            (nb.result(), n)
+          }
+        }
+        k += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Token count under an ordered merge list — a real tokenizer's
+    * merges file applied verbatim
+    * ([[graft.functions.MergeExprs.mergeTokenCount]]). */
+  def mergeTokenCount(c: Column, merges: Seq[(String, String)]): Column =
+    graft.functions.MergeExprs.mergeTokenCount(c, merges)
+
+  /** Parse GPT-2-convention merge lines ("Ġt he", one rule per line,
+    * `Ġ` marking a leading space, symbols never containing a raw
+    * space) into this module's literal-space symbols — the adapter
+    * that loads a published merges.txt verbatim. Comment lines
+    * (`#...`) and blanks are skipped. */
+  def parseGpt2Merges(lines: Seq[String]): Seq[(String, String)] =
+    lines.filter(l => l.nonEmpty && !l.startsWith("#")).map { l =>
+      val parts = l.split(" ", 2)
+      require(parts.length == 2, s"malformed merge line: '$l'")
+      (parts(0).replace("Ġ", " "), parts(1).replace("Ġ", " "))
+    }
+
+  /** Checked-in merge fixture: `learnMerges` over the sf0.01 corpus
+    * (127 rules — the corpus exhausts all pairs occurring twice),
+    * stored tab-separated (symbols contain literal
+    * spaces). BpeSpec pins the file bit-for-bit against the
+    * operator's output; a production pipeline loads its tokenizer's
+    * merges file here instead ([[parseGpt2Merges]]). */
+  lazy val fixtureMerges: Seq[(String, String)] = {
+    val in = getClass.getResourceAsStream("/graft/bpe_merges.tsv")
+    require(in != null, "bpe_merges.tsv missing from classpath")
+    try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).map { l =>
+        val t = l.split("\t", 2)
+        require(t.length == 2, s"malformed merge fixture line: '$l'")
+        (t(0), t(1))
+      }.toVector
+    finally in.close()
+  }
+
   // ---- production-scale (50k-piece) vocabulary ---------------------------
 
   /** Lexicographic cut for the 4-letter tier of [[prodVocab]]: the

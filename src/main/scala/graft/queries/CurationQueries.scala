@@ -109,6 +109,65 @@ object CurationQueries extends graft.QueryModule {
   val qPackBpe50kSql: String =
     packSql(Bpe.prodTokensSqlExpr("text"), budget = 2048L)
 
+  /** Merge-ranked (true) BPE token counts under the checked-in
+    * 127-rule merge fixture ([[Bpe.fixtureMerges]], learned by
+    * [[Bpe.learnMerges]] over this corpus and pinned by BpeSpec) —
+    * the inference scheme that reproduces a published tokenizer's
+    * segmentation from its merges file verbatim, vs. the greedy
+    * longest-match of [[qPackBpe]]. The oracle replays the ordered
+    * merge loop as a recursive CTE over DISTINCT pre-tokens (merge
+    * one leftmost min-rank pair per recursion step — equivalent to
+    * the all-occurrences pass, see
+    * [[graft.functions.MergeRanker]]), then joins counts back per
+    * document; the Spark side is one codegen'd expression whose
+    * per-word work is memoized per executor. */
+  def qBpeMerges(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        Bpe.mergeTokenCount(col("text"), Bpe.fixtureMerges).as("n_tokens_merge"))
+      .orderBy(col("doc_id"))
+
+  val qBpeMergesSql: String = {
+    // rank list literal: 1-based list_position IS the merge rank;
+    // '|' is safe (symbols are space+letters only)
+    val lst = Bpe.fixtureMerges.map { case (a, b) => s"'$a|$b'" }
+      .mkString("[", ",", "]")
+    s"""WITH RECURSIVE
+       |mg AS (SELECT $lst AS l),
+       |pt AS (SELECT doc_id, unnest(regexp_extract_all(text, ' ?[A-Za-z]+')) AS w
+       |       FROM documents),
+       |wcnt AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS n
+       |         FROM pt GROUP BY doc_id, w),
+       |words AS (SELECT DISTINCT w FROM pt),
+       |step(w, toks, it) AS (
+       |  SELECT w, regexp_extract_all(w, '[\\s\\S]'), 0 FROM words
+       |  UNION ALL
+       |  SELECT w,
+       |    list_concat(list_concat(toks[1:bp-1], [toks[bp] || toks[bp+1]]),
+       |      toks[bp+2:len(toks)]),
+       |    it + 1
+       |  FROM (SELECT w, toks, it,
+       |          list_position(pr, list_min(list_filter(pr, x -> x > 0))) AS bp
+       |        FROM (SELECT s.w, s.toks, s.it,
+       |                list_transform(generate_series(1, len(s.toks)-1),
+       |                  i -> list_position(mg.l, s.toks[i] || '|' || s.toks[i+1]))
+       |                  AS pr
+       |              FROM step s CROSS JOIN mg))
+       |  WHERE bp IS NOT NULL),
+       |final AS (SELECT w, toks FROM (
+       |    SELECT w, toks, row_number() OVER (PARTITION BY w ORDER BY it DESC)
+       |      AS rn FROM step) WHERE rn = 1),
+       |wtok AS (SELECT w, CAST(len(toks) AS BIGINT) AS nt FROM final),
+       |docw AS (SELECT doc_id, CAST(sum(n * nt) AS BIGINT) AS n_word_toks
+       |         FROM wcnt JOIN wtok USING (w) GROUP BY doc_id),
+       |fb AS (SELECT doc_id,
+       |         CAST(length(regexp_replace(text, ' ?[A-Za-z]+', '', 'g'))
+       |           AS BIGINT) AS n_fb FROM documents)
+       |SELECT d.doc_id, COALESCE(dw.n_word_toks, 0) + fb.n_fb AS n_tokens_merge
+       |FROM documents d LEFT JOIN docw dw USING (doc_id) JOIN fb USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** BPE vocabulary learning: top-160 prefix-closed subword pieces by
     * merge savings over the documents corpus. The checked-in fixture
     * driving [[qPackBpe]] IS this query's output (BpeSpec pins that). */
@@ -246,6 +305,7 @@ object CurationQueries extends graft.QueryModule {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_merges" -> (qBpeMerges _),
     "q_bpe_vocab" -> (qBpeVocab _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_decontaminate_semantic" -> (qDecontaminateSemantic _),
@@ -257,6 +317,7 @@ object CurationQueries extends graft.QueryModule {
     "q_text_clean" -> (qTextClean _))
 
   def oracleSql: Map[String, String] = Map(
+    "q_bpe_merges" -> qBpeMergesSql,
     "q_bpe_vocab" -> qBpeVocabSql,
     "q_decontaminate" -> qDecontaminateSql,
     "q_decontaminate_semantic" -> qDecontaminateSemanticSql,

@@ -173,6 +173,95 @@ class BpeSpec extends SparkSpec {
     advGot.foreach { case (t, n) => assert(n === prodClosedForm(t), s"'$t'") }
   }
 
+  // ---- merge-ranked (true) BPE -------------------------------------------
+
+  test("learnMerges reproduces the hand-computed Sennrich sequence") {
+    // corpus: hug / pug / pun / bun / hugs (the standard educational
+    // BPE example). Pair counts by hand: (u,g)=3 wins round 1; round
+    // 2 ties (h,ug)=( ,p)=(u,n)=2 and ' ' < 'h' < 'u' breaks to
+    // ( ,p); round 3 ties (h,ug)=(u,n)=2, 'h' < 'u' -> (h,ug).
+    val docs = Seq((1L, "hug pug pun bun hugs")).toDF("doc_id", "text")
+    val merges = graft.ops.Bpe.learnMerges(docs, "text", 3)
+    assert(merges === Seq(("u", "g"), (" ", "p"), ("h", "ug")))
+  }
+
+  test("merge application follows rank order, not match length") {
+    // rank order deliberately conflicts with greedy longest-match:
+    // ("l","o") then ("lo","w") then (" ","low") then ("e","r")
+    val merges = Seq(("l", "o"), ("lo", "w"), (" ", "low"), ("e", "r"))
+    val ranker = new graft.functions.MergeRanker(merges)
+    assert(ranker.segmentWord("low").toSeq === Seq("low"))
+    assert(ranker.segmentWord(" lower").toSeq === Seq(" low", "er"))
+    assert(ranker.segmentWord(" lowest").toSeq === Seq(" low", "e", "s", "t"))
+    assert(ranker.segmentWord(" LOW").toSeq === Seq(" ", "L", "O", "W"))
+    // overlap resolves leftmost-first: aaa + (a,a) -> [aa, a]
+    val rep = new graft.functions.MergeRanker(Seq(("a", "a")))
+    assert(rep.segmentWord("aaa").toSeq === Seq("aa", "a"))
+    assert(rep.segmentWord("aaaa").toSeq === Seq("aa", "aa"))
+  }
+
+  test("countTokens = merge-segmented runs + one token per other code point") {
+    val merges = Seq(("l", "o"), ("lo", "w"), ("e", "r"))
+    val df = Seq(
+        (1L, "low lower"),   // [low] + [" ","l","o","w","e","r" -> ...]
+        (2L, "low9𝄞 er")).toDF("id", "t")
+    val r = df.select(col("id"),
+        graft.ops.Bpe.mergeTokenCount(col("t"), merges).as("n"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // "low lower": [low] ++ [" ","low","er"] = 4 (no (" ","low") rule)
+    // "low9𝄞 er": [low] + "9" + astral + " " is followed by letters
+    //   -> " er" run: [" ","er"] = 2; total 1+1+1+2 = 5
+    assert(r === Map(1L -> 4L, 2L -> 5L))
+  }
+
+  test("gpt2-convention merges file loads verbatim") {
+    val lines = Seq("Ġ t", "t he", "Ġt he", "# comment", "")
+    assert(graft.ops.Bpe.parseGpt2Merges(lines) ===
+      Seq((" ", "t"), ("t", "he"), (" t", "he")))
+  }
+
+  test("checked-in merge fixture matches learnMerges over the sf0.01 corpus") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.01")
+    val learned = graft.ops.Bpe.learnMerges(docs, "text", 200)
+    // the corpus exhausts (no pair occurs twice) after 127 rules —
+    // the learner's documented stopping rule, not a truncation
+    assert(learned.size === 127)
+    assert(learned === graft.ops.Bpe.fixtureMerges)
+  }
+
+  test("one-at-a-time leftmost merging reaches the same fixpoint (oracle equivalence)") {
+    // the DuckDB oracle merges ONE leftmost min-rank occurrence per
+    // recursion step; the expression merges all occurrences per pass.
+    // Equal for any learned merge list (later rules build on earlier
+    // symbols) — checked here on every distinct corpus pre-token.
+    val merges = graft.ops.Bpe.fixtureMerges
+    val ranker = new graft.functions.MergeRanker(merges)
+    val rank = merges.zipWithIndex.toMap
+    def oneAtATime(w: String): Seq[String] = {
+      var syms = w.map(_.toString).toVector
+      var done = false
+      while (!done && syms.length > 1) {
+        val ranked = syms.indices.dropRight(1)
+          .flatMap(i => rank.get((syms(i), syms(i + 1))).map(r => (r, i)))
+        if (ranked.isEmpty) done = true
+        else {
+          val (r, i) = ranked.min
+          syms = (syms.take(i) :+ (syms(i) + syms(i + 1))) ++ syms.drop(i + 2)
+          require(r >= 0)
+        }
+      }
+      syms
+    }
+    val words = graft.core.Tables.documents(spark, sf)
+      .select(explode(regexp_extract_all(col("text"),
+        lit(graft.ops.Bpe.PreTokenPattern), lit(0))).as("w"))
+      .distinct().collect().map(_.getString(0))
+    assert(words.nonEmpty)
+    words.foreach { w =>
+      assert(ranker.segmentWord(w).toSeq === oneAtATime(w), s"word '$w'")
+    }
+  }
+
   test("trie expression equals regex on the real corpus under the fixture vocab") {
     val docs = graft.core.Tables.documents(spark, sf)
     val bad = docs.select(
