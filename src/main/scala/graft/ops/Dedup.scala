@@ -144,6 +144,68 @@ object Dedup {
       .select("new_id", "old_id").distinct()
   }
 
+  /** Stored-index shingle rows: (id, g, n_g) — the per-doc shingle
+    * count rides on every row (one window exchange at build time),
+    * so the admission verify joins stored stats directly and never
+    * re-aggregates — or re-reads — old text. This is the schema the
+    * standing dedup index persists alongside its (id, band, bh) rows
+    * ([[lshBands]]). */
+  def shingleRowsWithCounts(sh: DataFrame): DataFrame =
+    sh.withColumn("n_g",
+      count(lit(1)).over(Window.partitionBy(col("id"))))
+
+  /** Full admission decision for an arriving batch against a standing
+    * index — the loop a continuously-ingesting pipeline runs per
+    * batch, composed end-to-end: band-equi-join candidates
+    * ([[incrementalCandidates]]), exact-Jaccard verify computed ONLY
+    * on candidate pairs against the index's stored (id, g, n_g) rows,
+    * then one decision row per arriving doc. A doc is admitted iff no
+    * standing doc matches at `threshold` or above; the best standing
+    * match (jaccard desc, old id asc) and the candidate count ride
+    * along, so the caller can both filter the batch and append the
+    * admitted docs' band/shingle rows to the index.
+    *
+    * Scale shape: every join is an equi-join on a bounded key
+    * (band+hash, then shingle value restricted to candidate pairs);
+    * the standing corpus is touched only through its index tables;
+    * per-batch work is O(batch) + O(candidate fan-out), independent
+    * of corpus size. */
+  def admissionReport(
+      newIds: DataFrame, newShingles: DataFrame, newBands: DataFrame,
+      indexShingles: DataFrame, indexBands: DataFrame,
+      threshold: Double): DataFrame = {
+    val cands = incrementalCandidates(newBands, indexBands)
+    val a = newShingles.select(
+      col("id").as("new_id"), col("g"), col("n_g").as("n1"))
+    val b = indexShingles.select(
+      col("id").as("old_id"), col("g"), col("n_g").as("n2"))
+    val scored = cands.join(a, Seq("new_id")).join(b, Seq("old_id", "g"))
+      .groupBy(col("new_id"), col("old_id"), col("n1"), col("n2"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jaccard",
+        col("shared") / (col("n1") + col("n2") - col("shared")))
+      .select("new_id", "old_id", "jaccard")
+    // band collisions with zero shared (capped) shingles are still
+    // candidates — they verify at jaccard 0 and never block admission
+    val withJ = cands.join(scored, Seq("new_id", "old_id"), "left")
+      .na.fill(0.0, Seq("jaccard"))
+    val w = Window.partitionBy(col("new_id"))
+      .orderBy(col("jaccard").desc, col("old_id"))
+    val top = withJ.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("new_id"), col("old_id").as("best_old_match"),
+        col("jaccard").as("best_jaccard"))
+    val nc = withJ.groupBy(col("new_id"))
+      .agg(count(lit(1)).as("n_cands"))
+    newIds.select(col("id"))
+      .join(top.withColumnRenamed("new_id", "id"), Seq("id"), "left")
+      .join(nc.withColumnRenamed("new_id", "id"), Seq("id"), "left")
+      .na.fill(0.0, Seq("best_jaccard"))
+      .na.fill(0L, Seq("n_cands"))
+      .withColumn("admitted",
+        (col("best_jaccard") < threshold).cast("long"))
+  }
+
   /** SimHash bit width: 60 (the md5-parity hash is 60-bit so the
     * fingerprint replays in DuckDB; 60 vs 64 bits is semantically
     * equivalent for bit-majority fingerprinting). */

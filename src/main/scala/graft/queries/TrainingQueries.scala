@@ -271,6 +271,125 @@ object TrainingQueries extends graft.QueryModule {
        |FROM documents d LEFT JOIN agg a ON a.new_id = d.doc_id
        |WHERE d.doc_id % 5 = 0 ORDER BY d.doc_id""".stripMargin
 
+  /** The full incremental-dedup ADMISSION loop as one entry
+    * ([[Dedup.admissionReport]]): every 5th document arrives as a
+    * batch against the standing index built from the rest — stored
+    * (id, band, bh) rows for candidates plus (id, g, n_g) rows for
+    * the Jaccard verify, so old text is never re-read. The
+    * shingle-frequency cap comes from STANDING statistics only (an
+    * arriving batch cannot see global df). Output per arriving doc:
+    * the admit/reject decision at Jaccard 0.5, the best standing
+    * match, the candidate count, and the band/shingle row counts the
+    * doc appends to the index if admitted — the batch's complete
+    * index-maintenance manifest. */
+  def qDedupAdmit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val sh0 = Dedup.wordShingles(docs, "text", "doc_id")
+    val oldSh0 = sh0.filter(pmod(col("id"), lit(5)) =!= 0)
+    val newSh0 = sh0.filter(pmod(col("id"), lit(5)) === 0)
+    val hot = oldSh0.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > 1000L).select("g")
+    // each side feeds its signature build AND the verify join
+    val oldSh = Dedup.shingleRowsWithCounts(
+      oldSh0.join(hot, Seq("g"), "left_anti")).cache()
+    val newSh = Dedup.shingleRowsWithCounts(
+      newSh0.join(hot, Seq("g"), "left_anti")).cache()
+    val oldBands = Dedup.lshBands(
+      Dedup.minhashSignatures(oldSh.select("id", "g"), 64), 64, 4)
+    val newBands = Dedup.lshBands(
+      Dedup.minhashSignatures(newSh.select("id", "g"), 64), 64, 4).cache()
+    val rep = Dedup.admissionReport(
+      docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select(col("doc_id").as("id")),
+      newSh, newBands, oldSh, oldBands, threshold = 0.5)
+    val nb = newBands.groupBy(col("id")).agg(count(lit(1)).as("nb"))
+    val ns = newSh.groupBy(col("id")).agg(count(lit(1)).as("ns"))
+    rep.join(nb, Seq("id"), "left").join(ns, Seq("id"), "left")
+      .na.fill(0L, Seq("nb", "ns"))
+      .select(col("id").as("doc_id"), col("admitted"),
+        col("best_old_match"), col("best_jaccard"), col("n_cands"),
+        (col("admitted") * col("nb")).as("n_bands_appended"),
+        (col("admitted") * col("ns")).as("n_shingles_appended"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** sig+bands CTE chain over a shingle CTE `src(id, g)` with a name
+    * prefix — the [[minhashCandCtes]] machinery parameterized so the
+    * admission oracle can build separate standing/arriving bands. */
+  private def sigBandsSql(src: String, pfx: String): String = {
+    import graft.functions.HashParity
+    val k = 64; val bandSize = 4
+    val sigCols = (0 until k).map(i =>
+      s"min((${HashParity.minhashA(i)}*hg + ${HashParity.minhashB(i)}) % ${HashParity.MinhashP}) AS h$i")
+      .mkString(", ")
+    val bandRows = (0 until k / bandSize).map { j =>
+      val cat = (j * bandSize until (j + 1) * bandSize)
+        .map(i => s"h$i").mkString(" || ',' || ")
+      s"SELECT id, $j AS band, CAST('0x' || substr(md5($cat), 1, 15) AS BIGINT) AS bh FROM ${pfx}sig"
+    }.mkString(" UNION ALL ")
+    s"""${pfx}hg AS (SELECT id, CAST('0x' || substr(md5(g), 1, 7) AS BIGINT) AS hg
+       |  FROM $src),
+       |${pfx}sig AS (SELECT id, $sigCols FROM ${pfx}hg GROUP BY id),
+       |${pfx}bands AS ($bandRows)""".stripMargin
+  }
+
+  /** DuckDB replay of [[qDedupAdmit]]: standing-vs-arriving split,
+    * standing-only df cap, separate band builds, candidate left-join
+    * verify, deterministic best-match window. */
+  val qDedupAdmitSql: String =
+    s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+       |sh0 AS (SELECT DISTINCT doc_id AS id,
+       |          w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+       |        FROM t, UNNEST(generate_series(1, len(w)-2)) AS u(i)
+       |        WHERE len(w) >= 3),
+       |old0 AS (SELECT * FROM sh0 WHERE id % 5 <> 0),
+       |new0 AS (SELECT * FROM sh0 WHERE id % 5 = 0),
+       |hot AS (SELECT g FROM old0 GROUP BY g HAVING count(*) > 1000),
+       |oldsh AS (SELECT * FROM old0 WHERE g NOT IN (SELECT g FROM hot)),
+       |newsh AS (SELECT * FROM new0 WHERE g NOT IN (SELECT g FROM hot)),
+       |oldsz AS (SELECT id, CAST(count(*) AS BIGINT) AS n_g FROM oldsh GROUP BY id),
+       |newsz AS (SELECT id, CAST(count(*) AS BIGINT) AS n_g FROM newsh GROUP BY id),
+       |${sigBandsSql("oldsh", "o")},
+       |${sigBandsSql("newsh", "n")},
+       |cand AS (SELECT DISTINCT n.id AS new_id, o.id AS old_id
+       |         FROM nbands n JOIN obands o
+       |           ON n.band = o.band AND n.bh = o.bh),
+       |scored AS (SELECT c.new_id, c.old_id, CAST(count(*) AS BIGINT) AS shared
+       |           FROM cand c
+       |           JOIN newsh a ON a.id = c.new_id
+       |           JOIN oldsh b ON b.id = c.old_id AND b.g = a.g
+       |           GROUP BY c.new_id, c.old_id),
+       |withj AS (SELECT c.new_id, c.old_id,
+       |            COALESCE(s.shared / (z1.n_g + z2.n_g - s.shared), 0.0)
+       |              AS jaccard
+       |          FROM cand c
+       |          LEFT JOIN scored s
+       |            ON s.new_id = c.new_id AND s.old_id = c.old_id
+       |          JOIN newsz z1 ON z1.id = c.new_id
+       |          JOIN oldsz z2 ON z2.id = c.old_id),
+       |top AS (SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY new_id
+       |      ORDER BY jaccard DESC, old_id) AS rn FROM withj) WHERE rn = 1),
+       |ncs AS (SELECT new_id, CAST(count(*) AS BIGINT) AS n_cands
+       |        FROM withj GROUP BY new_id),
+       |nb AS (SELECT id, CAST(count(*) AS BIGINT) AS nb FROM nbands GROUP BY id),
+       |ns AS (SELECT id, CAST(count(*) AS BIGINT) AS ns FROM newsh GROUP BY id)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(tp.jaccard, 0.0) < 0.5 AS BIGINT) AS admitted,
+       |  tp.old_id AS best_old_match,
+       |  COALESCE(tp.jaccard, 0.0) AS best_jaccard,
+       |  COALESCE(ncs.n_cands, 0) AS n_cands,
+       |  CAST(COALESCE(tp.jaccard, 0.0) < 0.5 AS BIGINT)
+       |    * COALESCE(nb.nb, 0) AS n_bands_appended,
+       |  CAST(COALESCE(tp.jaccard, 0.0) < 0.5 AS BIGINT)
+       |    * COALESCE(ns.ns, 0) AS n_shingles_appended
+       |FROM documents d
+       |LEFT JOIN top tp ON tp.new_id = d.doc_id
+       |LEFT JOIN ncs ON ncs.new_id = d.doc_id
+       |LEFT JOIN nb ON nb.id = d.doc_id
+       |LEFT JOIN ns ON ns.id = d.doc_id
+       |WHERE d.doc_id % 5 = 0 ORDER BY d.doc_id""".stripMargin
+
   /** The end-to-end dedup artifact a production pipeline actually
     * emits, as ONE entry: MinHash+LSH candidates -> exact-Jaccard
     * verification (>= 0.5, computed only on candidate pairs — the
@@ -665,6 +784,7 @@ object TrainingQueries extends graft.QueryModule {
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_minhash_dedup" -> (qMinhashDedup _),
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_dedup_admit" -> (qDedupAdmit _),
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_keeplist" -> (qDedupKeeplist _),
     "q_tfidf" -> (qTfidf _),
@@ -687,6 +807,7 @@ object TrainingQueries extends graft.QueryModule {
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_minhash_dedup" -> qMinhashDedupSql,
     "q_dedup_clusters" -> qDedupClustersSql,
+    "q_dedup_admit" -> qDedupAdmitSql,
     "q_dedup_incremental" -> qDedupIncrementalSql,
     "q_dedup_keeplist" -> qDedupKeeplistSql,
     "q_tfidf" -> qTfidfSql,

@@ -62,6 +62,54 @@ class DedupSpec extends SparkSpec {
     assert(cands.toSeq === Seq((20L, 10L)))
   }
 
+  test("admission loop: second batch admits/rejects against the index the first batch wrote") {
+    // batch 1 founds the index (bands + shingle rows with stored n_g)
+    def index(df: org.apache.spark.sql.DataFrame) = {
+      val sh = Dedup.shingleRowsWithCounts(
+        Dedup.wordShingles(df, "text", "doc_id"))
+      (sh, Dedup.lshBands(Dedup.minhashSignatures(sh.select("id", "g"))))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_admidx").toString
+    val b1 = Seq((10L, "a b c d e f g h"), (11L, "p q r s t u v w"))
+      .toDF("doc_id", "text")
+    val (sh1, bands1) = index(b1)
+    sh1.write.mode("overwrite").parquet(s"$dir/shingles")
+    bands1.write.mode("overwrite").parquet(s"$dir/bands")
+
+    // batch 2: one duplicate of a standing doc, one genuinely new
+    val b2 = Seq(
+      (20L, "a b c d e f g h"),
+      (21L, "j k l m n o p q")).toDF("doc_id", "text")
+    val (sh2, bands2) = index(b2)
+    val rep2 = Dedup.admissionReport(
+        b2.select(col("doc_id").as("id")), sh2, bands2,
+        spark.read.parquet(s"$dir/shingles"),
+        spark.read.parquet(s"$dir/bands"), threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(r.fieldIndex("admitted")),
+         if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(rep2(20L)._1 === 0L && rep2(20L)._2 === 10L) // rejected vs 10
+    assert(rep2(21L)._1 === 1L)                          // admitted
+
+    // append the ADMITTED docs' rows; a later copy of doc 21 must now
+    // be rejected — the index stayed current through the loop
+    val admitted = Seq(21L).toDF("id")
+    sh2.join(admitted, Seq("id")).write.mode("append")
+      .parquet(s"$dir/shingles")
+    bands2.join(admitted, Seq("id")).write.mode("append")
+      .parquet(s"$dir/bands")
+    val b3 = Seq((30L, "j k l m n o p q")).toDF("doc_id", "text")
+    val (sh3, bands3) = index(b3)
+    val rep3 = Dedup.admissionReport(
+        b3.select(col("doc_id").as("id")), sh3, bands3,
+        spark.read.parquet(s"$dir/shingles"),
+        spark.read.parquet(s"$dir/bands"), threshold = 0.5)
+      .collect()
+    assert(rep3.length === 1)
+    assert(rep3(0).getLong(rep3(0).fieldIndex("admitted")) === 0L)
+    assert(rep3(0).getLong(1) === 21L)
+  }
+
   test("simhash: identical texts get identical hashes, hamming sane") {
     val df = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "w x y z"))
       .toDF("doc_id", "text")
