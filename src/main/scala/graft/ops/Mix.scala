@@ -61,15 +61,9 @@ object Mix {
         tokensOf(col(textCol)).as("n_tokens"),
         bucketPpm(col(idCol), salt).as("ppm"))
       .cache()
-    val rates = base.groupBy(col("source"))
-      .agg(
-        count(lit(1)).as("avail_docs"),
-        sum(col("n_tokens")).as("avail_tokens"))
-      .withColumn("target_tokens",
-        floor(share * lit(budgetTokens.toDouble)).cast("long"))
-      .withColumn("rate_ppm", least(lit(1000000L),
-        floor(lit(1000000.0) * col("target_tokens") / col("avail_tokens"))
-          .cast("long")))
+    val rates = availability(base, share, budgetTokens)
+      .withColumn("rate_ppm", least(lit(1000000L), col("rate_ppm_raw")))
+      .drop("rate_ppm_raw")
     val kept = base.join(broadcast(rates), Seq("source"))
       .filter(col("ppm") < col("rate_ppm"))
       .drop("ppm")
@@ -82,5 +76,81 @@ object Mix {
       .select(col("id"), col("source"), col("n_tokens"),
         col("avail_docs"), col("avail_tokens"), col("target_tokens"),
         col("rate_ppm"), col("src_kept_docs"), col("src_kept_tokens"))
+  }
+
+  /** Per-source availability + uncapped sampling rate. The rate
+    * guards the zero-available edge explicitly: `least`/division
+    * NULL-skipping would otherwise turn an empty source into
+    * rate 1000000 (and diverge between engines on NULL `least`). */
+  private def availability(
+      base: DataFrame, share: Column, budgetTokens: Long): DataFrame =
+    base.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("avail_docs"),
+        sum(col("n_tokens")).as("avail_tokens"))
+      .withColumn("target_tokens",
+        floor(share * lit(budgetTokens.toDouble)).cast("long"))
+      .withColumn("rate_ppm_raw",
+        when(col("avail_tokens") === 0L, 0L).otherwise(
+          floor(lit(1000000.0) * col("target_tokens") / col("avail_tokens"))
+            .cast("long")))
+
+  /** [[mix]] with UPSAMPLING: a source whose target exceeds its
+    * availability is repeated — `rate` epochs per doc, where the
+    * integer part replicates every doc and the fractional epoch is
+    * the usual ppm keep. One output row per (doc, epoch):
+    *
+    * `n_copies = (rate_ppm + 999999 - ppm) DIV 1000000`
+    *
+    * which reduces to the `ppm < rate_ppm` keep rule for rates <= 1
+    * (epoch 0 only) and is MONOTONE in `rate_ppm` for fixed ppm — so
+    * the budget-nesting contract extends across the upsampling
+    * boundary in both directions: a doc's copy k exists in every mix
+    * whose rate gives it more than k copies, and growing the budget
+    * never drops a (doc, epoch) row. Real pretraining mixtures repeat
+    * scarce high-quality sources 2-5 epochs; this is that knob, same
+    * determinism contract as [[mix]].
+    *
+    * Scale shape: identical to [[mix]] until the explode; the explode
+    * emits only the kept copies (integer DIV, no row ever carried for
+    * a dropped doc), so output volume is the mixture's token budget,
+    * not corpus size. The audit counts copies
+    * (`src_kept_copies`/`src_kept_tokens` include repetition). */
+  def mixEpochs(
+      df: DataFrame, textCol: String, idCol: String, sourceCol: String,
+      weights: Seq[(String, Double)], budgetTokens: Long, salt: String,
+      tokensOf: Column => Column = Pack.whitespaceTokens): DataFrame = {
+    require(weights.nonEmpty, "empty mixture")
+    require(weights.map(_._1).distinct.size == weights.size,
+      "duplicate source in mixture weights")
+    require(weights.forall(_._2 >= 0), "negative mixture weight")
+    val share = weights.foldRight(lit(0.0): Column) { case ((s, p), rest) =>
+      when(col("source") === s, p).otherwise(rest)
+    }
+    val base = df.select(
+        col(idCol).as("id"),
+        col(sourceCol).as("source"),
+        tokensOf(col(textCol)).as("n_tokens"),
+        bucketPpm(col(idCol), salt).as("ppm"))
+      .cache()
+    val rates = availability(base, share, budgetTokens)
+      .withColumnRenamed("rate_ppm_raw", "rate_ppm")
+    val kept = base.join(broadcast(rates), Seq("source"))
+      .withColumn("n_copies",
+        expr("(rate_ppm + 999999 - ppm) DIV 1000000"))
+      .filter(col("n_copies") > 0L)
+      .withColumn("epoch",
+        explode(sequence(lit(0L), col("n_copies") - 1L)))
+      .drop("ppm")
+      .cache()
+    val audit = kept.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("src_kept_copies"),
+        sum(col("n_tokens")).as("src_kept_tokens"))
+    kept.join(broadcast(audit), Seq("source"))
+      .select(col("id"), col("epoch"), col("source"), col("n_tokens"),
+        col("avail_docs"), col("avail_tokens"), col("target_tokens"),
+        col("rate_ppm"), col("n_copies"),
+        col("src_kept_copies"), col("src_kept_tokens"))
   }
 }

@@ -209,8 +209,9 @@ object CurationQueries extends graft.QueryModule {
        |    CASE source WHEN 'src0' THEN 0.4 WHEN 'src1' THEN 0.3
        |      WHEN 'src2' THEN 0.2 WHEN 'src3' THEN 0.1 ELSE 0.0 END
        |    * 3000.0) AS BIGINT) AS target_tokens FROM avail),
-       |rt AS (SELECT *, least(1000000, CAST(floor(
-       |    1000000.0 * target_tokens / avail_tokens) AS BIGINT))
+       |rt AS (SELECT *, CASE WHEN avail_tokens = 0 THEN 0
+       |    ELSE least(1000000, CAST(floor(
+       |    1000000.0 * target_tokens / avail_tokens) AS BIGINT)) END
        |    AS rate_ppm FROM tgt),
        |kept AS (SELECT b.doc_id, b.source, b.n_tokens, r.avail_docs,
        |    r.avail_tokens, r.target_tokens, r.rate_ppm
@@ -222,6 +223,51 @@ object CurationQueries extends graft.QueryModule {
        |  k.target_tokens, k.rate_ppm, a.src_kept_docs, a.src_kept_tokens
        |FROM kept k JOIN audit a USING (source)
        |ORDER BY doc_id""".stripMargin
+
+  /** Upsampling mixture ([[Mix.mixEpochs]]): the same 4-source
+    * whitelist at a budget large enough that the scarce high-weight
+    * sources repeat (rate > 1 — integer epochs via replication, the
+    * fractional epoch via the ppm bucket) while low-weight sources
+    * still downsample — both regimes in one entry, one row per
+    * (doc, epoch). */
+  def qMixEpochs(s: SparkSession, dir: String): DataFrame =
+    Mix.mixEpochs(Tables.documents(s, dir),
+        textCol = "text", idCol = "doc_id", sourceCol = "source",
+        weights = Seq("src0" -> 0.1, "src1" -> 0.2,
+          "src2" -> 0.3, "src3" -> 0.4),
+        budgetTokens = 100000L, salt = "mix7")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"), col("epoch"))
+
+  val qMixEpochsSql: String =
+    s"""WITH base AS (SELECT doc_id, source,
+       |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    ${Mix.bucketPpmSql("doc_id", "mix7")} AS ppm
+       |  FROM documents),
+       |avail AS (SELECT source, CAST(count(*) AS BIGINT) AS avail_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS avail_tokens
+       |  FROM base GROUP BY source),
+       |tgt AS (SELECT *, CAST(floor(
+       |    CASE source WHEN 'src0' THEN 0.1 WHEN 'src1' THEN 0.2
+       |      WHEN 'src2' THEN 0.3 WHEN 'src3' THEN 0.4 ELSE 0.0 END
+       |    * 100000.0) AS BIGINT) AS target_tokens FROM avail),
+       |rt AS (SELECT *, CASE WHEN avail_tokens = 0 THEN 0
+       |    ELSE CAST(floor(1000000.0 * target_tokens / avail_tokens)
+       |      AS BIGINT) END AS rate_ppm FROM tgt),
+       |cp AS (SELECT b.doc_id, b.source, b.n_tokens, r.avail_docs,
+       |    r.avail_tokens, r.target_tokens, r.rate_ppm,
+       |    (r.rate_ppm + 999999 - b.ppm) // 1000000 AS n_copies
+       |  FROM base b JOIN rt r USING (source)),
+       |kept AS (SELECT cp.*, unnest(generate_series(0, n_copies - 1))
+       |    AS epoch FROM cp WHERE n_copies > 0),
+       |audit AS (SELECT source, CAST(count(*) AS BIGINT) AS src_kept_copies,
+       |    CAST(sum(n_tokens) AS BIGINT) AS src_kept_tokens
+       |  FROM kept GROUP BY source)
+       |SELECT k.doc_id, k.epoch, k.source, k.n_tokens, k.avail_docs,
+       |  k.avail_tokens, k.target_tokens, k.rate_ppm, k.n_copies,
+       |  a.src_kept_copies, a.src_kept_tokens
+       |FROM kept k JOIN audit a USING (source)
+       |ORDER BY doc_id, epoch""".stripMargin
 
   /** Semantic decontamination: best eval-slice cosine per corpus
     * embedding (every 53rd vector plays the eval set, as in
@@ -310,6 +356,7 @@ object CurationQueries extends graft.QueryModule {
     "q_decontaminate" -> (qDecontaminate _),
     "q_decontaminate_semantic" -> (qDecontaminateSemantic _),
     "q_mix" -> (qMix _),
+    "q_mix_epochs" -> (qMixEpochs _),
     "q_pack" -> (qPack _),
     "q_pack_bpe" -> (qPackBpe _),
     "q_pack_bpe50k" -> (qPackBpe50k _),
@@ -322,6 +369,7 @@ object CurationQueries extends graft.QueryModule {
     "q_decontaminate" -> qDecontaminateSql,
     "q_decontaminate_semantic" -> qDecontaminateSemanticSql,
     "q_mix" -> qMixSql,
+    "q_mix_epochs" -> qMixEpochsSql,
     "q_pack" -> qPackSql,
     "q_pack_bpe" -> qPackBpeSql,
     "q_pack_bpe50k" -> qPackBpe50kSql,
