@@ -41,6 +41,130 @@ object EventStream {
       .withColumn("tsT", timestamp_micros(col("ts_us")))
   }
 
+  /** Numeric-aware name comparison: digit runs compare as numbers
+    * ("b2" before "b10"), everything else lexicographically — so
+    * UNPADDED numeric landing names replay in write order, where a
+    * plain lexicographic sort would silently reorder them (the exact
+    * disorder [[orderLanding]] exists to prevent). */
+  private[graft] def naturalCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    var zeroTie = 0 // total order: "2" before "02" when values equal
+    while (i < a.length && j < b.length) {
+      if (a.charAt(i).isDigit && b.charAt(j).isDigit) {
+        var i2 = i; while (i2 < a.length && a.charAt(i2).isDigit) i2 += 1
+        var j2 = j; while (j2 < b.length && b.charAt(j2).isDigit) j2 += 1
+        val da = a.substring(i, i2).dropWhile(_ == '0')
+        val db = b.substring(j, j2).dropWhile(_ == '0')
+        val c = if (da.length != db.length) da.length - db.length
+                else da.compareTo(db)
+        if (c != 0) return c
+        if (zeroTie == 0) zeroTie = (i2 - i) - (j2 - j)
+        i = i2; j = j2
+      } else {
+        val c = a.charAt(i).compareTo(b.charAt(j))
+        if (c != 0) return c
+        i += 1; j += 1
+      }
+    }
+    val rest = (a.length - i) - (b.length - j)
+    if (rest != 0) rest else zeroTie
+  }
+
+  import org.apache.hadoop.fs.{FileSystem, Path}
+
+  /** Landing entries under `glob` in replay-rank order, plus the
+    * leaf-file expansion (an entry may be a bare file or a Spark
+    * writer's directory of part files). `byName = true` ranks by
+    * numeric-aware name ([[naturalCompare]]) — a pure listing pass;
+    * `byName = false` ranks by per-entry min event time from parquet
+    * FOOTER statistics ([[footerMins]]) — still metadata-only. */
+  private def rankedEntries(
+      s: SparkSession, glob: String, byName: Boolean, eventTimeCol: String)
+      : (FileSystem, Seq[Path], Path => Seq[Path]) = {
+    val p = new Path(glob)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val entries = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+      .map(_.getPath)
+    def leaves(e: Path): Seq[Path] =
+      if (fs.getFileStatus(e).isFile) Seq(e)
+      else fs.listStatus(e).toSeq.filter(_.isFile).map(_.getPath)
+        .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+    val ordered: Seq[Path] =
+      if (byName)
+        entries.sortWith((x, y) => naturalCompare(x.getName, y.getName) < 0)
+      else {
+        val mins = footerMins(s, entries.flatMap(leaves), eventTimeCol)
+        def entryMin(e: Path): Long = {
+          val ms = leaves(e).map(_.toString).flatMap(mins.get)
+          if (ms.isEmpty) Long.MaxValue else ms.min
+        }
+        entries.sortBy(entryMin)
+      }
+    (fs, ordered, leaves)
+  }
+
+  /** Per-file min of `eventTimeCol` from parquet FOOTER row-group
+    * statistics — the manifest pass reads O(files) footers, never a
+    * data page, so at any corpus size its cost is the listing, not
+    * the data. Distributed over the file list (one tiny task per
+    * partition of paths). Files whose footers lack statistics for
+    * the column fall back to ONE data-scan restricted to exactly
+    * those files; zero-row files drop out (no row groups, no event
+    * time). */
+  private def footerMins(
+      s: SparkSession, files: Seq[Path], eventTimeCol: String): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    if (files.isEmpty) return Map.empty
+    val sconf = new org.apache.spark.util.SerializableConfiguration(
+      s.sparkContext.hadoopConfiguration)
+    val nParts = math.max(1, math.min(files.size,
+      s.sparkContext.defaultParallelism))
+    // (path, statsComplete, min) — statsComplete=false flags a footer
+    // with row groups but no usable stats for the column
+    val probed = s.sparkContext.parallelize(files.map(_.toString), nParts)
+      .map { pStr =>
+        import org.apache.parquet.format.converter.ParquetMetadataConverter
+        import org.apache.parquet.hadoop.ParquetFileReader
+        val footer = ParquetFileReader.readFooter(
+          sconf.value, new Path(pStr), ParquetMetadataConverter.NO_FILTER)
+        val blockMins = footer.getBlocks.asScala.map { blk =>
+          blk.getColumns.asScala
+            .find(_.getPath.toDotString == eventTimeCol)
+            .map(_.getStatistics)
+            .filter(st => st != null && st.hasNonNullValue)
+            .map(_.genericGetMin match {
+              case l: java.lang.Long => l.longValue()
+              case i: java.lang.Integer => i.longValue()
+              case other => sys.error(
+                s"unsupported event-time stats type: ${other.getClass}")
+            })
+        }
+        if (blockMins.isEmpty) (pStr, true, None) // zero-row file
+        else if (blockMins.forall(_.isDefined))
+          (pStr, true, Some(blockMins.flatten.min))
+        else (pStr, false, None)
+      }.collect()
+    val statless = probed.collect { case (p, false, _) => p }
+    val scanned: Map[String, Long] =
+      if (statless.isEmpty) Map.empty
+      else {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        s.read.parquet(statless.toIndexedSeq: _*)
+          .groupBy(input_file_name().as("f"))
+          .agg(min(col(eventTimeCol)).cast("long").as("t0"))
+          .collect()
+          .map(r => new java.net.URI(r.getString(0)).getPath -> r.getLong(1))
+          .toMap
+      }
+    probed.flatMap {
+      case (p, true, Some(m)) => Some(p -> m)
+      case (p, true, None) => None
+      case (p, false, _) =>
+        scanned.get(new java.net.URI(p).getPath).map(p -> _)
+    }.toMap
+  }
+
   /** Order a landing directory for multi-batch drains: the file
     * source picks files oldest-modification-first, so a
     * `maxFilesPerTrigger`-limited drain replays files in modtime
@@ -50,52 +174,92 @@ object EventStream {
     * equal to its batch twin:
     *
     *  - `byName = true` trusts upstream writer naming (part numbers,
-    *    date prefixes — the common landing-zone contract): pure
-    *    metadata pass, no data read.
-    *  - `byName = false` builds a per-file min-event-time manifest in
-    *    ONE distributed pass (grouped by `input_file_name`; the
-    *    collect is one slim row per file) and ranks by that — for
-    *    landing zones whose names don't encode order.
+    *    date prefixes — the common landing-zone contract), compared
+    *    numerically-aware so unpadded numbers order correctly: pure
+    *    listing pass, no data read.
+    *  - `byName = false` ranks by per-entry min event time read from
+    *    parquet FOOTER statistics ([[footerMins]]) — metadata-only
+    *    too; no data page is fetched at any corpus size.
     *
-    * O(files) metadata writes, zero data movement — at any corpus
-    * size the cost is the file listing. (Object stores that ignore
-    * `setTimes` need the manifest route into a copy/staging step
-    * instead; HDFS and local FS honor it.) Returns the ordered
-    * paths. */
+    * O(files) metadata writes, zero data movement. The rewrite is
+    * VERIFIED: object stores (S3A) ignore `setTimes` silently, and a
+    * silent no-op would corrupt exactly the cross-batch ordering this
+    * helper guarantees — so the first entry's modtime is read back
+    * and a mismatch throws, pointing at [[orderLandingStaged]] (the
+    * object-store-safe route). Returns the ordered paths. */
   def orderLanding(s: SparkSession, glob: String, byName: Boolean = true,
       eventTimeCol: String = "ts"): Seq[String] = {
-    import org.apache.hadoop.fs.Path
-    val p = new Path(glob)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val entries = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
-      .map(_.getPath)
-    // a landing "entry" may be a bare file or a directory of part
-    // files (a Spark writer's output); the source tracks leaf files
-    def leaves(e: Path): Seq[Path] =
-      if (fs.getFileStatus(e).isFile) Seq(e)
-      else fs.listStatus(e).toSeq.filter(_.isFile).map(_.getPath)
-        .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
-    val ordered: Seq[Path] =
-      if (byName) entries.sortBy(_.getName)
-      else {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val mins = s.read.parquet(glob)
-          .groupBy(input_file_name().as("f"))
-          .agg(min(col(eventTimeCol)).cast("long").as("t0"))
-          .collect()
-          .map(r => new java.net.URI(r.getString(0)).getPath -> r.getLong(1))
-          .toMap
-        def entryMin(e: Path): Long = {
-          val ms = leaves(e).map(_.toUri.getPath).flatMap(mins.get)
-          if (ms.isEmpty) Long.MaxValue else ms.min
-        }
-        entries.sortBy(entryMin)
-      }
+    val (fs, ordered, leaves) = rankedEntries(s, glob, byName, eventTimeCol)
     val base = System.currentTimeMillis() - ordered.size * 2000L
     ordered.zipWithIndex.foreach { case (e, i) =>
       (e +: leaves(e)).distinct.foreach(f => fs.setTimes(f, base + i * 1000L, -1L))
     }
+    // trust, then verify: one read-back catches filesystems that
+    // accept setTimes and do nothing (S3A contract). Tolerance covers
+    // second-granularity stores; an ignored call leaves the original
+    // write-time modtime, far outside it.
+    ordered.headOption.foreach { h =>
+      val probe = (h +: leaves(h)).distinct.last
+      val got = fs.getFileStatus(probe).getModificationTime
+      if (math.abs(got - base) > 1000L)
+        throw new IllegalStateException(
+          s"filesystem ${fs.getScheme} ignored setTimes on $probe " +
+            s"(wanted $base, still $got): modtime ordering is silently " +
+            "impossible here — use orderLandingStaged to copy the " +
+            "landing files into rank order instead")
+    }
     ordered.map(_.toString)
+  }
+
+  /** Object-store-safe ordering: COPY the landing entries into
+    * `stagingDir` in rank order instead of rewriting modtimes in
+    * place (which S3A ignores — [[orderLanding]] detects that and
+    * points here). Each staged entry gets a zero-padded rank-prefixed
+    * name, so both creation order and name order carry the ranking;
+    * copies are spaced past the filesystem's modtime granularity so
+    * their creation times strictly ascend even where `setTimes` is a
+    * no-op (the spacing wait triggers only when copies outrun the
+    * clock; `setTimes` is still attempted best-effort for stores that
+    * honor it). Point the stream at `stagingDir` and drain from
+    * there. Data moves once — the price of ordering on a store
+    * without mutable metadata; the manifest pass itself is still
+    * metadata-only. Returns the staged paths in rank order. */
+  def orderLandingStaged(
+      s: SparkSession, glob: String, stagingDir: String,
+      byName: Boolean = true, eventTimeCol: String = "ts"): Seq[String] = {
+    val (fs, ordered, leaves) = rankedEntries(s, glob, byName, eventTimeCol)
+    val conf = s.sparkContext.hadoopConfiguration
+    val stage = new Path(stagingDir)
+    val dstFs = stage.getFileSystem(conf)
+    dstFs.mkdirs(stage)
+    var prevMtime = 0L
+    val base = System.currentTimeMillis() - ordered.size * 2000L
+    ordered.zipWithIndex.map { case (e, i) =>
+      // spacing: never let two staged entries share a modtime tick
+      while (System.currentTimeMillis() <= prevMtime) Thread.sleep(1)
+      val dst = new Path(stage, f"$i%06d_${e.getName}")
+      org.apache.hadoop.fs.FileUtil.copy(fs, e, dstFs, dst,
+        false /* deleteSource */, true /* overwrite */, conf)
+      try {
+        // best-effort: honored on HDFS/local, ignored on S3A — the
+        // rank prefix + spaced creation times already carry the order
+        val targets =
+          if (dstFs.getFileStatus(dst).isFile) Seq(dst)
+          else dst +: dstFs.listStatus(dst).toSeq
+            .filter(_.isFile).map(_.getPath)
+        targets.foreach(f => dstFs.setTimes(f, base + i * 1000L, -1L))
+      } catch { case _: Exception => () }
+      // the file source orders by LEAF mtimes — track the max over
+      // the staged entry so the next entry's copies land strictly after
+      val staged =
+        if (dstFs.getFileStatus(dst).isFile) Seq(dst)
+        else dst +: dstFs.listStatus(dst).toSeq
+          .filter(_.isFile).map(_.getPath)
+      val entryMax = staged.map(f =>
+        dstFs.getFileStatus(f).getModificationTime).max
+      prevMtime = math.max(prevMtime, entryMax)
+      dst.toString
+    }
   }
 
   /** Event-time tumbling-window aggregation with a watermark: count +

@@ -303,6 +303,87 @@ class StreamSpec extends SparkSpec {
     assert(got(3L) === 1L && got(4L) === 1L && got(12L) === 1L)
   }
 
+  test("orderLanding byName compares digit runs numerically (b2 before b10)") {
+    import graft.streaming.EventStream.naturalCompare
+    assert(naturalCompare("b2", "b10") < 0)
+    assert(naturalCompare("b10", "b2") > 0)
+    assert(naturalCompare("b2", "b2") === 0)
+    assert(naturalCompare("b2", "b02") < 0)   // same number: fewer zeros first
+    assert(naturalCompare("b02", "b2") > 0)   // ...and the order is total
+    assert(naturalCompare("a9", "b1") < 0)
+    assert(naturalCompare("batch12part3", "batch12part10") < 0)
+    assert(naturalCompare("x", "x1") < 0)
+    // end-to-end: unpadded numeric names rank 2 before 10
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ordnat").toString
+    Seq(2, 10).foreach { i =>
+      Seq((i.toLong, i.toLong, i.toLong)).toDF("user_id", "event_id", "ts_us")
+        .coalesce(1).write.parquet(s"$tmp/in/b$i.parquet")
+    }
+    val ordered = EventStream.orderLanding(spark, s"$tmp/in/*.parquet",
+      byName = true)
+    assert(ordered.map(p => p.substring(p.lastIndexOf('/') + 1)) ===
+      Seq("b2.parquet", "b10.parquet"))
+  }
+
+  test("orderLanding throws loudly when the filesystem ignores setTimes") {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.nomtime.impl", classOf[NoMtimeFileSystem].getName)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nomt").toString
+    Seq((1L, 1L, 0L)).toDF("user_id", "event_id", "ts_us")
+      .coalesce(1).write.parquet(s"$tmp/in/b0.parquet")
+    val e = intercept[IllegalStateException] {
+      EventStream.orderLanding(spark, s"nomtime://x$tmp/in/*.parquet",
+        byName = true)
+    }
+    assert(e.getMessage.contains("ignored setTimes"))
+    assert(e.getMessage.contains("orderLandingStaged"))
+  }
+
+  test("orderLandingStaged orders a drain on a store that ignores setTimes") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.nomtime.impl", classOf[NoMtimeFileSystem].getName)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stage").toString
+    val gap = 100L
+    // names encode order; modtimes REVERSED (the in-place route would
+    // be required, but this store ignores setTimes)
+    val batches = Seq(
+      Seq((1L, 1L, 0L), (1L, 2L, 50L), (2L, 10L, 0L)),
+      Seq((1L, 3L, 300L), (2L, 11L, 30L)),
+      Seq((1L, 4L, 320L), (2L, 12L, 500L)))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("user_id", "event_id", "ts_us")
+        .coalesce(1).sortWithinPartitions("ts_us", "event_id")
+        .write.parquet(s"$tmp/in/b$i.parquet")
+      val d = new java.io.File(s"$tmp/in/b$i.parquet")
+      (d +: d.listFiles().toSeq).foreach(_.setLastModified(1000000L * (9 - i)))
+    }
+    val staged = EventStream.orderLandingStaged(spark,
+      s"nomtime://x$tmp/in/*.parquet", s"nomtime://x$tmp/staged")
+    assert(staged.map(p => p.substring(p.lastIndexOf('/') + 1)) ===
+      Seq("000000_b0.parquet", "000001_b1.parquet", "000002_b2.parquet"))
+    // the staged landing replays in event order on the plain local
+    // view of the same directory (data was copied, not re-timed)
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_id", LongType),
+      StructField("ts_us", LongType)))
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/staged/*.parquet")
+    val got = EventStream.runToMemory(spark,
+      EventStream.sessionizeStatefulSorted(spark, src, gapUs = gap),
+      "t_staged", org.apache.spark.sql.streaming.OutputMode.Append)
+      .select("event_id", "session_idx").as[(Long, Long)].collect().toMap
+    val want = EventStream.sessionizeBatch(
+        batches.flatten.toDF("user_id", "event_id", "ts_us"), gap)
+      .select("event_id", "session_idx").as[(Long, Long)].collect().toMap
+    assert(got === want)
+    assert(got(3L) === 1L && got(4L) === 1L && got(12L) === 1L)
+  }
+
   test("orderLanding manifest ranks by min event time when names mislead") {
     import spark.implicits._
     import org.apache.spark.sql.types._
@@ -321,8 +402,28 @@ class StreamSpec extends SparkSpec {
       val d = new java.io.File(s"$tmp/in/$name.parquet")
       (d +: d.listFiles().toSeq).foreach(_.setLastModified(1000000L * (7 - 2 * i)))
     }
-    val ordered = EventStream.orderLanding(spark, s"$tmp/in/*.parquet",
-      byName = false, eventTimeCol = "ts_us")
+    // the manifest must come from parquet FOOTER stats only — no SQL
+    // data scan may run during the ranking pass (at 100 TB the
+    // difference is the whole job)
+    val sqlSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { sqlSeen.incrementAndGet(); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val ordered =
+      try {
+        val o = EventStream.orderLanding(spark, s"$tmp/in/*.parquet",
+          byName = false, eventTimeCol = "ts_us")
+        org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(spark)
+        assert(sqlSeen.get === 0,
+          "manifest pass ran a SQL scan — footer stats should suffice")
+        o
+      } finally spark.listenerManager.unregister(listener)
     assert(ordered.map(p => p.substring(p.lastIndexOf('/') + 1)) ===
       Seq("z0.parquet", "a1.parquet", "m2.parquet"))
     val schema = StructType(Seq(
