@@ -122,13 +122,17 @@ object Bench {
     def timeQuery(name: String, runs: Int): Double =
       (0 until runs).map { _ =>
         val t0 = System.nanoTime()
-        try { SparkEntry.queries(name)(spark, sfDir).count() } catch {
+        try graft.core.CacheScope.withScope {
+          SparkEntry.queries(name)(spark, sfDir).count()
+          ()
+        } catch {
           case e: Throwable =>
             if (!errors.contains(name)) errors += name
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        // queries cache intermediates for their own multi-consumer
-        // plans; drop them between runs so each run is cold
+        // belt-and-braces on top of the per-run CacheScope: drop
+        // anything an operator cached OUTSIDE the scope contract so
+        // each run is cold
         spark.catalog.clearCache()
         (System.nanoTime() - t0) / 1e9
       }.min

@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.HashParity
+import graft.core.CacheScope.Scoped
 
 /** Deduplication operators for a training-data pipeline.
   *
@@ -67,7 +68,7 @@ object Dedup {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
     val sh = cappedIndex(wordShingles(df, textCol, idCol, n), maxDf)
       .withColumn("n_g", count(lit(1)).over(w))
-      .cache()
+      .scopedCache()
     val a = sh.select(col("id").as("id1"), col("n_g").as("n1"), col("g"))
     val b = sh.select(col("id").as("id2"), col("n_g").as("n2"), col("g"))
     a.join(b, Seq("g"))
@@ -244,7 +245,7 @@ object Dedup {
     // bit-counter aggregate) — the measured multi-consumer trap
     val bucketed = sh.withColumn("bucket",
       shiftrightunsigned(col("simhash"), SimhashBits - bucketBits))
-      .cache()
+      .scopedCache()
     val a = bucketed.select(col("bucket"), col("id").as("id1"), col("simhash").as("f1"))
     val b = bucketed.select(col("bucket"), col("id").as("id2"), col("simhash").as("f2"))
     a.join(b, Seq("bucket"))
@@ -291,7 +292,7 @@ object Dedup {
       .select(col("id"), col("simhash"), explode(array(bands: _*)).as("b"))
       .select(col("id"), col("simhash"),
         col("b.band").as("band"), col("b.bv").as("bv"))
-      .cache()
+      .scopedCache()
     val a = banded.select(col("band"), col("bv"),
       col("id").as("id1"), col("simhash").as("f1"))
     val b = banded.select(col("band"), col("bv"),

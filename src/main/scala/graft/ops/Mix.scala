@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.HashParity
+import graft.core.CacheScope.Scoped
 
 /** Source mixing: sample each source at the rate that hits a target
   * token mixture — the curation step between "deduped, quality-gated
@@ -60,14 +61,14 @@ object Mix {
         col(sourceCol).as("source"),
         tokensOf(col(textCol)).as("n_tokens"),
         bucketPpm(col(idCol), salt).as("ppm"))
-      .cache()
+      .scopedCache()
     val rates = availability(base, share, budgetTokens)
       .withColumn("rate_ppm", least(lit(1000000L), col("rate_ppm_raw")))
       .drop("rate_ppm_raw")
     val kept = base.join(broadcast(rates), Seq("source"))
       .filter(col("ppm") < col("rate_ppm"))
       .drop("ppm")
-      .cache()
+      .scopedCache()
     val audit = kept.groupBy(col("source"))
       .agg(
         count(lit(1)).as("src_kept_docs"),
@@ -132,7 +133,7 @@ object Mix {
         col(sourceCol).as("source"),
         tokensOf(col(textCol)).as("n_tokens"),
         bucketPpm(col(idCol), salt).as("ppm"))
-      .cache()
+      .scopedCache()
     val rates = availability(base, share, budgetTokens)
       .withColumnRenamed("rate_ppm_raw", "rate_ppm")
     val kept = base.join(broadcast(rates), Seq("source"))
@@ -142,7 +143,7 @@ object Mix {
       .withColumn("epoch",
         explode(sequence(lit(0L), col("n_copies") - 1L)))
       .drop("ppm")
-      .cache()
+      .scopedCache()
     val audit = kept.groupBy(col("source"))
       .agg(
         count(lit(1)).as("src_kept_copies"),

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorExprs.dotFast
+import graft.core.CacheScope.Scoped
 
 /** Similarity search over an embedding column (`Array[Float]`).
   *
@@ -116,7 +117,7 @@ object Similarity {
   def lshNearestNeighbor(emb: DataFrame, nBits: Int = 8): DataFrame = {
     // bucket assignment feeds both join sides — cache, don't recompute
     val e = prepared(emb)
-      .withColumn("bucket", lshBucket(col("v"), nBits)).cache()
+      .withColumn("bucket", lshBucket(col("v"), nBits)).scopedCache()
     val a = e.select(col("bucket"), col("vec_id").as("q_id"),
       col("v").as("qv"), col("nrm").as("qn"))
     val scored = e.join(a, Seq("bucket"))

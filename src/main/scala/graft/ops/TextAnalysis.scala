@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import graft.core.CacheScope.Scoped
 
 /** Text-analysis operators for a training-data pipeline: token
   * counting, quality scoring, stopword-vote language ID, document
@@ -149,7 +150,7 @@ object TextAnalysis {
       .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
     // the tf frame feeds two consumers (df aggregate + scoring join)
     val tf = tok.groupBy(col("id"), col("term"))
-      .agg(count(lit(1)).as("tf")).cache()
+      .agg(count(lit(1)).as("tf")).scopedCache()
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = df.agg(count_distinct(col(idCol)).as("n_docs"))
     val w = Window.partitionBy(col("id"))

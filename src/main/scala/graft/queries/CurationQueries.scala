@@ -197,10 +197,10 @@ object CurationQueries extends graft.QueryModule {
       .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"))
 
-  val qMixSql: String =
+  private def mixSql(toksExpr: String, budget: Long, salt: String): String =
     s"""WITH base AS (SELECT doc_id, source,
-       |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
-       |    ${Mix.bucketPpmSql("doc_id", "mix6")} AS ppm
+       |    $toksExpr AS n_tokens,
+       |    ${Mix.bucketPpmSql("doc_id", salt)} AS ppm
        |  FROM documents),
        |avail AS (SELECT source, CAST(count(*) AS BIGINT) AS avail_docs,
        |    CAST(sum(n_tokens) AS BIGINT) AS avail_tokens
@@ -208,7 +208,7 @@ object CurationQueries extends graft.QueryModule {
        |tgt AS (SELECT *, CAST(floor(
        |    CASE source WHEN 'src0' THEN 0.4 WHEN 'src1' THEN 0.3
        |      WHEN 'src2' THEN 0.2 WHEN 'src3' THEN 0.1 ELSE 0.0 END
-       |    * 3000.0) AS BIGINT) AS target_tokens FROM avail),
+       |    * $budget.0) AS BIGINT) AS target_tokens FROM avail),
        |rt AS (SELECT *, CASE WHEN avail_tokens = 0 THEN 0
        |    ELSE least(1000000, CAST(floor(
        |    1000000.0 * target_tokens / avail_tokens) AS BIGINT)) END
@@ -223,6 +223,28 @@ object CurationQueries extends graft.QueryModule {
        |  k.target_tokens, k.rate_ppm, a.src_kept_docs, a.src_kept_tokens
        |FROM kept k JOIN audit a USING (source)
        |ORDER BY doc_id""".stripMargin
+
+  val qMixSql: String =
+    mixSql("CAST(len(str_split(text, ' ')) AS BIGINT)", 3000L, "mix6")
+
+  /** Source mixing budgeted in the PRODUCTION token currency: the
+    * same whitelist mixture with per-doc/per-source token accounting
+    * done by the 50k-piece trie ([[Bpe.prodTokenCount]]) instead of
+    * whitespace words — availability, targets, rates, and the kept
+    * audit all in real tokenizer units, which is what a training
+    * budget actually buys. Oracle replays the closed form. */
+  def qMixBpe50k(s: SparkSession, dir: String): DataFrame =
+    Mix.mix(Tables.documents(s, dir),
+        textCol = "text", idCol = "doc_id", sourceCol = "source",
+        weights = Seq("src0" -> 0.4, "src1" -> 0.3,
+          "src2" -> 0.2, "src3" -> 0.1),
+        budgetTokens = 8000L, salt = "mix50k",
+        tokensOf = Bpe.prodTokenCount)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
+  val qMixBpe50kSql: String =
+    mixSql(Bpe.prodTokensSqlExpr("text"), 8000L, "mix50k")
 
   /** Upsampling mixture ([[Mix.mixEpochs]]): the same 4-source
     * whitelist at a budget large enough that the scarce high-weight
@@ -356,6 +378,7 @@ object CurationQueries extends graft.QueryModule {
     "q_decontaminate" -> (qDecontaminate _),
     "q_decontaminate_semantic" -> (qDecontaminateSemantic _),
     "q_mix" -> (qMix _),
+    "q_mix_bpe50k" -> (qMixBpe50k _),
     "q_mix_epochs" -> (qMixEpochs _),
     "q_pack" -> (qPack _),
     "q_pack_bpe" -> (qPackBpe _),
@@ -369,6 +392,7 @@ object CurationQueries extends graft.QueryModule {
     "q_decontaminate" -> qDecontaminateSql,
     "q_decontaminate_semantic" -> qDecontaminateSemanticSql,
     "q_mix" -> qMixSql,
+    "q_mix_bpe50k" -> qMixBpe50kSql,
     "q_mix_epochs" -> qMixEpochsSql,
     "q_pack" -> qPackSql,
     "q_pack_bpe" -> qPackBpeSql,

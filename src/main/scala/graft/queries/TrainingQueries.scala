@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.ops._
+import graft.core.CacheScope.Scoped
 
 /** Training-data pipeline queries over `documents` / `embeddings`:
   * dedup family, similarity search, text analysis, multimodal
@@ -137,8 +138,8 @@ object TrainingQueries extends graft.QueryModule {
   def qMinhashDedup(s: SparkSession, dir: String): DataFrame = {
     val sh = Dedup.cappedIndex(
       Dedup.wordShingles(Tables.documents(s, dir), "text", "doc_id"), 1000L)
-    val sig = Dedup.minhashSignatures(sh, 64).cache()
-    val cands = Dedup.minhashCandidates(Dedup.lshBands(sig, 64, 4)).cache()
+    val sig = Dedup.minhashSignatures(sh, 64).scopedCache()
+    val cands = Dedup.minhashCandidates(Dedup.lshBands(sig, 64, 4)).scopedCache()
     val counts = cands.select(col("id1").as("id"))
       .union(cands.select(col("id2").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("n_candidates"))
@@ -200,7 +201,7 @@ object TrainingQueries extends graft.QueryModule {
     val sh = Dedup.cappedIndex(
       Dedup.wordShingles(docs, "text", "doc_id"), 1000L)
     val cands = Dedup.minhashCandidates(
-      Dedup.lshBands(Dedup.minhashSignatures(sh, 64), 64, 4)).cache()
+      Dedup.lshBands(Dedup.minhashSignatures(sh, 64), 64, 4)).scopedCache()
     val labels = Components.connectedComponents(
       docs.select(col("doc_id").as("id")), cands)
     Components.withClusterSizes(labels)
@@ -240,7 +241,7 @@ object TrainingQueries extends graft.QueryModule {
       Dedup.wordShingles(docs, "text", "doc_id"), 1000L)
     // both the new and standing sides read the banded frame
     val bands = Dedup.lshBands(Dedup.minhashSignatures(sh, 64), 64, 4)
-      .cache()
+      .scopedCache()
     val cands = Dedup.incrementalCandidates(
       bands.filter(pmod(col("id"), lit(5)) === 0),
       bands.filter(pmod(col("id"), lit(5)) =!= 0))
@@ -291,13 +292,13 @@ object TrainingQueries extends graft.QueryModule {
       .filter(col("df") > 1000L).select("g")
     // each side feeds its signature build AND the verify join
     val oldSh = Dedup.shingleRowsWithCounts(
-      oldSh0.join(hot, Seq("g"), "left_anti")).cache()
+      oldSh0.join(hot, Seq("g"), "left_anti")).scopedCache()
     val newSh = Dedup.shingleRowsWithCounts(
-      newSh0.join(hot, Seq("g"), "left_anti")).cache()
+      newSh0.join(hot, Seq("g"), "left_anti")).scopedCache()
     val oldBands = Dedup.lshBands(
       Dedup.minhashSignatures(oldSh.select("id", "g"), 64), 64, 4)
     val newBands = Dedup.lshBands(
-      Dedup.minhashSignatures(newSh.select("id", "g"), 64), 64, 4).cache()
+      Dedup.minhashSignatures(newSh.select("id", "g"), 64), 64, 4).scopedCache()
     val rep = Dedup.admissionReport(
       docs.filter(pmod(col("doc_id"), lit(5)) === 0)
         .select(col("doc_id").as("id")),
@@ -409,7 +410,7 @@ object TrainingQueries extends graft.QueryModule {
     val idx = Dedup.cappedIndex(
         Dedup.wordShingles(docs, "text", "doc_id"), 1000L)
       .withColumn("n_g", count(lit(1)).over(w))
-      .cache()
+      .scopedCache()
     val cands = Dedup.minhashCandidates(
       Dedup.lshBands(Dedup.minhashSignatures(idx.select("id", "g"), 64), 64, 4))
     val a = idx.select(col("id").as("id1"), col("g"), col("n_g").as("n1"))
@@ -427,7 +428,7 @@ object TrainingQueries extends graft.QueryModule {
       .join(docs.select(col("doc_id").as("id"),
         size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")),
         Seq("id"))
-      .cache()
+      .scopedCache()
     val stats = keep.agg(
       sum(col("keep")).as("kept_docs"),
       sum(col("keep") * col("n_tokens")).as("kept_tokens"))

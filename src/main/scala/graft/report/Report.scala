@@ -2,6 +2,7 @@ package graft.report
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.core.CacheScope.Scoped
 
 /** The full report lifecycle (reference report_generator.py:21-431,
   * SURVEY §3.1 step 5), config-driven over one cached runs frame:
@@ -44,7 +45,7 @@ object Report {
     for (id <- idCol; attr <- attrCol)
       df = Tenancy.enrich(df, id, attr)
     df = RunRecords.prune(df, spec.ignoreFromAll)
-    df.cache()
+    df.scopedCache()
 
     val raw = RunRecords.sortedColumns(df)
     val groups = spec.normalizedGroups(df.columns.toSet)
