@@ -384,6 +384,69 @@ class StreamSpec extends SparkSpec {
     assert(got(3L) === 1L && got(4L) === 1L && got(12L) === 1L)
   }
 
+  test("streaming admission loop dedups each micro-batch against everything admitted before it") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import graft.streaming.DedupStream
+    val tmp = java.nio.file.Files.createTempDirectory("graft_admstream").toString
+    val tA = "a b c d e f g h"
+    val tC = "p q r s t u v w"
+    val tD = "j k l m n o p q"
+    // b0 founds the corpus; b1 copies an admitted doc and adds one;
+    // b2 copies docs admitted in DIFFERENT earlier batches plus a
+    // copy-of-a-copy (3 duplicates tC via 4) and one new doc
+    val batches = Seq(
+      Seq((1L, tA), (2L, "x y z w v u t s")),
+      Seq((3L, tA), (4L, tC)),
+      Seq((5L, tC), (6L, "x y z w v u t s"), (7L, tD)))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.parquet(s"$tmp/in/b$i.parquet")
+    }
+    EventStream.orderLanding(spark, s"$tmp/in/*.parquet", byName = true)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/in/*.parquet")
+    val decisions = DedupStream.runAdmit(spark, stream, "text", "doc_id",
+        s"$tmp/index", s"$tmp/decisions", s"$tmp/ckpt")
+      .collect().map { r =>
+        r.getLong(r.fieldIndex("id")) ->
+          (r.getLong(r.fieldIndex("admitted")),
+           if (r.isNullAt(r.fieldIndex("best_old_match"))) -1L
+           else r.getLong(r.fieldIndex("best_old_match")))
+      }.toMap
+    assert(decisions.keySet === Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+    assert(decisions(1L)._1 === 1L && decisions(2L)._1 === 1L) // founders admitted
+    assert(decisions(3L) === (0L, 1L))  // copy of batch-0 admit: rejected vs 1
+    assert(decisions(4L)._1 === 1L)     // genuinely new: admitted
+    assert(decisions(5L) === (0L, 4L))  // copy of batch-1 admit: rejected vs 4
+    assert(decisions(6L) === (0L, 2L))  // cross-batch copy: rejected vs 2
+    assert(decisions(7L)._1 === 1L)
+    // the index holds exactly the admitted docs — rejected ones never
+    // entered it
+    val indexed = spark.read.parquet(s"$tmp/index/bands")
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    assert(indexed === Set(1L, 2L, 4L, 7L))
+    // and the streamed decision log equals running the batch
+    // admission cycle sequentially (batch twin)
+    val seqDir = java.nio.file.Files.createTempDirectory("graft_admseq").toString
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      DedupStream.admitBatch(spark, rows.toDF("doc_id", "text"),
+        "text", "doc_id", s"$seqDir/index", s"$seqDir/decisions",
+        i.toLong, threshold = 0.5, maxDf = 1000L)
+    }
+    val want = spark.read.parquet(s"$seqDir/decisions")
+      .collect().map { r =>
+        r.getLong(r.fieldIndex("id")) ->
+          (r.getLong(r.fieldIndex("admitted")),
+           if (r.isNullAt(r.fieldIndex("best_old_match"))) -1L
+           else r.getLong(r.fieldIndex("best_old_match")))
+      }.toMap
+    assert(decisions === want)
+  }
+
   test("orderLanding manifest ranks by min event time when names mislead") {
     import spark.implicits._
     import org.apache.spark.sql.types._
