@@ -80,6 +80,29 @@ final class ByteTrie(pieces: Seq[String]) extends Serializable {
     }
     n
   }
+
+  /** Greedy longest-match SEGMENTATION: the token pieces themselves
+    * (vocab matches + single-code-point fallbacks), as catalyst array
+    * data — same walk as [[countTokens]], materializing slices. */
+  def tokenize(s: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val b = s.getBytes
+    val out = new scala.collection.mutable.ArrayBuffer[AnyRef](
+      math.max(8, b.length / 3))
+    var i = 0
+    while (i < b.length) {
+      val m = longestMatch(b, i)
+      val w =
+        if (m > 0) m
+        else {
+          val lead = b(i) & 0xff
+          if (lead < 0x80) 1 else if (lead < 0xe0) 2
+          else if (lead < 0xf0) 3 else 4
+        }
+      out += UTF8String.fromBytes(b, i, math.min(w, b.length - i))
+      i += w
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
 }
 
 object ByteTrie {
@@ -151,7 +174,37 @@ case class BpeTokenCount(child: Expression, vocab: Seq[String])
     copy(child = newChild)
 }
 
+/** Greedy longest-match segmentation as a native expression: the
+  * token ARRAY under the vocab — [[BpeTokenCount]]'s walk emitting
+  * the pieces, for subword-level statistics and piece-faithful
+  * downstream features at any vocabulary size. */
+case class BpeTokenize(child: Expression, vocab: Seq[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "bpe_tokenize"
+
+  @transient private lazy val trie = new ByteTrie(vocab)
+
+  override def nullSafeEval(input: Any): Any =
+    trie.tokenize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val trieRef = ctx.addReferenceObj("bpeTrie", trie,
+      classOf[ByteTrie].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $trieRef.tokenize($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object BpeExprs {
   def tokenCountFast(text: Column, vocab: Seq[String]): Column =
     Bridge.column(BpeTokenCount(Bridge.expression(text), vocab))
+
+  def tokenizeFast(text: Column, vocab: Seq[String]): Column =
+    Bridge.column(BpeTokenize(Bridge.expression(text), vocab))
 }

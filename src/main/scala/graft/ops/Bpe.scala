@@ -89,6 +89,12 @@ object Bpe {
   def tokenCountFast(c: Column, pieces: Seq[String]): Column =
     graft.functions.BpeExprs.tokenCountFast(c, pieces)
 
+  /** Token ARRAY through the trie — result-identical to [[tokens]]
+    * (property-pinned in BpeSpec) but vocabulary-size-independent,
+    * for subword-level statistics at the production vocab scale. */
+  def tokensFast(c: Column, pieces: Seq[String]): Column =
+    graft.functions.BpeExprs.tokenizeFast(c, pieces)
+
   /** Checked-in vocabulary fixture: `learnVocab` over the sf0.01
     * documents corpus, k=160 (BpeSpec asserts the file matches the
     * operator's output bit-for-bit). A production pipeline would

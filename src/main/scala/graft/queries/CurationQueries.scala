@@ -291,6 +291,44 @@ object CurationQueries extends graft.QueryModule {
        |FROM kept k JOIN audit a USING (source)
        |ORDER BY doc_id, epoch""".stripMargin
 
+  /** Subword-piece frequencies under the production 50k vocab: the
+    * token-ARRAY trie path ([[Bpe.tokensFast]]) exploded and counted,
+    * top 50 pieces — the vocabulary-usage profile a tokenizer owner
+    * audits (which pieces actually fire on this corpus). The oracle
+    * re-derives the SEGMENTATION (not just counts) from the vocab's
+    * closed form: first-piece 4-cut, 3-chunks, code-point fallbacks. */
+  def qSubwords(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(Bpe.tokensFast(col("text"), Bpe.prodVocab)).as("piece"))
+      .groupBy(col("piece")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("piece"))
+      .limit(50)
+
+  val qSubwordsSql: String = {
+    val k1 = s"CASE WHEN length(m)-1 >= 4 AND substr(m,2,4) < '${Bpe.ProdVocab4Cut}' " +
+      "THEN 4 ELSE least(length(m)-1, 3) END"
+    s"""WITH seg AS (SELECT doc_id,
+       |    unnest(regexp_extract_all(text, ' [a-z]+|[a-z]+|[\\s\\S]')) AS m
+       |  FROM documents),
+       |pieces AS (SELECT doc_id, unnest(
+       |  CASE
+       |    WHEN substr(m,1,1) = ' ' AND length(m) >= 2 THEN
+       |      list_concat(
+       |        [' ' || substr(m, 2, $k1)],
+       |        list_transform(
+       |          generate_series(1,
+       |            CAST(ceil((length(m) - 1 - ($k1)) / 3.0) AS BIGINT)),
+       |          i -> substr(m, 2 + ($k1) + 3*(i-1), 3)))
+       |    WHEN regexp_matches(m, '^[a-z]+$$') THEN
+       |      list_transform(
+       |        generate_series(1, CAST(ceil(length(m)/3.0) AS BIGINT)),
+       |        i -> substr(m, 1 + 3*(i-1), 3))
+       |    ELSE [m] END) AS piece FROM seg)
+       |SELECT piece, CAST(count(*) AS BIGINT) AS n
+       |FROM pieces GROUP BY piece
+       |ORDER BY n DESC, piece LIMIT 50""".stripMargin
+  }
+
   /** Semantic decontamination: best eval-slice cosine per corpus
     * embedding (every 53rd vector plays the eval set, as in
     * [[qDecontaminate]]). */
@@ -384,6 +422,7 @@ object CurationQueries extends graft.QueryModule {
     "q_pack_bpe" -> (qPackBpe _),
     "q_pack_bpe50k" -> (qPackBpe50k _),
     "q_repetition" -> (qRepetition _),
+    "q_subwords" -> (qSubwords _),
     "q_text_clean" -> (qTextClean _))
 
   def oracleSql: Map[String, String] = Map(
@@ -398,5 +437,6 @@ object CurationQueries extends graft.QueryModule {
     "q_pack_bpe" -> qPackBpeSql,
     "q_pack_bpe50k" -> qPackBpe50kSql,
     "q_repetition" -> qRepetitionSql,
+    "q_subwords" -> qSubwordsSql,
     "q_text_clean" -> qTextCleanSql)
 }

@@ -173,6 +173,33 @@ class BpeSpec extends SparkSpec {
     advGot.foreach { case (t, n) => assert(n === prodClosedForm(t), s"'$t'") }
   }
 
+  test("trie tokenize array equals the regex tokens path (pieces, not just counts)") {
+    val rnd = new scala.util.Random(99)
+    def word() = (1 to 1 + rnd.nextInt(4))
+      .map(_ => "ab" (rnd.nextInt(2))).mkString
+    val vocab = (1 to 24)
+      .map(_ => (if (rnd.nextBoolean()) " " else "") + word())
+      .distinct
+    val texts = (0 until 200).map { i =>
+      (i.toLong, (1 to rnd.nextInt(14)).map(_ => word()).mkString(" "))
+    } ++ Seq((900L, ""), (901L, "low𝄞er 99"), (902L, "  "))
+    val r = texts.toDF("id", "t")
+      .select(
+        Bpe.tokens(col("t"), vocab).as("regex"),
+        Bpe.tokensFast(col("t"), vocab).as("trie"))
+      .collect()
+    r.foreach { row =>
+      assert(row.getSeq[String](0) === row.getSeq[String](1))
+    }
+    // and under the 50k prodVocab on real corpus text
+    val docs = graft.core.Tables.documents(spark, sf)
+    val bad = docs.select(
+        Bpe.tokens(col("text"), Bpe.prodVocab.take(500)).as("regex"),
+        Bpe.tokensFast(col("text"), Bpe.prodVocab.take(500)).as("trie"))
+      .filter(col("regex") =!= col("trie")).count()
+    assert(bad === 0L)
+  }
+
   // ---- merge-ranked (true) BPE -------------------------------------------
 
   test("learnMerges reproduces the hand-computed Sennrich sequence") {
