@@ -64,9 +64,32 @@ object BpeBench {
       }
       out
     }
-    val json = rows.map { case (p, path, d, s, md) =>
+    // merge-ranked path at fixture (127 rules) and production
+    // (~50k rules) scale: a valid ordered merge list synthesized from
+    // prodVocab's prefix structure — each multi-char piece is built
+    // by merging its (already-created) prefix with its last char,
+    // parents ranked before children, so every rule's inputs exist
+    // when it fires. Shows the merge loop + per-executor word memo
+    // hold at real merges-file size.
+    val prodMerges: Seq[(String, String)] = Bpe.prodVocab
+      .filter(p => p.length > 1 && p != " ")
+      .sortBy(p => (p.length, p))
+      .map(p => (p.substring(0, p.length - 1), p.substring(p.length - 1)))
+    val mergeTiers = Seq(
+      "fixture" -> Bpe.fixtureMerges,
+      s"synthetic-${prodMerges.size}" -> prodMerges)
+    val mergeRows = mergeTiers.map { case (label, merges) =>
+      val sec = minOf3(
+        docs.select(sum(Bpe.mergeTokenCount(col("text"), merges)))
+          .collect()(0).getLong(0))
+      println(f"${merges.size}%8d ${"merge"}%6s $nDocs%6d $sec%10.3f ${sec * 1000 / nDocs}%10.3f")
+      (label, merges.size, sec, sec * 1000 / nDocs)
+    }
+    val json = (rows.map { case (p, path, d, s, md) =>
       s"""{"pieces":$p,"path":"$path","docs":$d,"sec":$s,"ms_per_doc":$md}"""
-    }.mkString("[", ",", "]")
+    } ++ mergeRows.map { case (l, n, s, md) =>
+      s"""{"merges":$n,"path":"merge-$l","docs":$nDocs,"sec":$s,"ms_per_doc":$md}"""
+    }).mkString("[", ",", "]")
     println(json)
     spark.stop()
   }

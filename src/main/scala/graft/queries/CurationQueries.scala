@@ -168,6 +168,67 @@ object CurationQueries extends graft.QueryModule {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Context packing budgeted by MERGE-RANKED BPE tokens — the
+    * currency of a pipeline that loaded a published tokenizer's
+    * merges file. Same sharded prefix-sum layout; the oracle composes
+    * the recursive merge replay (per-distinct-word fixpoint, joined
+    * back per doc) with the pack layout SQL. */
+  def qPackMerges(s: SparkSession, dir: String): DataFrame =
+    Pack.packSummary(Tables.documents(s, dir),
+      textCol = "text", idCol = "doc_id", budget = 1024L, nShards = 8,
+      tokensOf = c => Bpe.mergeTokenCount(c, Bpe.fixtureMerges))
+
+  val qPackMergesSql: String = {
+    val lst = Bpe.fixtureMerges.map { case (a, b) => s"'$a|$b'" }
+      .mkString("[", ",", "]")
+    s"""WITH RECURSIVE
+       |mg AS (SELECT $lst AS l),
+       |pt AS (SELECT doc_id, unnest(regexp_extract_all(text, ' ?[A-Za-z]+')) AS w
+       |       FROM documents),
+       |wcnt AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS n
+       |         FROM pt GROUP BY doc_id, w),
+       |words AS (SELECT DISTINCT w FROM pt),
+       |step(w, toks, it) AS (
+       |  SELECT w, regexp_extract_all(w, '[\\s\\S]'), 0 FROM words
+       |  UNION ALL
+       |  SELECT w,
+       |    list_concat(list_concat(toks[1:bp-1], [toks[bp] || toks[bp+1]]),
+       |      toks[bp+2:len(toks)]),
+       |    it + 1
+       |  FROM (SELECT w, toks, it,
+       |          list_position(pr, list_min(list_filter(pr, x -> x > 0))) AS bp
+       |        FROM (SELECT s.w, s.toks, s.it,
+       |                list_transform(generate_series(1, len(s.toks)-1),
+       |                  i -> list_position(mg.l, s.toks[i] || '|' || s.toks[i+1]))
+       |                  AS pr
+       |              FROM step s CROSS JOIN mg))
+       |  WHERE bp IS NOT NULL),
+       |final AS (SELECT w, toks FROM (
+       |    SELECT w, toks, row_number() OVER (PARTITION BY w ORDER BY it DESC)
+       |      AS rn FROM step) WHERE rn = 1),
+       |wtok AS (SELECT w, CAST(len(toks) AS BIGINT) AS nt FROM final),
+       |docw AS (SELECT doc_id, CAST(sum(n * nt) AS BIGINT) AS n_word_toks
+       |         FROM wcnt JOIN wtok USING (w) GROUP BY doc_id),
+       |fb AS (SELECT doc_id,
+       |         CAST(length(regexp_replace(text, ' ?[A-Za-z]+', '', 'g'))
+       |           AS BIGINT) AS n_fb FROM documents),
+       |d AS (SELECT dd.doc_id, md5(CAST(dd.doc_id AS VARCHAR)) AS k,
+       |    COALESCE(dw.n_word_toks, 0) + fb.n_fb AS toks
+       |  FROM documents dd
+       |  LEFT JOIN docw dw USING (doc_id) JOIN fb USING (doc_id)),
+       |s AS (SELECT *,
+       |    CAST('0x' || substr(k, 1, 7) AS BIGINT) % 8 AS shard FROM d),
+       |e AS (SELECT *, COALESCE(CAST(sum(toks) OVER (
+       |    PARTITION BY shard ORDER BY k, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+       |    0) AS excl FROM s),
+       |p AS (SELECT *, CAST(floor(excl / 1024) AS BIGINT) AS pack_id FROM e)
+       |SELECT shard, pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(toks) AS BIGINT) AS pack_tokens, min(doc_id) AS first_doc
+       |FROM p GROUP BY shard, pack_id
+       |ORDER BY shard, pack_id""".stripMargin
+  }
+
   /** BPE vocabulary learning: top-160 prefix-closed subword pieces by
     * merge savings over the documents corpus. The checked-in fixture
     * driving [[qPackBpe]] IS this query's output (BpeSpec pins that). */
@@ -421,6 +482,7 @@ object CurationQueries extends graft.QueryModule {
     "q_pack" -> (qPack _),
     "q_pack_bpe" -> (qPackBpe _),
     "q_pack_bpe50k" -> (qPackBpe50k _),
+    "q_pack_merges" -> (qPackMerges _),
     "q_repetition" -> (qRepetition _),
     "q_subwords" -> (qSubwords _),
     "q_text_clean" -> (qTextClean _))
@@ -436,6 +498,7 @@ object CurationQueries extends graft.QueryModule {
     "q_pack" -> qPackSql,
     "q_pack_bpe" -> qPackBpeSql,
     "q_pack_bpe50k" -> qPackBpe50kSql,
+    "q_pack_merges" -> qPackMergesSql,
     "q_repetition" -> qRepetitionSql,
     "q_subwords" -> qSubwordsSql,
     "q_text_clean" -> qTextCleanSql)
