@@ -390,6 +390,74 @@ object CurationQueries extends graft.QueryModule {
        |ORDER BY n DESC, piece LIMIT 50""".stripMargin
   }
 
+  /** The END-TO-END curation chain as one entry — what a pretraining
+    * data pipeline actually runs, composed from the library's own
+    * operators with no glue logic:
+    *
+    *  1. dedup keep-list ([[TrainingQueries.keepFrame]]: MinHash
+    *     candidates -> Jaccard verify -> components -> canonical per
+    *     cluster), keep only canonicals;
+    *  2. mix the deduped corpus to the 4-source target mixture
+    *     ([[Mix.mix]], deterministic salted sampling);
+    *  3. pack the mixture into fixed-token-budget training sequences
+    *     ([[Pack.packSummary]]).
+    *
+    * Output: the per-pack manifest of the final training layout. The
+    * oracle replays all three stages in one SQL statement (recursive
+    * keep-list closure -> mix rates -> pack prefix sums) — the
+    * strongest composition check in the suite: any drift in any stage
+    * moves pack boundaries downstream. */
+  def qCurationE2e(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val kept = docs.join(
+      TrainingQueries.keepFrame(docs).filter(col("keep") === 1L)
+        .select(col("id").as("doc_id")), Seq("doc_id"))
+    val mixed = Mix.mix(kept,
+      textCol = "text", idCol = "doc_id", sourceCol = "source",
+      weights = Seq("src0" -> 0.4, "src1" -> 0.3,
+        "src2" -> 0.2, "src3" -> 0.1),
+      budgetTokens = 2500L, salt = "cur7")
+    val selected = docs.join(
+      mixed.select(col("id").as("doc_id")), Seq("doc_id"))
+    Pack.packSummary(selected,
+      textCol = "text", idCol = "doc_id", budget = 512L, nShards = 8)
+  }
+
+  val qCurationE2eSql: String =
+    s"""WITH RECURSIVE ${TrainingQueries.keeplistCtes},
+       |keptdocs AS (SELECT d.doc_id, d.source, d.text
+       |  FROM documents d JOIN lbl ON lbl.doc_id = d.doc_id
+       |  WHERE lbl.cluster_id = d.doc_id),
+       |base AS (SELECT doc_id, source,
+       |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    ${Mix.bucketPpmSql("doc_id", "cur7")} AS ppm
+       |  FROM keptdocs),
+       |avail AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS avail_tokens
+       |  FROM base GROUP BY source),
+       |tgt AS (SELECT *, CAST(floor(
+       |    CASE source WHEN 'src0' THEN 0.4 WHEN 'src1' THEN 0.3
+       |      WHEN 'src2' THEN 0.2 WHEN 'src3' THEN 0.1 ELSE 0.0 END
+       |    * 2500.0) AS BIGINT) AS target_tokens FROM avail),
+       |rt AS (SELECT *, CASE WHEN avail_tokens = 0 THEN 0
+       |    ELSE least(1000000, CAST(floor(
+       |    1000000.0 * target_tokens / avail_tokens) AS BIGINT)) END
+       |    AS rate_ppm FROM tgt),
+       |mixkept AS (SELECT b.doc_id, b.n_tokens
+       |  FROM base b JOIN rt USING (source) WHERE b.ppm < rt.rate_ppm),
+       |pd AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS k,
+       |    n_tokens AS toks FROM mixkept),
+       |ps AS (SELECT *,
+       |    CAST('0x' || substr(k, 1, 7) AS BIGINT) % 8 AS shard FROM pd),
+       |pe AS (SELECT *, COALESCE(CAST(sum(toks) OVER (
+       |    PARTITION BY shard ORDER BY k, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+       |    0) AS excl FROM ps),
+       |pp AS (SELECT *, CAST(floor(excl / 512) AS BIGINT) AS pack_id FROM pe)
+       |SELECT shard, pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(toks) AS BIGINT) AS pack_tokens, min(doc_id) AS first_doc
+       |FROM pp GROUP BY shard, pack_id
+       |ORDER BY shard, pack_id""".stripMargin
+
   /** Semantic decontamination: best eval-slice cosine per corpus
     * embedding (every 53rd vector plays the eval set, as in
     * [[qDecontaminate]]). */
@@ -473,6 +541,7 @@ object CurationQueries extends graft.QueryModule {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_merges" -> (qBpeMerges _),
+    "q_curation_e2e" -> (qCurationE2e _),
     "q_bpe_vocab" -> (qBpeVocab _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_decontaminate_semantic" -> (qDecontaminateSemantic _),
@@ -489,6 +558,7 @@ object CurationQueries extends graft.QueryModule {
 
   def oracleSql: Map[String, String] = Map(
     "q_bpe_merges" -> qBpeMergesSql,
+    "q_curation_e2e" -> qCurationE2eSql,
     "q_bpe_vocab" -> qBpeVocabSql,
     "q_decontaminate" -> qDecontaminateSql,
     "q_decontaminate_semantic" -> qDecontaminateSemanticSql,

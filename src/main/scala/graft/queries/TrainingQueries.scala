@@ -404,8 +404,11 @@ object TrainingQueries extends graft.QueryModule {
     * signatures AND both sides of the verification join. Verification
     * fan-out is sum over candidate pairs of |shingles(id1)| — bounded
     * by the LSH candidate count, not corpus squared. */
-  def qDedupKeeplist(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+  /** The keep frame both [[qDedupKeeplist]] and the end-to-end
+    * curation chain ([[CurationQueries.qCurationE2e]]) consume:
+    * (id, cluster_id, cluster_size, keep, n_tokens), cached for the
+    * enclosing entry's scope. */
+  private[queries] def keepFrame(docs: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
     val idx = Dedup.cappedIndex(
         Dedup.wordShingles(docs, "text", "doc_id"), 1000L)
@@ -422,13 +425,18 @@ object TrainingQueries extends graft.QueryModule {
       .select("id1", "id2")
     val labels = Components.connectedComponents(
       docs.select(col("doc_id").as("id")), verified)
-    // feeds the audit aggregate AND the output rows
-    val keep = Components.withClusterSizes(labels)
+    Components.withClusterSizes(labels)
       .withColumn("keep", (col("id") === col("cluster_id")).cast("long"))
       .join(docs.select(col("doc_id").as("id"),
         size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")),
         Seq("id"))
       .scopedCache()
+  }
+
+  def qDedupKeeplist(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    // feeds the audit aggregate AND the output rows
+    val keep = keepFrame(docs)
     val stats = keep.agg(
       sum(col("keep")).as("kept_docs"),
       sum(col("keep") * col("n_tokens")).as("kept_tokens"))
@@ -439,11 +447,14 @@ object TrainingQueries extends graft.QueryModule {
       .orderBy(col("doc_id"))
   }
 
-  /** DuckDB replay of [[qDedupKeeplist]]: same candidates, same
-    * Jaccard verify, then an independent recursive closure over the
-    * verified edges. */
-  val qDedupKeeplistSql: String =
-    s"""WITH RECURSIVE $minhashCandCtes,
+  /** The verified-keep-list CTE chain (ends at `lbl(doc_id,
+    * cluster_id)` — keep iff doc_id = cluster_id), shared by
+    * [[qDedupKeeplistSql]] and the end-to-end curation oracle
+    * ([[CurationQueries.qCurationE2eSql]]). Starts with WITH
+    * RECURSIVE content: candidates, Jaccard verify, recursive
+    * closure. */
+  private[queries] val keeplistCtes: String =
+    s"""$minhashCandCtes,
        |capped AS (SELECT sh0.id, sh0.g FROM sh0 JOIN dfreq USING (g)),
        |szs AS (SELECT id, CAST(count(*) AS BIGINT) AS n_g
        |        FROM capped GROUP BY id),
@@ -463,7 +474,13 @@ object TrainingQueries extends graft.QueryModule {
        |  UNION
        |  SELECT vsym.id, reach.r FROM vsym JOIN reach ON vsym.nbr = reach.id),
        |lbl AS (SELECT id AS doc_id, min(r) AS cluster_id
-       |        FROM reach GROUP BY id),
+       |        FROM reach GROUP BY id)""".stripMargin
+
+  /** DuckDB replay of [[qDedupKeeplist]]: same candidates, same
+    * Jaccard verify, then an independent recursive closure over the
+    * verified edges. */
+  val qDedupKeeplistSql: String =
+    s"""WITH RECURSIVE $keeplistCtes,
        |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
        |       FROM lbl GROUP BY cluster_id),
        |tok AS (SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT)
