@@ -390,6 +390,65 @@ object CurationQueries extends graft.QueryModule {
        |ORDER BY n DESC, piece LIMIT 50""".stripMargin
   }
 
+  /** Packing an UPSAMPLED mixture: [[Mix.mixEpochs]] emits multiple
+    * copies per doc, and a copy is its own training instance — so the
+    * pack layout keys on (doc, epoch), not doc. Feeding duplicate doc
+    * ids into [[Pack.assignPacks]] would tie its (md5-key, id) window
+    * order between copies and make pack boundaries nondeterministic;
+    * the composite `copy_id` restores a total order, and the
+    * already-computed `n_tokens` rides through as the budget currency
+    * (identity `tokensOf` — no re-tokenization of repeated text).
+    * Deterministic end to end: same layout on every engine, run, and
+    * partitioning. */
+  def qPackEpochs(s: SparkSession, dir: String): DataFrame = {
+    val mixed = Mix.mixEpochs(Tables.documents(s, dir),
+      textCol = "text", idCol = "doc_id", sourceCol = "source",
+      weights = Seq("src0" -> 0.1, "src1" -> 0.2,
+        "src2" -> 0.3, "src3" -> 0.4),
+      budgetTokens = 100000L, salt = "mix7")
+    val copies = mixed.select(
+      concat_ws("#", col("id"), col("epoch")).as("copy_id"),
+      col("n_tokens"))
+    Pack.packSummary(copies,
+      textCol = "n_tokens", idCol = "copy_id",
+      budget = 1024L, nShards = 8, tokensOf = c => c)
+  }
+
+  val qPackEpochsSql: String =
+    s"""WITH base AS (SELECT doc_id, source,
+       |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    ${Mix.bucketPpmSql("doc_id", "mix7")} AS ppm
+       |  FROM documents),
+       |avail AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS avail_tokens
+       |  FROM base GROUP BY source),
+       |tgt AS (SELECT *, CAST(floor(
+       |    CASE source WHEN 'src0' THEN 0.1 WHEN 'src1' THEN 0.2
+       |      WHEN 'src2' THEN 0.3 WHEN 'src3' THEN 0.4 ELSE 0.0 END
+       |    * 100000.0) AS BIGINT) AS target_tokens FROM avail),
+       |rt AS (SELECT *, CASE WHEN avail_tokens = 0 THEN 0
+       |    ELSE CAST(floor(1000000.0 * target_tokens / avail_tokens)
+       |      AS BIGINT) END AS rate_ppm FROM tgt),
+       |cp AS (SELECT b.doc_id, b.n_tokens,
+       |    (r.rate_ppm + 999999 - b.ppm) // 1000000 AS n_copies
+       |  FROM base b JOIN rt r USING (source)),
+       |kept AS (SELECT cp.*, unnest(generate_series(0, n_copies - 1))
+       |    AS epoch FROM cp WHERE n_copies > 0),
+       |pd AS (SELECT CAST(doc_id AS VARCHAR) || '#' ||
+       |      CAST(epoch AS VARCHAR) AS copy_id,
+       |    n_tokens AS toks FROM kept),
+       |pk AS (SELECT *, md5(copy_id) AS k FROM pd),
+       |ps AS (SELECT *,
+       |    CAST('0x' || substr(k, 1, 7) AS BIGINT) % 8 AS shard FROM pk),
+       |pe AS (SELECT *, COALESCE(CAST(sum(toks) OVER (
+       |    PARTITION BY shard ORDER BY k, copy_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+       |    0) AS excl FROM ps),
+       |pp AS (SELECT *, CAST(floor(excl / 1024) AS BIGINT) AS pack_id FROM pe)
+       |SELECT shard, pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(toks) AS BIGINT) AS pack_tokens, min(copy_id) AS first_doc
+       |FROM pp GROUP BY shard, pack_id
+       |ORDER BY shard, pack_id""".stripMargin
+
   /** The END-TO-END curation chain as one entry — what a pretraining
     * data pipeline actually runs, composed from the library's own
     * operators with no glue logic:
@@ -551,6 +610,7 @@ object CurationQueries extends graft.QueryModule {
     "q_pack" -> (qPack _),
     "q_pack_bpe" -> (qPackBpe _),
     "q_pack_bpe50k" -> (qPackBpe50k _),
+    "q_pack_epochs" -> (qPackEpochs _),
     "q_pack_merges" -> (qPackMerges _),
     "q_repetition" -> (qRepetition _),
     "q_subwords" -> (qSubwords _),
@@ -568,6 +628,7 @@ object CurationQueries extends graft.QueryModule {
     "q_pack" -> qPackSql,
     "q_pack_bpe" -> qPackBpeSql,
     "q_pack_bpe50k" -> qPackBpe50kSql,
+    "q_pack_epochs" -> qPackEpochsSql,
     "q_pack_merges" -> qPackMergesSql,
     "q_repetition" -> qRepetitionSql,
     "q_subwords" -> qSubwordsSql,
