@@ -187,6 +187,11 @@ object Bpe {
   def mergeTokenCount(c: Column, merges: Seq[(String, String)]): Column =
     graft.functions.MergeExprs.mergeTokenCount(c, merges)
 
+  /** Token ARRAY under an ordered merge list — the segmentation
+    * itself, for subword statistics under a real tokenizer's rules. */
+  def mergeTokens(c: Column, merges: Seq[(String, String)]): Column =
+    graft.functions.MergeExprs.mergeTokenize(c, merges)
+
   /** Parse GPT-2-convention merge lines ("Ġt he", one rule per line,
     * `Ġ` marking a leading space, symbols never containing a raw
     * space) into this module's literal-space symbols — the adapter

@@ -229,6 +229,61 @@ object CurationQueries extends graft.QueryModule {
        |ORDER BY shard, pack_id""".stripMargin
   }
 
+  /** Subword-piece frequencies under the MERGE-RANKED tokenizer
+    * (fixture rules): the merge segmentation array exploded and
+    * counted, top 50 — the piece-usage profile under a loaded merges
+    * file, twin of [[qSubwords]]'s greedy-vocab profile. The oracle
+    * re-derives segmentations through the recursive merge replay
+    * (per distinct word, weighted by per-doc multiplicity) plus
+    * one piece per non-run code point. */
+  def qSubwordsMerges(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(Bpe.mergeTokens(col("text"), Bpe.fixtureMerges))
+        .as("piece"))
+      .groupBy(col("piece")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("piece"))
+      .limit(50)
+
+  val qSubwordsMergesSql: String = {
+    val lst = Bpe.fixtureMerges.map { case (a, b) => s"'$a|$b'" }
+      .mkString("[", ",", "]")
+    s"""WITH RECURSIVE
+       |mg AS (SELECT $lst AS l),
+       |pt AS (SELECT doc_id, unnest(regexp_extract_all(text, ' ?[A-Za-z]+')) AS w
+       |       FROM documents),
+       |words AS (SELECT DISTINCT w FROM pt),
+       |step(w, toks, it) AS (
+       |  SELECT w, regexp_extract_all(w, '[\\s\\S]'), 0 FROM words
+       |  UNION ALL
+       |  SELECT w,
+       |    list_concat(list_concat(toks[1:bp-1], [toks[bp] || toks[bp+1]]),
+       |      toks[bp+2:len(toks)]),
+       |    it + 1
+       |  FROM (SELECT w, toks, it,
+       |          list_position(pr, list_min(list_filter(pr, x -> x > 0))) AS bp
+       |        FROM (SELECT s.w, s.toks, s.it,
+       |                list_transform(generate_series(1, len(s.toks)-1),
+       |                  i -> list_position(mg.l, s.toks[i] || '|' || s.toks[i+1]))
+       |                  AS pr
+       |              FROM step s CROSS JOIN mg))
+       |  WHERE bp IS NOT NULL),
+       |final AS (SELECT w, toks FROM (
+       |    SELECT w, toks, row_number() OVER (PARTITION BY w ORDER BY it DESC)
+       |      AS rn FROM step) WHERE rn = 1),
+       |seg AS (SELECT doc_id,
+       |    unnest(regexp_extract_all(text, ' ?[A-Za-z]+|[\\s\\S]')) AS m
+       |  FROM documents),
+       |pieces AS (
+       |  SELECT seg.doc_id, unnest(f.toks) AS piece
+       |  FROM seg JOIN final f ON f.w = seg.m
+       |  UNION ALL
+       |  SELECT doc_id, m AS piece FROM seg
+       |  WHERE NOT regexp_matches(m, '^ ?[A-Za-z]+$$'))
+       |SELECT piece, CAST(count(*) AS BIGINT) AS n
+       |FROM pieces GROUP BY piece
+       |ORDER BY n DESC, piece LIMIT 50""".stripMargin
+  }
+
   /** BPE vocabulary learning: top-160 prefix-closed subword pieces by
     * merge savings over the documents corpus. The checked-in fixture
     * driving [[qPackBpe]] IS this query's output (BpeSpec pins that). */
@@ -614,6 +669,7 @@ object CurationQueries extends graft.QueryModule {
     "q_pack_merges" -> (qPackMerges _),
     "q_repetition" -> (qRepetition _),
     "q_subwords" -> (qSubwords _),
+    "q_subwords_merges" -> (qSubwordsMerges _),
     "q_text_clean" -> (qTextClean _))
 
   def oracleSql: Map[String, String] = Map(
@@ -632,5 +688,6 @@ object CurationQueries extends graft.QueryModule {
     "q_pack_merges" -> qPackMergesSql,
     "q_repetition" -> qRepetitionSql,
     "q_subwords" -> qSubwordsSql,
+    "q_subwords_merges" -> qSubwordsMergesSql,
     "q_text_clean" -> qTextCleanSql)
 }

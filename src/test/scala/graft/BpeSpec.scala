@@ -241,6 +241,19 @@ class BpeSpec extends SparkSpec {
     assert(r === Map(1L -> 4L, 2L -> 5L))
   }
 
+  test("merge tokenize array matches the per-word segmentation and the count") {
+    val merges = Seq(("l", "o"), ("lo", "w"), ((" "), ("low")), ("e", "r"))
+    val df = Seq((1L, "low lower x9"), (2L, "𝄞 low")).toDF("id", "t")
+    val r = df.select(col("id"),
+        graft.ops.Bpe.mergeTokens(col("t"), merges).as("p"),
+        graft.ops.Bpe.mergeTokenCount(col("t"), merges).as("n"))
+      .collect().map(x => x.getLong(0) ->
+        (x.getSeq[String](1), x.getLong(2))).toMap
+    assert(r(1L)._1 === Seq("low", " low", "er", " ", "x", "9"))
+    assert(r(2L)._1 === Seq("𝄞", " low"))
+    r.values.foreach { case (p, n) => assert(p.length.toLong === n) }
+  }
+
   test("gpt2-convention merges file loads verbatim") {
     val lines = Seq("Ġ t", "t he", "Ġt he", "# comment", "")
     assert(graft.ops.Bpe.parseGpt2Merges(lines) ===
