@@ -117,9 +117,22 @@ object ByteTrie {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Tables]()
 
-  private def tablesFor(pieces: Seq[String]): Tables =
-    cache.computeIfAbsent(
-      HashParity.md5Hex(pieces.mkString("\u0000")), _ => build(pieces))
+  private val CacheCap = 64
+
+  private def tablesFor(pieces: Seq[String]): Tables = {
+    // length-prefixed join: unambiguous for ANY piece content (a
+    // plain separator would alias pieces containing the separator).
+    // Bounded: past the cap new vocabs build uncached (correct, just
+    // unshared) instead of accumulating ~10 MB tables per vocab
+    // forever in a long-lived executor.
+    val key = HashParity.md5Hex(
+      pieces.map(p => s"${p.length}:$p").mkString(","))
+    val hit = cache.get(key)
+    if (hit != null) hit
+    else if (cache.size < CacheCap)
+      cache.computeIfAbsent(key, _ => build(pieces))
+    else build(pieces)
+  }
 
   private def build(pieces: Seq[String]): Tables = {
     require(pieces.forall(_.forall(c => c < 128)), "ASCII vocab only")
@@ -202,9 +215,18 @@ case class BpeTokenize(child: Expression, vocab: Seq[String])
 }
 
 object BpeExprs {
+  // validate at plan-build time on the driver: a bad vocab should be
+  // one clearly-attributed IllegalArgumentException here, not N
+  // retried task failures when the lazy trie builds on executors
+  private def checked(vocab: Seq[String]): Seq[String] = {
+    require(vocab.forall(_.forall(c => c < 128)),
+      "BPE vocab pieces must be ASCII")
+    vocab
+  }
+
   def tokenCountFast(text: Column, vocab: Seq[String]): Column =
-    Bridge.column(BpeTokenCount(Bridge.expression(text), vocab))
+    Bridge.column(BpeTokenCount(Bridge.expression(text), checked(vocab)))
 
   def tokenizeFast(text: Column, vocab: Seq[String]): Column =
-    Bridge.column(BpeTokenize(Bridge.expression(text), vocab))
+    Bridge.column(BpeTokenize(Bridge.expression(text), checked(vocab)))
 }

@@ -127,11 +127,14 @@ object Bpe {
     * it throws rather than silently truncating the statistic. */
   def learnMerges(df: DataFrame, textCol: String, nMerges: Int,
       maxWords: Int = 1 << 20): Seq[(String, String)] = {
+    // no orderBy: the bound is a LOUD limit (we throw when exceeded,
+    // never truncate), pair counting sums over all rows, and the
+    // winner is picked by a deterministic minBy — so collecting the
+    // table unordered skips a full global sort of the word table
     val rows = df.select(
         explode(regexp_extract_all(col(textCol), lit(PreTokenPattern), lit(0)))
           .as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("w"))
       .limit(maxWords + 1)
       .collect()
     require(rows.length <= maxWords,

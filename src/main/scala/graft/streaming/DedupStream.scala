@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
@@ -11,28 +12,39 @@ import graft.ops.Dedup
   *
   *  1. shingles and signs ONLY itself (old text never re-read);
   *  2. reads the standing index — (id, band, bh) band rows plus
-  *     (id, g, n_g) shingle-stat rows, plain parquet tables;
+  *     (id, g, n_g) shingle-stat rows, parquet partitioned by the
+  *     batch that admitted them;
   *  3. candidates via band equi-join, exact-Jaccard verify against
   *     the stored stats, admit/reject at `threshold`;
-  *  4. appends its decisions to a decision log and the ADMITTED
-  *     docs' band/shingle rows to the index — so the next batch
-  *     dedups against everything admitted before it.
+  *  4. writes the ADMITTED docs' band/shingle rows and its decision
+  *     rows — so the next batch dedups against everything admitted
+  *     before it.
   *
   * `foreachBatch` is the right sink here and not a compromise: the
   * loop both READS and APPENDS the index within one batch — a
   * self-referential maintenance cycle the declarative sinks cannot
   * express — and every step inside the batch is the same distributed
-  * plan the batch entry (`q_dedup_admit`) runs. Admission semantics
-  * are per-batch-vs-standing: duplicates WITHIN one micro-batch are
-  * both admitted (intra-batch dedup composes upstream via
-  * [[Dedup.minhashCandidates]] when the producer needs it); pair
-  * `maxFilesPerTrigger` with [[EventStream.orderLanding]] so arrival
-  * order is deterministic and the decision log is replayable.
+  * plan the batch entry (`q_dedup_admit`) runs.
   *
-  * The document-frequency cap uses the STANDING corpus's statistics
-  * (an arriving batch cannot see global df), exactly like the batch
-  * entry. State is the index itself — no driver-side state store;
-  * every structure is a parquet table any engine can read.
+  * IDEMPOTENT under at-least-once redelivery: foreachBatch may
+  * re-execute a batch id after a failure, so every write lands in a
+  * per-batch partition directory with mode=overwrite, the decision
+  * write commits LAST (its `_SUCCESS` marker is the batch's commit
+  * record — seen => the whole cycle already ran, skip), and the
+  * standing side reads only partitions with `batch < batchId`, so a
+  * half-written own batch can never leak into its own verify (a doc
+  * would otherwise match its first-attempt rows at jaccard 1 and
+  * reject itself).
+  *
+  * Admission semantics are per-batch-vs-standing: duplicates WITHIN
+  * one micro-batch are both admitted (intra-batch dedup composes
+  * upstream via [[Dedup.minhashCandidates]] when the producer needs
+  * it); pair `maxFilesPerTrigger` with [[EventStream.orderLanding]]
+  * so arrival order is deterministic and the decision log is
+  * replayable. The document-frequency cap uses the STANDING corpus's
+  * statistics (an arriving batch cannot see global df), exactly like
+  * the batch entry. State is the index itself — no driver-side state
+  * store; every structure is a parquet table any engine can read.
   */
 object DedupStream {
 
@@ -54,32 +66,42 @@ object DedupStream {
       }
       .start()
     q.awaitTermination()
-    val dec = new org.apache.hadoop.fs.Path(decisionsDir)
+    val dec = new Path(decisionsDir)
     val fs = dec.getFileSystem(s.sparkContext.hadoopConfiguration)
     require(fs.exists(dec), s"no decisions written under $decisionsDir")
-    s.read.parquet(decisionsDir)
+    s.read.option("basePath", decisionsDir).parquet(decisionsDir)
+      .drop("batch")
   }
 
   /** One admission cycle — also directly usable by a batch caller
-    * that manages its own batching. */
+    * that manages its own batching. Idempotent per (dirs, batchId):
+    * a re-run of a committed batch is a no-op; a re-run of a
+    * half-written batch overwrites it cleanly. */
   def admitBatch(
       s: SparkSession, batch: DataFrame, textCol: String, idCol: String,
       indexDir: String, decisionsDir: String, batchId: Long,
       threshold: Double, maxDf: Long): Unit =
     graft.core.CacheScope.withScope {
-      val fs = new org.apache.hadoop.fs.Path(indexDir)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      def tableOrEmpty(dir: String, like: DataFrame): DataFrame =
-        if (fs.exists(new org.apache.hadoop.fs.Path(dir)))
-          s.read.parquet(dir)
+      val conf = s.sparkContext.hadoopConfiguration
+      val fs = new Path(indexDir).getFileSystem(conf)
+      val decBatchDir = s"$decisionsDir/batch=$batchId"
+      // commit marker: the decision partition's _SUCCESS is written
+      // LAST — present means this batch fully ran already
+      if (fs.exists(new Path(s"$decBatchDir/_SUCCESS"))) return
+
+      def standing(dir: String, like: DataFrame): DataFrame =
+        if (fs.exists(new Path(dir)))
+          s.read.option("basePath", dir).parquet(dir)
+            .filter(col("batch") < batchId) // never our own partial writes
+            .drop("batch")
         else like.limit(0)
 
       val sh0 = Dedup.wordShingles(batch, textCol, idCol)
       val bandsDir = s"$indexDir/bands"
       val shinglesDir = s"$indexDir/shingles"
       // standing-side stats drive the df cap; a fresh index caps nothing
-      val oldShAll = tableOrEmpty(shinglesDir,
-        Dedup.shingleRowsWithCounts(sh0).limit(0))
+      val oldShAll = graft.core.CacheScope.cache(
+        standing(shinglesDir, Dedup.shingleRowsWithCounts(sh0).limit(0)))
       val hot = oldShAll.groupBy(col("g"))
         .agg(count(lit(1)).as("df"))
         .filter(col("df") > maxDf).select("g")
@@ -87,21 +109,21 @@ object DedupStream {
         sh0.join(hot, Seq("g"), "left_anti")))
       val newBands = graft.core.CacheScope.cache(Dedup.lshBands(
         Dedup.minhashSignatures(newSh.select("id", "g"))))
-      val oldBands = tableOrEmpty(bandsDir, newBands.limit(0))
+      val oldBands = standing(bandsDir, newBands.limit(0))
 
       val decisions = graft.core.CacheScope.cache(
         Dedup.admissionReport(
           batch.select(col(idCol).as("id")), newSh, newBands,
           oldShAll, oldBands, threshold)
         .withColumn("_batch_id", lit(batchId)))
-      decisions.write.mode("append").parquet(decisionsDir)
 
-      // append the admitted docs' rows: the index stays current for
-      // the NEXT micro-batch
+      // per-batch partition dirs, overwrite mode: every write is
+      // idempotent; the next batch sees these rows via batch < N+1
       val admitted = decisions.filter(col("admitted") === 1L).select("id")
       newBands.join(admitted, Seq("id"))
-        .write.mode("append").parquet(bandsDir)
+        .write.mode("overwrite").parquet(s"$bandsDir/batch=$batchId")
       newSh.join(admitted, Seq("id"))
-        .write.mode("append").parquet(shinglesDir)
+        .write.mode("overwrite").parquet(s"$shinglesDir/batch=$batchId")
+      decisions.write.mode("overwrite").parquet(decBatchDir)
     }
 }

@@ -96,7 +96,9 @@ object EventStream {
       else {
         val mins = footerMins(s, entries.flatMap(leaves), eventTimeCol)
         def entryMin(e: Path): Long = {
-          val ms = leaves(e).map(_.toString).flatMap(mins.get)
+          // keys are Path.toUri strings end-to-end (URI-encoded, so
+          // names with spaces survive the round trip)
+          val ms = leaves(e).map(_.toUri.toString).flatMap(mins.get)
           if (ms.isEmpty) Long.MaxValue else ms.min
         }
         entries.sortBy(entryMin)
@@ -122,12 +124,14 @@ object EventStream {
       s.sparkContext.defaultParallelism))
     // (path, statsComplete, min) — statsComplete=false flags a footer
     // with row groups but no usable stats for the column
-    val probed = s.sparkContext.parallelize(files.map(_.toString), nParts)
+    val probed = s.sparkContext.parallelize(
+        files.map(_.toUri.toString), nParts)
       .map { pStr =>
         import org.apache.parquet.format.converter.ParquetMetadataConverter
         import org.apache.parquet.hadoop.ParquetFileReader
         val footer = ParquetFileReader.readFooter(
-          sconf.value, new Path(pStr), ParquetMetadataConverter.NO_FILTER)
+          sconf.value, new Path(new java.net.URI(pStr)),
+          ParquetMetadataConverter.NO_FILTER)
         val blockMins = footer.getBlocks.asScala.map { blk =>
           blk.getColumns.asScala
             .find(_.getPath.toDotString == eventTimeCol)
@@ -161,6 +165,9 @@ object EventStream {
       case (p, true, Some(m)) => Some(p -> m)
       case (p, true, None) => None
       case (p, false, _) =>
+        // both sides decode through URI: p is Path.toUri (encoded),
+        // as is input_file_name's output — raw Path strings with
+        // spaces would not parse
         scanned.get(new java.net.URI(p).getPath).map(p -> _)
     }.toMap
   }
@@ -194,20 +201,26 @@ object EventStream {
     ordered.zipWithIndex.foreach { case (e, i) =>
       (e +: leaves(e)).distinct.foreach(f => fs.setTimes(f, base + i * 1000L, -1L))
     }
-    // trust, then verify: one read-back catches filesystems that
-    // accept setTimes and do nothing (S3A contract). Tolerance covers
-    // second-granularity stores; an ignored call leaves the original
-    // write-time modtime, far outside it.
-    ordered.headOption.foreach { h =>
-      val probe = (h +: leaves(h)).distinct.last
+    // trust, then verify: read-backs catch filesystems that accept
+    // setTimes and do nothing (S3A contract). BOTH ends of the rank
+    // sequence are probed — a single probe could false-pass when the
+    // file's original write time happens to sit near `base`; two
+    // originals matching the arithmetic progression anchored at
+    // now - 2*size seconds is not a plausible coincidence. Tolerance
+    // covers second-granularity stores.
+    def expectMtime(e: Path, i: Int): Unit = {
+      val probe = (e +: leaves(e)).distinct.last
+      val want = base + i * 1000L
       val got = fs.getFileStatus(probe).getModificationTime
-      if (math.abs(got - base) > 1000L)
+      if (math.abs(got - want) > 1000L)
         throw new IllegalStateException(
           s"filesystem ${fs.getScheme} ignored setTimes on $probe " +
-            s"(wanted $base, still $got): modtime ordering is silently " +
+            s"(wanted $want, still $got): modtime ordering is silently " +
             "impossible here — use orderLandingStaged to copy the " +
             "landing files into rank order instead")
     }
+    ordered.headOption.foreach(expectMtime(_, 0))
+    if (ordered.size > 1) expectMtime(ordered.last, ordered.size - 1)
     ordered.map(_.toString)
   }
 
@@ -232,32 +245,42 @@ object EventStream {
     val stage = new Path(stagingDir)
     val dstFs = stage.getFileSystem(conf)
     dstFs.mkdirs(stage)
+    def stagedLeaves(dst: Path): Seq[Path] =
+      if (dstFs.getFileStatus(dst).isFile) Seq(dst)
+      else dst +: dstFs.listStatus(dst).toSeq
+        .filter(_.isFile).map(_.getPath)
     var prevMtime = 0L
     val base = System.currentTimeMillis() - ordered.size * 2000L
     ordered.zipWithIndex.map { case (e, i) =>
-      // spacing: never let two staged entries share a modtime tick
-      while (System.currentTimeMillis() <= prevMtime) Thread.sleep(1)
       val dst = new Path(stage, f"$i%06d_${e.getName}")
-      org.apache.hadoop.fs.FileUtil.copy(fs, e, dstFs, dst,
-        false /* deleteSource */, true /* overwrite */, conf)
-      try {
-        // best-effort: honored on HDFS/local, ignored on S3A — the
-        // rank prefix + spaced creation times already carry the order
-        val targets =
-          if (dstFs.getFileStatus(dst).isFile) Seq(dst)
-          else dst +: dstFs.listStatus(dst).toSeq
-            .filter(_.isFile).map(_.getPath)
-        targets.foreach(f => dstFs.setTimes(f, base + i * 1000L, -1L))
-      } catch { case _: Exception => () }
-      // the file source orders by LEAF mtimes — track the max over
-      // the staged entry so the next entry's copies land strictly after
-      val staged =
-        if (dstFs.getFileStatus(dst).isFile) Seq(dst)
-        else dst +: dstFs.listStatus(dst).toSeq
-          .filter(_.isFile).map(_.getPath)
-      val entryMax = staged.map(f =>
-        dstFs.getFileStatus(f).getModificationTime).max
-      prevMtime = math.max(prevMtime, entryMax)
+      // copy-and-verify loop: the file source orders by LEAF mtimes,
+      // so every leaf of this entry must land strictly after the
+      // previous entry's max. A wall-clock wait alone cannot
+      // guarantee that on stores with coarse (e.g. second)
+      // granularity — so VERIFY the staged mtimes and re-copy after a
+      // wait when they tie. Loops only when copies outrun the store's
+      // clock resolution; local/HDFS resolve in one pass.
+      var leaves0 = Seq.empty[Path]
+      var done = false
+      while (!done) {
+        org.apache.hadoop.fs.FileUtil.copy(fs, e, dstFs, dst,
+          false /* deleteSource */, true /* overwrite */, conf)
+        try {
+          // best-effort: honored on HDFS/local, ignored on S3A — the
+          // rank prefix + verified creation spacing carry the order
+          stagedLeaves(dst).foreach(f =>
+            dstFs.setTimes(f, base + i * 1000L, -1L))
+        } catch { case _: Exception => () }
+        leaves0 = stagedLeaves(dst)
+        val mts = leaves0.map(f => dstFs.getFileStatus(f).getModificationTime)
+        if (mts.min > prevMtime) { // prevMtime starts at 0: entry 0 always passes
+          prevMtime = math.max(prevMtime, mts.max)
+          done = true
+        } else {
+          dstFs.delete(dst, true)
+          Thread.sleep(50)
+        }
+      }
       dst.toString
     }
   }

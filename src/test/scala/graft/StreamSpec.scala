@@ -447,6 +447,42 @@ class StreamSpec extends SparkSpec {
     assert(decisions === want)
   }
 
+  test("admission cycle is idempotent under at-least-once redelivery") {
+    import spark.implicits._
+    import graft.streaming.DedupStream
+    val tmp = java.nio.file.Files.createTempDirectory("graft_admidem").toString
+    val b0 = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val b1 = Seq((2L, "a b c d e f g h"), (3L, "p q r s t u v w"))
+      .toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      DedupStream.admitBatch(spark, df, "text", "doc_id",
+        s"$tmp/index", s"$tmp/decisions", id, threshold = 0.5, maxDf = 1000L)
+    run(b0, 0L)
+    run(b1, 1L)
+    def state() = (
+      spark.read.parquet(s"$tmp/decisions").drop("batch")
+        .collect().map(_.toString).sorted.toSeq,
+      spark.read.parquet(s"$tmp/index/bands").drop("batch")
+        .collect().map(_.toString).sorted.toSeq)
+    val before = state()
+    // committed batch re-delivered (foreachBatch is at-least-once):
+    // the _SUCCESS marker short-circuits — no duplicate rows anywhere
+    run(b1, 1L)
+    assert(state() === before)
+    // crash-before-commit replay: index rows for batch 1 exist but
+    // the decision marker is gone; the re-run must NOT verify the
+    // batch against its own partial writes (self-rejection) and must
+    // restore exactly the committed state
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$tmp/decisions/batch=1"), true)
+    run(b1, 1L)
+    assert(state() === before)
+    val d3 = spark.read.parquet(s"$tmp/decisions")
+      .filter(col("id") === 3L).collect()(0)
+    assert(d3.getLong(d3.fieldIndex("admitted")) === 1L)
+  }
+
   test("orderLanding manifest ranks by min event time when names mislead") {
     import spark.implicits._
     import org.apache.spark.sql.types._
