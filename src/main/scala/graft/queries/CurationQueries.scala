@@ -572,6 +572,102 @@ object CurationQueries extends graft.QueryModule {
        |FROM pp GROUP BY shard, pack_id
        |ORDER BY shard, pack_id""".stripMargin
 
+  /** The COMPLETE curation pipeline — [[qCurationE2e]] extended with
+    * decontamination and upsampling, i.e. every stage a pretraining
+    * corpus passes on its way to the loader:
+    *
+    *  1. dedup keep-list (canonicals only);
+    *  2. n-gram decontamination against the benchmark slice (every
+    *     53rd doc plays the eval suite, the [[qDecontaminate]]
+    *     convention); flagged docs drop, unshingleable docs are
+    *     clean by definition (no n-gram evidence);
+    *  3. upsampling mixture ([[Mix.mixEpochs]]) — post-filter
+    *     availability shrinks, so scarce sources repeat;
+    *  4. packing on the per-copy key ([[qPackEpochs]]'s layout).
+    *
+    * One oracle replays all four stages; the keep-list closure,
+    * overlap ratios, epoch counts, and pack prefix sums must agree
+    * end to end for a single row to hash-match. */
+  def qCurationFull(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val kept = docs.join(
+      TrainingQueries.keepFrame(docs).filter(col("keep") === 1L)
+        .select(col("id").as("doc_id")), Seq("doc_id"))
+    val corpus = kept.filter(pmod(col("doc_id"), lit(53)) =!= 0)
+    val evalSet = docs.filter(pmod(col("doc_id"), lit(53)) === 0)
+    val contaminated = Decontaminate.overlapReport(corpus, evalSet,
+        textCol = "text", idCol = "doc_id", evalIdCol = "doc_id",
+        n = 3, flagAt = 0.2)
+      .filter(col("contaminated") === 1L)
+      .select(col("id").as("doc_id"))
+    val clean = corpus.join(contaminated, Seq("doc_id"), "left_anti")
+    val mixed = Mix.mixEpochs(clean,
+      textCol = "text", idCol = "doc_id", sourceCol = "source",
+      weights = Seq("src0" -> 0.4, "src1" -> 0.3,
+        "src2" -> 0.2, "src3" -> 0.1),
+      budgetTokens = 20000L, salt = "cur7b")
+    val copies = mixed.select(
+      concat_ws("#", col("id"), col("epoch")).as("copy_id"),
+      col("n_tokens"))
+    Pack.packSummary(copies,
+      textCol = "n_tokens", idCol = "copy_id",
+      budget = 1024L, nShards = 8, tokensOf = c => c)
+  }
+
+  val qCurationFullSql: String =
+    s"""WITH RECURSIVE ${TrainingQueries.keeplistCtes},
+       |corpusdocs AS (SELECT d.* FROM documents d
+       |  JOIN lbl ON lbl.doc_id = d.doc_id
+       |  WHERE lbl.cluster_id = d.doc_id AND d.doc_id % 53 <> 0),
+       |cshc AS (SELECT s.id, s.g FROM sh0 s
+       |  JOIN corpusdocs c ON s.id = c.doc_id),
+       |cshe AS (SELECT id AS eval_id, g FROM sh0 WHERE id % 53 = 0),
+       |cesz AS (SELECT eval_id, CAST(count(*) AS BIGINT) AS eval_ng
+       |  FROM cshe GROUP BY eval_id),
+       |cshared AS (SELECT c.id, e.eval_id, CAST(count(*) AS BIGINT) AS shared
+       |  FROM cshc c JOIN cshe e USING (g) GROUP BY c.id, e.eval_id),
+       |cbest AS (SELECT * FROM (
+       |    SELECT s.id, s.shared / z.eval_ng AS ratio,
+       |      row_number() OVER (PARTITION BY s.id
+       |        ORDER BY s.shared / z.eval_ng DESC, s.eval_id) AS rn
+       |    FROM cshared s JOIN cesz z USING (eval_id)) WHERE rn = 1),
+       |contam AS (SELECT id FROM cbest WHERE ratio >= 0.2),
+       |clean AS (SELECT * FROM corpusdocs
+       |  WHERE doc_id NOT IN (SELECT id FROM contam)),
+       |base AS (SELECT doc_id, source,
+       |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    ${Mix.bucketPpmSql("doc_id", "cur7b")} AS ppm
+       |  FROM clean),
+       |avail AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS avail_tokens
+       |  FROM base GROUP BY source),
+       |tgt AS (SELECT *, CAST(floor(
+       |    CASE source WHEN 'src0' THEN 0.4 WHEN 'src1' THEN 0.3
+       |      WHEN 'src2' THEN 0.2 WHEN 'src3' THEN 0.1 ELSE 0.0 END
+       |    * 20000.0) AS BIGINT) AS target_tokens FROM avail),
+       |rt AS (SELECT *, CASE WHEN avail_tokens = 0 THEN 0
+       |    ELSE CAST(floor(1000000.0 * target_tokens / avail_tokens)
+       |      AS BIGINT) END AS rate_ppm FROM tgt),
+       |cp AS (SELECT b.doc_id, b.n_tokens,
+       |    (r.rate_ppm + 999999 - b.ppm) // 1000000 AS n_copies
+       |  FROM base b JOIN rt r USING (source)),
+       |keptc AS (SELECT cp.*, unnest(generate_series(0, n_copies - 1))
+       |    AS epoch FROM cp WHERE n_copies > 0),
+       |pd AS (SELECT CAST(doc_id AS VARCHAR) || '#' ||
+       |      CAST(epoch AS VARCHAR) AS copy_id,
+       |    n_tokens AS toks FROM keptc),
+       |pk AS (SELECT *, md5(copy_id) AS k FROM pd),
+       |ps AS (SELECT *,
+       |    CAST('0x' || substr(k, 1, 7) AS BIGINT) % 8 AS shard FROM pk),
+       |pe AS (SELECT *, COALESCE(CAST(sum(toks) OVER (
+       |    PARTITION BY shard ORDER BY k, copy_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+       |    0) AS excl FROM ps),
+       |pp AS (SELECT *, CAST(floor(excl / 1024) AS BIGINT) AS pack_id FROM pe)
+       |SELECT shard, pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(toks) AS BIGINT) AS pack_tokens, min(copy_id) AS first_doc
+       |FROM pp GROUP BY shard, pack_id
+       |ORDER BY shard, pack_id""".stripMargin
+
   /** Semantic decontamination: best eval-slice cosine per corpus
     * embedding (every 53rd vector plays the eval set, as in
     * [[qDecontaminate]]). */
@@ -656,6 +752,7 @@ object CurationQueries extends graft.QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_merges" -> (qBpeMerges _),
     "q_curation_e2e" -> (qCurationE2e _),
+    "q_curation_full" -> (qCurationFull _),
     "q_bpe_vocab" -> (qBpeVocab _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_decontaminate_semantic" -> (qDecontaminateSemantic _),
@@ -675,6 +772,7 @@ object CurationQueries extends graft.QueryModule {
   def oracleSql: Map[String, String] = Map(
     "q_bpe_merges" -> qBpeMergesSql,
     "q_curation_e2e" -> qCurationE2eSql,
+    "q_curation_full" -> qCurationFullSql,
     "q_bpe_vocab" -> qBpeVocabSql,
     "q_decontaminate" -> qDecontaminateSql,
     "q_decontaminate_semantic" -> qDecontaminateSemanticSql,
