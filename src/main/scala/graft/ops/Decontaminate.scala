@@ -33,22 +33,7 @@ object Decontaminate {
       corpus: DataFrame, evalSet: DataFrame,
       textCol: String, idCol: String, evalIdCol: String,
       n: Int = 3, flagAt: Double = 0.2): DataFrame = {
-    val shC = Dedup.wordShingles(corpus, textCol, idCol, n)
-    val shE = Dedup.wordShingles(evalSet, textCol, evalIdCol, n)
-      .withColumnRenamed("id", "eval_id")
-    val evalSizes = shE.groupBy(col("eval_id"))
-      .agg(count(lit(1)).as("eval_ng"))
-    val shared = shC.join(broadcast(shE), Seq("g"))
-      .groupBy(col("id"), col("eval_id"))
-      .agg(count(lit(1)).as("shared"))
-    val best = shared
-      .join(broadcast(evalSizes), Seq("eval_id"))
-      .withColumn("ratio", col("shared") / col("eval_ng"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("id"))
-          .orderBy(col("ratio").desc, col("eval_id"))))
-      .filter(col("rn") === 1)
-      .drop("rn")
+    val best = bestOverlap(corpus, evalSet, textCol, idCol, evalIdCol, n)
     // base = shingle-able corpus docs, derived WITHOUT a second
     // corpus explode (the shingle index is consumed once; a
     // distinct-over-shC base would re-run the scan+explode)
@@ -62,6 +47,46 @@ object Decontaminate {
       .withColumn("contaminated", (col("ratio") >= flagAt).cast("long"))
       .select(col("id"), col("eval_id"), col("shared"), col("eval_ng"),
         col("ratio"), col("contaminated"))
+  }
+
+  /** Just the `id`s whose best eval overlap reaches `flagAt` — the
+    * drop-list a curation pipeline anti-joins away. Unlike
+    * [[overlapReport]] this skips the full-corpus base scan and left
+    * join entirely: only docs present in the overlap frame can be
+    * flagged, so the ratio-0 rows the report emits for clean docs are
+    * never materialized. */
+  def flaggedIds(
+      corpus: DataFrame, evalSet: DataFrame,
+      textCol: String, idCol: String, evalIdCol: String,
+      n: Int = 3, flagAt: Double = 0.2): DataFrame =
+    bestOverlap(corpus, evalSet, textCol, idCol, evalIdCol, n)
+      .filter(col("ratio") >= flagAt)
+      .select(col("id"))
+
+  /** Shared core of [[overlapReport]] / [[flaggedIds]]: one row per
+    * corpus doc that shares at least one n-gram with some eval doc —
+    * its best-overlapping eval doc (ratio DESC, ties to lowest
+    * eval_id). Columns: id, eval_id, shared, eval_ng, ratio. */
+  private def bestOverlap(
+      corpus: DataFrame, evalSet: DataFrame,
+      textCol: String, idCol: String, evalIdCol: String,
+      n: Int): DataFrame = {
+    val shC = Dedup.wordShingles(corpus, textCol, idCol, n)
+    val shE = Dedup.wordShingles(evalSet, textCol, evalIdCol, n)
+      .withColumnRenamed("id", "eval_id")
+    val evalSizes = shE.groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("eval_ng"))
+    val shared = shC.join(broadcast(shE), Seq("g"))
+      .groupBy(col("id"), col("eval_id"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(broadcast(evalSizes), Seq("eval_id"))
+      .withColumn("ratio", col("shared") / col("eval_ng"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id"))
+          .orderBy(col("ratio").desc, col("eval_id"))))
+      .filter(col("rn") === 1)
+      .drop("rn")
   }
 
   /** Semantic (embedding-cosine) decontamination — the modern

@@ -27,25 +27,35 @@ object CurationQueries extends graft.QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** Best-eval-overlap CTE chain, shared by [[qDecontaminateSql]] and
+    * [[qCurationFullSql]] (cross-engine twin of
+    * [[Decontaminate.bestOverlap]]): from a corpus-shingle CTE `cs`
+    * (id, g) and an eval-shingle CTE `es` (eval_id, g) to
+    * `${p}best` — one row per overlapping corpus doc with its best
+    * eval doc (ratio DESC, ties to lowest eval_id). The ratio formula
+    * and tie-break live HERE, once. */
+  private def overlapCtes(cs: String, es: String, p: String): String =
+    s"""${p}esz AS (SELECT eval_id, CAST(count(*) AS BIGINT) AS eval_ng
+       |        FROM $es GROUP BY eval_id),
+       |${p}shared AS (SELECT c.id, e.eval_id, CAST(count(*) AS BIGINT) AS shared
+       |           FROM $cs c JOIN $es e USING (g) GROUP BY c.id, e.eval_id),
+       |${p}best AS (SELECT * FROM (
+       |    SELECT s.id, s.eval_id, s.shared, z.eval_ng,
+       |      s.shared / z.eval_ng AS ratio,
+       |      row_number() OVER (PARTITION BY s.id
+       |        ORDER BY s.shared / z.eval_ng DESC, s.eval_id) AS rn
+       |    FROM ${p}shared s JOIN ${p}esz z USING (eval_id))
+       |  WHERE rn = 1)""".stripMargin
+
   val qDecontaminateSql: String =
-    """WITH t AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+    s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
       |sh AS (SELECT DISTINCT doc_id AS id,
       |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
       |       FROM t, UNNEST(generate_series(1, len(w)-2)) AS u(i)
       |       WHERE len(w) >= 3),
       |shc AS (SELECT * FROM sh WHERE id % 53 <> 0),
       |she AS (SELECT id AS eval_id, g FROM sh WHERE id % 53 = 0),
-      |esz AS (SELECT eval_id, CAST(count(*) AS BIGINT) AS eval_ng
-      |        FROM she GROUP BY eval_id),
-      |shared AS (SELECT c.id, e.eval_id, CAST(count(*) AS BIGINT) AS shared
-      |           FROM shc c JOIN she e USING (g) GROUP BY c.id, e.eval_id),
-      |best AS (SELECT * FROM (
-      |    SELECT s.id, s.eval_id, s.shared, z.eval_ng,
-      |      s.shared / z.eval_ng AS ratio,
-      |      row_number() OVER (PARTITION BY s.id
-      |        ORDER BY s.shared / z.eval_ng DESC, s.eval_id) AS rn
-      |    FROM shared s JOIN esz z USING (eval_id))
-      |  WHERE rn = 1)
+      |${overlapCtes("shc", "she", "")}
       |SELECT d.id AS doc_id, b.eval_id,
       |  COALESCE(b.shared, 0) AS shared, b.eval_ng,
       |  COALESCE(b.ratio, 0.0) AS ratio,
@@ -455,42 +465,64 @@ object CurationQueries extends graft.QueryModule {
     * (identity `tokensOf` — no re-tokenization of repeated text).
     * Deterministic end to end: same layout on every engine, run, and
     * partitioning. */
-  def qPackEpochs(s: SparkSession, dir: String): DataFrame = {
-    val mixed = Mix.mixEpochs(Tables.documents(s, dir),
+  def qPackEpochs(s: SparkSession, dir: String): DataFrame =
+    packOnCopies(Mix.mixEpochs(Tables.documents(s, dir),
       textCol = "text", idCol = "doc_id", sourceCol = "source",
       weights = Seq("src0" -> 0.1, "src1" -> 0.2,
         "src2" -> 0.3, "src3" -> 0.4),
-      budgetTokens = 100000L, salt = "mix7")
-    val copies = mixed.select(
-      concat_ws("#", col("id"), col("epoch")).as("copy_id"),
-      col("n_tokens"))
-    Pack.packSummary(copies,
+      budgetTokens = 100000L, salt = "mix7"))
+
+  /** Pack an upsampled mixture on the per-copy key — a copy is its
+    * own training instance, and the composite `copy_id` restores the
+    * total (md5-key, id) window order that duplicate doc ids would
+    * tie. The mixture's already-computed `n_tokens` rides through as
+    * the budget currency (identity `tokensOf` — no re-tokenization of
+    * repeated text). Shared by [[qPackEpochs]] / [[qCurationFull]]. */
+  private def packOnCopies(mixed: DataFrame): DataFrame =
+    Pack.packSummary(
+      mixed.select(
+        concat_ws("#", col("id"), col("epoch")).as("copy_id"),
+        col("n_tokens")),
       textCol = "n_tokens", idCol = "copy_id",
       budget = 1024L, nShards = 8, tokensOf = c => c)
-  }
 
-  val qPackEpochsSql: String =
-    s"""WITH base AS (SELECT doc_id, source,
+  /** The per-source weight CASE every mixture oracle shares. */
+  private def weightsCase(ws: Seq[(String, Double)]): String =
+    "CASE source " +
+      ws.map { case (s, w) => s"WHEN '$s' THEN $w" }.mkString(" ") +
+      " ELSE 0.0 END"
+
+  /** Upsampling-mixture CTE chain (cross-engine twin of
+    * [[Mix.mixEpochs]]'s keep logic): from a docs CTE/table `from`
+    * (doc_id, source, text) to `keptc` — one row per kept (doc,
+    * epoch). The uncapped rate and the
+    * `(rate_ppm + 999999 - ppm) DIV 1e6` copy formula live HERE,
+    * once; [[qMixEpochsSql]] keeps its own audit-rich spelling. */
+  private def epochsCtes(ws: Seq[(String, Double)], budget: Long,
+      salt: String, from: String): String =
+    s"""base AS (SELECT doc_id, source,
        |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
-       |    ${Mix.bucketPpmSql("doc_id", "mix7")} AS ppm
-       |  FROM documents),
+       |    ${Mix.bucketPpmSql("doc_id", salt)} AS ppm
+       |  FROM $from),
        |avail AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS avail_tokens
        |  FROM base GROUP BY source),
-       |tgt AS (SELECT *, CAST(floor(
-       |    CASE source WHEN 'src0' THEN 0.1 WHEN 'src1' THEN 0.2
-       |      WHEN 'src2' THEN 0.3 WHEN 'src3' THEN 0.4 ELSE 0.0 END
-       |    * 100000.0) AS BIGINT) AS target_tokens FROM avail),
+       |tgt AS (SELECT *, CAST(floor(${weightsCase(ws)}
+       |    * $budget.0) AS BIGINT) AS target_tokens FROM avail),
        |rt AS (SELECT *, CASE WHEN avail_tokens = 0 THEN 0
        |    ELSE CAST(floor(1000000.0 * target_tokens / avail_tokens)
        |      AS BIGINT) END AS rate_ppm FROM tgt),
        |cp AS (SELECT b.doc_id, b.n_tokens,
        |    (r.rate_ppm + 999999 - b.ppm) // 1000000 AS n_copies
        |  FROM base b JOIN rt r USING (source)),
-       |kept AS (SELECT cp.*, unnest(generate_series(0, n_copies - 1))
-       |    AS epoch FROM cp WHERE n_copies > 0),
-       |pd AS (SELECT CAST(doc_id AS VARCHAR) || '#' ||
+       |keptc AS (SELECT cp.*, unnest(generate_series(0, n_copies - 1))
+       |    AS epoch FROM cp WHERE n_copies > 0)""".stripMargin
+
+  /** Per-copy pack layout + final manifest SELECT over `keptc`
+    * (cross-engine twin of [[packOnCopies]]). */
+  private val packCopiesTail: String =
+    s"""pd AS (SELECT CAST(doc_id AS VARCHAR) || '#' ||
        |      CAST(epoch AS VARCHAR) AS copy_id,
-       |    n_tokens AS toks FROM kept),
+       |    n_tokens AS toks FROM keptc),
        |pk AS (SELECT *, md5(copy_id) AS k FROM pd),
        |ps AS (SELECT *,
        |    CAST('0x' || substr(k, 1, 7) AS BIGINT) % 8 AS shard FROM pk),
@@ -503,6 +535,11 @@ object CurationQueries extends graft.QueryModule {
        |  CAST(sum(toks) AS BIGINT) AS pack_tokens, min(copy_id) AS first_doc
        |FROM pp GROUP BY shard, pack_id
        |ORDER BY shard, pack_id""".stripMargin
+
+  val qPackEpochsSql: String =
+    s"""WITH ${epochsCtes(Seq("src0" -> 0.1, "src1" -> 0.2,
+         "src2" -> 0.3, "src3" -> 0.4), 100000L, "mix7", "documents")},
+       |$packCopiesTail""".stripMargin
 
   /** The END-TO-END curation chain as one entry — what a pretraining
     * data pipeline actually runs, composed from the library's own
@@ -521,11 +558,16 @@ object CurationQueries extends graft.QueryModule {
     * keep-list closure -> mix rates -> pack prefix sums) — the
     * strongest composition check in the suite: any drift in any stage
     * moves pack boundaries downstream. */
-  def qCurationE2e(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val kept = docs.join(
+  /** Keep-list restriction: `docs` cut to its dedup canonicals
+    * (shared by [[qCurationE2e]] / [[qCurationFull]]). */
+  private def keptCanonicals(docs: DataFrame): DataFrame =
+    docs.join(
       TrainingQueries.keepFrame(docs).filter(col("keep") === 1L)
         .select(col("id").as("doc_id")), Seq("doc_id"))
+
+  def qCurationE2e(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val kept = keptCanonicals(docs)
     val mixed = Mix.mix(kept,
       textCol = "text", idCol = "doc_id", sourceCol = "source",
       weights = Seq("src0" -> 0.4, "src1" -> 0.3,
@@ -590,28 +632,19 @@ object CurationQueries extends graft.QueryModule {
     * end to end for a single row to hash-match. */
   def qCurationFull(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val kept = docs.join(
-      TrainingQueries.keepFrame(docs).filter(col("keep") === 1L)
-        .select(col("id").as("doc_id")), Seq("doc_id"))
-    val corpus = kept.filter(pmod(col("doc_id"), lit(53)) =!= 0)
+    val corpus = keptCanonicals(docs)
+      .filter(pmod(col("doc_id"), lit(53)) =!= 0)
     val evalSet = docs.filter(pmod(col("doc_id"), lit(53)) === 0)
-    val contaminated = Decontaminate.overlapReport(corpus, evalSet,
+    val contaminated = Decontaminate.flaggedIds(corpus, evalSet,
         textCol = "text", idCol = "doc_id", evalIdCol = "doc_id",
         n = 3, flagAt = 0.2)
-      .filter(col("contaminated") === 1L)
       .select(col("id").as("doc_id"))
     val clean = corpus.join(contaminated, Seq("doc_id"), "left_anti")
-    val mixed = Mix.mixEpochs(clean,
+    packOnCopies(Mix.mixEpochs(clean,
       textCol = "text", idCol = "doc_id", sourceCol = "source",
       weights = Seq("src0" -> 0.4, "src1" -> 0.3,
         "src2" -> 0.2, "src3" -> 0.1),
-      budgetTokens = 20000L, salt = "cur7b")
-    val copies = mixed.select(
-      concat_ws("#", col("id"), col("epoch")).as("copy_id"),
-      col("n_tokens"))
-    Pack.packSummary(copies,
-      textCol = "n_tokens", idCol = "copy_id",
-      budget = 1024L, nShards = 8, tokensOf = c => c)
+      budgetTokens = 20000L, salt = "cur7b"))
   }
 
   val qCurationFullSql: String =
@@ -622,51 +655,13 @@ object CurationQueries extends graft.QueryModule {
        |cshc AS (SELECT s.id, s.g FROM sh0 s
        |  JOIN corpusdocs c ON s.id = c.doc_id),
        |cshe AS (SELECT id AS eval_id, g FROM sh0 WHERE id % 53 = 0),
-       |cesz AS (SELECT eval_id, CAST(count(*) AS BIGINT) AS eval_ng
-       |  FROM cshe GROUP BY eval_id),
-       |cshared AS (SELECT c.id, e.eval_id, CAST(count(*) AS BIGINT) AS shared
-       |  FROM cshc c JOIN cshe e USING (g) GROUP BY c.id, e.eval_id),
-       |cbest AS (SELECT * FROM (
-       |    SELECT s.id, s.shared / z.eval_ng AS ratio,
-       |      row_number() OVER (PARTITION BY s.id
-       |        ORDER BY s.shared / z.eval_ng DESC, s.eval_id) AS rn
-       |    FROM cshared s JOIN cesz z USING (eval_id)) WHERE rn = 1),
+       |${overlapCtes("cshc", "cshe", "c")},
        |contam AS (SELECT id FROM cbest WHERE ratio >= 0.2),
        |clean AS (SELECT * FROM corpusdocs
        |  WHERE doc_id NOT IN (SELECT id FROM contam)),
-       |base AS (SELECT doc_id, source,
-       |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
-       |    ${Mix.bucketPpmSql("doc_id", "cur7b")} AS ppm
-       |  FROM clean),
-       |avail AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS avail_tokens
-       |  FROM base GROUP BY source),
-       |tgt AS (SELECT *, CAST(floor(
-       |    CASE source WHEN 'src0' THEN 0.4 WHEN 'src1' THEN 0.3
-       |      WHEN 'src2' THEN 0.2 WHEN 'src3' THEN 0.1 ELSE 0.0 END
-       |    * 20000.0) AS BIGINT) AS target_tokens FROM avail),
-       |rt AS (SELECT *, CASE WHEN avail_tokens = 0 THEN 0
-       |    ELSE CAST(floor(1000000.0 * target_tokens / avail_tokens)
-       |      AS BIGINT) END AS rate_ppm FROM tgt),
-       |cp AS (SELECT b.doc_id, b.n_tokens,
-       |    (r.rate_ppm + 999999 - b.ppm) // 1000000 AS n_copies
-       |  FROM base b JOIN rt r USING (source)),
-       |keptc AS (SELECT cp.*, unnest(generate_series(0, n_copies - 1))
-       |    AS epoch FROM cp WHERE n_copies > 0),
-       |pd AS (SELECT CAST(doc_id AS VARCHAR) || '#' ||
-       |      CAST(epoch AS VARCHAR) AS copy_id,
-       |    n_tokens AS toks FROM keptc),
-       |pk AS (SELECT *, md5(copy_id) AS k FROM pd),
-       |ps AS (SELECT *,
-       |    CAST('0x' || substr(k, 1, 7) AS BIGINT) % 8 AS shard FROM pk),
-       |pe AS (SELECT *, COALESCE(CAST(sum(toks) OVER (
-       |    PARTITION BY shard ORDER BY k, copy_id
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
-       |    0) AS excl FROM ps),
-       |pp AS (SELECT *, CAST(floor(excl / 1024) AS BIGINT) AS pack_id FROM pe)
-       |SELECT shard, pack_id, CAST(count(*) AS BIGINT) AS n_docs,
-       |  CAST(sum(toks) AS BIGINT) AS pack_tokens, min(copy_id) AS first_doc
-       |FROM pp GROUP BY shard, pack_id
-       |ORDER BY shard, pack_id""".stripMargin
+       |${epochsCtes(Seq("src0" -> 0.4, "src1" -> 0.3,
+           "src2" -> 0.2, "src3" -> 0.1), 20000L, "cur7b", "clean")},
+       |$packCopiesTail""".stripMargin
 
   /** Semantic decontamination: best eval-slice cosine per corpus
     * embedding (every 53rd vector plays the eval set, as in
