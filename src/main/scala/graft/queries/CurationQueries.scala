@@ -623,13 +623,18 @@ object CurationQueries extends graft.QueryModule {
     *     53rd doc plays the eval suite, the [[qDecontaminate]]
     *     convention); flagged docs drop, unshingleable docs are
     *     clean by definition (no n-gram evidence);
-    *  3. upsampling mixture ([[Mix.mixEpochs]]) — post-filter
+    *  3. Gopher-style repetition filtering
+    *     ([[TextAnalysis.repetitionReport]]): docs whose top bigram
+    *     takes >= 10% of all bigrams drop; docs under 2 tokens have
+    *     no bigram evidence and stay;
+    *  4. upsampling mixture ([[Mix.mixEpochs]]) — post-filter
     *     availability shrinks, so scarce sources repeat;
-    *  4. packing on the per-copy key ([[qPackEpochs]]'s layout).
+    *  5. packing on the per-copy key ([[qPackEpochs]]'s layout).
     *
-    * One oracle replays all four stages; the keep-list closure,
-    * overlap ratios, epoch counts, and pack prefix sums must agree
-    * end to end for a single row to hash-match. */
+    * One oracle replays all five stages; the keep-list closure,
+    * overlap ratios, repetition shares, epoch counts, and pack
+    * prefix sums must agree end to end for a single row to
+    * hash-match. */
   def qCurationFull(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val corpus = keptCanonicals(docs)
@@ -640,7 +645,12 @@ object CurationQueries extends graft.QueryModule {
         n = 3, flagAt = 0.2)
       .select(col("id").as("doc_id"))
     val clean = corpus.join(contaminated, Seq("doc_id"), "left_anti")
-    packOnCopies(Mix.mixEpochs(clean,
+    val repetitive = TextAnalysis.repetitionReport(clean,
+        textCol = "text", idCol = "doc_id", flagAt = 0.1)
+      .filter(col("repetitive") === 1L)
+      .select(col("id").as("doc_id"))
+    val filtered = clean.join(repetitive, Seq("doc_id"), "left_anti")
+    packOnCopies(Mix.mixEpochs(filtered,
       textCol = "text", idCol = "doc_id", sourceCol = "source",
       weights = Seq("src0" -> 0.4, "src1" -> 0.3,
         "src2" -> 0.2, "src3" -> 0.1),
@@ -659,8 +669,13 @@ object CurationQueries extends graft.QueryModule {
        |contam AS (SELECT id FROM cbest WHERE ratio >= 0.2),
        |clean AS (SELECT * FROM corpusdocs
        |  WHERE doc_id NOT IN (SELECT id FROM contam)),
+       |${topBigramCtes("clean", "rb")},
+       |repflag AS (SELECT doc_id FROM rbtop
+       |  WHERE rn = 1 AND n / (n_tokens - 1) >= 0.1),
+       |filtered AS (SELECT * FROM clean
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM repflag)),
        |${epochsCtes(Seq("src0" -> 0.4, "src1" -> 0.3,
-           "src2" -> 0.2, "src3" -> 0.1), 20000L, "cur7b", "clean")},
+           "src2" -> 0.2, "src3" -> 0.1), 20000L, "cur7b", "filtered")},
        |$packCopiesTail""".stripMargin
 
   /** Semantic decontamination: best eval-slice cosine per corpus
@@ -697,19 +712,30 @@ object CurationQueries extends graft.QueryModule {
       .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"))
 
+  /** Top-bigram CTE chain, shared by [[qRepetitionSql]] and
+    * [[qCurationFullSql]] (cross-engine twin of
+    * [[TextAnalysis.repetitionReport]]'s core): from a docs CTE/table
+    * `from` (doc_id, text) to `${p}top` — per bigram-able doc (>= 2
+    * tokens) its most frequent bigram (count DESC, ties to the
+    * lexicographically first), rn = 1 marking the top row. The
+    * repetition criterion is `n / (n_tokens - 1) >= flagAt` on that
+    * row; the tie-break and ratio denominators live HERE, once. */
+  private def topBigramCtes(from: String, p: String): String =
+    s"""${p}t AS (SELECT doc_id, str_split(text, ' ') AS w FROM $from),
+       |${p}m AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_tokens,
+       |        CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct
+       |      FROM ${p}t WHERE len(w) >= 2),
+       |${p}bi AS (SELECT doc_id, n_tokens, n_distinct,
+       |         w[i] || ' ' || w[i+1] AS g
+       |       FROM ${p}m, UNNEST(generate_series(1, len(w)-1)) AS u(i)),
+       |${p}cnt AS (SELECT doc_id, n_tokens, n_distinct, g,
+       |          CAST(count(*) AS BIGINT) AS n
+       |        FROM ${p}bi GROUP BY doc_id, n_tokens, n_distinct, g),
+       |${p}top AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |          ORDER BY n DESC, g) AS rn FROM ${p}cnt)""".stripMargin
+
   val qRepetitionSql: String =
-    """WITH t AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
-      |m AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_tokens,
-      |        CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct
-      |      FROM t WHERE len(w) >= 2),
-      |bi AS (SELECT doc_id, n_tokens, n_distinct,
-      |         w[i] || ' ' || w[i+1] AS g
-      |       FROM m, UNNEST(generate_series(1, len(w)-1)) AS u(i)),
-      |cnt AS (SELECT doc_id, n_tokens, n_distinct, g,
-      |          CAST(count(*) AS BIGINT) AS n
-      |        FROM bi GROUP BY doc_id, n_tokens, n_distinct, g),
-      |top AS (SELECT *, row_number() OVER (PARTITION BY doc_id
-      |          ORDER BY n DESC, g) AS rn FROM cnt)
+    s"""WITH ${topBigramCtes("documents", "")}
       |SELECT doc_id, n_tokens,
       |  (n_tokens - n_distinct) / n_tokens AS dup_word_ratio,
       |  g AS top_bigram, n AS top_bigram_n,
