@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.core.CacheScope.Scoped
 import graft.core.Tables
 import graft.ops.{Bpe, Decontaminate, Mix, Pack, Scrub, TextAnalysis}
 
@@ -644,7 +645,11 @@ object CurationQueries extends graft.QueryModule {
         textCol = "text", idCol = "doc_id", evalIdCol = "doc_id",
         n = 3, flagAt = 0.2)
       .select(col("id").as("doc_id"))
+    // clean feeds TWO branches (the repetition report and the
+    // anti-join's kept side); uncached, the keep-list join and the
+    // decontamination overlap would run once per branch
     val clean = corpus.join(contaminated, Seq("doc_id"), "left_anti")
+      .scopedCache()
     val repetitive = TextAnalysis.repetitionReport(clean,
         textCol = "text", idCol = "doc_id", flagAt = 0.1)
       .filter(col("repetitive") === 1L)
