@@ -35,9 +35,9 @@ object Dedup {
     * Documents shorter than n tokens drop out (they cannot shingle). */
   def wordShingles(df: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame = {
     val w = TextAnalysis.tokens(col(textCol))
-    // spread docs before the explode so shingling parallelizes even
-    // when the source is a single local file split
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    // spread narrow inputs before the explode so shingling
+    // parallelizes even from a single local file split
+    graft.core.Par.widen(df)
       .select(col(idCol).as("id"), w.as("w"))
       .filter(size(col("w")) >= n)
       .select(col("id"), explode(array_distinct(
@@ -215,7 +215,7 @@ object Dedup {
   /** SimHash: 60-bit bit-majority fingerprint of token hashes.
     * One aggregate of 60 counters; near-dups share high-bit buckets. */
   def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val tok = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val tok = graft.core.Par.widen(df)
       .select(col(idCol).as("id"),
       explode(TextAnalysis.tokens(col(textCol))).as("t"))
       .withColumn("th", HashParity.h60(col("t")))

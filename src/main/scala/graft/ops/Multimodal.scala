@@ -29,7 +29,7 @@ object Multimodal {
   /** Synthesize a media table from documents: utf-8 bytes as the
     * opaque blob, modality assigned round-robin. */
   def mediaFromDocuments(docs: DataFrame): DataFrame =
-    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    graft.core.Par.widen(docs)
       .select(
       col("doc_id"),
       col("text").cast("binary").as("media"),

@@ -44,8 +44,7 @@ object TextAnalysis {
       textCol: String, idCol: String,
       flagAt: Double = 0.1): org.apache.spark.sql.DataFrame = {
     val w = tokens(col(textCol))
-    val base = df
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val base = graft.core.Par.widen(df)
       .select(col(idCol).as("id"), w.as("w"))
       .withColumn("n_tokens", size(col("w")).cast("long"))
       .withColumn("n_distinct", size(array_distinct(col("w"))).cast("long"))
@@ -145,8 +144,7 @@ object TextAnalysis {
       df: org.apache.spark.sql.DataFrame, textCol: String, idCol: String,
       k: Int = 5): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tok = df
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val tok = graft.core.Par.widen(df)
       .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
     // the tf frame feeds two consumers (df aggregate + scoring join)
     val tf = tok.groupBy(col("id"), col("term"))

@@ -56,3 +56,26 @@ class SaltingSpec extends SparkSpec {
     assert(salted === direct)
   }
 }
+
+class ParSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("widen spreads a narrow input to the cluster parallelism") {
+    val p = spark.sparkContext.defaultParallelism
+    val narrow = (1 to 100).toDF("x").coalesce(1)
+    assert(narrow.rdd.getNumPartitions === 1)
+    val widened = graft.core.Par.widen(narrow)
+    assert(widened.rdd.getNumPartitions === p)
+    assert(widened.count() === 100)
+  }
+
+  test("widen leaves an already-wide input untouched (no exchange)") {
+    val p = spark.sparkContext.defaultParallelism
+    val wide = (1 to 1000).toDF("x").repartition(p + 7)
+    val out = graft.core.Par.widen(wide)
+    // the same plan object comes back: no repartition node added, so
+    // a 100 TB scan with more splits than cores is never re-shuffled
+    assert(out eq wide)
+    assert(out.rdd.getNumPartitions === p + 7)
+  }
+}
