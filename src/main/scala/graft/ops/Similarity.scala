@@ -37,12 +37,10 @@ object Similarity {
   /** Embeddings with the vector cast to double (exact widening), the
     * norm precomputed once per vector, and partitions spread for
     * parallel scoring. */
-  def prepared(emb: DataFrame): DataFrame = {
-    val parallelism = emb.sparkSession.sparkContext.defaultParallelism
-    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .repartition(parallelism)
+  def prepared(emb: DataFrame): DataFrame =
+    graft.core.Par.widen(
+      emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
       .withColumn("nrm", norm(col("v")))
-  }
 
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id"))

@@ -638,8 +638,13 @@ object CurationQueries extends graft.QueryModule {
     * hash-match. */
   def qCurationFull(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
+    // corpus appears twice under clean (flaggedIds' shingle branch +
+    // the anti-join's kept side); Spark does no common-subplan
+    // elimination, so uncached the docs scan and keep-list join would
+    // run twice inside clean's one materialization
     val corpus = keptCanonicals(docs)
       .filter(pmod(col("doc_id"), lit(53)) =!= 0)
+      .scopedCache()
     val evalSet = docs.filter(pmod(col("doc_id"), lit(53)) === 0)
     val contaminated = Decontaminate.flaggedIds(corpus, evalSet,
         textCol = "text", idCol = "doc_id", evalIdCol = "doc_id",

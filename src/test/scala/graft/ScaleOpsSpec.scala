@@ -78,4 +78,18 @@ class ParSpec extends SparkSpec {
     assert(out eq wide)
     assert(out.rdd.getNumPartitions === p + 7)
   }
+
+  test("widen skips exchange-bearing plans without probing them") {
+    // post-shuffle frames are never narrow (they carry
+    // spark.sql.shuffle.partitions), and probing an adaptive plan
+    // via .rdd would materialize its query stages at plan time —
+    // the helper must return such plans untouched on the plan
+    // inspection alone
+    val agg = (1 to 100).toDF("x")
+      .groupBy($"x" % 10 as "k").count()
+    assert(graft.core.Par.widen(agg) eq agg)
+    val joined = (1 to 50).toDF("a")
+      .join((1 to 50).toDF("a"), "a")
+    assert(graft.core.Par.widen(joined) eq joined)
+  }
 }
