@@ -207,6 +207,138 @@ object Dedup {
         (col("best_jaccard") < threshold).cast("long"))
   }
 
+  /** Occurrence-key position cap: (id, pos) packs into the single
+    * long `id * PosCap + pos`, so a GLOBAL first-occurrence ordering
+    * is one `min` aggregate (map-side combinable) instead of a
+    * struct-min that not every engine orders identically. Documents
+    * are assumed shorter than 1e6 tokens — pretraining corpora chunk
+    * documents orders of magnitude below that — and ids must stay
+    * under ~9e12 for the pack to fit a signed 64-bit long. */
+  val PosCap: Long = 1000000L
+
+  /** Position-preserving k-token window hashes: one row per sliding
+    * window, `(id, pos, wh)` with `pos` 1-based and `wh` the 60-bit
+    * md5-parity hash of the space-joined window. The hash is computed
+    * INSIDE the array transform, BEFORE the explode, so exploded rows
+    * carry an 8-byte long — never the k-token window string (the k×
+    * text blow-up the naive plan would pay; at 100 TB that factor is
+    * the difference between a feasible and an infeasible shuffle).
+    * Docs shorter than k tokens emit nothing. */
+  def windowHashes(
+      df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    val w = TextAnalysis.tokens(col(textCol))
+    graft.core.Par.widen(df)
+      .select(col(idCol).as("id"), w.as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("id"), posexplode(
+        transform(sequence(lit(0), size(col("w")) - k),
+          i => HashParity.h60(concat_ws(" ", slice(col("w"), i + 1, lit(k)))))))
+      .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("wh"))
+  }
+
+  /** Per-hash stats of DUPLICATED windows only: `(wh, n_occ,
+    * first_key)` where `first_key` is the packed (id, pos) of the
+    * globally first occurrence — the one copy a span-level dedup
+    * keeps. Restricting to `n_occ >= 2` keeps the join build side
+    * proportional to the duplicated tail, not the corpus: at real
+    * scale almost every window is unique and never leaves the
+    * map-side-combined aggregate. */
+  def duplicatedWindowStats(occ: DataFrame): DataFrame =
+    occ.groupBy(col("wh"))
+      .agg(count(lit(1)).as("n_occ"),
+        min(col("id") * PosCap + col("pos")).as("first_key"))
+      .filter(col("n_occ") >= 2)
+
+  /** Span-level exact-duplicate report — the substring granularity of
+    * the ExactSubstr construction (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"; suffix arrays there,
+    * sliding window hashes here — the standard distributed
+    * approximation). Doc-level exact dedup misses documents that
+    * EMBED copied spans inside otherwise-unique text; this operator
+    * counts, per document, the k-token windows whose exact content
+    * occurs elsewhere in the corpus:
+    *
+    *  - `n_windows`: sliding k-token windows in the doc (0 if < k
+    *    tokens);
+    *  - `n_dup`: windows whose hash occurs >= 2 times corpus-wide;
+    *  - `n_noncanon`: dup windows that are NOT the globally first
+    *    occurrence (min packed (id, pos)) — the spans a span-level
+    *    dedup pass would cut;
+    *  - `dup_ppm = n_noncanon * 1e6 DIV n_windows`; `keep = dup_ppm <
+    *    dupPpmAt` (windowless docs keep trivially).
+    *
+    * Scale shape: one map-side-combined aggregate on the window hash
+    * (unique windows collapse before the exchange and are then
+    * FILTERED OUT of the stats side), one equi-join of the occurrence
+    * rows against that bounded duplicated-tail table, one per-doc
+    * aggregate. 60-bit hashing makes cross-content collisions
+    * negligible until ~1e9 distinct windows per corpus shard and they
+    * only ever over-flag a window, never crash. */
+  def substringDupReport(
+      df: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, dupPpmAt: Long = 200000L): DataFrame = {
+    // the occurrence rows feed the stats aggregate AND the join back;
+    // uncached, the scan + window explode runs twice
+    val occ = windowHashes(df, textCol, idCol, k).scopedCache()
+    val j = occ.join(duplicatedWindowStats(occ), Seq("wh"), "left")
+    val perDoc = j.groupBy(col("id")).agg(
+      count(lit(1)).as("n_windows"),
+      sum(when(col("n_occ").isNotNull, 1L).otherwise(0L)).as("n_dup"),
+      sum(when(col("n_occ").isNotNull &&
+          (col("id") * PosCap + col("pos")) =!= col("first_key"), 1L)
+        .otherwise(0L)).as("n_noncanon"))
+    df.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .na.fill(0L, Seq("n_windows", "n_dup", "n_noncanon"))
+      .withColumn("dup_ppm",
+        when(col("n_windows") === 0L, 0L)
+          .otherwise(expr("n_noncanon * 1000000 DIV n_windows")))
+      .withColumn("keep", (col("dup_ppm") < dupPpmAt).cast("long"))
+  }
+
+  /** Span-level scrub: REMOVE every token covered by a non-canonical
+    * duplicated window, keeping exactly one copy of each duplicated
+    * span corpus-wide (the globally first occurrence) — the repair
+    * action [[substringDupReport]] only measures. Overlapping and
+    * adjacent duplicated windows merge naturally through the
+    * distinct covered-position set (interval union without interval
+    * logic). Docs shorter than k tokens pass through verbatim;
+    * `n_removed = n_toks - n_kept` and fully-covered docs come back
+    * as empty text rather than disappearing.
+    *
+    * Scale shape: adds to the report's plan one bounded explode
+    * (k rows per non-canonical window — proportional to the
+    * duplicated tail), one anti-join of token rows against the
+    * covered set on (id, position), and one per-doc ordered
+    * reassembly aggregate. */
+  def substringScrub(
+      df: DataFrame, textCol: String, idCol: String, k: Int = 8): DataFrame = {
+    val occ = windowHashes(df, textCol, idCol, k).scopedCache()
+    val noncanon = occ.join(duplicatedWindowStats(occ), Seq("wh"))
+      .filter(col("id") * PosCap + col("pos") =!= col("first_key"))
+    val covered = noncanon
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("tpos"))
+      .distinct()
+    val toks = graft.core.Par.widen(df)
+      .select(col(idCol).as("id"),
+        posexplode(TextAnalysis.tokens(col(textCol))))
+      .select(col("id"), (col("pos") + 1).as("tpos"), col("col").as("tok"))
+    val rebuilt = toks.join(covered, Seq("id", "tpos"), "left_anti")
+      .groupBy(col("id")).agg(
+        count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("tpos"), col("tok")))),
+          s => s.getField("tok")), " ").as("clean_text"))
+    df.select(col(idCol).as("id"),
+        size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_toks"))
+      .join(rebuilt, Seq("id"), "left")
+      .na.fill(0L, Seq("n_kept"))
+      .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
+      .withColumn("n_removed", col("n_toks") - col("n_kept"))
+      .select("id", "n_toks", "n_kept", "n_removed", "clean_text")
+  }
+
   /** SimHash bit width: 60 (the md5-parity hash is 60-bit so the
     * fingerprint replays in DuckDB; 60 vs 64 bits is semantically
     * equivalent for bit-majority fingerprinting). */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.CacheScope.Scoped
 import graft.core.Tables
-import graft.ops.{Bpe, Decontaminate, Mix, Pack, Scrub, TextAnalysis}
+import graft.ops.{Bpe, Decontaminate, Importance, Mix, Pack, Scrub, TextAnalysis}
 
 /** Corpus-curation queries over the `documents` table: eval-set
   * decontamination and context packing — the two layout steps between
@@ -63,6 +63,48 @@ object CurationQueries extends graft.QueryModule {
       |  CAST(COALESCE(b.ratio, 0.0) >= 0.2 AS BIGINT) AS contaminated
       |FROM (SELECT DISTINCT id FROM shc) d
       |LEFT JOIN best b USING (id)
+      |ORDER BY doc_id""".stripMargin
+
+  /** DSIR-style importance scoring against the same synthetic
+    * "benchmark" slice decontamination uses as its eval set (every
+    * 53rd doc plays the target distribution, the rest the raw
+    * corpus): hashed-unigram ppm-difference weights, per-doc scores,
+    * keep = non-negative mean per-token weight
+    * ([[Importance.importanceReport]]). */
+  def qImportance(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(53)) =!= 0)
+    val target = docs.filter(pmod(col("doc_id"), lit(53)) === 0)
+    Importance.importanceReport(corpus, target,
+        textCol = "text", idCol = "doc_id", nBuckets = 4096, keepAtPml = 0L)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  val qImportanceSql: String =
+    """WITH tk AS (SELECT doc_id AS id,
+      |        CAST('0x' || substr(md5(t), 1, 7) AS BIGINT) % 4096 AS b
+      |      FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS t
+      |            FROM documents WHERE doc_id % 53 <> 0)),
+      |tt AS (SELECT doc_id AS id,
+      |        CAST('0x' || substr(md5(t), 1, 7) AS BIGINT) % 4096 AS b
+      |      FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS t
+      |            FROM documents WHERE doc_id % 53 = 0)),
+      |rp AS (SELECT b, count(*) * 1000000 // (SELECT count(*) FROM tk) AS ppm
+      |       FROM tk GROUP BY b),
+      |tp AS (SELECT b, count(*) * 1000000 // (SELECT count(*) FROM tt) AS ppm
+      |       FROM tt GROUP BY b),
+      |wt AS (SELECT b, COALESCE(tp.ppm, 0) - COALESCE(rp.ppm, 0) AS wt
+      |       FROM rp FULL JOIN tp USING (b)),
+      |sc AS (SELECT id, CAST(count(*) AS BIGINT) AS n_toks,
+      |        CAST(sum(wt) AS BIGINT) AS score
+      |      FROM tk JOIN wt USING (b) GROUP BY id)
+      |SELECT d.doc_id, COALESCE(sc.n_toks, 0) AS n_toks,
+      |  COALESCE(sc.score, 0) AS score,
+      |  CAST(COALESCE(sc.score, 0) * 1000 >= 0 * COALESCE(sc.n_toks, 0)
+      |    AS BIGINT) AS keep
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 53 <> 0) d
+      |LEFT JOIN sc ON sc.id = d.doc_id
       |ORDER BY doc_id""".stripMargin
 
   /** Context packing at a 512-token budget over 8 hash shards. */
@@ -787,6 +829,7 @@ object CurationQueries extends graft.QueryModule {
     "q_bpe_vocab" -> (qBpeVocab _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_decontaminate_semantic" -> (qDecontaminateSemantic _),
+    "q_importance" -> (qImportance _),
     "q_mix" -> (qMix _),
     "q_mix_bpe50k" -> (qMixBpe50k _),
     "q_mix_epochs" -> (qMixEpochs _),
@@ -807,6 +850,7 @@ object CurationQueries extends graft.QueryModule {
     "q_bpe_vocab" -> qBpeVocabSql,
     "q_decontaminate" -> qDecontaminateSql,
     "q_decontaminate_semantic" -> qDecontaminateSemanticSql,
+    "q_importance" -> qImportanceSql,
     "q_mix" -> qMixSql,
     "q_mix_bpe50k" -> qMixBpe50kSql,
     "q_mix_epochs" -> qMixEpochsSql,

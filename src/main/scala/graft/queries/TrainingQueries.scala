@@ -107,6 +107,81 @@ object TrainingQueries extends graft.QueryModule {
       |  CAST(min(doc_id) AS BIGINT) AS canonical_id
       |FROM documents GROUP BY md5(text) ORDER BY fp""".stripMargin
 
+  /** Span-level exact-substring dedup report: 8-token sliding-window
+    * hashes, duplicated-window stats, per-doc dup-ppm + keep flag —
+    * the substring granularity doc-level dedup misses
+    * ([[Dedup.substringDupReport]]). */
+  def qSubstringDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.substringDupReport(Tables.documents(s, dir), "text", "doc_id",
+        k = 8, dupPpmAt = 200000L)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
+  /** Shared oracle CTEs for the substring family: tokenized docs,
+    * position-preserving 8-token window hashes (60-bit md5-parity,
+    * the [[graft.functions.HashParity]] convention), and the
+    * duplicated-window stats with the packed global first-occurrence
+    * key — the cross-engine twin of [[Dedup.windowHashes]] +
+    * [[Dedup.duplicatedWindowStats]]. */
+  private val substringCtes: String =
+    """t AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+      |occ AS (SELECT doc_id AS id, i AS pos,
+      |         CAST('0x' || substr(md5(array_to_string(w[i:i+7], ' ')), 1, 15)
+      |           AS BIGINT) AS wh
+      |       FROM t, UNNEST(generate_series(1, len(w) - 7)) AS u(i)
+      |       WHERE len(w) >= 8),
+      |st AS (SELECT wh, CAST(count(*) AS BIGINT) AS n_occ,
+      |         min(id * 1000000 + pos) AS first_key
+      |       FROM occ GROUP BY wh HAVING count(*) >= 2)""".stripMargin
+
+  val qSubstringDedupSql: String =
+    s"""WITH $substringCtes,
+      |pd AS (SELECT o.id, CAST(count(*) AS BIGINT) AS n_windows,
+      |         CAST(count(st.wh) AS BIGINT) AS n_dup,
+      |         CAST(count(CASE WHEN st.wh IS NOT NULL
+      |             AND o.id * 1000000 + o.pos <> st.first_key THEN 1 END)
+      |           AS BIGINT) AS n_noncanon
+      |       FROM occ o LEFT JOIN st ON o.wh = st.wh GROUP BY o.id)
+      |SELECT doc_id, n_windows, n_dup, n_noncanon, dup_ppm,
+      |  CAST(dup_ppm < 200000 AS BIGINT) AS keep
+      |FROM (SELECT d.doc_id,
+      |    COALESCE(pd.n_windows, 0) AS n_windows,
+      |    COALESCE(pd.n_dup, 0) AS n_dup,
+      |    COALESCE(pd.n_noncanon, 0) AS n_noncanon,
+      |    CASE WHEN COALESCE(pd.n_windows, 0) = 0 THEN 0
+      |      ELSE COALESCE(pd.n_noncanon, 0) * 1000000 // pd.n_windows
+      |    END AS dup_ppm
+      |  FROM documents d LEFT JOIN pd ON pd.id = d.doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Span-level scrub: duplicated spans cut, one canonical copy kept
+    * corpus-wide ([[Dedup.substringScrub]]); emits the cleaned text. */
+  def qSubstringScrub(s: SparkSession, dir: String): DataFrame =
+    Dedup.substringScrub(Tables.documents(s, dir), "text", "doc_id", k = 8)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
+  val qSubstringScrubSql: String =
+    s"""WITH $substringCtes,
+      |nc AS (SELECT id, pos FROM occ JOIN st USING (wh)
+      |       WHERE id * 1000000 + pos <> first_key),
+      |cov AS (SELECT DISTINCT id, tpos FROM
+      |         (SELECT id, unnest(generate_series(pos, pos + 7)) AS tpos FROM nc)),
+      |tok AS (SELECT doc_id AS id, i AS tpos, w[i] AS tok
+      |        FROM t, UNNEST(generate_series(1, len(w))) AS u(i)),
+      |kept AS (SELECT tok.id, tok.tpos, tok.tok
+      |         FROM tok LEFT JOIN cov ON cov.id = tok.id AND cov.tpos = tok.tpos
+      |         WHERE cov.id IS NULL),
+      |rb AS (SELECT id, CAST(count(*) AS BIGINT) AS n_kept,
+      |         array_to_string(list(tok ORDER BY tpos), ' ') AS clean_text
+      |       FROM kept GROUP BY id)
+      |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_toks,
+      |  COALESCE(rb.n_kept, 0) AS n_kept,
+      |  CAST(len(t.w) AS BIGINT) - COALESCE(rb.n_kept, 0) AS n_removed,
+      |  COALESCE(rb.clean_text, '') AS clean_text
+      |FROM t LEFT JOIN rb ON rb.id = t.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairs(Tables.documents(s, dir), "text", "doc_id",
       n = 3, maxDf = 1000L, topK = 100)
@@ -799,6 +874,8 @@ object TrainingQueries extends graft.QueryModule {
     "q_langid" -> (qLangId _),
     "q_fingerprint" -> (qFingerprint _),
     "q_exact_dedup" -> (qExactDedup _),
+    "q_substring_dedup" -> (qSubstringDedup _),
+    "q_substring_scrub" -> (qSubstringScrub _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_minhash_dedup" -> (qMinhashDedup _),
     "q_dedup_clusters" -> (qDedupClusters _),
@@ -822,6 +899,8 @@ object TrainingQueries extends graft.QueryModule {
     "q_langid" -> qLangIdSql,
     "q_fingerprint" -> qFingerprintSql,
     "q_exact_dedup" -> qExactDedupSql,
+    "q_substring_dedup" -> qSubstringDedupSql,
+    "q_substring_scrub" -> qSubstringScrubSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_minhash_dedup" -> qMinhashDedupSql,
     "q_dedup_clusters" -> qDedupClustersSql,

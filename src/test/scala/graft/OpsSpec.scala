@@ -37,6 +37,57 @@ class DedupSpec extends SparkSpec {
     assert(cands(0).getLong(0) === 1L && cands(0).getLong(1) === 2L)
   }
 
+  test("substring report: embedded copied span flags the copier, not the origin") {
+    // doc 2 embeds doc 1's 8-token span inside otherwise-unique text;
+    // doc-level exact dedup sees nothing, the span report must
+    val span = "q w e r t y u i"
+    val df = Seq(
+      (1L, s"$span alpha beta gamma"),   // origin: canonical occurrences
+      (2L, s"zeta eta $span theta"),     // copier: non-canonical span
+      (3L, "one two three four five six seven eight nine"),
+      (4L, "tiny"))                      // < k tokens: windowless, kept
+      .toDF("doc_id", "text")
+    val r = Dedup.substringDupReport(df, "text", "doc_id", k = 8, dupPpmAt = 200000L)
+      .orderBy("id").collect()
+    val byId = r.map(x => x.getLong(0) -> x).toMap
+    // origin: 4 windows (11 tokens), 1 dup (the span), 0 non-canonical
+    assert(byId(1L).getLong(1) === 4L && byId(1L).getLong(2) === 1L
+      && byId(1L).getLong(3) === 0L && byId(1L).getLong(5) === 1L)
+    // copier: its span window is the later occurrence -> non-canonical,
+    // 1/4 windows = 250000 ppm >= threshold -> dropped
+    assert(byId(2L).getLong(3) === 1L && byId(2L).getLong(4) === 250000L
+      && byId(2L).getLong(5) === 0L)
+    assert(byId(3L).getLong(2) === 0L && byId(3L).getLong(5) === 1L)
+    assert(byId(4L).getLong(1) === 0L && byId(4L).getLong(5) === 1L)
+  }
+
+  test("substring scrub cuts the copied span from the copier only") {
+    val span = "q w e r t y u i"
+    val df = Seq(
+      (1L, s"$span tail1 tail2"),
+      (2L, s"head1 head2 $span tail3"),
+      (3L, "a b"))
+      .toDF("doc_id", "text")
+    val r = Dedup.substringScrub(df, "text", "doc_id", k = 8)
+      .orderBy("id").collect()
+    // origin keeps everything
+    assert(r(0).getLong(3) === 0L && r(0).getString(4) === s"$span tail1 tail2")
+    // copier loses exactly the 8 span tokens, order of the rest intact
+    assert(r(1).getLong(3) === 8L && r(1).getString(4) === "head1 head2 tail3")
+    // short doc passes through verbatim
+    assert(r(2).getLong(3) === 0L && r(2).getString(4) === "a b")
+  }
+
+  test("substring scrub keeps one copy of a thrice-repeated span and empties full copies") {
+    val span = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val df = Seq((1L, span), (2L, span), (3L, span)).toDF("doc_id", "text")
+    val r = Dedup.substringScrub(df, "text", "doc_id", k = 8)
+      .orderBy("id").collect()
+    assert(r(0).getString(4) === span)                       // canonical copy
+    assert(r(1).getString(4) === "" && r(1).getLong(3) === 8L) // scrubbed away
+    assert(r(2).getString(4) === "" && r(2).getLong(3) === 8L)
+  }
+
   test("incremental dedup joins a new batch against a STORED band index") {
     // the standing corpus's bands persist as a plain parquet table;
     // the arriving batch computes only its own signatures and never
@@ -223,6 +274,44 @@ class TextAnalysisSpec extends SparkSpec {
         TextAnalysis.langStopwords.map(p => col(s"s_${p._1}"))))
       .orderBy("doc_id").select("pred").as[String].collect()
     assert(r.toSeq === Seq("en", "de", "es"))
+  }
+}
+
+class ImportanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("target-like docs score above corpus-typical docs and the keep flag splits there") {
+    // target distribution is all "rare"; corpus is mostly "common".
+    // The doc made of target-favored tokens must outscore the
+    // corpus-typical one under the ppm-difference weights.
+    val corpus = Seq(
+      (1L, "rare rare rare rare"),
+      (2L, "common common common common"),
+      (3L, "common rare common rare"))
+      .toDF("doc_id", "text")
+    val target = Seq((100L, "rare rare rare rare")).toDF("doc_id", "text")
+    val r = Importance.importanceReport(corpus, target,
+        "text", "doc_id", nBuckets = 64, keepAtPml = 0L)
+      .orderBy("id").collect()
+    val score = r.map(x => x.getLong(0) -> x.getLong(2)).toMap
+    val keep = r.map(x => x.getLong(0) -> x.getLong(3)).toMap
+    assert(score(1L) > score(3L) && score(3L) > score(2L))
+    assert(keep(1L) === 1L && keep(2L) === 0L)
+    // n_toks counts every token occurrence, not distinct tokens
+    assert(r.map(_.getLong(1)).toSeq === Seq(4L, 4L, 4L))
+  }
+
+  test("keep cross-multiplication is length-invariant: repeating a doc doesn't change its verdict") {
+    val corpus = Seq(
+      (1L, "good good bad"),
+      (2L, "good good bad good good bad good good bad"))
+      .toDF("doc_id", "text")
+    val target = Seq((100L, "good")).toDF("doc_id", "text")
+    val r = Importance.importanceReport(corpus, target,
+        "text", "doc_id", nBuckets = 64, keepAtPml = 100L)
+      .orderBy("id").collect()
+    // same token mixture at 1x and 3x length -> same keep decision
+    assert(r(0).getLong(3) === r(1).getLong(3))
   }
 }
 
