@@ -63,6 +63,55 @@ object Decontaminate {
       .filter(col("ratio") >= flagAt)
       .select(col("id"))
 
+  /** The flagged-docs report computed the way a 100 TB run would: a
+    * bloom filter over the eval suite's shingles (built distributed,
+    * bits-only — ~1.2 MB per million shingles at the default 1% fpp)
+    * prunes the corpus INSIDE the scan stage
+    * ([[graft.functions.BloomExprs.shingleMightOverlap]], codegen'd),
+    * so the shingle explode + eval equi-join — the exact path's
+    * dominant cost, |tokens| rows per document — runs only over bloom
+    * survivors: the contaminated tail plus an fpp-sized sliver of the
+    * clean majority. Bloom filters have no false negatives, and a
+    * doc's overlap row is independent of other docs, so the exact
+    * verify downstream discards exactly the false positives: the
+    * output is bit-identical to filtering [[overlapReport]] at
+    * `flagAt` (OpsSpec pins this).
+    *
+    * Emits only flagged docs (id, eval_id, shared, eval_ng, ratio) —
+    * the drop-list with its evidence, which is what the pruning shape
+    * can produce without a full-corpus left join. */
+  def flaggedReportBloom(
+      corpus: DataFrame, evalSet: DataFrame,
+      textCol: String, idCol: String, evalIdCol: String,
+      n: Int = 3, flagAt: Double = 0.2, fpp: Double = 0.01): DataFrame = {
+    val shE = Dedup.wordShingles(evalSet, textCol, evalIdCol, n)
+    // distinct before counting: BloomFilter.create sizes bits from the
+    // expected DISTINCT item count; duplicate inserts are harmless
+    val nItems = shE.select(col("g")).distinct().count()
+    if (nItems == 0L)
+      // no eval n-grams -> nothing can be flagged; keep the schema
+      return corpus.sparkSession.createDataFrame(
+        corpus.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            corpus.schema(idCol).dataType),
+          org.apache.spark.sql.types.StructField("eval_id",
+            evalSet.schema(evalIdCol).dataType),
+          org.apache.spark.sql.types.StructField("shared",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("eval_ng",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("ratio",
+            org.apache.spark.sql.types.DoubleType))))
+    val bloom = shE.stat.bloomFilter("g", nItems, fpp)
+    val pruned = corpus.filter(
+      graft.functions.BloomExprs.shingleMightOverlap(col(textCol), n, bloom))
+    bestOverlap(pruned, evalSet, textCol, idCol, evalIdCol, n)
+      .filter(col("ratio") >= flagAt)
+      .select(col("id"), col("eval_id"), col("shared"), col("eval_ng"),
+        col("ratio"))
+  }
+
   /** Shared core of [[overlapReport]] / [[flaggedIds]]: one row per
     * corpus doc that shares at least one n-gram with some eval doc —
     * its best-overlapping eval doc (ratio DESC, ties to lowest

@@ -65,6 +65,43 @@ object CurationQueries extends graft.QueryModule {
       |LEFT JOIN best b USING (id)
       |ORDER BY doc_id""".stripMargin
 
+  /** The same decontamination computed the 100 TB way
+    * ([[Decontaminate.flaggedReportBloom]]): the eval suite's shingles
+    * fold into a bloom filter probed INSIDE the corpus scan (codegen'd
+    * [[graft.functions.BloomExprs]]), so the shingle explode + eval
+    * equi-join run only over probe survivors; exact verification then
+    * discards bloom false positives, making the flagged set
+    * bit-identical to [[qDecontaminate]]'s contaminated rows. The
+    * oracle is the EXACT overlap computation — it never sees the bloom,
+    * so a probe false negative (impossible by construction) or an
+    * unverified false positive would hash-mismatch. */
+  def qDecontaminateBloom(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(53)) =!= 0)
+    val evalSet = docs.filter(pmod(col("doc_id"), lit(53)) === 0)
+    // flagAt is lower than qDecontaminate's 0.2: the synthetic corpus
+    // has no planted eval copies, so 0.2 flags nothing at sf>=0.01 and
+    // the entry would gate vacuously on an empty frame
+    Decontaminate.flaggedReportBloom(corpus, evalSet,
+        textCol = "text", idCol = "doc_id", evalIdCol = "doc_id",
+        n = 3, flagAt = 0.04)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  val qDecontaminateBloomSql: String =
+    s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id AS id,
+      |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+      |       FROM t, UNNEST(generate_series(1, len(w)-2)) AS u(i)
+      |       WHERE len(w) >= 3),
+      |shc AS (SELECT * FROM sh WHERE id % 53 <> 0),
+      |she AS (SELECT id AS eval_id, g FROM sh WHERE id % 53 = 0),
+      |${overlapCtes("shc", "she", "")}
+      |SELECT id AS doc_id, eval_id, shared, eval_ng, ratio
+      |FROM best WHERE ratio >= 0.04
+      |ORDER BY doc_id""".stripMargin
+
   /** DSIR-style importance scoring against the same synthetic
     * "benchmark" slice decontamination uses as its eval set (every
     * 53rd doc plays the target distribution, the rest the raw
@@ -828,6 +865,7 @@ object CurationQueries extends graft.QueryModule {
     "q_curation_full" -> (qCurationFull _),
     "q_bpe_vocab" -> (qBpeVocab _),
     "q_decontaminate" -> (qDecontaminate _),
+    "q_decontaminate_bloom" -> (qDecontaminateBloom _),
     "q_decontaminate_semantic" -> (qDecontaminateSemantic _),
     "q_importance" -> (qImportance _),
     "q_mix" -> (qMix _),
@@ -849,6 +887,7 @@ object CurationQueries extends graft.QueryModule {
     "q_curation_full" -> qCurationFullSql,
     "q_bpe_vocab" -> qBpeVocabSql,
     "q_decontaminate" -> qDecontaminateSql,
+    "q_decontaminate_bloom" -> qDecontaminateBloomSql,
     "q_decontaminate_semantic" -> qDecontaminateSemanticSql,
     "q_importance" -> qImportanceSql,
     "q_mix" -> qMixSql,

@@ -336,6 +336,44 @@ class CurationSpec extends SparkSpec {
     assert(r(2).getLong(3) === 0L && r(2).isNullAt(1)) // no candidate at all
   }
 
+  test("bloom-pruned decontamination == exact flagged set (sf0.001)") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(53)) =!= 0)
+    val evalSet = docs.filter(pmod(col("doc_id"), lit(53)) === 0)
+    val exact = Decontaminate.overlapReport(corpus, evalSet,
+        "text", "doc_id", "doc_id", n = 3, flagAt = 0.2)
+      .filter(col("contaminated") === 1L)
+      .select("id", "eval_id", "shared", "eval_ng", "ratio")
+    val bloom = Decontaminate.flaggedReportBloom(corpus, evalSet,
+      "text", "doc_id", "doc_id", n = 3, flagAt = 0.2)
+    assert(exact.count() > 0) // the fixture actually exercises the path
+    assert(bloom.exceptAll(exact).isEmpty && exact.exceptAll(bloom).isEmpty)
+  }
+
+  test("bloom shingle probe byte-slices agree with concat_ws shingles") {
+    // doubled/leading spaces produce empty tokens; the probe's byte
+    // ranges must hash exactly what concat_ws(" ", slice(w,i,n)) emits
+    val evalSet = Seq((100L, "alpha  beta gamma")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "x alpha  beta gamma y"),  // contains the doubled-space 3-gram
+      (2L, "x alpha beta gamma y"))   // single space: different shingle
+      .toDF("doc_id", "text")
+    val r = Decontaminate.flaggedReportBloom(corpus, evalSet,
+        "text", "doc_id", "doc_id", n = 3, flagAt = 0.2)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(r.sameElements(Array(1L)))
+  }
+
+  test("bloom decontamination with an empty eval set flags nothing") {
+    val corpus = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val evalSet = corpus.filter(lit(false))
+    val r = Decontaminate.flaggedReportBloom(corpus, evalSet,
+      "text", "doc_id", "doc_id", n = 3, flagAt = 0.2)
+    assert(r.count() === 0)
+    assert(r.columns.toSeq ===
+      Seq("id", "eval_id", "shared", "eval_ng", "ratio"))
+  }
+
   test("BPE-ish token count segments letter/digit/punct runs") {
     import graft.ops.TextAnalysis
     val df = Seq(
