@@ -25,17 +25,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is Parquet TIMESTAMP(NANOS) which Spark's reader
-    * rejects outright; read it as a long (nanos since epoch) via the
-    * legacy conf and normalize to microseconds. Integer `div` (not
-    * `/`) — a double round-trip would lose precision at 1.7e18 ns.
-    * DuckDB truncates ns->us on read the same way, so `ts_us` is
-    * bit-identical to the oracle's `epoch_us(ts)`.
+  /** `events.ts` has shipped in two parquet encodings across driver
+    * testdata generations: TIMESTAMP(NANOS) — which Spark's reader
+    * rejects outright, so it is read as a long (nanos since epoch)
+    * via the legacy conf and divided down (integer `div`, not `/`:
+    * a double round-trip would lose precision at 1.7e18 ns) — and
+    * plain TIMESTAMP(MICROS), which Spark reads as TIMESTAMP_NTZ.
+    * Both normalize to the same surface: `ts_us` (micros since
+    * epoch, bit-identical to the oracle's `epoch_us(ts)` — the
+    * session timezone is pinned to UTC so the NTZ cast is the
+    * identity wall-clock) and `ts` rebuilt from it as a session-tz
+    * TIMESTAMP.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts_us", expr("ts DIV 1000"))
+    val raw = load(s, d, "events")
+    val tsUs = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts DIV 1000")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+    raw.withColumn("ts_us", tsUs)
       .withColumn("ts", timestamp_micros(col("ts_us")))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

@@ -17,27 +17,32 @@ import graft.core.Num
   */
 object EventStream {
 
-  /** events schema as the nanos-as-long reader sees it. */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos since epoch (TIMESTAMP(NANOS))
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** File-source stream over the events landing path. `options` pass
     * through to the file source (e.g. `maxFilesPerTrigger` to bound a
     * drain's micro-batch size — pair with [[orderLanding]] so the
-    * multi-batch replay arrives in event-time order). */
+    * multi-batch replay arrives in event-time order).
+    *
+    * A file stream needs its schema up front, and `events.ts` has
+    * shipped both as TIMESTAMP(NANOS) (read as nanos longs via the
+    * legacy conf) and TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ), so
+    * the schema is taken from one batch-reader footer probe of the
+    * same glob — footer-only, no data pages — and `ts_us` normalizes
+    * either encoding to micros since epoch (the session timezone is
+    * pinned to UTC, making the NTZ cast the identity wall-clock). */
   def read(s: SparkSession, dir: String,
       options: Map[String, String] = Map.empty): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val glob = s"$dir/events*.parquet"
+    val schema = s.read.parquet(glob).schema
+    val tsUs = schema("ts").dataType match {
+      case LongType => expr("ts DIV 1000")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
     // glob, not bare file: FileStreamSource requires its basePath (the
     // non-glob prefix) to be a directory
-    s.readStream.schema(rawSchema).options(options)
-      .parquet(s"$dir/events*.parquet")
-      .withColumn("ts_us", expr("ts DIV 1000"))
+    s.readStream.schema(schema).options(options)
+      .parquet(glob)
+      .withColumn("ts_us", tsUs)
       .withColumn("tsT", timestamp_micros(col("ts_us")))
   }
 
@@ -154,9 +159,18 @@ object EventStream {
       if (statless.isEmpty) Map.empty
       else {
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        s.read.parquet(statless.toIndexedSeq: _*)
-          .groupBy(input_file_name().as("f"))
-          .agg(min(col(eventTimeCol)).cast("long").as("t0"))
+        val df = s.read.parquet(statless.toIndexedSeq: _*)
+        // keep the fallback in the SAME units the footer stats carry
+        // for this dir's encoding (raw INT64: nanos for
+        // TIMESTAMP(NANOS)-as-long files, micros for
+        // TIMESTAMP(MICROS) ones) — a plain long cast of a timestamp
+        // is SECONDS and would mix units within one manifest
+        val t = df.schema(eventTimeCol).dataType match {
+          case LongType => col(eventTimeCol)
+          case _ => unix_micros(col(eventTimeCol).cast("timestamp"))
+        }
+        df.groupBy(input_file_name().as("f"))
+          .agg(min(t).cast("long").as("t0"))
           .collect()
           .map(r => new java.net.URI(r.getString(0)).getPath -> r.getLong(1))
           .toMap
