@@ -137,6 +137,14 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }.min
 
+    // positional args restrict the sweep to named queries; an unknown
+    // name fails LOUDLY (a typo'd filter would otherwise print a
+    // healthy-looking zero-query sweep and exit 0 — a silent empty
+    // sweep could poison a round artifact)
+    val unknown = args.filterNot(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown query filter(s): ${unknown.mkString(", ")} — " +
+        s"valid names: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
     val wanted = if (args.nonEmpty) args.toSet else SparkEntry.queries.keySet
     val sweep = SparkEntry.queries.keys.filter(wanted).map { name =>
       name -> timeQuery(name, nRuns)

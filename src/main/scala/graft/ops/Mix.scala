@@ -116,11 +116,23 @@ object Mix {
     * emits only the kept copies (integer DIV, no row ever carried for
     * a dropped doc), so output volume is the mixture's token budget,
     * not corpus size. The audit counts copies
-    * (`src_kept_copies`/`src_kept_tokens` include repetition). */
+    * (`src_kept_copies`/`src_kept_tokens` include repetition).
+    *
+    * `maxEpochs` is a LOUD guard, not a cap: `rate_ppm` is unbounded
+    * (target / available), so a misconfigured budget against a tiny
+    * source (avail_tokens 10^3, budget 10^12) would otherwise explode
+    * ~10^9 copies per doc straight into an OOM with no actionable
+    * message. Real pretraining mixtures repeat scarce sources 2-5
+    * epochs; any source whose rate exceeds `maxEpochs` epochs throws,
+    * naming the source and its rate. The check reads the availability
+    * aggregate — |sources| rows, already computed for the broadcast —
+    * so it costs one tiny job, never a corpus pass. */
   def mixEpochs(
       df: DataFrame, textCol: String, idCol: String, sourceCol: String,
       weights: Seq[(String, Double)], budgetTokens: Long, salt: String,
-      tokensOf: Column => Column = Pack.whitespaceTokens): DataFrame = {
+      tokensOf: Column => Column = Pack.whitespaceTokens,
+      maxEpochs: Int = 16): DataFrame = {
+    require(maxEpochs >= 1, "maxEpochs must be >= 1")
     require(weights.nonEmpty, "empty mixture")
     require(weights.map(_._1).distinct.size == weights.size,
       "duplicate source in mixture weights")
@@ -136,6 +148,19 @@ object Mix {
       .scopedCache()
     val rates = availability(base, share, budgetTokens)
       .withColumnRenamed("rate_ppm_raw", "rate_ppm")
+    val runaway = rates
+      .filter(col("rate_ppm") > maxEpochs * 1000000L)
+      .select(col("source"), col("rate_ppm"), col("avail_tokens"),
+        col("target_tokens"))
+      .collect()
+    require(runaway.isEmpty, {
+      val worst = runaway.maxBy(_.getAs[Long]("rate_ppm"))
+      s"mixEpochs: source '${worst.getAs[String]("source")}' needs " +
+        f"${worst.getAs[Long]("rate_ppm") / 1e6}%.1f epochs " +
+        s"(target ${worst.getAs[Long]("target_tokens")} tokens vs " +
+        s"${worst.getAs[Long]("avail_tokens")} available) — over " +
+        s"maxEpochs=$maxEpochs; shrink the budget/weight or raise maxEpochs"
+    })
     val kept = base.join(broadcast(rates), Seq("source"))
       .withColumn("n_copies",
         expr("(rate_ppm + 999999 - ppm) DIV 1000000"))

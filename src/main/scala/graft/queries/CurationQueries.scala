@@ -463,7 +463,11 @@ object CurationQueries extends graft.QueryModule {
         textCol = "text", idCol = "doc_id", sourceCol = "source",
         weights = Seq("src0" -> 0.1, "src1" -> 0.2,
           "src2" -> 0.3, "src3" -> 0.4),
-        budgetTokens = 100000L, salt = "mix7")
+        budgetTokens = 100000L, salt = "mix7",
+        // fixed demo budget vs an SF-scaled corpus: at sf0.001 the
+        // scarce source needs ~300 epochs, so the entry opts above
+        // the production-shaped default guard explicitly
+        maxEpochs = 512)
       .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"), col("epoch"))
 
@@ -550,7 +554,7 @@ object CurationQueries extends graft.QueryModule {
       textCol = "text", idCol = "doc_id", sourceCol = "source",
       weights = Seq("src0" -> 0.1, "src1" -> 0.2,
         "src2" -> 0.3, "src3" -> 0.4),
-      budgetTokens = 100000L, salt = "mix7"))
+      budgetTokens = 100000L, salt = "mix7", maxEpochs = 512))
 
   /** Pack an upsampled mixture on the per-copy key — a copy is its
     * own training instance, and the composite `copy_id` restores the
@@ -743,7 +747,7 @@ object CurationQueries extends graft.QueryModule {
       textCol = "text", idCol = "doc_id", sourceCol = "source",
       weights = Seq("src0" -> 0.4, "src1" -> 0.3,
         "src2" -> 0.2, "src3" -> 0.1),
-      budgetTokens = 20000L, salt = "cur7b"))
+      budgetTokens = 20000L, salt = "cur7b", maxEpochs = 512))
   }
 
   val qCurationFullSql: String =

@@ -17,6 +17,20 @@ import graft.core.Num
   */
 object EventStream {
 
+  /** The nanos-generation landing schema: `ts` as a raw nanos long
+    * (what TIMESTAMP(NANOS) parquet reads as under the legacy conf).
+    * [[read]] falls back to this when the landing glob matches
+    * nothing yet — the drop-box pattern starts the stream over an
+    * EMPTY directory and picks files up as they arrive, so an eager
+    * probe failure must not kill the stream before the first file. */
+  val legacyRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
   /** File-source stream over the events landing path. `options` pass
     * through to the file source (e.g. `maxFilesPerTrigger` to bound a
     * drain's micro-batch size — pair with [[orderLanding]] so the
@@ -28,14 +42,32 @@ object EventStream {
     * the schema is taken from one batch-reader footer probe of the
     * same glob — footer-only, no data pages — and `ts_us` normalizes
     * either encoding to micros since epoch (the session timezone is
-    * pinned to UTC, making the NTZ cast the identity wall-clock). */
+    * pinned to UTC, making the NTZ cast the identity wall-clock).
+    * An EMPTY landing glob falls back to [[legacyRawSchema]] so a
+    * stream can start over a not-yet-populated drop box.
+    *
+    * Conf hygiene: the probe runs in a CLONED session so the legacy
+    * `nanosAsLong` conf never leaks into the caller's later parquet
+    * reads; only when the landing files genuinely ARE nanos-encoded
+    * (probe schema has a long `ts`) is the conf set on the caller's
+    * session — the stream itself must read those files, and the
+    * source resolves confs at execution time. */
   def read(s: SparkSession, dir: String,
       options: Map[String, String] = Map.empty): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val glob = s"$dir/events*.parquet"
-    val schema = s.read.parquet(glob).schema
+    val probe = org.apache.spark.sql.graftbridge.Bridge.cloneSession(s)
+    probe.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema =
+      try probe.read.parquet(glob).schema
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => legacyRawSchema
+      }
     val tsUs = schema("ts").dataType match {
-      case LongType => expr("ts DIV 1000")
+      case LongType =>
+        // genuinely nanos-encoded landing files: the conf must hold on
+        // the EXECUTING session for the stream's own reads
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        expr("ts DIV 1000")
       case _ => unix_micros(col("ts").cast("timestamp"))
     }
     // glob, not bare file: FileStreamSource requires its basePath (the
@@ -127,8 +159,11 @@ object EventStream {
       s.sparkContext.hadoopConfiguration)
     val nParts = math.max(1, math.min(files.size,
       s.sparkContext.defaultParallelism))
-    // (path, statsComplete, min) — statsComplete=false flags a footer
-    // with row groups but no usable stats for the column
+    // (path, encoding, statsComplete, min) — statsComplete=false flags
+    // a footer with row groups but no usable stats for the column;
+    // `encoding` is the column's parquet logical-type annotation (the
+    // unit of the raw stats), carried so mixed-generation landing
+    // dirs are DETECTED rather than silently ranked across units
     val probed = s.sparkContext.parallelize(
         files.map(_.toUri.toString), nParts)
       .map { pStr =>
@@ -137,6 +172,20 @@ object EventStream {
         val footer = ParquetFileReader.readFooter(
           sconf.value, new Path(new java.net.URI(pStr)),
           ParquetMetadataConverter.NO_FILTER)
+        val msgType = footer.getFileMetaData.getSchema
+        val encoding: String =
+          if (!msgType.containsField(eventTimeCol)) "absent"
+          else {
+            val t = (msgType: org.apache.parquet.schema.GroupType)
+              .getType(eventTimeCol)
+            val ann =
+              if (t.isPrimitive) t.asPrimitiveType().getLogicalTypeAnnotation
+              else null
+            if (ann != null) ann.toString
+            else if (t.isPrimitive)
+              t.asPrimitiveType().getPrimitiveTypeName.toString
+            else "group"
+          }
         val blockMins = footer.getBlocks.asScala.map { blk =>
           blk.getColumns.asScala
             .find(_.getPath.toDotString == eventTimeCol)
@@ -149,17 +198,36 @@ object EventStream {
                 s"unsupported event-time stats type: ${other.getClass}")
             })
         }
-        if (blockMins.isEmpty) (pStr, true, None) // zero-row file
+        if (blockMins.isEmpty) (pStr, encoding, true, None) // zero-row file
         else if (blockMins.forall(_.isDefined))
-          (pStr, true, Some(blockMins.flatten.min))
-        else (pStr, false, None)
+          (pStr, encoding, true, Some(blockMins.flatten.min))
+        else (pStr, encoding, false, None)
       }.collect()
-    val statless = probed.collect { case (p, false, _) => p }
+    // footer stats are RAW values in the column's own encoding (nanos
+    // for TIMESTAMP(NANOS), micros for TIMESTAMP(MICROS)); ranking is
+    // only sound within ONE encoding, so a landing dir that mixes
+    // generations fails loudly here instead of silently interleaving
+    // nanos and micros mins (the data read after would fail anyway —
+    // but the ordering pass must not pretend it produced an order)
+    val encodings = probed.collect {
+      case (p, enc, _, _) if enc != "absent" => enc -> p
+    }.groupBy(_._1)
+    if (encodings.size > 1)
+      throw new IllegalStateException(
+        s"landing files mix '$eventTimeCol' encodings — event-time " +
+          "ranking across units is meaningless: " +
+          encodings.map { case (enc, fs) =>
+            s"$enc (${fs.length} files, e.g. ${fs.head._2})"
+          }.mkString("; "))
+    val statless = probed.collect { case (p, _, false, _) => p }
     val scanned: Map[String, Long] =
       if (statless.isEmpty) Map.empty
       else {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val df = s.read.parquet(statless.toIndexedSeq: _*)
+        // cloned session: the legacy conf must not leak into the
+        // caller's later parquet reads
+        val probeS = org.apache.spark.sql.graftbridge.Bridge.cloneSession(s)
+        probeS.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val df = probeS.read.parquet(statless.toIndexedSeq: _*)
         // keep the fallback in the SAME units the footer stats carry
         // for this dir's encoding (raw INT64: nanos for
         // TIMESTAMP(NANOS)-as-long files, micros for
@@ -176,9 +244,9 @@ object EventStream {
           .toMap
       }
     probed.flatMap {
-      case (p, true, Some(m)) => Some(p -> m)
-      case (p, true, None) => None
-      case (p, false, _) =>
+      case (p, _, true, Some(m)) => Some(p -> m)
+      case (p, _, true, None) => None
+      case (p, _, false, _) =>
         // both sides decode through URI: p is Path.toUri (encoded),
         // as is input_file_name's output — raw Path strings with
         // spaces would not parse
@@ -265,18 +333,29 @@ object EventStream {
         .filter(_.isFile).map(_.getPath)
     var prevMtime = 0L
     val base = System.currentTimeMillis() - ordered.size * 2000L
+    // estimated modtime granularity of the destination store, learned
+    // from observed ties (starts optimistic: ms-resolution local/HDFS
+    // never waits); a 1 s-granularity store waits ONCE per entry to
+    // the boundary instead of re-copying the entry up to ~20 times
+    var granMs = 1L
     ordered.zipWithIndex.map { case (e, i) =>
       val dst = new Path(stage, f"$i%06d_${e.getName}")
-      // copy-and-verify loop: the file source orders by LEAF mtimes,
-      // so every leaf of this entry must land strictly after the
-      // previous entry's max. A wall-clock wait alone cannot
-      // guarantee that on stores with coarse (e.g. second)
-      // granularity — so VERIFY the staged mtimes and re-copy after a
-      // wait when they tie. Loops only when copies outrun the store's
-      // clock resolution; local/HDFS resolve in one pass.
-      var leaves0 = Seq.empty[Path]
+      // copy-and-verify: the file source orders by LEAF mtimes, so
+      // every leaf of this entry must land strictly after the
+      // previous entry's max. Wait out the store's clock granularity
+      // BEFORE copying (cheap — no data moves while waiting), then
+      // verify; only when the store's granularity was underestimated
+      // does the entry re-copy (overwrite in place, no delete), with
+      // the estimate doubling each time — so even a coarse store
+      // converges in O(log granularity) copies, not O(gran / 50 ms).
       var done = false
       while (!done) {
+        // wall clock must clear the previous entry's max mtime by a
+        // full granularity unit for the new copy's mtime to be
+        // STRICTLY greater on a clock that truncates to the unit
+        val clear = (prevMtime / granMs) * granMs + granMs
+        val wait = clear - System.currentTimeMillis()
+        if (wait > 0) Thread.sleep(wait)
         org.apache.hadoop.fs.FileUtil.copy(fs, e, dstFs, dst,
           false /* deleteSource */, true /* overwrite */, conf)
         try {
@@ -285,14 +364,13 @@ object EventStream {
           stagedLeaves(dst).foreach(f =>
             dstFs.setTimes(f, base + i * 1000L, -1L))
         } catch { case _: Exception => () }
-        leaves0 = stagedLeaves(dst)
-        val mts = leaves0.map(f => dstFs.getFileStatus(f).getModificationTime)
+        val mts = stagedLeaves(dst)
+          .map(f => dstFs.getFileStatus(f).getModificationTime)
         if (mts.min > prevMtime) { // prevMtime starts at 0: entry 0 always passes
           prevMtime = math.max(prevMtime, mts.max)
           done = true
         } else {
-          dstFs.delete(dst, true)
-          Thread.sleep(50)
+          granMs = math.min(granMs * 4, 4000L) // coarser than estimated
         }
       }
       dst.toString

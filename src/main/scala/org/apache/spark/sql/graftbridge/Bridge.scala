@@ -12,6 +12,14 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** A forked session sharing the SparkContext and cached data but
+    * with an ISOLATED conf — the scoped-conf idiom (set a legacy
+    * reader conf on the clone, probe, discard) without mutating the
+    * caller's session. `cloneSession` is private[sql] on the classic
+    * session, hence this bridge. */
+  def cloneSession(s: SparkSession): SparkSession =
+    s.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
+
   /** Block until the async listener bus has delivered all queued
     * events — lets specs assert on QueryExecutionListener traffic
     * (e.g. that a write path issued no collect) without sleeps. */

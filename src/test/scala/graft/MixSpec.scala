@@ -119,6 +119,24 @@ class MixSpec extends SparkSpec {
     assert(re.filter(col("source") === "a").count() === 0L)
   }
 
+  test("mixEpochs: a runaway rate fails loudly at maxEpochs, naming the source") {
+    // a: avail 200 tokens, weight 1.0, budget 10^7 -> rate 50000x —
+    // without the guard that's explode(sequence(0, 49999)) PER DOC
+    val e = intercept[IllegalArgumentException] {
+      Mix.mixEpochs(docs, "text", "doc_id", "source",
+        Seq("a" -> 1.0), budgetTokens = 10000000L, salt = "t").count()
+    }
+    assert(e.getMessage.contains("'a'"))
+    assert(e.getMessage.contains("maxEpochs=16"))
+    // raising the bound admits the same mixture
+    val ok = Mix.mixEpochs(docs, "text", "doc_id", "source",
+      Seq("a" -> 1.0), budgetTokens = 10000L, salt = "t", maxEpochs = 64)
+    assert(ok.select("epoch").agg(max("epoch")).collect()(0).getLong(0) === 49L)
+    // the default bound admits every composed-entry mixture (<= 16x)
+    Mix.mixEpochs(docs, "text", "doc_id", "source",
+      Seq("a" -> 0.5, "b" -> 0.5), budgetTokens = 500L, salt = "t").count()
+  }
+
   test("mix is invariant to partitioning and row order") {
     val shuffled = docs.orderBy(rand(7)).repartition(7)
     def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
