@@ -1,0 +1,164 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import graft.ops.ByteLevel
+
+/** BYTE-LEVEL merge-ranked BPE — the full published GPT-2
+  * construction: [[ByteLevel.Gpt2Pattern]] pre-tokenization, the
+  * 256-symbol byte alphabet ([[ByteLevel.encode]]), then the ordered
+  * merge loop of [[MergeRanker]]. Unlike the letter-only merge path
+  * (`MergeExprs`), pieces containing digits, punctuation, and
+  * non-ASCII bytes participate in merges — so a published tokenizer's
+  * merges file, loaded verbatim ([[graft.ops.Bpe.parseMergesVerbatim]]),
+  * reproduces its segmentation on ARBITRARY text. With an empty merge
+  * list the token count is exactly the UTF-8 byte count (every byte
+  * its own symbol) — the published base case.
+  *
+  * Scale design matches the letter path: the serialized form is the
+  * merge-pair list (a production tokenizer ships ~50k rules, a few
+  * hundred KB — every task holds it, like a broadcast without the
+  * join); the rank map builds lazily per JVM; per-pre-token results
+  * memoize per executor (bounded), so a natural-language corpus pays
+  * the merge loop once per distinct pre-token per executor, not once
+  * per occurrence. Both expressions are codegen'd — token accounting
+  * stays inside WholeStageCodegen, never leaving the scan stage.
+  */
+final class ByteBpeRanker(merges: Seq[(String, String)]) extends Serializable {
+
+  // rank key a+" "+b is unambiguous BY CONSTRUCTION: byte-level
+  // symbols never contain a raw space (byte 0x20 encodes to 'Ġ')
+  @transient private lazy val rank: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      require(!a.contains(' ') && !b.contains(' '),
+        s"byte-level merge symbols must not contain raw spaces: '$a $b'")
+      m.putIfAbsent(a + " " + b, Integer.valueOf(i))
+    }
+    m
+  }
+
+  // per-JVM pre-token cache, keyed by the RAW pre-token; bounded so
+  // adversarial corpora can't grow it without limit (beyond the cap
+  // every pre-token still computes correctly, just uncached)
+  @transient private lazy val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+  private val MemoCap = 1 << 16
+
+  /** Byte-level segmentation of ONE pre-token: encode to byte
+    * symbols, then merge every occurrence of the lowest-ranked
+    * adjacent pair until no listed pair remains (same fixpoint as the
+    * one-at-a-time replay the oracle runs — see [[MergeRanker]]'s
+    * equivalence note). */
+  def segmentPreToken(w: String): Array[String] = {
+    val cached = memo.get(w)
+    if (cached != null) return cached
+    var syms: Array[String] = ByteLevel.encode(w).map(_.toString).toArray
+    var done = false
+    while (!done && syms.length > 1) {
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = rank.get(syms(i) + " " + syms(i + 1))
+        if (r != null && r < bestRank) bestRank = r
+        i += 1
+      }
+      if (bestRank == Int.MaxValue) done = true
+      else {
+        val (pa, pb) = merges(bestRank)
+        val out = Array.newBuilder[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == pa && syms(j + 1) == pb) {
+            out += pa + pb
+            j += 2
+          } else {
+            out += syms(j)
+            j += 1
+          }
+        }
+        syms = out.result()
+      }
+    }
+    if (memo.size < MemoCap) memo.put(w, syms)
+    syms
+  }
+
+  /** Token count of a document: every char is in exactly one
+    * [[ByteLevel.Gpt2Pattern]] pre-token; no fallback path exists —
+    * the byte alphabet covers everything. */
+  def countTokens(s: UTF8String): Long = {
+    var n = 0L
+    ByteLevel.preTokenize(s.toString)
+      .foreach(w => n += segmentPreToken(w).length)
+    n
+  }
+
+  /** Full-document segmentation: the pieces, in byte-symbol space
+    * (the spelling published tokenizers display — "Ġthe"). */
+  def tokenize(s: UTF8String): GenericArrayData = {
+    val out = new scala.collection.mutable.ArrayBuffer[AnyRef](16)
+    ByteLevel.preTokenize(s.toString).foreach { w =>
+      segmentPreToken(w).foreach(p => out += UTF8String.fromString(p))
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** Byte-level BPE token count as a codegen'd native expression. */
+case class ByteBpeTokenCount(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "byte_bpe_token_count"
+
+  @transient private lazy val ranker = new ByteBpeRanker(merges)
+
+  override def nullSafeEval(input: Any): Any =
+    ranker.countTokens(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("byteBpeRanker", ranker,
+      classOf[ByteBpeRanker].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.countTokens($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Byte-level BPE segmentation as a native expression: the token
+  * ARRAY, pieces in byte-symbol space. */
+case class ByteBpeTokenize(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "byte_bpe_tokenize"
+
+  @transient private lazy val ranker = new ByteBpeRanker(merges)
+
+  override def nullSafeEval(input: Any): Any =
+    ranker.tokenize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("byteBpeRanker", ranker,
+      classOf[ByteBpeRanker].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.tokenize($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ByteBpeExprs {
+  def byteTokenCount(text: Column, merges: Seq[(String, String)]): Column =
+    Bridge.column(ByteBpeTokenCount(Bridge.expression(text), merges))
+
+  def byteTokenize(text: Column, merges: Seq[(String, String)]): Column =
+    Bridge.column(ByteBpeTokenize(Bridge.expression(text), merges))
+}

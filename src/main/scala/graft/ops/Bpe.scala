@@ -140,8 +140,17 @@ object Bpe {
     require(rows.length <= maxWords,
       s"distinct pre-tokens exceed maxWords=$maxWords; raise the bound " +
         "(the merge loop is driver-side over the distinct-word table)")
-    var words: Array[(Array[String], Long)] =
-      rows.map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
+    mergeLoop(
+      rows.map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1))),
+      nMerges)
+  }
+
+  /** The Sennrich merge loop over an in-memory (symbols, count) word
+    * table — shared by the letter-level and byte-level learners (the
+    * two differ only in pre-tokenization and base alphabet). */
+  private def mergeLoop(words0: Array[(Array[String], Long)],
+      nMerges: Int): Seq[(String, String)] = {
+    var words = words0
     val out = Vector.newBuilder[(String, String)]
     var k = 0
     var exhausted = false
@@ -182,6 +191,79 @@ object Bpe {
       }
     }
     out.result()
+  }
+
+  // ---- byte-level (full GPT-2 construction) ------------------------------
+
+  /** Learn an ordered BYTE-LEVEL merge list: [[ByteLevel.Gpt2Pattern]]
+    * pre-tokenization (the real GPT-2 split — contractions, space-led
+    * number and punctuation runs, donated spaces), byte symbols via
+    * [[ByteLevel.encode]], then the same Sennrich loop as
+    * [[learnMerges]]. The rules this produces are in the SAME symbol
+    * space as a published merges file, so learned and loaded rules are
+    * interchangeable inputs to [[byteTokenCount]].
+    *
+    * Same scale shape and LOUD `maxWords` bound as [[learnMerges]] —
+    * [[learnMergesDistributed]] is the unbounded route. */
+  def learnMergesByteLevel(df: DataFrame, textCol: String, nMerges: Int,
+      maxWords: Int = 1 << 20): Seq[(String, String)] = {
+    val rows = df.select(
+        explode(regexp_extract_all(col(textCol), lit(ByteLevel.Gpt2Pattern),
+          lit(0))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .limit(maxWords + 1)
+      .collect()
+    require(rows.length <= maxWords,
+      s"distinct pre-tokens exceed maxWords=$maxWords; raise the bound " +
+        "or use learnMergesDistributed")
+    mergeLoop(
+      rows.map(r =>
+        (ByteLevel.encode(r.getString(0)).map(_.toString).toArray,
+          r.getLong(1))),
+      nMerges)
+  }
+
+  /** Token count under a byte-level merge list — the full published
+    * construction; with a real tokenizer's merges file this IS its
+    * token count ([[graft.functions.ByteBpeExprs]]). */
+  def byteTokenCount(c: Column, merges: Seq[(String, String)]): Column =
+    graft.functions.ByteBpeExprs.byteTokenCount(c, merges)
+
+  /** Byte-level segmentation — pieces in byte-symbol space ("Ġthe"),
+    * the spelling published tokenizers display. */
+  def byteTokens(c: Column, merges: Seq[(String, String)]): Column =
+    graft.functions.ByteBpeExprs.byteTokenize(c, merges)
+
+  /** Parse a GPT-2-format merges file VERBATIM — one "a b" rule per
+    * line, symbols already in byte-symbol space (no translation; this
+    * is the loader for [[byteTokenCount]], where `Ġ` IS the space
+    * symbol). Comment lines (`#...`) and blanks skip. A published
+    * merges.txt drops straight in. */
+  def parseMergesVerbatim(lines: Seq[String]): Seq[(String, String)] =
+    lines.filter(l => l.nonEmpty && !l.startsWith("#")).map { l =>
+      val parts = l.split(" ", 2)
+      require(parts.length == 2 && parts(1).nonEmpty,
+        s"malformed merge line: '$l'")
+      (parts(0), parts(1))
+    }
+
+  /** Render rules in the GPT-2 merges-file format (inverse of
+    * [[parseMergesVerbatim]]). */
+  def renderMergesGpt2(merges: Seq[(String, String)]): String =
+    ("#version: 0.2" +: merges.map { case (a, b) => s"$a $b" })
+      .mkString("", "\n", "\n")
+
+  /** Checked-in BYTE-LEVEL merge fixture: [[learnMergesByteLevel]]
+    * over the sf0.01 corpus, stored in the GPT-2 merges-file format
+    * itself (ByteBpeSpec pins the file bit-for-bit against the
+    * learner's output — and loads it through the same verbatim parser
+    * a published merges.txt would use). */
+  lazy val fixtureMergesByteLevel: Seq[(String, String)] = {
+    val in = getClass.getResourceAsStream("/graft/bpe_merges_bytelevel.txt")
+    require(in != null, "bpe_merges_bytelevel.txt missing from classpath")
+    try parseMergesVerbatim(
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector)
+    finally in.close()
   }
 
   /** Token count under an ordered merge list — a real tokenizer's

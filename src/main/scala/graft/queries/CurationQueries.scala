@@ -374,6 +374,109 @@ object CurationQueries extends graft.QueryModule {
        |ORDER BY n DESC, piece LIMIT 50""".stripMargin
   }
 
+  // ---- byte-level (full GPT-2 construction) ------------------------------
+
+  /** Shared oracle CTE chain for the BYTE-LEVEL merge path, ending in
+    * `bdoc(doc_id, n_tokens)`: pre-tokens via the RE2-compatible GPT-2
+    * split ([[graft.ops.ByteLevel.OraclePreTokenPattern]] — exact on
+    * this single-spaced corpus; the lookahead case is pinned by
+    * ByteLevelSpec), byte symbols derived INDEPENDENTLY from
+    * `hex(encode(w))` pairs mapped through the published 256-entry
+    * table, then the same one-leftmost-merge-per-step recursion as the
+    * letter path. The rank-key separator is a raw space — unambiguous
+    * because byte-level symbols never contain one (0x20 encodes to
+    * 'Ġ'), exactly the property the GPT-2 merges-file format itself
+    * relies on. No fallback term: the byte alphabet covers every
+    * character, so a document's count is exactly the sum over its
+    * pre-tokens. */
+  private def byteMergeCtes: String = {
+    val lst = Bpe.fixtureMergesByteLevel
+      .map { case (a, b) => "'" + (a + " " + b).replace("'", "''") + "'" }
+      .mkString("[", ",", "]")
+    val pre = graft.ops.ByteLevel.OraclePreTokenPattern.replace("'", "''")
+    s"""mg AS (SELECT $lst AS l),
+       |btab AS (SELECT ${graft.ops.ByteLevel.byteTableSql} AS bt),
+       |pt AS (SELECT doc_id,
+       |         unnest(regexp_extract_all(text, '$pre')) AS w
+       |       FROM documents),
+       |wcnt AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS n
+       |         FROM pt GROUP BY doc_id, w),
+       |winit AS (SELECT w, hex(encode(w)) AS h
+       |          FROM (SELECT DISTINCT w FROM pt)),
+       |step(w, toks, it) AS (
+       |  SELECT w, list_transform(generate_series(1, length(h) // 2),
+       |           i -> bt[CAST('0x' || substr(h, 2*i-1, 2) AS INT) + 1]), 0
+       |  FROM winit CROSS JOIN btab
+       |  UNION ALL
+       |  SELECT w,
+       |    list_concat(list_concat(toks[1:bp-1], [toks[bp] || toks[bp+1]]),
+       |      toks[bp+2:len(toks)]),
+       |    it + 1
+       |  FROM (SELECT w, toks, it,
+       |          list_position(pr, list_min(list_filter(pr, x -> x > 0))) AS bp
+       |        FROM (SELECT s.w, s.toks, s.it,
+       |                list_transform(generate_series(1, len(s.toks)-1),
+       |                  i -> list_position(mg.l, s.toks[i] || ' ' || s.toks[i+1]))
+       |                  AS pr
+       |              FROM step s CROSS JOIN mg))
+       |  WHERE bp IS NOT NULL),
+       |final AS (SELECT w, toks FROM (
+       |    SELECT w, toks, row_number() OVER (PARTITION BY w ORDER BY it DESC)
+       |      AS rn FROM step) WHERE rn = 1),
+       |wtok AS (SELECT w, CAST(len(toks) AS BIGINT) AS nt FROM final),
+       |bdoc AS (SELECT doc_id, CAST(sum(n * nt) AS BIGINT) AS n_tokens
+       |         FROM wcnt JOIN wtok USING (w) GROUP BY doc_id)""".stripMargin
+  }
+
+  /** Per-document token counts under the FULL BYTE-LEVEL merge path
+    * ([[Bpe.byteTokenCount]], fixture rules loaded from a GPT-2-format
+    * merges file by the same verbatim parser a published merges.txt
+    * would use): GPT-2 pre-tokenization, the published 256-symbol byte
+    * alphabet, ordered merges. This is the token currency a real
+    * pretraining pipeline runs on — digits, punctuation, and non-ASCII
+    * bytes all participate in merges, unlike the letter-only
+    * [[qBpeMerges]] path. */
+  def qBpeBytelevel(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        Bpe.byteTokenCount(col("text"), Bpe.fixtureMergesByteLevel)
+          .as("n_tokens_bl"))
+      .orderBy(col("doc_id"))
+
+  val qBpeBytelevelSql: String =
+    s"""WITH RECURSIVE
+       |$byteMergeCtes
+       |SELECT d.doc_id, COALESCE(b.n_tokens, 0) AS n_tokens_bl
+       |FROM documents d LEFT JOIN bdoc b USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Context packing budgeted by BYTE-LEVEL BPE tokens — the packing
+    * currency of a pipeline running a published tokenizer. Same
+    * sharded prefix-sum layout as [[qPack]]; the oracle composes the
+    * byte-level recursion with the pack layout SQL. */
+  def qPackBytelevel(s: SparkSession, dir: String): DataFrame =
+    Pack.packSummary(Tables.documents(s, dir),
+      textCol = "text", idCol = "doc_id", budget = 1024L, nShards = 8,
+      tokensOf = c => Bpe.byteTokenCount(c, Bpe.fixtureMergesByteLevel))
+
+  val qPackBytelevelSql: String =
+    s"""WITH RECURSIVE
+       |$byteMergeCtes,
+       |d AS (SELECT dd.doc_id, md5(CAST(dd.doc_id AS VARCHAR)) AS k,
+       |    COALESCE(b.n_tokens, 0) AS toks
+       |  FROM documents dd LEFT JOIN bdoc b USING (doc_id)),
+       |s AS (SELECT *,
+       |    CAST('0x' || substr(k, 1, 7) AS BIGINT) % 8 AS shard FROM d),
+       |e AS (SELECT *, COALESCE(CAST(sum(toks) OVER (
+       |    PARTITION BY shard ORDER BY k, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+       |    0) AS excl FROM s),
+       |p AS (SELECT *, CAST(floor(excl / 1024) AS BIGINT) AS pack_id FROM e)
+       |SELECT shard, pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(toks) AS BIGINT) AS pack_tokens, min(doc_id) AS first_doc
+       |FROM p GROUP BY shard, pack_id
+       |ORDER BY shard, pack_id""".stripMargin
+
   /** BPE vocabulary learning: top-160 prefix-closed subword pieces by
     * merge savings over the documents corpus. The checked-in fixture
     * driving [[qPackBpe]] IS this query's output (BpeSpec pins that). */
@@ -865,6 +968,8 @@ object CurationQueries extends graft.QueryModule {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_merges" -> (qBpeMerges _),
+    "q_bpe_bytelevel" -> (qBpeBytelevel _),
+    "q_pack_bytelevel" -> (qPackBytelevel _),
     "q_curation_e2e" -> (qCurationE2e _),
     "q_curation_full" -> (qCurationFull _),
     "q_bpe_vocab" -> (qBpeVocab _),
@@ -887,6 +992,8 @@ object CurationQueries extends graft.QueryModule {
 
   def oracleSql: Map[String, String] = Map(
     "q_bpe_merges" -> qBpeMergesSql,
+    "q_bpe_bytelevel" -> qBpeBytelevelSql,
+    "q_pack_bytelevel" -> qPackBytelevelSql,
     "q_curation_e2e" -> qCurationE2eSql,
     "q_curation_full" -> qCurationFullSql,
     "q_bpe_vocab" -> qBpeVocabSql,
