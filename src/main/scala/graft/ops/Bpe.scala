@@ -193,6 +193,95 @@ object Bpe {
     out.result()
   }
 
+  // ---- distributed merge learning ----------------------------------------
+
+  /** [[learnMerges]] WITHOUT the driver-side word table: removes the
+    * `maxWords` ceiling for corpora whose distinct-pre-token count
+    * exceeds driver memory. Each round runs ONE distributed aggregate:
+    * the distinct-word table (cached once, the only corpus pass) is
+    * re-segmented under the merges learned so far THROUGH THE CODEGEN'D
+    * INFERENCE EXPRESSION — so every round's plan is the same
+    * constant-depth scan→explode→agg over the cached table (no
+    * iterative lineage growth, nothing to checkpoint), adjacent-pair
+    * counts combine map-side, and only the top-1 (count DESC, pair ASC)
+    * row ever reaches the driver. Re-segmentation is sound because
+    * min-rank inference under rules 0..k-1 reproduces the training
+    * state after k rounds (a valid merge list creates a symbol before
+    * any later rule consumes it — the same fixpoint argument the
+    * oracle replay rests on, and BpeDistributedSpec pins exact parity
+    * with the driver loop).
+    *
+    * Cost shape: `nMerges` sequential small jobs — the price of exact
+    * Sennrich order at unbounded scale. The per-executor word memo in
+    * the inference expression makes round k's re-segmentation touch
+    * only cached arrays plus one new merge's worth of work. */
+  def learnMergesDistributed(df: DataFrame, textCol: String,
+      nMerges: Int): Seq[(String, String)] =
+    learnDistributedCore(
+      df.select(
+          explode(regexp_extract_all(col(textCol), lit(PreTokenPattern),
+            lit(0))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n")),
+      merges => (c: Column) =>
+        graft.functions.MergeExprs.mergeTokenize(c, merges),
+      nMerges)
+
+  /** [[learnMergesByteLevel]] without the driver bound — the
+    * byte-level twin of [[learnMergesDistributed]] (GPT-2 pre-tokens,
+    * byte symbols via the inference expression's own encoder). */
+  def learnMergesByteLevelDistributed(df: DataFrame, textCol: String,
+      nMerges: Int): Seq[(String, String)] =
+    learnDistributedCore(
+      df.select(
+          explode(regexp_extract_all(col(textCol), lit(ByteLevel.Gpt2Pattern),
+            lit(0))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n")),
+      merges => (c: Column) =>
+        graft.functions.ByteBpeExprs.byteTokenize(c, merges),
+      nMerges)
+
+  /** Shared distributed round loop over a `(w, n)` word table. The
+    * `segmenter` must satisfy the pre-token closure property (a
+    * pre-token re-pre-tokenizes to itself), which both inference
+    * expressions do by construction of their regexes. */
+  private def learnDistributedCore(
+      wordTable: DataFrame,
+      segmenter: Seq[(String, String)] => Column => Column,
+      nMerges: Int): Seq[(String, String)] = {
+    val words = wordTable.cache()
+    try {
+      val out = Vector.newBuilder[(String, String)]
+      var current = Vector.empty[(String, String)]
+      var k = 0
+      var exhausted = false
+      while (k < nMerges && !exhausted) {
+        val toks = segmenter(current)(col("w"))
+        val best = words
+          .select(toks.as("toks"), col("n"))
+          .filter(size(col("toks")) >= 2)
+          .select(explode(transform(
+            sequence(lit(1), size(col("toks")) - 1),
+            i => struct(
+              element_at(col("toks"), i).as("a"),
+              element_at(col("toks"), i + 1).as("b")))).as("p"), col("n"))
+          .groupBy(col("p.a"), col("p.b"))
+          .agg(sum(col("n")).as("cnt"))
+          .filter(col("cnt") >= 2L)
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(1)
+          .collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          val pair = (best(0).getString(0), best(0).getString(1))
+          out += pair
+          current = current :+ pair
+          k += 1
+        }
+      }
+      out.result()
+    } finally { words.unpersist(); () }
+  }
+
   // ---- byte-level (full GPT-2 construction) ------------------------------
 
   /** Learn an ordered BYTE-LEVEL merge list: [[ByteLevel.Gpt2Pattern]]
