@@ -84,6 +84,12 @@ object DedupStream {
     graft.core.CacheScope.withScope {
       val conf = s.sparkContext.hadoopConfiguration
       val fs = new Path(indexDir).getFileSystem(conf)
+      // a compaction that crashed mid-swap leaves the index missing
+      // rows it has safely staged — roll it forward BEFORE reading
+      // the standing side (cheap: one listing per table, which the
+      // standing read pays anyway)
+      Seq("bands", "shingles")
+        .foreach(t => recoverCompaction(fs, new Path(s"$indexDir/$t")))
       val decBatchDir = s"$decisionsDir/batch=$batchId"
       // commit marker: the decision partition's _SUCCESS is written
       // LAST — present means this batch fully ran already
@@ -126,4 +132,113 @@ object DedupStream {
         .write.mode("overwrite").parquet(s"$shinglesDir/batch=$batchId")
       decisions.write.mode("overwrite").parquet(decBatchDir)
     }
+
+  // ---- index compaction ---------------------------------------------------
+
+  /** Compact the standing index. Every admission cycle lists and
+    * reads ALL prior `batch=K` partitions, so after thousands of
+    * batches both the listing and the standing-side scan degrade
+    * linearly in drain age. Compaction rewrites all partitions at or
+    * below a cutoff into ONE `batch=cutoff` partition per table —
+    * bands clustered by (band, bh) and shingles by g, so the
+    * compacted row groups carry the min/max stats the standing-side
+    * joins skip on.
+    *
+    * The cutoff is `maxCommitted - keepRecent`: the most recent
+    * `keepRecent` committed batches stay as separate partitions — a
+    * retention watermark for inspecting or re-driving recent batches.
+    * CORRECTNESS never depends on it: a redelivered batch either
+    * committed (its decision `_SUCCESS` short-circuits the cycle — it
+    * never reads the index again) or did not, in which case its id
+    * exceeds every committed id, hence the cutoff, and its
+    * `batch < id` standing read sees the compacted partition whole.
+    * The decision LOG is never compacted — it is the output, not
+    * state the loop re-reads.
+    *
+    * Crash safety is roll-forward: rows stage into a dot-dir the
+    * readers ignore, `_SUCCESS` (written last by the committer) marks
+    * the stage complete, and only then are source partitions dropped
+    * and the stage renamed in. A crash before `_SUCCESS` discards the
+    * stage; a crash after it leaves a state [[recoverCompaction]]
+    * completes — and every admission cycle runs recovery first, so a
+    * crashed compactor can never silently shrink the standing side.
+    * Run between drains (or from a maintenance job); one compactor at
+    * a time per index.
+    *
+    * Returns the cutoff if any table was rewritten. */
+  def compactIndex(s: SparkSession, indexDir: String, decisionsDir: String,
+      keepRecent: Int = 2): Option[Long] = {
+    require(keepRecent >= 0, "keepRecent must be >= 0")
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = new Path(indexDir).getFileSystem(conf)
+    val committed = batchIds(fs, new Path(decisionsDir))
+      .filter(b => fs.exists(new Path(s"$decisionsDir/batch=$b/_SUCCESS")))
+    if (committed.isEmpty) return None
+    val cutoff = committed.max - keepRecent
+    val did = Seq("bands" -> Seq("band", "bh"), "shingles" -> Seq("g"))
+      .map { case (t, clusterCols) =>
+        compactTable(s, fs, new Path(s"$indexDir/$t"), cutoff, clusterCols)
+      }
+    if (did.exists(identity)) Some(cutoff) else None
+  }
+
+  private def batchIds(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path): Seq[Long] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong)
+
+  private def stagePath(dir: Path, cutoff: Long): Path =
+    new Path(dir, s".compact_$cutoff")
+
+  /** Merge `batch <= cutoff` partitions of one table into
+    * `batch=cutoff`; true if a rewrite happened. */
+  private def compactTable(s: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, dir: Path, cutoff: Long,
+      clusterCols: Seq[String]): Boolean = {
+    recoverCompaction(fs, dir)
+    val parts = batchIds(fs, dir).filter(_ <= cutoff)
+    if (parts.size < 2) return false // already compact (or empty)
+    val stage = stagePath(dir, cutoff)
+    fs.delete(stage, true) // a no-_SUCCESS leftover is garbage
+    val rows = s.read.option("basePath", dir.toString).parquet(dir.toString)
+      .filter(col("batch") <= cutoff)
+      .drop("batch")
+    rows.repartition(clusterCols.map(col): _*)
+      .sortWithinPartitions(clusterCols.map(col): _*)
+      .write.parquet(stage.toString) // committer writes _SUCCESS last
+    completeSwap(fs, dir, cutoff)
+    true
+  }
+
+  /** The swap half of compaction: drop source partitions, rename the
+    * stage in. Idempotent — every step checks before acting. */
+  private def completeSwap(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path, cutoff: Long): Unit = {
+    batchIds(fs, dir).filter(_ <= cutoff)
+      .foreach(b => fs.delete(new Path(dir, s"batch=$b"), true))
+    val stage = stagePath(dir, cutoff)
+    if (fs.exists(stage)) {
+      val ok = fs.rename(stage, new Path(dir, s"batch=$cutoff"))
+      require(ok, s"compaction swap failed renaming $stage")
+    }
+  }
+
+  /** Roll forward (or discard) a crashed compaction on one table dir:
+    * a stage with `_SUCCESS` holds every row of its source partitions
+    * — finish the swap; a stage without it is an aborted write —
+    * drop it. */
+  private[graft] def recoverCompaction(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path): Unit = {
+    if (!fs.exists(dir)) return
+    fs.listStatus(dir).toSeq.filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith(".compact_"))
+      .foreach { stage =>
+        if (fs.exists(new Path(stage, "_SUCCESS")))
+          completeSwap(fs, dir, stage.getName.stripPrefix(".compact_").toLong)
+        else fs.delete(stage, true)
+      }
+  }
 }

@@ -483,6 +483,104 @@ class StreamSpec extends SparkSpec {
     assert(d3.getLong(d3.fieldIndex("admitted")) === 1L)
   }
 
+  test("index compaction bounds partition count and preserves the decision log across a long drain") {
+    import spark.implicits._
+    import graft.streaming.DedupStream
+    // 12 batches of 2 docs; every third doc copies an earlier admit,
+    // including copies of docs that live BELOW the compaction cutoff
+    // when their duplicate arrives — the case compaction must not lose
+    def text(seed: Long): String =
+      (0 until 8).map(j => s"w${(seed * 13 + j) % 97}").mkString(" ")
+    val batches = (0 until 12).map { b =>
+      (0 until 2).map { j =>
+        val id = b * 2L + j
+        val t = if (id % 3 == 2) text((id / 3) % 4) else text(100 + id)
+        (id, t)
+      }
+    }
+    val plain = java.nio.file.Files.createTempDirectory("graft_cplain").toString
+    val comp = java.nio.file.Files.createTempDirectory("graft_ccomp").toString
+    def drain(root: String, compactEvery: Option[Int]): Unit =
+      batches.zipWithIndex.foreach { case (rows, i) =>
+        DedupStream.admitBatch(spark, rows.toDF("doc_id", "text"),
+          "text", "doc_id", s"$root/index", s"$root/decisions",
+          i.toLong, threshold = 0.5, maxDf = 1000L)
+        compactEvery.filter(e => (i + 1) % e == 0).foreach { _ =>
+          DedupStream.compactIndex(spark, s"$root/index",
+            s"$root/decisions", keepRecent = 2)
+        }
+      }
+    drain(plain, None)
+    drain(comp, Some(3))
+    def log(root: String): Seq[String] =
+      spark.read.parquet(s"$root/decisions").drop("batch")
+        .collect().map(_.toString).sorted.toSeq
+    assert(log(comp) === log(plain)) // identical admissions, rejections, matches
+    // index CONTENT identical too (rows, regardless of partition)
+    def bands(root: String): Seq[String] =
+      spark.read.option("basePath", s"$root/index")
+        .parquet(s"$root/index/bands").drop("batch")
+        .collect().map(_.toString).sorted.toSeq
+    assert(bands(comp) === bands(plain))
+    // partition count stays bounded by the watermark, not drain age
+    def nParts(root: String, t: String): Int =
+      new java.io.File(s"$root/index/$t").listFiles()
+        .count(_.getName.startsWith("batch="))
+    assert(nParts(plain, "bands") === 12)
+    Seq("bands", "shingles").foreach { t =>
+      assert(nParts(comp, t) <= 4, s"$t partitions not bounded")
+    }
+    // compacting an already-compact index is a no-op
+    assert(DedupStream.compactIndex(spark, s"$comp/index",
+      s"$comp/decisions", keepRecent = 2).isEmpty)
+  }
+
+  test("a compaction crash after staging rolls forward; the standing side never shrinks") {
+    import spark.implicits._
+    import graft.streaming.DedupStream
+    import org.apache.hadoop.fs.Path
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ccrash").toString
+    val t0 = "a b c d e f g h"
+    val b = Seq(
+      Seq((0L, t0), (1L, "m n o p q r s t")),
+      Seq((2L, "c2 x y z u v w q")),
+      Seq((3L, "c3 k l j h g f d")))
+    b.zipWithIndex.foreach { case (rows, i) =>
+      DedupStream.admitBatch(spark, rows.toDF("doc_id", "text"),
+        "text", "doc_id", s"$tmp/index", s"$tmp/decisions",
+        i.toLong, threshold = 0.5, maxDf = 1000L)
+    }
+    val fs = new Path(tmp).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // hand-build the crashed state compactIndex(keepRecent=0) would
+    // leave if it died mid-swap: stage (with _SUCCESS) holds all rows
+    // batch<=2, and one source partition is already gone
+    val bandsDir = s"$tmp/index/bands"
+    val full = spark.read.option("basePath", bandsDir).parquet(bandsDir)
+      .filter(col("batch") <= 2).drop("batch")
+      .collect().map(_.toString).sorted.toSeq
+    spark.read.option("basePath", bandsDir).parquet(bandsDir)
+      .filter(col("batch") <= 2).drop("batch")
+      .write.parquet(s"$bandsDir/.compact_2")
+    assert(fs.exists(new Path(s"$bandsDir/.compact_2/_SUCCESS")))
+    fs.delete(new Path(s"$bandsDir/batch=0"), true)
+    // doc 0's bands now exist ONLY in the stage; without recovery a
+    // duplicate of t0 would be wrongly admitted. The next admission
+    // cycle rolls the swap forward before reading the standing side:
+    DedupStream.admitBatch(spark, Seq((9L, t0)).toDF("doc_id", "text"),
+      "text", "doc_id", s"$tmp/index", s"$tmp/decisions",
+      3L, threshold = 0.5, maxDf = 1000L)
+    val d9 = spark.read.parquet(s"$tmp/decisions")
+      .filter(col("id") === 9L).collect()(0)
+    assert(d9.getLong(d9.fieldIndex("admitted")) === 0L)
+    assert(d9.getLong(d9.fieldIndex("best_old_match")) === 0L)
+    // swap completed: no stage dir, batches 0-2 now one partition
+    assert(!fs.exists(new Path(s"$bandsDir/.compact_2")))
+    val after = spark.read.option("basePath", bandsDir).parquet(bandsDir)
+      .filter(col("batch") <= 2).drop("batch")
+      .collect().map(_.toString).sorted.toSeq
+    assert(after === full)
+  }
+
   test("orderLanding manifest ranks by min event time when names mislead") {
     import spark.implicits._
     import org.apache.spark.sql.types._
