@@ -146,13 +146,14 @@ object Mix {
         tokensOf(col(textCol)).as("n_tokens"),
         bucketPpm(col(idCol), salt).as("ppm"))
       .scopedCache()
-    val rates = availability(base, share, budgetTokens)
+    // the availability aggregate is |sources| rows: collect it ONCE —
+    // the guard reads the rows and the join side is rebuilt locally,
+    // so guarding costs no second aggregate job
+    val ratesDist = availability(base, share, budgetTokens)
       .withColumnRenamed("rate_ppm_raw", "rate_ppm")
-    val runaway = rates
-      .filter(col("rate_ppm") > maxEpochs * 1000000L)
-      .select(col("source"), col("rate_ppm"), col("avail_tokens"),
-        col("target_tokens"))
-      .collect()
+    val ratesRows = ratesDist.collect()
+    val runaway = ratesRows
+      .filter(_.getAs[Long]("rate_ppm") > maxEpochs * 1000000L)
     require(runaway.isEmpty, {
       val worst = runaway.maxBy(_.getAs[Long]("rate_ppm"))
       s"mixEpochs: source '${worst.getAs[String]("source")}' needs " +
@@ -161,6 +162,8 @@ object Mix {
         s"${worst.getAs[Long]("avail_tokens")} available) — over " +
         s"maxEpochs=$maxEpochs; shrink the budget/weight or raise maxEpochs"
     })
+    val rates = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(ratesRows: _*), ratesDist.schema)
     val kept = base.join(broadcast(rates), Seq("source"))
       .withColumn("n_copies",
         expr("(rate_ppm + 999999 - ppm) DIV 1000000"))
