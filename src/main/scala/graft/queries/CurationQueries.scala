@@ -477,6 +477,31 @@ object CurationQueries extends graft.QueryModule {
        |FROM p GROUP BY shard, pack_id
        |ORDER BY shard, pack_id""".stripMargin
 
+  /** Subword-piece frequencies under the BYTE-LEVEL tokenizer: the
+    * segmentation array itself exploded and counted, top 50 — pieces
+    * spelled in byte-symbol space ("Ġthe"), exactly what a published
+    * tokenizer's vocab inspection shows. Gates the SEGMENTATION
+    * (piece boundaries and spellings), not just counts: the oracle
+    * re-derives every distinct pre-token's piece list through the
+    * byte-level recursion and re-spells the aggregate
+    * independently. */
+  def qSubwordsBytelevel(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(Bpe.byteTokens(col("text"), Bpe.fixtureMergesByteLevel))
+        .as("piece"))
+      .groupBy(col("piece")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("piece"))
+      .limit(50)
+
+  val qSubwordsBytelevelSql: String =
+    s"""WITH RECURSIVE
+       |$byteMergeCtes,
+       |pieces AS (SELECT wc.doc_id, wc.n AS wn, unnest(f.toks) AS piece
+       |           FROM wcnt wc JOIN final f ON f.w = wc.w)
+       |SELECT piece, CAST(sum(wn) AS BIGINT) AS n
+       |FROM pieces GROUP BY piece
+       |ORDER BY n DESC, piece LIMIT 50""".stripMargin
+
   /** BPE vocabulary learning: top-160 prefix-closed subword pieces by
     * merge savings over the documents corpus. The checked-in fixture
     * driving [[qPackBpe]] IS this query's output (BpeSpec pins that). */
@@ -970,6 +995,7 @@ object CurationQueries extends graft.QueryModule {
     "q_bpe_merges" -> (qBpeMerges _),
     "q_bpe_bytelevel" -> (qBpeBytelevel _),
     "q_pack_bytelevel" -> (qPackBytelevel _),
+    "q_subwords_bytelevel" -> (qSubwordsBytelevel _),
     "q_curation_e2e" -> (qCurationE2e _),
     "q_curation_full" -> (qCurationFull _),
     "q_bpe_vocab" -> (qBpeVocab _),
@@ -994,6 +1020,7 @@ object CurationQueries extends graft.QueryModule {
     "q_bpe_merges" -> qBpeMergesSql,
     "q_bpe_bytelevel" -> qBpeBytelevelSql,
     "q_pack_bytelevel" -> qPackBytelevelSql,
+    "q_subwords_bytelevel" -> qSubwordsBytelevelSql,
     "q_curation_e2e" -> qCurationE2eSql,
     "q_curation_full" -> qCurationFullSql,
     "q_bpe_vocab" -> qBpeVocabSql,
