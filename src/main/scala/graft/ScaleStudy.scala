@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-depth study (`runMain graft.ScaleStudy [outDir]`): times the
+  * heavy operator family one scale factor up from the bench record,
+  * and traces the ANN recall-vs-cost frontier — the two evidence gaps
+  * a 100 TB claim has at sf0.1 (the floors say the PLANS hold at the
+  * recorded scale; this shows how they MOVE with 10x data).
+  *
+  * The 10x corpus is built by replicating the sf0.1 tables with
+  * offset ids. Document text replicates VERBATIM — deliberately: every
+  * doc gains 9 exact copies, which is the candidate-generation WORST
+  * CASE for the dedup family (every minhash band of every doc
+  * collides; components span replicas), so the timings below are
+  * stress readings, not typical ones. Embedding vectors get a small
+  * deterministic per-replica, per-dimension perturbation (hash-seeded,
+  * no RNG) so ANN neighborhoods stay non-degenerate while remaining
+  * exactly reproducible.
+  *
+  * Output: one JSON line per reading —
+  * `{"study":"sf1","query":...,"sec":...}` and
+  * `{"study":"ann","method":...,"param":...,"recall":...,"sec":...}`
+  * — the table PLANS.md's round-8 section records.
+  */
+object ScaleStudy {
+
+  val HeavyFamily: Seq[String] = Seq(
+    "q_exact_dedup", "q_minhash_dedup", "q_ngram_jaccard", "q_simhash_pairs",
+    "q_dedup_clusters", "q_dedup_keeplist", "q_substring_dedup",
+    "q_decontaminate_bloom", "q_importance", "q_mix", "q_pack_bpe50k",
+    "q_bpe_bytelevel", "q_curation_e2e",
+    "q_ann_topk", "q_ann_lsh", "q_ann_ivf", "q_embed_neardup_lsh")
+
+  /** Replicate documents + embeddings `times`x with offset ids into
+    * `outDir` (skipped if already built). Doc ids offset by a round
+    * 10^7 per replica so modulo-derived synthetic roles (eval slices,
+    * sources) keep their per-replica proportions. */
+  def buildScaled(s: SparkSession, srcDir: String, outDir: String,
+      times: Int): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/documents.parquet")))
+      return
+    val docs = graft.core.Tables.documents(s, srcDir)
+    val emb = graft.core.Tables.embeddings(s, srcDir)
+    val reps = explode(sequence(lit(0), lit(times - 1))).as("r")
+    docs.select(col("*"), reps)
+      .withColumn("doc_id", col("doc_id") + col("r") * 10000000L)
+      .drop("r")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    // deterministic per-(replica, id, dim) jitter in [-3e-3, 3e-3]:
+    // keeps replicated vectors near their original (realistic cluster
+    // structure) without making neighborhoods degenerate ties
+    emb.select(col("*"), reps)
+      .withColumn("embedding", expr(
+        """transform(embedding, (x, i) ->
+          |  CAST(x + (pmod(hash(vec_id, i, r), 7) - 3) * 0.001D AS FLOAT))"""
+          .stripMargin))
+      .withColumn("vec_id", col("vec_id") + col("r") * 10000000L)
+      .drop("r")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
+  private def time[A](body: => A): Double = {
+    val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+  }
+
+  /** recall@k of `got` against ground truth `gt`, both
+    * (q_id, neighbor_id) frames. */
+  private def recallAt(gt: DataFrame, got: DataFrame): Double = {
+    val g = gt.select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val o = got.select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (g.isEmpty) 0.0 else (g intersect o).size.toDouble / g.size
+  }
+
+  def main(args: Array[String]): Unit = {
+    val outDir = args.headOption.getOrElse("/tmp/graft_sf1")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    buildScaled(spark, "/root/testdata/sf0.1", outDir, times = 10)
+
+    HeavyFamily.foreach { name =>
+      val secs = (0 until 2).map { _ =>
+        val t = time(graft.core.CacheScope.withScope {
+          SparkEntry.queries(name)(spark, outDir).count(); ()
+        })
+        spark.catalog.clearCache()
+        t
+      }
+      println(f"""{"study":"sf1","query":"$name","sec":${secs.min}%.3f}""")
+    }
+
+    // ---- ANN recall-vs-cost frontier (10x corpus, 20k vectors) ----------
+    import graft.ops.{Ivf, Similarity}
+    val emb = graft.core.Tables.embeddings(spark, outDir).cache()
+    val k = 10
+    val gt = Similarity.bruteForceTopK(emb,
+      emb.filter(col("vec_id") < 10L), k).cache()
+    val bruteSec = time(gt.count())
+    println(f"""{"study":"ann","method":"brute","param":0,"recall":1.0,"sec":$bruteSec%.3f}""")
+    Seq(4, 6, 8, 10).foreach { bits =>
+      var r = 0.0
+      val sec = time {
+        r = recallAt(gt, Similarity.lshTopK(emb, queryMaxId = 10L, k, nBits = bits))
+      }
+      println(f"""{"study":"ann","method":"lsh","param":$bits,"recall":$r%.3f,"sec":$sec%.3f}""")
+    }
+    Seq(1, 2, 4, 8).foreach { probe =>
+      var r = 0.0
+      val sec = time {
+        r = recallAt(gt, Ivf.ivfTopK(emb, queryMaxId = 10L, k,
+          nClusters = 16, nProbe = probe, iters = 2))
+      }
+      println(f"""{"study":"ann","method":"ivf","param":$probe,"recall":$r%.3f,"sec":$sec%.3f}""")
+    }
+    spark.stop()
+  }
+}
