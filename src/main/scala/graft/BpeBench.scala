@@ -85,11 +85,29 @@ object BpeBench {
       println(f"${merges.size}%8d ${"merge"}%6s $nDocs%6d $sec%10.3f ${sec * 1000 / nDocs}%10.3f")
       (label, merges.size, sec, sec * 1000 / nDocs)
     }
+    // byte-level merge path at the same two scales: the fixture's 127
+    // rules and the synthetic ~50k list mapped into byte-symbol space
+    // (space -> Ġ via the published encoder — symbols of letter rules
+    // are their own byte symbols, so the list stays valid and firing)
+    val byteTiers = Seq(
+      "fixture" -> Bpe.fixtureMergesByteLevel,
+      s"synthetic-${prodMerges.size}" -> prodMerges.map { case (a, b) =>
+        (graft.ops.ByteLevel.encode(a), graft.ops.ByteLevel.encode(b))
+      })
+    val byteRows = byteTiers.map { case (label, merges) =>
+      val sec = minOf3(
+        docs.select(sum(Bpe.byteTokenCount(col("text"), merges)))
+          .collect()(0).getLong(0))
+      println(f"${merges.size}%8d ${"byte"}%6s $nDocs%6d $sec%10.3f ${sec * 1000 / nDocs}%10.3f")
+      (label, merges.size, sec, sec * 1000 / nDocs)
+    }
     val json = (rows.map { case (p, path, d, s, md) =>
       s"""{"pieces":$p,"path":"$path","docs":$d,"sec":$s,"ms_per_doc":$md}"""
-    } ++ mergeRows.map { case (l, n, s, md) =>
+    } ++ (mergeRows.map { case (l, n, s, md) =>
       s"""{"merges":$n,"path":"merge-$l","docs":$nDocs,"sec":$s,"ms_per_doc":$md}"""
-    }).mkString("[", ",", "]")
+    } ++ byteRows.map { case (l, n, s, md) =>
+      s"""{"merges":$n,"path":"byte-$l","docs":$nDocs,"sec":$s,"ms_per_doc":$md}"""
+    })).mkString("[", ",", "]")
     println(json)
     spark.stop()
   }
