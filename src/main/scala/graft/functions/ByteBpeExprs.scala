@@ -89,6 +89,43 @@ final class ByteBpeRanker(merges: Seq[(String, String)]) extends Serializable {
     syms
   }
 
+  /** The merge-derived VOCABULARY, by the published construction: the
+    * 256 byte symbols first (id = byte value), then one piece per
+    * merge rule in rank order (id = 256 + rank). This is exactly how
+    * byte-level tokenizers number their pieces, so with a published
+    * merges file these ids ARE (up to the special-token offset) its
+    * published token ids. First-wins on the rare duplicate piece
+    * (a redundant rule can re-create an existing spelling — the
+    * earlier id is the one inference produces). */
+  @transient private lazy val pieceId: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](256 + merges.size * 2)
+    (0 until 256).foreach(b =>
+      m.put(ByteLevel.byteToChar(b).toString, Integer.valueOf(b)))
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      m.putIfAbsent(a + b, Integer.valueOf(256 + i))
+    }
+    m
+  }
+
+  /** Token IDS of a document — the training-batch currency itself
+    * (what a packed sequence actually contains). Total by
+    * construction: every piece is either a byte symbol or a merge
+    * product, so lookup cannot miss. */
+  def tokenIds(s: UTF8String): GenericArrayData = {
+    val out = new scala.collection.mutable.ArrayBuffer[Any](16)
+    ByteLevel.preTokenize(s.toString).foreach { w =>
+      val syms = segmentPreToken(w)
+      var i = 0
+      while (i < syms.length) {
+        val id = pieceId.get(syms(i))
+        assert(id != null, s"piece '${syms(i)}' missing from merge-derived vocab")
+        out += id.intValue()
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Token count of a document: every char is in exactly one
     * [[ByteLevel.Gpt2Pattern]] pre-token; no fallback path exists —
     * the byte alphabet covers everything. */
@@ -155,10 +192,38 @@ case class ByteBpeTokenize(child: Expression, merges: Seq[(String, String)])
     copy(child = newChild)
 }
 
+/** Token IDS under the merge-derived vocabulary, as a native
+  * expression — `array<int>`, the dtype a packed training batch
+  * stores. */
+case class ByteBpeTokenIds(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "byte_bpe_token_ids"
+
+  @transient private lazy val ranker = new ByteBpeRanker(merges)
+
+  override def nullSafeEval(input: Any): Any =
+    ranker.tokenIds(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("byteBpeRanker", ranker,
+      classOf[ByteBpeRanker].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.tokenIds($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object ByteBpeExprs {
   def byteTokenCount(text: Column, merges: Seq[(String, String)]): Column =
     Bridge.column(ByteBpeTokenCount(Bridge.expression(text), merges))
 
   def byteTokenize(text: Column, merges: Seq[(String, String)]): Column =
     Bridge.column(ByteBpeTokenize(Bridge.expression(text), merges))
+
+  def byteTokenIds(text: Column, merges: Seq[(String, String)]): Column =
+    Bridge.column(ByteBpeTokenIds(Bridge.expression(text), merges))
 }

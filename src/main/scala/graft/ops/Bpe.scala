@@ -323,6 +323,13 @@ object Bpe {
   def byteTokens(c: Column, merges: Seq[(String, String)]): Column =
     graft.functions.ByteBpeExprs.byteTokenize(c, merges)
 
+  /** Token IDS under the merge-DERIVED vocabulary (256 byte symbols,
+    * then one piece per rule in rank order — the published id
+    * construction): the array a packed training batch actually
+    * stores. */
+  def byteTokenIds(c: Column, merges: Seq[(String, String)]): Column =
+    graft.functions.ByteBpeExprs.byteTokenIds(c, merges)
+
   /** Parse a GPT-2-format merges file VERBATIM — one "a b" rule per
     * line, symbols already in byte-symbol space (no translation; this
     * is the loader for [[byteTokenCount]], where `Ġ` IS the space

@@ -502,6 +502,47 @@ object CurationQueries extends graft.QueryModule {
        |FROM pieces GROUP BY piece
        |ORDER BY n DESC, piece LIMIT 50""".stripMargin
 
+  /** TOKEN IDS — the training batch itself: every document
+    * materialized as (doc_id, pos, token_id) under the byte-level
+    * tokenizer, ids from the merge-DERIVED vocabulary (256 byte
+    * symbols then one piece per rule in rank order — the published
+    * numbering, so with a real merges file these are its published
+    * ids). Counting and packing budget the layout; THIS is what the
+    * packed sequences contain. The oracle rebuilds the id stream
+    * independently: ordered pre-tokens, per-word recursion pieces in
+    * order, `list_position` into the reconstructed vocab. */
+  def qTokenIds(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(Bpe.byteTokenIds(col("text"), Bpe.fixtureMergesByteLevel)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").cast("long").as("token_id"))
+      .orderBy(col("doc_id"), col("pos"))
+
+  val qTokenIdsSql: String = {
+    val pieces = Bpe.fixtureMergesByteLevel
+      .map { case (a, b) => "'" + (a + b).replace("'", "''") + "'" }
+      .mkString("[", ",", "]")
+    val pre = graft.ops.ByteLevel.OraclePreTokenPattern.replace("'", "''")
+    s"""WITH RECURSIVE
+       |$byteMergeCtes,
+       |voc AS (SELECT list_concat(${graft.ops.ByteLevel.byteTableSql},
+       |          $pieces) AS v),
+       |seg AS (SELECT doc_id, u.i AS wpos, ms[u.i] AS w
+       |        FROM (SELECT doc_id, regexp_extract_all(text, '$pre') AS ms
+       |              FROM documents),
+       |             UNNEST(generate_series(1, len(ms))) AS u(i)),
+       |tok AS (SELECT s.doc_id, s.wpos, u.j, f.toks[u.j] AS piece
+       |        FROM seg s JOIN final f USING (w),
+       |             UNNEST(generate_series(1, len(f.toks))) AS u(j))
+       |SELECT doc_id,
+       |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wpos, j) - 1
+       |    AS BIGINT) AS pos,
+       |  CAST(list_position(voc.v, piece) - 1 AS BIGINT) AS token_id
+       |FROM tok CROSS JOIN voc
+       |ORDER BY doc_id, pos""".stripMargin
+  }
+
   /** BPE vocabulary learning: top-160 prefix-closed subword pieces by
     * merge savings over the documents corpus. The checked-in fixture
     * driving [[qPackBpe]] IS this query's output (BpeSpec pins that). */
@@ -996,6 +1037,7 @@ object CurationQueries extends graft.QueryModule {
     "q_bpe_bytelevel" -> (qBpeBytelevel _),
     "q_pack_bytelevel" -> (qPackBytelevel _),
     "q_subwords_bytelevel" -> (qSubwordsBytelevel _),
+    "q_token_ids" -> (qTokenIds _),
     "q_curation_e2e" -> (qCurationE2e _),
     "q_curation_full" -> (qCurationFull _),
     "q_bpe_vocab" -> (qBpeVocab _),
@@ -1021,6 +1063,7 @@ object CurationQueries extends graft.QueryModule {
     "q_bpe_bytelevel" -> qBpeBytelevelSql,
     "q_pack_bytelevel" -> qPackBytelevelSql,
     "q_subwords_bytelevel" -> qSubwordsBytelevelSql,
+    "q_token_ids" -> qTokenIdsSql,
     "q_curation_e2e" -> qCurationE2eSql,
     "q_curation_full" -> qCurationFullSql,
     "q_bpe_vocab" -> qBpeVocabSql,

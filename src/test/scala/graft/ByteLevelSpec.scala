@@ -144,6 +144,37 @@ class ByteLevelSpec extends SparkSpec {
     }
   }
 
+  test("token ids: merge-derived vocab numbering (bytes then rank order); empty merges = raw UTF-8 bytes") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def ids(r: ByteBpeRanker, s: String): Seq[Int] =
+      r.tokenIds(UTF8String.fromString(s)).array.toSeq.map(_.asInstanceOf[Int])
+    // no merges: id stream IS the UTF-8 byte stream (id = byte value)
+    val base = new ByteBpeRanker(Seq.empty)
+    assert(ids(base, "Ab") === Seq(65, 98))
+    assert(ids(base, " a") === Seq(32, 97)) // Ġ carries its byte's id
+    assert(ids(base, "é") === Seq(0xc3, 0xa9))
+    // merge products number 256 + rank, exactly the published scheme
+    val r = new ByteBpeRanker(Seq(("a", "b"), ("ab", "c")))
+    assert(ids(r, "abc xy abq") ===
+      Seq(257, 32, 120, 121, 32, 256, 113)) // "abc"=256+1, " "=32, "ab"=256+0
+  }
+
+  test("token ids round-trip: ids -> pieces -> decode reproduces corpus text exactly") {
+    val merges = Bpe.fixtureMergesByteLevel
+    val vocab: Map[Int, String] =
+      ((0 until 256).map(b => b -> ByteLevel.byteToChar(b).toString) ++
+        merges.zipWithIndex.map { case ((a, b), i) => (256 + i) -> (a + b) })
+        .reverse.toMap // first-wins on duplicate ids (reverse: earlier overrides)
+    val ranker = new ByteBpeRanker(merges)
+    import org.apache.spark.unsafe.types.UTF8String
+    graft.core.Tables.documents(spark, sf).limit(30)
+      .select("text").collect().map(_.getString(0)).foreach { t =>
+      val ids = ranker.tokenIds(UTF8String.fromString(t))
+        .array.toSeq.map(_.asInstanceOf[Int])
+      assert(ByteLevel.decode(ids.map(vocab).mkString) === t)
+    }
+  }
+
   test("byteTokens and byteTokenCount agree; pieces decode back to the document") {
     val docs = graft.core.Tables.documents(spark, sf).limit(20)
     val rows = docs.select(col("text"),
