@@ -543,6 +543,70 @@ object CurationQueries extends graft.QueryModule {
        |ORDER BY doc_id, pos""".stripMargin
   }
 
+  /** PACKED SEQUENCES materialized: the end product of the whole
+    * curation chain — each (shard, pack) emitted as its actual token-id
+    * stream, docs in the pack's deterministic (md5, id) layout order,
+    * ids under the merge-derived vocabulary. [[qPackBytelevel]] is the
+    * manifest of this layout; THIS is the training data a loader would
+    * read. One window over (shard, pack) orders the stream; everything
+    * upstream is scan-stage expressions. The oracle rebuilds the
+    * packing AND the id streams independently and must agree on every
+    * (shard, pack, position, id) quadruple. */
+  def qPackIds(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val assign = Pack.assignPacks(docs,
+      textCol = "text", idCol = "doc_id", budget = 1024L, nShards = 8,
+      tokensOf = c => Bpe.byteTokenCount(c, Bpe.fixtureMergesByteLevel))
+    val ids = docs.select(col("doc_id").as("id"),
+      posexplode(Bpe.byteTokenIds(col("text"), Bpe.fixtureMergesByteLevel)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"), col("pack_id"))
+      .orderBy(col("k"), col("id"), col("pos"))
+    assign.join(ids, Seq("id"))
+      .withColumn("k", md5(col("id").cast("string")))
+      .withColumn("seq_pos", (row_number().over(w) - 1).cast("long"))
+      .select(col("shard"), col("pack_id"), col("seq_pos"),
+        col("col").cast("long").as("token_id"))
+      .orderBy(col("shard"), col("pack_id"), col("seq_pos"))
+  }
+
+  val qPackIdsSql: String = {
+    val pieces = Bpe.fixtureMergesByteLevel
+      .map { case (a, b) => "'" + (a + b).replace("'", "''") + "'" }
+      .mkString("[", ",", "]")
+    val pre = graft.ops.ByteLevel.OraclePreTokenPattern.replace("'", "''")
+    s"""WITH RECURSIVE
+       |$byteMergeCtes,
+       |voc AS (SELECT list_concat(${graft.ops.ByteLevel.byteTableSql},
+       |          $pieces) AS v),
+       |seg AS (SELECT doc_id, u.i AS wpos, ms[u.i] AS w
+       |        FROM (SELECT doc_id, regexp_extract_all(text, '$pre') AS ms
+       |              FROM documents),
+       |             UNNEST(generate_series(1, len(ms))) AS u(i)),
+       |tok AS (SELECT s.doc_id, s.wpos, u.j, f.toks[u.j] AS piece
+       |        FROM seg s JOIN final f USING (w),
+       |             UNNEST(generate_series(1, len(f.toks))) AS u(j)),
+       |dtok AS (SELECT doc_id, wpos, j,
+       |           CAST(list_position(voc.v, piece) - 1 AS BIGINT) AS token_id
+       |         FROM tok CROSS JOIN voc),
+       |d AS (SELECT dd.doc_id, md5(CAST(dd.doc_id AS VARCHAR)) AS k,
+       |    COALESCE(b.n_tokens, 0) AS toks
+       |  FROM documents dd LEFT JOIN bdoc b USING (doc_id)),
+       |s AS (SELECT *,
+       |    CAST('0x' || substr(k, 1, 7) AS BIGINT) % 8 AS shard FROM d),
+       |e AS (SELECT *, COALESCE(CAST(sum(toks) OVER (
+       |    PARTITION BY shard ORDER BY k, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+       |    0) AS excl FROM s),
+       |p AS (SELECT *, CAST(floor(excl / 1024) AS BIGINT) AS pack_id FROM e)
+       |SELECT p.shard, p.pack_id,
+       |  CAST(row_number() OVER (PARTITION BY p.shard, p.pack_id
+       |    ORDER BY p.k, p.doc_id, t.wpos, t.j) - 1 AS BIGINT) AS seq_pos,
+       |  t.token_id
+       |FROM p JOIN dtok t USING (doc_id)
+       |ORDER BY shard, pack_id, seq_pos""".stripMargin
+  }
+
   /** BPE vocabulary learning: top-160 prefix-closed subword pieces by
     * merge savings over the documents corpus. The checked-in fixture
     * driving [[qPackBpe]] IS this query's output (BpeSpec pins that). */
@@ -1038,6 +1102,7 @@ object CurationQueries extends graft.QueryModule {
     "q_pack_bytelevel" -> (qPackBytelevel _),
     "q_subwords_bytelevel" -> (qSubwordsBytelevel _),
     "q_token_ids" -> (qTokenIds _),
+    "q_pack_ids" -> (qPackIds _),
     "q_curation_e2e" -> (qCurationE2e _),
     "q_curation_full" -> (qCurationFull _),
     "q_bpe_vocab" -> (qBpeVocab _),
@@ -1064,6 +1129,7 @@ object CurationQueries extends graft.QueryModule {
     "q_pack_bytelevel" -> qPackBytelevelSql,
     "q_subwords_bytelevel" -> qSubwordsBytelevelSql,
     "q_token_ids" -> qTokenIdsSql,
+    "q_pack_ids" -> qPackIdsSql,
     "q_curation_e2e" -> qCurationE2eSql,
     "q_curation_full" -> qCurationFullSql,
     "q_bpe_vocab" -> qBpeVocabSql,
