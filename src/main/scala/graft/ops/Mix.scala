@@ -123,10 +123,13 @@ object Mix {
     * source (avail_tokens 10^3, budget 10^12) would otherwise explode
     * ~10^9 copies per doc straight into an OOM with no actionable
     * message. Real pretraining mixtures repeat scarce sources 2-5
-    * epochs; any source whose rate exceeds `maxEpochs` epochs throws,
-    * naming the source and its rate. The check reads the availability
-    * aggregate — |sources| rows, already computed for the broadcast —
-    * so it costs one tiny job, never a corpus pass. */
+    * epochs; any source whose rate exceeds `maxEpochs` epochs fails
+    * the job with an error naming the source and its rate. The guard
+    * is `raise_error` INSIDE the n_copies expression — enforced where
+    * the explosion would happen, adding zero jobs and zero extra
+    * corpus passes (a driver-side pre-check would force the
+    * availability aggregate to materialize eagerly: a full extra scan
+    * at scale). */
   def mixEpochs(
       df: DataFrame, textCol: String, idCol: String, sourceCol: String,
       weights: Seq[(String, Double)], budgetTokens: Long, salt: String,
@@ -146,27 +149,20 @@ object Mix {
         tokensOf(col(textCol)).as("n_tokens"),
         bucketPpm(col(idCol), salt).as("ppm"))
       .scopedCache()
-    // the availability aggregate is |sources| rows: collect it ONCE —
-    // the guard reads the rows and the join side is rebuilt locally,
-    // so guarding costs no second aggregate job
-    val ratesDist = availability(base, share, budgetTokens)
+    val rates = availability(base, share, budgetTokens)
       .withColumnRenamed("rate_ppm_raw", "rate_ppm")
-    val ratesRows = ratesDist.collect()
-    val runaway = ratesRows
-      .filter(_.getAs[Long]("rate_ppm") > maxEpochs * 1000000L)
-    require(runaway.isEmpty, {
-      val worst = runaway.maxBy(_.getAs[Long]("rate_ppm"))
-      s"mixEpochs: source '${worst.getAs[String]("source")}' needs " +
-        f"${worst.getAs[Long]("rate_ppm") / 1e6}%.1f epochs " +
-        s"(target ${worst.getAs[Long]("target_tokens")} tokens vs " +
-        s"${worst.getAs[Long]("avail_tokens")} available) — over " +
-        s"maxEpochs=$maxEpochs; shrink the budget/weight or raise maxEpochs"
-    })
-    val rates = df.sparkSession.createDataFrame(
-      java.util.Arrays.asList(ratesRows: _*), ratesDist.schema)
+    val overLimit = concat(
+      lit("mixEpochs: source '"), col("source"),
+      lit("' needs "), format_number(col("rate_ppm") / 1e6, 1),
+      lit(" epochs (target "), col("target_tokens"),
+      lit(" tokens vs "), col("avail_tokens"),
+      lit(s" available) — over maxEpochs=$maxEpochs; shrink the " +
+        "budget/weight or raise maxEpochs"))
     val kept = base.join(broadcast(rates), Seq("source"))
       .withColumn("n_copies",
-        expr("(rate_ppm + 999999 - ppm) DIV 1000000"))
+        when(col("rate_ppm") > maxEpochs * 1000000L,
+          raise_error(overLimit).cast("long"))
+        .otherwise(expr("(rate_ppm + 999999 - ppm) DIV 1000000")))
       .filter(col("n_copies") > 0L)
       .withColumn("epoch",
         explode(sequence(lit(0L), col("n_copies") - 1L)))

@@ -121,13 +121,17 @@ class MixSpec extends SparkSpec {
 
   test("mixEpochs: a runaway rate fails loudly at maxEpochs, naming the source") {
     // a: avail 200 tokens, weight 1.0, budget 10^7 -> rate 50000x —
-    // without the guard that's explode(sequence(0, 49999)) PER DOC
-    val e = intercept[IllegalArgumentException] {
+    // without the guard that's explode(sequence(0, 49999)) PER DOC.
+    // raise_error fires at execution (inside the plan — zero extra
+    // jobs), surfacing as a SparkException chain; match the message.
+    val e = intercept[Exception] {
       Mix.mixEpochs(docs, "text", "doc_id", "source",
         Seq("a" -> 1.0), budgetTokens = 10000000L, salt = "t").count()
     }
-    assert(e.getMessage.contains("'a'"))
-    assert(e.getMessage.contains("maxEpochs=16"))
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + messages(t.getCause)
+    assert(messages(e).contains("'a'"))
+    assert(messages(e).contains("maxEpochs=16"))
     // raising the bound admits the same mixture
     val ok = Mix.mixEpochs(docs, "text", "doc_id", "source",
       Seq("a" -> 1.0), budgetTokens = 10000L, salt = "t", maxEpochs = 64)
