@@ -41,16 +41,14 @@ object ScaleStudy {
       times: Int): Unit = {
     val fs = new org.apache.hadoop.fs.Path(outDir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
+    // documents write LAST: its existence implies the whole build
+    // (a run killed mid-build re-builds instead of running the study
+    // against a half-written corpus)
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/documents.parquet")))
       return
     val docs = graft.core.Tables.documents(s, srcDir)
     val emb = graft.core.Tables.embeddings(s, srcDir)
     val reps = explode(sequence(lit(0), lit(times - 1))).as("r")
-    docs.select(col("*"), reps)
-      .withColumn("doc_id", col("doc_id") + col("r") * 10000000L)
-      .drop("r")
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     // deterministic per-(replica, id, dim) jitter in [-3e-3, 3e-3]:
     // keeps replicated vectors near their original (realistic cluster
     // structure) without making neighborhoods degenerate ties
@@ -63,6 +61,11 @@ object ScaleStudy {
       .drop("r")
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    docs.select(col("*"), reps)
+      .withColumn("doc_id", col("doc_id") + col("r") * 10000000L)
+      .drop("r")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
   }
 
   private def time[A](body: => A): Double = {

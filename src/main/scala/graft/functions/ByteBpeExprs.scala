@@ -43,12 +43,16 @@ final class ByteBpeRanker(merges: Seq[(String, String)]) extends Serializable {
     m
   }
 
-  // per-JVM pre-token cache, keyed by the RAW pre-token; bounded so
-  // adversarial corpora can't grow it without limit (beyond the cap
-  // every pre-token still computes correctly, just uncached)
+  // per-JVM pre-token cache, keyed by the RAW pre-token; bounded in
+  // BOTH entry count and entry size — pre-tokens are unbounded (one
+  // letter/punct run each), so an entry-count cap alone would let an
+  // adversarial corpus of huge distinct runs retain gigabytes. Beyond
+  // either bound every pre-token still computes correctly, just
+  // uncached.
   @transient private lazy val memo =
     new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
   private val MemoCap = 1 << 16
+  private val MemoMaxLen = 1 << 12
 
   /** Byte-level segmentation of ONE pre-token: encode to byte
     * symbols, then merge every occurrence of the lowest-ranked
@@ -85,7 +89,7 @@ final class ByteBpeRanker(merges: Seq[(String, String)]) extends Serializable {
         syms = out.result()
       }
     }
-    if (memo.size < MemoCap) memo.put(w, syms)
+    if (w.length <= MemoMaxLen && memo.size < MemoCap) memo.put(w, syms)
     syms
   }
 

@@ -333,10 +333,13 @@ object Bpe {
   /** Parse a GPT-2-format merges file VERBATIM — one "a b" rule per
     * line, symbols already in byte-symbol space (no translation; this
     * is the loader for [[byteTokenCount]], where `Ġ` IS the space
-    * symbol). Comment lines (`#...`) and blanks skip. A published
-    * merges.txt drops straight in. */
+    * symbol). ONLY the `#version` header line and blanks skip: '#' is
+    * an ordinary byte symbol, and a real published file contains
+    * rules like "# #" (the merges behind '##'/'###' pieces) — a
+    * comment-style filter would silently drop them and break the
+    * verbatim contract on markdown/code text. */
   def parseMergesVerbatim(lines: Seq[String]): Seq[(String, String)] =
-    lines.filter(l => l.nonEmpty && !l.startsWith("#")).map { l =>
+    lines.filter(l => l.nonEmpty && !l.startsWith("#version")).map { l =>
       val parts = l.split(" ", 2)
       require(parts.length == 2 && parts(1).nonEmpty,
         s"malformed merge line: '$l'")

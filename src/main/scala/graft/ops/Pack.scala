@@ -53,19 +53,29 @@ object Pack {
   def assignPacks(
       df: DataFrame, textCol: String, idCol: String,
       budget: Long, nShards: Int,
-      tokensOf: Column => Column = whitespaceTokens): DataFrame = {
-    val toks = tokensOf(col(textCol))
-    val base = df.select(
-        col(idCol).as("id"),
-        toks.as("toks"),
-        md5(col(idCol).cast("string")).as("k"))
+      tokensOf: Column => Column = whitespaceTokens): DataFrame =
+    assignPacksOn(
+      df.select(col(idCol).as("id"), tokensOf(col(textCol)).as("toks")),
+      "id", col("toks"), budget, nShards)
+      .select(col("id"), col("toks"), col("shard"), col("pack_id"))
+
+  /** Pack assignment from an ALREADY-COMPUTED token-count column,
+    * keeping the caller's other columns (and the layout key `k`) —
+    * for callers that materialize per-doc token structures anyway
+    * (e.g. id streams budget by `size(ids)`) and must not pay the
+    * tokenizer twice. Adds (toks, k, shard, pack_id). */
+  def assignPacksOn(df: DataFrame, idCol: String, toks: Column,
+      budget: Long, nShards: Int): DataFrame = {
+    val base = df
+      .withColumn("toks", toks)
+      .withColumn("k", md5(col(idCol).cast("string")))
       .withColumn("shard",
         conv(substring(col("k"), 1, 7), 16, 10).cast("long") % nShards)
-    val w = Window.partitionBy(col("shard")).orderBy(col("k"), col("id"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("k"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     base
       .withColumn("excl", coalesce(sum(col("toks")).over(w), lit(0L)))
       .withColumn("pack_id", floor(col("excl") / budget).cast("long"))
-      .select(col("id"), col("toks"), col("shard"), col("pack_id"))
+      .drop("excl")
   }
 }

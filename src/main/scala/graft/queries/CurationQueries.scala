@@ -462,16 +462,7 @@ object CurationQueries extends graft.QueryModule {
   val qPackBytelevelSql: String =
     s"""WITH RECURSIVE
        |$byteMergeCtes,
-       |d AS (SELECT dd.doc_id, md5(CAST(dd.doc_id AS VARCHAR)) AS k,
-       |    COALESCE(b.n_tokens, 0) AS toks
-       |  FROM documents dd LEFT JOIN bdoc b USING (doc_id)),
-       |s AS (SELECT *,
-       |    CAST('0x' || substr(k, 1, 7) AS BIGINT) % 8 AS shard FROM d),
-       |e AS (SELECT *, COALESCE(CAST(sum(toks) OVER (
-       |    PARTITION BY shard ORDER BY k, doc_id
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
-       |    0) AS excl FROM s),
-       |p AS (SELECT *, CAST(floor(excl / 1024) AS BIGINT) AS pack_id FROM e)
+       |$bytePackCtes
        |SELECT shard, pack_id, CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(toks) AS BIGINT) AS pack_tokens, min(doc_id) AS first_doc
        |FROM p GROUP BY shard, pack_id
@@ -502,6 +493,50 @@ object CurationQueries extends graft.QueryModule {
        |FROM pieces GROUP BY piece
        |ORDER BY n DESC, piece LIMIT 50""".stripMargin
 
+  /** Shared byte-level ID-STREAM CTE chain (composes after
+    * [[byteMergeCtes]]): the merge-derived vocab (`voc`), ordered
+    * pre-tokens (`seg`), per-word piece positions (`tok`), and the
+    * per-doc id stream `dtok(doc_id, wpos, j, token_id)`. Used by
+    * [[qTokenIdsSql]] and [[qPackIdsSql]] — ONE spelling of the id
+    * numbering. */
+  private def byteIdCtes: String = {
+    val pieces = Bpe.fixtureMergesByteLevel
+      .map { case (a, b) => "'" + (a + b).replace("'", "''") + "'" }
+      .mkString("[", ",", "]")
+    val pre = graft.ops.ByteLevel.OraclePreTokenPattern.replace("'", "''")
+    s"""voc AS (SELECT list_concat(${graft.ops.ByteLevel.byteTableSql},
+       |          $pieces) AS v),
+       |seg AS (SELECT doc_id, u.i AS wpos, ms[u.i] AS w
+       |        FROM (SELECT doc_id, regexp_extract_all(text, '$pre') AS ms
+       |              FROM documents),
+       |             UNNEST(generate_series(1, len(ms))) AS u(i)),
+       |tok AS (SELECT s.doc_id, s.wpos, u.j, f.toks[u.j] AS piece
+       |        FROM seg s JOIN final f USING (w),
+       |             UNNEST(generate_series(1, len(f.toks))) AS u(j)),
+       |dtok AS (SELECT doc_id, wpos, j,
+       |           CAST(list_position(voc.v, piece) - 1 AS BIGINT) AS token_id
+       |         FROM tok CROSS JOIN voc)""".stripMargin
+  }
+
+  /** Shared byte-level PACK-LAYOUT CTE chain (composes after
+    * [[byteMergeCtes]]'s `bdoc`): the d/s/e/p sharded prefix-sum
+    * layout at the byte entries' budget, ending in
+    * `p(doc_id, k, toks, shard, pack_id, ...)`. Used by
+    * [[qPackBytelevelSql]] and [[qPackIdsSql]] — ONE spelling of the
+    * layout. */
+  private def bytePackCtes: String =
+    s"""d AS (SELECT dd.doc_id, md5(CAST(dd.doc_id AS VARCHAR)) AS k,
+       |    COALESCE(b.n_tokens, 0) AS toks
+       |  FROM documents dd LEFT JOIN bdoc b USING (doc_id)),
+       |s AS (SELECT *,
+       |    CAST('0x' || substr(k, 1, 7) AS BIGINT) % 8 AS shard FROM d),
+       |e AS (SELECT *, COALESCE(CAST(sum(toks) OVER (
+       |    PARTITION BY shard ORDER BY k, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+       |    0) AS excl FROM s),
+       |p AS (SELECT *, CAST(floor(excl / 1024) AS BIGINT) AS pack_id FROM e)"""
+      .stripMargin
+
   /** TOKEN IDS — the training batch itself: every document
     * materialized as (doc_id, pos, token_id) under the byte-level
     * tokenizer, ids from the merge-DERIVED vocabulary (256 byte
@@ -519,29 +554,15 @@ object CurationQueries extends graft.QueryModule {
         col("col").cast("long").as("token_id"))
       .orderBy(col("doc_id"), col("pos"))
 
-  val qTokenIdsSql: String = {
-    val pieces = Bpe.fixtureMergesByteLevel
-      .map { case (a, b) => "'" + (a + b).replace("'", "''") + "'" }
-      .mkString("[", ",", "]")
-    val pre = graft.ops.ByteLevel.OraclePreTokenPattern.replace("'", "''")
+  val qTokenIdsSql: String =
     s"""WITH RECURSIVE
        |$byteMergeCtes,
-       |voc AS (SELECT list_concat(${graft.ops.ByteLevel.byteTableSql},
-       |          $pieces) AS v),
-       |seg AS (SELECT doc_id, u.i AS wpos, ms[u.i] AS w
-       |        FROM (SELECT doc_id, regexp_extract_all(text, '$pre') AS ms
-       |              FROM documents),
-       |             UNNEST(generate_series(1, len(ms))) AS u(i)),
-       |tok AS (SELECT s.doc_id, s.wpos, u.j, f.toks[u.j] AS piece
-       |        FROM seg s JOIN final f USING (w),
-       |             UNNEST(generate_series(1, len(f.toks))) AS u(j))
+       |$byteIdCtes
        |SELECT doc_id,
        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wpos, j) - 1
-       |    AS BIGINT) AS pos,
-       |  CAST(list_position(voc.v, piece) - 1 AS BIGINT) AS token_id
-       |FROM tok CROSS JOIN voc
+       |    AS BIGINT) AS pos, token_id
+       |FROM dtok
        |ORDER BY doc_id, pos""".stripMargin
-  }
 
   /** PACKED SEQUENCES materialized: the end product of the whole
     * curation chain — each (shard, pack) emitted as its actual token-id
@@ -553,59 +574,36 @@ object CurationQueries extends graft.QueryModule {
     * packing AND the id streams independently and must agree on every
     * (shard, pack, position, id) quadruple. */
   def qPackIds(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val assign = Pack.assignPacks(docs,
-      textCol = "text", idCol = "doc_id", budget = 1024L, nShards = 8,
-      tokensOf = c => Bpe.byteTokenCount(c, Bpe.fixtureMergesByteLevel))
-    val ids = docs.select(col("doc_id").as("id"),
-      posexplode(Bpe.byteTokenIds(col("text"), Bpe.fixtureMergesByteLevel)))
+    // ONE scan: the id array is the only tokenizer pass — the pack
+    // budget is size(ids) (identical to byteTokenCount by
+    // construction), so no second ranker and no self-join
+    val withIds = Tables.documents(s, dir).select(col("doc_id").as("id"),
+      Bpe.byteTokenIds(col("text"), Bpe.fixtureMergesByteLevel).as("ids"))
+    val assigned = Pack.assignPacksOn(withIds, "id",
+      size(col("ids")).cast("long"), budget = 1024L, nShards = 8)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard"), col("pack_id"))
       .orderBy(col("k"), col("id"), col("pos"))
-    assign.join(ids, Seq("id"))
-      .withColumn("k", md5(col("id").cast("string")))
+    assigned
+      .select(col("shard"), col("pack_id"), col("k"), col("id"),
+        posexplode(col("ids")))
       .withColumn("seq_pos", (row_number().over(w) - 1).cast("long"))
       .select(col("shard"), col("pack_id"), col("seq_pos"),
         col("col").cast("long").as("token_id"))
       .orderBy(col("shard"), col("pack_id"), col("seq_pos"))
   }
 
-  val qPackIdsSql: String = {
-    val pieces = Bpe.fixtureMergesByteLevel
-      .map { case (a, b) => "'" + (a + b).replace("'", "''") + "'" }
-      .mkString("[", ",", "]")
-    val pre = graft.ops.ByteLevel.OraclePreTokenPattern.replace("'", "''")
+  val qPackIdsSql: String =
     s"""WITH RECURSIVE
        |$byteMergeCtes,
-       |voc AS (SELECT list_concat(${graft.ops.ByteLevel.byteTableSql},
-       |          $pieces) AS v),
-       |seg AS (SELECT doc_id, u.i AS wpos, ms[u.i] AS w
-       |        FROM (SELECT doc_id, regexp_extract_all(text, '$pre') AS ms
-       |              FROM documents),
-       |             UNNEST(generate_series(1, len(ms))) AS u(i)),
-       |tok AS (SELECT s.doc_id, s.wpos, u.j, f.toks[u.j] AS piece
-       |        FROM seg s JOIN final f USING (w),
-       |             UNNEST(generate_series(1, len(f.toks))) AS u(j)),
-       |dtok AS (SELECT doc_id, wpos, j,
-       |           CAST(list_position(voc.v, piece) - 1 AS BIGINT) AS token_id
-       |         FROM tok CROSS JOIN voc),
-       |d AS (SELECT dd.doc_id, md5(CAST(dd.doc_id AS VARCHAR)) AS k,
-       |    COALESCE(b.n_tokens, 0) AS toks
-       |  FROM documents dd LEFT JOIN bdoc b USING (doc_id)),
-       |s AS (SELECT *,
-       |    CAST('0x' || substr(k, 1, 7) AS BIGINT) % 8 AS shard FROM d),
-       |e AS (SELECT *, COALESCE(CAST(sum(toks) OVER (
-       |    PARTITION BY shard ORDER BY k, doc_id
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
-       |    0) AS excl FROM s),
-       |p AS (SELECT *, CAST(floor(excl / 1024) AS BIGINT) AS pack_id FROM e)
+       |$byteIdCtes,
+       |$bytePackCtes
        |SELECT p.shard, p.pack_id,
        |  CAST(row_number() OVER (PARTITION BY p.shard, p.pack_id
        |    ORDER BY p.k, p.doc_id, t.wpos, t.j) - 1 AS BIGINT) AS seq_pos,
        |  t.token_id
        |FROM p JOIN dtok t USING (doc_id)
        |ORDER BY shard, pack_id, seq_pos""".stripMargin
-  }
 
   /** BPE vocabulary learning: top-160 prefix-closed subword pieces by
     * merge savings over the documents corpus. The checked-in fixture

@@ -44,14 +44,19 @@ object EventStream {
     * either encoding to micros since epoch (the session timezone is
     * pinned to UTC, making the NTZ cast the identity wall-clock).
     * An EMPTY landing glob falls back to [[legacyRawSchema]] so a
-    * stream can start over a not-yet-populated drop box.
+    * stream can start over a not-yet-populated drop box — that
+    * fallback ASSUMES the nanos generation (its `ts` is a long), so
+    * it implies the legacy conf below exactly as real nanos files
+    * would; any other probe failure (corrupt files, incompatible
+    * schemas across the glob) still throws at setup rather than
+    * starting a stream over a guessed schema.
     *
     * Conf hygiene: the probe runs in a CLONED session so the legacy
     * `nanosAsLong` conf never leaks into the caller's later parquet
-    * reads; only when the landing files genuinely ARE nanos-encoded
-    * (probe schema has a long `ts`) is the conf set on the caller's
-    * session — the stream itself must read those files, and the
-    * source resolves confs at execution time. */
+    * reads; only when the stream itself will read nanos-encoded data
+    * (probed long `ts`, or the empty-dir fallback that declares it)
+    * is the conf set on the caller's session — the stream must read
+    * those files, and the source resolves confs at execution time. */
   def read(s: SparkSession, dir: String,
       options: Map[String, String] = Map.empty): DataFrame = {
     val glob = s"$dir/events*.parquet"
@@ -60,7 +65,13 @@ object EventStream {
     val schema =
       try probe.read.parquet(glob).schema
       catch {
-        case _: org.apache.spark.sql.AnalysisException => legacyRawSchema
+        // only the nothing-matched probe falls back (empty drop box);
+        // genuine schema problems must not masquerade as "empty"
+        case e: org.apache.spark.sql.AnalysisException
+            if Option(e.getCondition).exists(c =>
+              c.startsWith("PATH_NOT_FOUND") ||
+                c.startsWith("UNABLE_TO_INFER_SCHEMA")) =>
+          legacyRawSchema
       }
     val tsUs = schema("ts").dataType match {
       case LongType =>

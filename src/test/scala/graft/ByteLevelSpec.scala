@@ -78,7 +78,8 @@ class ByteLevelSpec extends SparkSpec {
       "Ġ t", "Ġt h", "Ġth e",   // space participates (as Ġ)
       "1 2", "12 3",            // digits participate
       ". .",                    // punctuation participates
-      "Ã ©"))                   // a non-ASCII byte pair participates
+      "Ã ©",                    // a non-ASCII byte pair participates
+      "# #"))                   // '#' is a SYMBOL, not a comment marker
     val r = new ByteBpeRanker(merges)
     def seg(s: String): Seq[String] = {
       import org.apache.spark.unsafe.types.UTF8String
@@ -89,6 +90,7 @@ class ByteLevelSpec extends SparkSpec {
     assert(seg("a123") === Seq("a", "123"))
     assert(seg("...!") === Seq("..", ".", "!"))
     assert(seg("café") === Seq("c", "a", "f", "Ã©"))
+    assert(seg("## x") === Seq("##", "Ġ", "x")) // the rule a comment filter would eat
     // letter-only path CANNOT express any of the last three — the
     // round-7 gap this module closes
   }

@@ -581,6 +581,30 @@ class StreamSpec extends SparkSpec {
     assert(after === full)
   }
 
+  test("read() starts over an empty drop box with the legacy schema; conf never leaks for micros dirs") {
+    val confKey = "spark.sql.legacy.parquet.nanosAsLong"
+    spark.conf.unset(confKey)
+    // micros-generation dir (current testdata): probe must not leak
+    // the legacy conf into this session
+    val live = EventStream.read(spark, sf)
+    assert(live.isStreaming)
+    // getOption reports the registered default ("false") when unset —
+    // the leak would flip it to "true"
+    assert(spark.conf.get(confKey) === "false",
+      "nanosAsLong leaked from a micros-encoding probe")
+    // empty drop box: stream starts with the declared legacy schema
+    // (nanos generation — long ts), which implies the conf
+    val empty = java.nio.file.Files.createTempDirectory("graft_dropbox").toString
+    val df = EventStream.read(spark, empty)
+    assert(df.isStreaming)
+    assert(df.schema("ts").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(df.schema("ts_us").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(spark.conf.get(confKey) === "true")
+    spark.conf.unset(confKey)
+  }
+
   test("orderLanding manifest ranks by min event time when names mislead") {
     import spark.implicits._
     import org.apache.spark.sql.types._
