@@ -107,20 +107,39 @@ object ScaleStudy {
       println(f"""{"study":"sf1","query":"$name","sec":${secs.min}%.3f}""")
     }
 
-    // ---- ANN recall-vs-cost frontier (10x corpus, 20k vectors) ----------
+    // ---- ANN recall-vs-cost frontier ------------------------------------
+    // twice: the 10x jittered-replica corpus (each query's 9
+    // near-copies dominate its true top-10 — favors cluster-local
+    // methods) and the REAL sf0.1 corpus (representative neighborhood
+    // structure, no replicas)
+    annFrontier(spark, outDir, "ann")
+    annFrontier(spark, "/root/testdata/sf0.1", "ann-sf0.1")
+    spark.stop()
+  }
+
+  private def annFrontier(spark: SparkSession, dir: String,
+      study: String): Unit = {
     import graft.ops.{Ivf, Similarity}
-    val emb = graft.core.Tables.embeddings(spark, outDir).cache()
+    val emb = graft.core.Tables.embeddings(spark, dir).cache()
     val k = 10
     val gt = Similarity.bruteForceTopK(emb,
       emb.filter(col("vec_id") < 10L), k).cache()
     val bruteSec = time(gt.count())
-    println(f"""{"study":"ann","method":"brute","param":0,"recall":1.0,"sec":$bruteSec%.3f}""")
+    println(f"""{"study":"$study","method":"brute","param":0,"recall":1.0,"sec":$bruteSec%.3f}""")
     Seq(4, 6, 8, 10).foreach { bits =>
       var r = 0.0
       val sec = time {
         r = recallAt(gt, Similarity.lshTopK(emb, queryMaxId = 10L, k, nBits = bits))
       }
-      println(f"""{"study":"ann","method":"lsh","param":$bits,"recall":$r%.3f,"sec":$sec%.3f}""")
+      println(f"""{"study":"$study","method":"lsh","param":$bits,"recall":$r%.3f,"sec":$sec%.3f}""")
+    }
+    Seq(0, 1, 2).foreach { radius =>
+      var r = 0.0
+      val sec = time {
+        r = recallAt(gt, Similarity.lshTopKMultiProbe(emb, queryMaxId = 10L, k,
+          nBits = 8, probeHamming = radius))
+      }
+      println(f"""{"study":"$study","method":"lsh-mp8","param":$radius,"recall":$r%.3f,"sec":$sec%.3f}""")
     }
     Seq(1, 2, 4, 8).foreach { probe =>
       var r = 0.0
@@ -128,8 +147,8 @@ object ScaleStudy {
         r = recallAt(gt, Ivf.ivfTopK(emb, queryMaxId = 10L, k,
           nClusters = 16, nProbe = probe, iters = 2))
       }
-      println(f"""{"study":"ann","method":"ivf","param":$probe,"recall":$r%.3f,"sec":$sec%.3f}""")
+      println(f"""{"study":"$study","method":"ivf","param":$probe,"recall":$r%.3f,"sec":$sec%.3f}""")
     }
-    spark.stop()
+    emb.unpersist(); gt.unpersist()
   }
 }

@@ -104,6 +104,51 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** MULTI-PROBE bucketed ANN: each query probes its own bucket plus
+    * every bucket within Hamming distance `probeHamming` of it in
+    * sign-bit space — the standard recall repair for single-probe
+    * sign-LSH, whose recall collapses when true neighbors fall just
+    * across one hyperplane (measured in PLANS.md's round-8 frontier:
+    * 0.13 at 4 bits single-probe on the sf0.1 corpus). Probing all
+    * 1 + nBits (+ C(nBits,2) at radius 2) neighboring buckets
+    * multiplies only the BROADCAST query side — the corpus side still
+    * joins once per (bucket, query-probe) candidate, so the scale
+    * shape is unchanged: equi-join on a bounded key, no corpus
+    * blow-up. Radius <= 2 supported (higher radii approach
+    * brute-force cost without its simplicity). */
+  def lshTopKMultiProbe(emb: DataFrame, queryMaxId: Long, k: Int,
+      nBits: Int = 12, probeHamming: Int = 1): DataFrame = {
+    val masks = probeMasks(nBits, probeHamming)
+    val e = prepared(emb).withColumn("bucket", lshBucket(col("v"), nBits))
+    val q = e.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bucket").as("qbucket"))
+      .withColumn("bucket",
+        explode(array(masks.map(m => col("qbucket").bitwiseXOR(m)): _*)))
+      .drop("qbucket")
+    val scored = e.join(broadcast(q), Seq("bucket"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("sim", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+    rankTopK(scored, k)
+  }
+
+  /** XOR masks for every bucket within Hamming distance
+    * `probeHamming`; the identity mask first. */
+  private[graft] def probeMasks(nBits: Int, probeHamming: Int): Seq[Long] = {
+    require(probeHamming >= 0 && probeHamming <= 2,
+      "probeHamming must be 0, 1, or 2")
+    Seq(0L) ++
+      (if (probeHamming >= 1) (0 until nBits).map(1L << _) else Seq.empty) ++
+      (if (probeHamming >= 2)
+        for (i <- 0 until nBits; j <- i + 1 until nBits)
+          yield (1L << i) | (1L << j)
+      else Seq.empty)
+  }
+
+  /** DuckDB spelling of [[probeMasks]] — keep in lock-step. */
+  def probeMasksSql(nBits: Int, probeHamming: Int): String =
+    probeMasks(nBits, probeHamming).mkString("[", ",", "]")
+
   /** Bucketed near-duplicate top-1: nearest neighbor within each
     * vector's sign-LSH bucket — the 100 TB shape of
     * [[nearestNeighbor]]. The self-join is an equi-join on bucket id

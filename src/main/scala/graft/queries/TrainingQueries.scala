@@ -764,6 +764,39 @@ object TrainingQueries extends graft.QueryModule {
        |FROM r WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin
   }
 
+  /** MULTI-PROBE sign-LSH ANN ([[Similarity.lshTopKMultiProbe]]):
+    * each query also probes every bucket one sign-bit flip away —
+    * the recall repair for single-probe LSH, whose recall on this
+    * corpus collapses to ~0.1 (PLANS.md round-8 frontier) because
+    * true neighbors fall just across one hyperplane. Probing
+    * multiplies only the broadcast query side (1 + nBits rows per
+    * query); the corpus side still equi-joins once. */
+  def qAnnLshMultiprobe(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopKMultiProbe(Tables.embeddings(s, dir),
+      queryMaxId = 10L, k = 5, nBits = 6, probeHamming = 1)
+
+  /** DuckDB replay of [[qAnnLshMultiprobe]]: same hyperplane bucket,
+    * query side exploded over the XOR probe-mask list. */
+  val qAnnLshMultiprobeSql: String = {
+    val bucket = Similarity.planesLiteral(nBits = 6, dims = 64).zipWithIndex
+      .map { case (p, j) =>
+        s"(CASE WHEN list_dot_product(v, $p) > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+    val masks = Similarity.probeMasksSql(nBits = 6, probeHamming = 1)
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, $bucket AS bucket FROM e),
+       |q0 AS (SELECT vec_id AS q_id, v AS qv, bucket FROM b WHERE vec_id < 10),
+       |q AS (SELECT q_id, qv, xor(bucket, u.m) AS bucket
+       |      FROM q0, UNNEST($masks::BIGINT[]) AS u(m)),
+       |p AS (SELECT q.q_id, b.vec_id AS neighbor_id,
+       |        list_cosine_similarity(q.qv, b.v) AS sim
+       |      FROM b JOIN q ON b.bucket = q.bucket AND b.vec_id <> q.q_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |        ORDER BY sim DESC, neighbor_id) AS rn FROM p)
+       |SELECT q_id, CAST(rn AS BIGINT) AS rank, neighbor_id, sim
+       |FROM r WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin
+  }
+
   /** Bucketed near-dup top-1 — the scale path of [[qEmbedNearDup]]
     * shipped as its own oracle-checked entry (mirroring how Overlap
     * ships naive + binned). */
@@ -891,6 +924,7 @@ object TrainingQueries extends graft.QueryModule {
     "q_embed_neardup" -> (qEmbedNearDup _),
     "q_embed_neardup_lsh" -> (qEmbedNearDupLsh _),
     "q_ann_lsh" -> (qAnnLsh _),
+    "q_ann_lsh_multiprobe" -> (qAnnLshMultiprobe _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_multimodal" -> (qMultimodal _))
 
@@ -916,5 +950,6 @@ object TrainingQueries extends graft.QueryModule {
     "q_embed_neardup" -> qEmbedNearDupSql,
     "q_embed_neardup_lsh" -> qEmbedNearDupLshSql,
     "q_ann_lsh" -> qAnnLshSql,
+    "q_ann_lsh_multiprobe" -> qAnnLshMultiprobeSql,
     "q_multimodal" -> qMultimodalSql) ++ ivfOracle
 }

@@ -237,6 +237,33 @@ class SimilaritySpec extends SparkSpec {
       assert(brute.contains((q, n)) && brute((q, n)) === s)
     }
   }
+
+  test("multi-probe LSH: radius 0 equals single-probe; radius 1 candidates are a superset and recall never drops") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val single = pairs(Similarity.lshTopK(emb, 10L, 5, nBits = 6))
+    val mp0 = pairs(Similarity.lshTopKMultiProbe(emb, 10L, 5, nBits = 6,
+      probeHamming = 0))
+    assert(mp0 === single) // identity mask only = the single-probe plan
+    // true top-5 per query (brute force); recall = fraction recovered
+    val truth = pairs(Similarity.bruteForceTopK(
+      emb, emb.filter($"vec_id" < 10), 5))
+    def recall(got: Set[(Long, Long)]): Double =
+      (truth intersect got).size.toDouble / truth.size
+    val mp1 = pairs(Similarity.lshTopKMultiProbe(emb, 10L, 5, nBits = 6,
+      probeHamming = 1))
+    val mp2 = pairs(Similarity.lshTopKMultiProbe(emb, 10L, 5, nBits = 6,
+      probeHamming = 2))
+    // the motivating ladder (deterministic: md5 hyperplanes, fixed
+    // corpus — measures 0.06 -> 0.28 -> 0.58 here): each probe radius
+    // strictly recovers neighbors the previous one lost across a
+    // hyperplane
+    assert(recall(mp1) > recall(single))
+    assert(recall(mp2) > recall(mp1))
+    assert(recall(mp1) >= 0.25 && recall(mp2) >= 0.5)
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
