@@ -94,17 +94,19 @@ final class ByteBpeRanker(merges: Seq[(String, String)]) extends Serializable {
   }
 
   /** The merge-derived VOCABULARY, by the published construction: the
-    * 256 byte symbols first (id = byte value), then one piece per
-    * merge rule in rank order (id = 256 + rank). This is exactly how
-    * byte-level tokenizers number their pieces, so with a published
-    * merges file these ids ARE (up to the special-token offset) its
-    * published token ids. First-wins on the rare duplicate piece
-    * (a redundant rule can re-create an existing spelling — the
-    * earlier id is the one inference produces). */
+    * 256 byte symbols first in ascending mapped-code-point order
+    * (id of '!' is 0, 'Ċ' 198, 'Ġ' 220 — NOT raw byte value; the
+    * GPT-2 vocab sorts its base alphabet), then one piece per merge
+    * rule in rank order (id = 256 + rank). With a published merges
+    * file these ids ARE (up to appended special tokens) its published
+    * token ids. First-wins on the rare duplicate piece (a redundant
+    * rule can re-create an existing spelling — the earlier id is the
+    * one inference produces). */
   @transient private lazy val pieceId: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer](256 + merges.size * 2)
-    (0 until 256).foreach(b =>
-      m.put(ByteLevel.byteToChar(b).toString, Integer.valueOf(b)))
+    ByteLevel.symbolsByIdOrder.zipWithIndex.foreach { case (c, id) =>
+      m.put(c.toString, Integer.valueOf(id))
+    }
     merges.zipWithIndex.foreach { case ((a, b), i) =>
       m.putIfAbsent(a + b, Integer.valueOf(256 + i))
     }

@@ -293,7 +293,7 @@ object Bpe {
     * interchangeable inputs to [[byteTokenCount]].
     *
     * Same scale shape and LOUD `maxWords` bound as [[learnMerges]] —
-    * [[learnMergesDistributed]] is the unbounded route. */
+    * [[learnMergesByteLevelDistributed]] is the unbounded route. */
   def learnMergesByteLevel(df: DataFrame, textCol: String, nMerges: Int,
       maxWords: Int = 1 << 20): Seq[(String, String)] = {
     val rows = df.select(
@@ -304,7 +304,7 @@ object Bpe {
       .collect()
     require(rows.length <= maxWords,
       s"distinct pre-tokens exceed maxWords=$maxWords; raise the bound " +
-        "or use learnMergesDistributed")
+        "or use learnMergesByteLevelDistributed")
     mergeLoop(
       rows.map(r =>
         (ByteLevel.encode(r.getString(0)).map(_.toString).toArray,

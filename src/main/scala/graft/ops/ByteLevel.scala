@@ -66,6 +66,20 @@ object ByteLevel {
   private val charToByte: Map[Char, Int] =
     byteToChar.zipWithIndex.map { case (c, b) => c -> b }.toMap
 
+  /** Byte symbols in PUBLISHED id order — ascending mapped code
+    * point, which is how the GPT-2 vocab numbers its 256 base
+    * tokens: '!' is id 0, 'Ċ' (newline) 198, 'Ġ' (space) 220. (The
+    * printable bytes sort first because they map to themselves below
+    * U+0100; the 68 remapped bytes follow in byte order at
+    * U+0100+.) */
+  val symbolsByIdOrder: IndexedSeq[Char] = byteToChar.toIndexedSeq.sorted
+
+  /** The 256-entry symbol list in PUBLISHED id order as a DuckDB
+    * list literal (1-based index = token id + 1) — the oracle's
+    * spelling of the base-vocab numbering. */
+  lazy val sortedByteTableSql: String =
+    symbolsByIdOrder.map(c => s"chr(${c.toInt})").mkString("[", ",", "]")
+
   /** UTF-8 bytes of `s`, each mapped through [[byteToChar]] — the
     * symbol string the merge loop runs over. One char out per byte
     * in, so multi-byte code points split ("é" → "Ã©"). */

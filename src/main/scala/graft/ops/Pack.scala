@@ -66,6 +66,12 @@ object Pack {
     * tokenizer twice. Adds (toks, k, shard, pack_id). */
   def assignPacksOn(df: DataFrame, idCol: String, toks: Column,
       budget: Long, nShards: Int): DataFrame = {
+    // the layout columns would silently clobber same-named caller
+    // columns ("toks" is the one legitimate overwrite: it is DEFINED
+    // here as the given expression)
+    val clash = df.columns.toSet.intersect(Set("k", "shard", "pack_id"))
+    require(clash.isEmpty,
+      s"assignPacksOn would overwrite caller column(s) ${clash.mkString(", ")}")
     val base = df
       .withColumn("toks", toks)
       .withColumn("k", md5(col(idCol).cast("string")))

@@ -90,19 +90,12 @@ object Similarity {
       when(dot(v, plane) > 0, lit(1L << j)).otherwise(0L)
     }.reduce(_ + _)
 
-  /** Bucketed ANN: rank candidates within each query's bucket only.
-    * Recall < 1 by construction; the probe count (bucket width) is
-    * the tuning knob. */
-  def lshTopK(emb: DataFrame, queryMaxId: Long, k: Int, nBits: Int = 12): DataFrame = {
-    val e = prepared(emb).withColumn("bucket", lshBucket(col("v"), nBits))
-    val q = e.filter(col("vec_id") < queryMaxId).select(
-      col("vec_id").as("q_id"), col("v").as("qv"),
-      col("nrm").as("qn"), col("bucket"))
-    val scored = e.join(broadcast(q), Seq("bucket"))
-      .filter(col("q_id") =!= col("vec_id"))
-      .withColumn("sim", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
-    rankTopK(scored, k)
-  }
+  /** Bucketed ANN: rank candidates within each query's bucket only —
+    * [[lshTopKMultiProbe]] at radius 0 (one implementation; the spec
+    * pins the equality). Recall < 1 by construction; bit depth and
+    * probe radius are the tuning knobs. */
+  def lshTopK(emb: DataFrame, queryMaxId: Long, k: Int, nBits: Int = 12): DataFrame =
+    lshTopKMultiProbe(emb, queryMaxId, k, nBits, probeHamming = 0)
 
   /** MULTI-PROBE bucketed ANN: each query probes its own bucket plus
     * every bucket within Hamming distance `probeHamming` of it in

@@ -390,15 +390,24 @@ object CurationQueries extends graft.QueryModule {
     * character, so a document's count is exactly the sum over its
     * pre-tokens. */
   private def byteMergeCtes: String = {
+    val pre = graft.ops.ByteLevel.OraclePreTokenPattern.replace("'", "''")
+    byteMergeCtesFrom(
+      s"""pt AS (SELECT doc_id,
+         |         unnest(regexp_extract_all(text, '$pre')) AS w
+         |       FROM documents)""".stripMargin)
+  }
+
+  /** [[byteMergeCtes]] with the pre-token CTE supplied — the id
+    * oracles extract pre-tokens ONCE (position-preserving `seg`) and
+    * feed this chain from it instead of re-running the regex over
+    * every document. */
+  private def byteMergeCtesFrom(ptCte: String): String = {
     val lst = Bpe.fixtureMergesByteLevel
       .map { case (a, b) => "'" + (a + " " + b).replace("'", "''") + "'" }
       .mkString("[", ",", "]")
-    val pre = graft.ops.ByteLevel.OraclePreTokenPattern.replace("'", "''")
     s"""mg AS (SELECT $lst AS l),
        |btab AS (SELECT ${graft.ops.ByteLevel.byteTableSql} AS bt),
-       |pt AS (SELECT doc_id,
-       |         unnest(regexp_extract_all(text, '$pre')) AS w
-       |       FROM documents),
+       |$ptCte,
        |wcnt AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS n
        |         FROM pt GROUP BY doc_id, w),
        |winit AS (SELECT w, hex(encode(w)) AS h
@@ -499,17 +508,22 @@ object CurationQueries extends graft.QueryModule {
     * per-doc id stream `dtok(doc_id, wpos, j, token_id)`. Used by
     * [[qTokenIdsSql]] and [[qPackIdsSql]] — ONE spelling of the id
     * numbering. */
-  private def byteIdCtes: String = {
+  private def byteSegCte: String = {
+    val pre = graft.ops.ByteLevel.OraclePreTokenPattern.replace("'", "''")
+    s"""seg AS (SELECT doc_id, u.i AS wpos, ms[u.i] AS w
+       |        FROM (SELECT doc_id, regexp_extract_all(text, '$pre') AS ms
+       |              FROM documents),
+       |             UNNEST(generate_series(1, len(ms))) AS u(i))""".stripMargin
+  }
+
+  private def byteIdTail: String = {
     val pieces = Bpe.fixtureMergesByteLevel
       .map { case (a, b) => "'" + (a + b).replace("'", "''") + "'" }
       .mkString("[", ",", "]")
-    val pre = graft.ops.ByteLevel.OraclePreTokenPattern.replace("'", "''")
-    s"""voc AS (SELECT list_concat(${graft.ops.ByteLevel.byteTableSql},
+    // base symbols in PUBLISHED id order (ascending mapped code
+    // point — how the GPT-2 vocab numbers them), then merge products
+    s"""voc AS (SELECT list_concat(${graft.ops.ByteLevel.sortedByteTableSql},
        |          $pieces) AS v),
-       |seg AS (SELECT doc_id, u.i AS wpos, ms[u.i] AS w
-       |        FROM (SELECT doc_id, regexp_extract_all(text, '$pre') AS ms
-       |              FROM documents),
-       |             UNNEST(generate_series(1, len(ms))) AS u(i)),
        |tok AS (SELECT s.doc_id, s.wpos, u.j, f.toks[u.j] AS piece
        |        FROM seg s JOIN final f USING (w),
        |             UNNEST(generate_series(1, len(f.toks))) AS u(j)),
@@ -517,6 +531,13 @@ object CurationQueries extends graft.QueryModule {
        |           CAST(list_position(voc.v, piece) - 1 AS BIGINT) AS token_id
        |         FROM tok CROSS JOIN voc)""".stripMargin
   }
+
+  /** The id-oracle prelude: ordered extraction once, the merge chain
+    * fed from it, then vocab/positions/ids. */
+  private def byteIdCtes: String =
+    s"""$byteSegCte,
+       |${byteMergeCtesFrom("pt AS (SELECT doc_id, w FROM seg)")},
+       |$byteIdTail""".stripMargin
 
   /** Shared byte-level PACK-LAYOUT CTE chain (composes after
     * [[byteMergeCtes]]'s `bdoc`): the d/s/e/p sharded prefix-sum
@@ -556,7 +577,6 @@ object CurationQueries extends graft.QueryModule {
 
   val qTokenIdsSql: String =
     s"""WITH RECURSIVE
-       |$byteMergeCtes,
        |$byteIdCtes
        |SELECT doc_id,
        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wpos, j) - 1
@@ -595,7 +615,6 @@ object CurationQueries extends graft.QueryModule {
 
   val qPackIdsSql: String =
     s"""WITH RECURSIVE
-       |$byteMergeCtes,
        |$byteIdCtes,
        |$bytePackCtes
        |SELECT p.shard, p.pack_id,

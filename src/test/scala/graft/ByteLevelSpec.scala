@@ -146,27 +146,33 @@ class ByteLevelSpec extends SparkSpec {
     }
   }
 
-  test("token ids: merge-derived vocab numbering (bytes then rank order); empty merges = raw UTF-8 bytes") {
+  test("token ids: the PUBLISHED base numbering ('!'=0, 'A'=32, 'Ċ'=198, 'Ġ'=220) then 256+rank for merge products") {
     import org.apache.spark.unsafe.types.UTF8String
     def ids(r: ByteBpeRanker, s: String): Seq[Int] =
       r.tokenIds(UTF8String.fromString(s)).array.toSeq.map(_.asInstanceOf[Int])
-    // no merges: id stream IS the UTF-8 byte stream (id = byte value)
+    // known GPT-2 vocab facts: base symbols numbered by ascending
+    // mapped code point, NOT raw byte value
+    assert(ByteLevel.symbolsByIdOrder(0) === '!')
+    assert(ByteLevel.symbolsByIdOrder(32) === 'A')
+    assert(ByteLevel.symbolsByIdOrder(198) === 'Ċ') // newline
+    assert(ByteLevel.symbolsByIdOrder(220) === 'Ġ') // space
     val base = new ByteBpeRanker(Seq.empty)
-    assert(ids(base, "Ab") === Seq(65, 98))
-    assert(ids(base, " a") === Seq(32, 97)) // Ġ carries its byte's id
-    assert(ids(base, "é") === Seq(0xc3, 0xa9))
+    assert(ids(base, "Ab") === Seq(32, 65))   // 'A'=32, 'b'='b'-'!'=65
+    assert(ids(base, " a") === Seq(220, 64))  // Ġ=220
+    assert(ids(base, "é") === Seq(127, 102))  // Ã (0xC3), © (0xA9) sorted ranks
     // merge products number 256 + rank, exactly the published scheme
     val r = new ByteBpeRanker(Seq(("a", "b"), ("ab", "c")))
     assert(ids(r, "abc xy abq") ===
-      Seq(257, 32, 120, 121, 32, 256, 113)) // "abc"=256+1, " "=32, "ab"=256+0
+      Seq(257, 220, 87, 88, 220, 256, 80)) // "abc"=256+1, "ab"=256+0
   }
 
   test("token ids round-trip: ids -> pieces -> decode reproduces corpus text exactly") {
     val merges = Bpe.fixtureMergesByteLevel
     val vocab: Map[Int, String] =
-      ((0 until 256).map(b => b -> ByteLevel.byteToChar(b).toString) ++
+      (ByteLevel.symbolsByIdOrder.zipWithIndex
+        .map { case (c, id) => id -> c.toString } ++
         merges.zipWithIndex.map { case ((a, b), i) => (256 + i) -> (a + b) })
-        .reverse.toMap // first-wins on duplicate ids (reverse: earlier overrides)
+        .toMap
     val ranker = new ByteBpeRanker(merges)
     import org.apache.spark.unsafe.types.UTF8String
     graft.core.Tables.documents(spark, sf).limit(30)
