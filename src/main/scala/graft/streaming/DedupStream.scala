@@ -51,11 +51,19 @@ object DedupStream {
   /** Drain `stream` (a streaming DataFrame of documents) through the
     * admission loop with `Trigger.AvailableNow`, then return the
     * accumulated decision log. Dirs must be on shared storage on a
-    * real cluster (same contract as the other streaming sinks). */
+    * real cluster (same contract as the other streaming sinks).
+    * `compactEvery = Some(n)` runs [[compactIndex]] after every n-th
+    * committed batch, keeping the standing side's partition count
+    * bounded across an unbounded drain (the compactor is idempotent
+    * and crash-safe, so compacting inside the drain loop is sound —
+    * the next batch's recovery pass completes any interrupted
+    * swap). */
   def runAdmit(
       s: SparkSession, stream: DataFrame, textCol: String, idCol: String,
       indexDir: String, decisionsDir: String, checkpointDir: String,
-      threshold: Double = 0.5, maxDf: Long = 1000L): DataFrame = {
+      threshold: Double = 0.5, maxDf: Long = 1000L,
+      compactEvery: Option[Int] = None): DataFrame = {
+    compactEvery.foreach(n => require(n >= 1, "compactEvery must be >= 1"))
     val q = stream.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -63,6 +71,9 @@ object DedupStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         admitBatch(s, batch, textCol, idCol, indexDir, decisionsDir,
           batchId, threshold, maxDf)
+        compactEvery.filter(n => (batchId + 1) % n == 0).foreach { _ =>
+          compactIndex(s, indexDir, decisionsDir); ()
+        }
       }
       .start()
     q.awaitTermination()

@@ -409,8 +409,11 @@ class StreamSpec extends SparkSpec {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(s"$tmp/in/*.parquet")
+    // compaction interleaved with the drain itself: the decision log
+    // and index must be indistinguishable from an uncompacted run
     val decisions = DedupStream.runAdmit(spark, stream, "text", "doc_id",
-        s"$tmp/index", s"$tmp/decisions", s"$tmp/ckpt")
+        s"$tmp/index", s"$tmp/decisions", s"$tmp/ckpt",
+        compactEvery = Some(2))
       .collect().map { r =>
         r.getLong(r.fieldIndex("id")) ->
           (r.getLong(r.fieldIndex("admitted")),
