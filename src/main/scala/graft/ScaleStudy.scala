@@ -30,8 +30,9 @@ object ScaleStudy {
     "q_exact_dedup", "q_minhash_dedup", "q_ngram_jaccard", "q_simhash_pairs",
     "q_dedup_clusters", "q_dedup_keeplist", "q_substring_dedup",
     "q_decontaminate_bloom", "q_importance", "q_mix", "q_pack_bpe50k",
-    "q_bpe_bytelevel", "q_curation_e2e",
-    "q_ann_topk", "q_ann_lsh", "q_ann_ivf", "q_embed_neardup_lsh")
+    "q_bpe_bytelevel", "q_token_ids", "q_pack_ids", "q_curation_e2e",
+    "q_ann_topk", "q_ann_lsh", "q_ann_lsh_multiprobe", "q_ann_ivf",
+    "q_embed_neardup_lsh")
 
   /** Replicate documents + embeddings `times`x with offset ids into
     * `outDir` (skipped if already built). Doc ids offset by a round

@@ -70,22 +70,26 @@ object Similarity {
     * materialized driver-side and shipped as literals: the per-row work
     * is `nBits` codegen'd dot products, and the very same matrix can be
     * re-embedded as literals in a DuckDB oracle ([[planesLiteral]]). */
-  private[graft] def planes(nBits: Int, dims: Int): Seq[Array[Double]] =
-    (0 until nBits).map { j =>
+  private[graft] def planes(nBits: Int, dims: Int,
+      offset: Int = 0): Seq[Array[Double]] =
+    (offset until offset + nBits).map { j =>
       Array.tabulate(dims) { i =>
         if ((graft.functions.HashParity.h28(s"p$j-$i") & 1L) == 1L) 1.0 else -1.0
       }
     }
 
   /** The hyperplane matrix as SQL DOUBLE[] literals, one per plane —
-    * for oracle generation. */
-  def planesLiteral(nBits: Int, dims: Int): Seq[String] =
-    planes(nBits, dims).map(_.mkString("[", ",", "]::DOUBLE[]"))
+    * for oracle generation. `offset` selects an independent plane
+    * block (multi-table LSH: table t uses offset t * nBits). */
+  def planesLiteral(nBits: Int, dims: Int, offset: Int = 0): Seq[String] =
+    planes(nBits, dims, offset).map(_.mkString("[", ",", "]::DOUBLE[]"))
 
   /** Sign-LSH bucket id: `nBits` hyperplane sign bits packed into a
-    * long. Random-hyperplane LSH preserves cosine locality. */
-  def lshBucket(v: Column, nBits: Int = 12, dims: Int = 64): Column =
-    planes(nBits, dims).zipWithIndex.map { case (p, j) =>
+    * long. Random-hyperplane LSH preserves cosine locality. `offset`
+    * selects an independent plane block per hash table. */
+  def lshBucket(v: Column, nBits: Int = 12, dims: Int = 64,
+      offset: Int = 0): Column =
+    planes(nBits, dims, offset).zipWithIndex.map { case (p, j) =>
       val plane = array(p.toIndexedSeq.map(lit): _*)
       when(dot(v, plane) > 0, lit(1L << j)).otherwise(0L)
     }.reduce(_ + _)
@@ -121,6 +125,42 @@ object Similarity {
       .drop("qbucket")
     val scored = e.join(broadcast(q), Seq("bucket"))
       .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("sim", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+    rankTopK(scored, k)
+  }
+
+  /** MULTI-TABLE sign-LSH ANN: `nTables` INDEPENDENT hyperplane sets
+    * (plane blocks offset t * nBits of the same md5-parity matrix, so
+    * the oracle re-derives every table); each vector indexes one
+    * bucket PER table, candidates are the union over tables of
+    * same-(table, bucket) vectors, deduplicated, ranked once. The
+    * OTHER classic recall lever: [[lshTopKMultiProbe]] widens one
+    * table's neighborhood by bit flips, fresh tables REDRAW the
+    * hyperplanes — a neighbor split from the query by any plane of
+    * table 0 gets an independent chance per extra table. The honest
+    * cost is corpus-side: each vector appears `nTables` times in the
+    * index (the same multiplicity the banded MinHash/SimHash families
+    * pay), still an equi-join on a bounded key. */
+  def lshTopKMultiTable(emb: DataFrame, queryMaxId: Long, k: Int,
+      nBits: Int = 8, nTables: Int = 4): DataFrame = {
+    require(nTables >= 1, "nTables must be >= 1")
+    val e = prepared(emb)
+    val tb = explode(array((0 until nTables).map(t =>
+      struct(lit(t).as("t"),
+        lshBucket(col("v"), nBits, offset = t * nBits).as("bucket"))): _*))
+    val indexed = e.select(col("vec_id"), col("v"), col("nrm"), tb.as("tb"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val q = indexed.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("t"), col("bucket"))
+    val cand = indexed.join(broadcast(q), Seq("t", "bucket"))
+      .filter(col("q_id") =!= col("vec_id"))
+      // a pair found in several tables is ONE candidate (duplicate
+      // rows are identical — vectors ride along — so any survivor
+      // scores identically)
+      .dropDuplicates("q_id", "vec_id")
+    val scored = cand
       .withColumn("sim", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
     rankTopK(scored, k)
   }

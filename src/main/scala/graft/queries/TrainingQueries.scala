@@ -797,6 +797,42 @@ object TrainingQueries extends graft.QueryModule {
        |FROM r WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin
   }
 
+  /** MULTI-TABLE sign-LSH ANN ([[Similarity.lshTopKMultiTable]]):
+    * three independent 6-bit hyperplane tables, candidate union
+    * deduplicated — the redraw-the-planes recall lever, vs
+    * multi-probe's widen-the-bucket. */
+  def qAnnLshMultitable(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopKMultiTable(Tables.embeddings(s, dir),
+      queryMaxId = 10L, k = 5, nBits = 6, nTables = 3)
+
+  /** DuckDB replay of [[qAnnLshMultitable]]: per-table bucket exprs
+    * from the SAME offset plane blocks, union, distinct pairs, score,
+    * rank. */
+  val qAnnLshMultitableSql: String = {
+    def bucketExpr(table: Int): String =
+      Similarity.planesLiteral(nBits = 6, dims = 64, offset = table * 6)
+        .zipWithIndex.map { case (p, j) =>
+          s"(CASE WHEN list_dot_product(v, $p) > 0 THEN ${1L << j} ELSE 0 END)"
+        }.mkString(" + ")
+    val perTable = (0 until 3).map(t =>
+      s"SELECT vec_id, v, $t AS t, ${bucketExpr(t)} AS bucket FROM e")
+      .mkString("\n       UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS ($perTable),
+       |q AS (SELECT vec_id AS q_id, t, bucket FROM b WHERE vec_id < 10),
+       |c AS (SELECT DISTINCT q.q_id, b.vec_id AS neighbor_id
+       |      FROM b JOIN q ON b.t = q.t AND b.bucket = q.bucket
+       |        AND b.vec_id <> q.q_id),
+       |p AS (SELECT c.q_id, c.neighbor_id,
+       |        list_cosine_similarity(qe.v, ne.v) AS sim
+       |      FROM c JOIN e qe ON qe.vec_id = c.q_id
+       |           JOIN e ne ON ne.vec_id = c.neighbor_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |        ORDER BY sim DESC, neighbor_id) AS rn FROM p)
+       |SELECT q_id, CAST(rn AS BIGINT) AS rank, neighbor_id, sim
+       |FROM r WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin
+  }
+
   /** Bucketed near-dup top-1 — the scale path of [[qEmbedNearDup]]
     * shipped as its own oracle-checked entry (mirroring how Overlap
     * ships naive + binned). */
@@ -925,6 +961,7 @@ object TrainingQueries extends graft.QueryModule {
     "q_embed_neardup_lsh" -> (qEmbedNearDupLsh _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_lsh_multiprobe" -> (qAnnLshMultiprobe _),
+    "q_ann_lsh_multitable" -> (qAnnLshMultitable _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_multimodal" -> (qMultimodal _))
 
@@ -951,5 +988,6 @@ object TrainingQueries extends graft.QueryModule {
     "q_embed_neardup_lsh" -> qEmbedNearDupLshSql,
     "q_ann_lsh" -> qAnnLshSql,
     "q_ann_lsh_multiprobe" -> qAnnLshMultiprobeSql,
+    "q_ann_lsh_multitable" -> qAnnLshMultitableSql,
     "q_multimodal" -> qMultimodalSql) ++ ivfOracle
 }

@@ -263,6 +263,14 @@ class SimilaritySpec extends SparkSpec {
     assert(recall(mp1) > recall(single))
     assert(recall(mp2) > recall(mp1))
     assert(recall(mp1) >= 0.25 && recall(mp2) >= 0.5)
+    // the other lever — independent tables at the same bit depth —
+    // also strictly beats one table (deterministic plane blocks)
+    val mt3 = pairs(Similarity.lshTopKMultiTable(emb, 10L, 5, nBits = 6,
+      nTables = 3))
+    assert(recall(mt3) > recall(single))
+    // one table IS the single-probe plan (offset 0 planes)
+    assert(pairs(Similarity.lshTopKMultiTable(emb, 10L, 5, nBits = 6,
+      nTables = 1)) === single)
   }
 }
 
