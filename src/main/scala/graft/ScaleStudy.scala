@@ -142,6 +142,14 @@ object ScaleStudy {
       }
       println(f"""{"study":"$study","method":"lsh-mp8","param":$radius,"recall":$r%.3f,"sec":$sec%.3f}""")
     }
+    Seq(1, 2, 4, 8).foreach { tables =>
+      var r = 0.0
+      val sec = time {
+        r = recallAt(gt, Similarity.lshTopKMultiTable(emb, queryMaxId = 10L, k,
+          nBits = 8, nTables = tables))
+      }
+      println(f"""{"study":"$study","method":"lsh-mt8","param":$tables,"recall":$r%.3f,"sec":$sec%.3f}""")
+    }
     Seq(1, 2, 4, 8).foreach { probe =>
       var r = 0.0
       val sec = time {
