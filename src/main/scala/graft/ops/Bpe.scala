@@ -330,6 +330,15 @@ object Bpe {
   def byteTokenIds(c: Column, merges: Seq[(String, String)]): Column =
     graft.functions.ByteBpeExprs.byteTokenIds(c, merges)
 
+  /** The first SPECIAL-token id under the published numbering:
+    * special tokens append AFTER the merge products, so the
+    * end-of-text id is 256 + |merges| — for GPT-2's 50,000-rule file
+    * that is exactly its published `<|endoftext|>` id, 50256. Packing
+    * appends this between documents ([[graft.queries.CurationQueries.qPackIdsEos]])
+    * so a training loader can find doc boundaries inside a packed
+    * sequence. */
+  def eosId(merges: Seq[(String, String)]): Int = 256 + merges.size
+
   /** Parse a GPT-2-format merges file VERBATIM — one "a b" rule per
     * line, symbols already in byte-symbol space (no translation; this
     * is the loader for [[byteTokenCount]], where `Ġ` IS the space

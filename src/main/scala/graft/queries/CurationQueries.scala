@@ -545,9 +545,14 @@ object CurationQueries extends graft.QueryModule {
     * `p(doc_id, k, toks, shard, pack_id, ...)`. Used by
     * [[qPackBytelevelSql]] and [[qPackIdsSql]] — ONE spelling of the
     * layout. */
-  private def bytePackCtes: String =
+  private def bytePackCtes: String = bytePackCtesExtra(0)
+
+  /** [[bytePackCtes]] with `extra` tokens added to every document's
+    * budget weight — the EOS-separator entry packs each doc at
+    * size(ids) + 1. */
+  private def bytePackCtesExtra(extra: Int): String =
     s"""d AS (SELECT dd.doc_id, md5(CAST(dd.doc_id AS VARCHAR)) AS k,
-       |    COALESCE(b.n_tokens, 0) AS toks
+       |    COALESCE(b.n_tokens, 0) + $extra AS toks
        |  FROM documents dd LEFT JOIN bdoc b USING (doc_id)),
        |s AS (SELECT *,
        |    CAST('0x' || substr(k, 1, 7) AS BIGINT) % 8 AS shard FROM d),
@@ -623,6 +628,50 @@ object CurationQueries extends graft.QueryModule {
        |  t.token_id
        |FROM p JOIN dtok t USING (doc_id)
        |ORDER BY shard, pack_id, seq_pos""".stripMargin
+
+  /** Packed sequences WITH DOCUMENT BOUNDARIES: [[qPackIds]] with the
+    * end-of-text special token appended to every document's id stream
+    * — [[Bpe.eosId]], the published convention (special ids number
+    * after the merge products; GPT-2's 50,000 rules put
+    * `<|endoftext|>` at exactly its published 50256). This is the
+    * loader-ready layout: a consumer of one packed sequence finds doc
+    * boundaries without a manifest join. Budget weights are
+    * size(ids) + 1, so the oracle's layout adds one token per doc and
+    * appends an EOS row ordered after every in-doc position. */
+  def qPackIdsEos(s: SparkSession, dir: String): DataFrame = {
+    val eos = Bpe.eosId(Bpe.fixtureMergesByteLevel)
+    val withIds = Tables.documents(s, dir).select(col("doc_id").as("id"),
+      concat(Bpe.byteTokenIds(col("text"), Bpe.fixtureMergesByteLevel),
+        array(lit(eos))).as("ids"))
+    val assigned = Pack.assignPacksOn(withIds, "id",
+      size(col("ids")).cast("long"), budget = 1024L, nShards = 8)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"), col("pack_id"))
+      .orderBy(col("k"), col("id"), col("pos"))
+    assigned
+      .select(col("shard"), col("pack_id"), col("k"), col("id"),
+        posexplode(col("ids")))
+      .withColumn("seq_pos", (row_number().over(w) - 1).cast("long"))
+      .select(col("shard"), col("pack_id"), col("seq_pos"),
+        col("col").cast("long").as("token_id"))
+      .orderBy(col("shard"), col("pack_id"), col("seq_pos"))
+  }
+
+  val qPackIdsEosSql: String = {
+    val eos = Bpe.eosId(Bpe.fixtureMergesByteLevel)
+    s"""WITH RECURSIVE
+       |$byteIdCtes,
+       |dtok2 AS (SELECT doc_id, wpos, j, token_id FROM dtok
+       |          UNION ALL
+       |          SELECT doc_id, 2147483647, 0, $eos FROM documents),
+       |${bytePackCtesExtra(1)}
+       |SELECT p.shard, p.pack_id,
+       |  CAST(row_number() OVER (PARTITION BY p.shard, p.pack_id
+       |    ORDER BY p.k, p.doc_id, t.wpos, t.j) - 1 AS BIGINT) AS seq_pos,
+       |  t.token_id
+       |FROM p JOIN dtok2 t USING (doc_id)
+       |ORDER BY shard, pack_id, seq_pos""".stripMargin
+  }
 
   /** BPE vocabulary learning: top-160 prefix-closed subword pieces by
     * merge savings over the documents corpus. The checked-in fixture
@@ -1120,6 +1169,7 @@ object CurationQueries extends graft.QueryModule {
     "q_subwords_bytelevel" -> (qSubwordsBytelevel _),
     "q_token_ids" -> (qTokenIds _),
     "q_pack_ids" -> (qPackIds _),
+    "q_pack_ids_eos" -> (qPackIdsEos _),
     "q_curation_e2e" -> (qCurationE2e _),
     "q_curation_full" -> (qCurationFull _),
     "q_bpe_vocab" -> (qBpeVocab _),
@@ -1147,6 +1197,7 @@ object CurationQueries extends graft.QueryModule {
     "q_subwords_bytelevel" -> qSubwordsBytelevelSql,
     "q_token_ids" -> qTokenIdsSql,
     "q_pack_ids" -> qPackIdsSql,
+    "q_pack_ids_eos" -> qPackIdsEosSql,
     "q_curation_e2e" -> qCurationE2eSql,
     "q_curation_full" -> qCurationFullSql,
     "q_bpe_vocab" -> qBpeVocabSql,

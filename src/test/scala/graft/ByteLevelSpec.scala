@@ -166,6 +166,14 @@ class ByteLevelSpec extends SparkSpec {
       Seq(257, 220, 87, 88, 220, 256, 80)) // "abc"=256+1, "ab"=256+0
   }
 
+  test("eosId: special tokens number after merge products — 50,000 rules put end-of-text at GPT-2's published 50256") {
+    assert(Bpe.eosId(Seq.fill(50000)(("a", "b"))) === 50256)
+    assert(Bpe.eosId(Seq.empty) === 256) // first id past the byte alphabet
+    // never collides with a real piece id
+    assert(Bpe.eosId(Bpe.fixtureMergesByteLevel) ===
+      256 + Bpe.fixtureMergesByteLevel.size)
+  }
+
   test("token ids round-trip: ids -> pieces -> decode reproduces corpus text exactly") {
     val merges = Bpe.fixtureMergesByteLevel
     val vocab: Map[Int, String] =
