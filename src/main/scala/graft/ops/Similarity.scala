@@ -190,12 +190,26 @@ object Similarity {
     * Vectors alone in their bucket have no candidate and drop out —
     * the standard recall trade, asserted against brute force in specs
     * and replayed exactly by the DuckDB oracle. */
-  def lshNearestNeighbor(emb: DataFrame, nBits: Int = 8): DataFrame = {
+  def lshNearestNeighbor(emb: DataFrame, nBits: Int = 8,
+      probeHamming: Int = 0): DataFrame = {
+    val masks = probeMasks(nBits, probeHamming)
     // bucket assignment feeds both join sides — cache, don't recompute
     val e = prepared(emb)
       .withColumn("bucket", lshBucket(col("v"), nBits)).scopedCache()
-    val a = e.select(col("bucket"), col("vec_id").as("q_id"),
-      col("v").as("qv"), col("nrm").as("qn"))
+    // the probe side explodes over the XOR masks: unlike the top-k
+    // path there is no small query side here — every vector probes —
+    // so radius r multiplies ONE side of the self-join by |masks|
+    // (the same multiplicity banding pays), buying back the
+    // across-one-hyperplane near-dups the single bucket misses. A
+    // pair within Hamming radius r meets in at least one probe; the
+    // left-side explode can produce the SAME pair once per shared...
+    // no — the right side sits in its one true bucket, so each
+    // (probe-row, candidate) pair is unique and needs no dedup.
+    val a = e.select(col("bucket").as("qbucket"), col("vec_id").as("q_id"),
+        col("v").as("qv"), col("nrm").as("qn"))
+      .withColumn("bucket",
+        explode(array(masks.map(m => col("qbucket").bitwiseXOR(m)): _*)))
+      .drop("qbucket")
     val scored = e.join(a, Seq("bucket"))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("sim", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))

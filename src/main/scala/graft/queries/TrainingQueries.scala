@@ -854,6 +854,35 @@ object TrainingQueries extends graft.QueryModule {
        |SELECT vec_id, nn_id, sim FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
   }
 
+  /** MULTI-PROBE near-dup top-1: [[Similarity.lshNearestNeighbor]]
+    * at Hamming radius 1 — near-dup RECALL is what matters for
+    * contamination (a missed near-duplicate stays in the corpus), and
+    * the single-bucket detector misses every pair split by one
+    * hyperplane. The probe side of the self-join explodes 1 + nBits
+    * ways (banding-style multiplicity); vectors alone in their bucket
+    * AND its radius-1 shell still drop out. */
+  def qEmbedNearDupMp(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshNearestNeighbor(Tables.embeddings(s, dir), nBits = 8,
+      probeHamming = 1)
+
+  val qEmbedNearDupMpSql: String = {
+    val bucket = Similarity.planesLiteral(nBits = 8, dims = 64).zipWithIndex
+      .map { case (p, j) =>
+        s"(CASE WHEN list_dot_product(v, $p) > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+    val masks = Similarity.probeMasksSql(nBits = 8, probeHamming = 1)
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, $bucket AS bucket FROM e),
+       |q AS (SELECT vec_id, v, xor(bucket, u.m) AS bucket
+       |      FROM b, UNNEST($masks::BIGINT[]) AS u(m)),
+       |p AS (SELECT q.vec_id, t.vec_id AS nn_id,
+       |        list_cosine_similarity(q.v, t.v) AS sim
+       |      FROM q JOIN b t ON q.bucket = t.bucket AND q.vec_id <> t.vec_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY sim DESC, nn_id) AS rn FROM p)
+       |SELECT vec_id, nn_id, sim FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
+  }
+
   /** IVF ANN: k-means coarse quantizer + probe-limited search.
     * Training is data-dependent, so the DuckDB oracle is GENERATED
     * after the query runs, with the trained centroids embedded as
@@ -962,6 +991,7 @@ object TrainingQueries extends graft.QueryModule {
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_lsh_multiprobe" -> (qAnnLshMultiprobe _),
     "q_ann_lsh_multitable" -> (qAnnLshMultitable _),
+    "q_embed_neardup_mp" -> (qEmbedNearDupMp _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_multimodal" -> (qMultimodal _))
 
@@ -989,5 +1019,6 @@ object TrainingQueries extends graft.QueryModule {
     "q_ann_lsh" -> qAnnLshSql,
     "q_ann_lsh_multiprobe" -> qAnnLshMultiprobeSql,
     "q_ann_lsh_multitable" -> qAnnLshMultitableSql,
+    "q_embed_neardup_mp" -> qEmbedNearDupMpSql,
     "q_multimodal" -> qMultimodalSql) ++ ivfOracle
 }

@@ -272,6 +272,20 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs(Similarity.lshTopKMultiTable(emb, 10L, 5, nBits = 6,
       nTables = 1)) === single)
   }
+
+  test("near-dup multiprobe: coverage grows, and every found neighbor is at least as similar") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    def nns(r: Int): Map[Long, Double] =
+      Similarity.lshNearestNeighbor(emb, nBits = 8, probeHamming = r)
+        .select("vec_id", "sim").as[(Long, Double)].collect().toMap
+    val single = nns(0)
+    val probed = nns(1)
+    // radius 1 widens the candidate set: strictly more vectors find a
+    // neighbor, and a vector's best-found sim can only improve
+    assert(probed.size > single.size)
+    single.foreach { case (id, s0) => assert(probed(id) >= s0) }
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
