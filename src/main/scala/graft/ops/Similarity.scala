@@ -154,14 +154,16 @@ object Similarity {
     val q = indexed.filter(col("vec_id") < queryMaxId)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("t"), col("bucket"))
-    val cand = indexed.join(broadcast(q), Seq("t", "bucket"))
+    val scored = indexed.join(broadcast(q), Seq("t", "bucket"))
       .filter(col("q_id") =!= col("vec_id"))
-      // a pair found in several tables is ONE candidate (duplicate
-      // rows are identical — vectors ride along — so any survivor
-      // scores identically)
-      .dropDuplicates("q_id", "vec_id")
-    val scored = cand
+      // score BEFORE deduplicating: the dedup exchange then carries
+      // (q_id, vec_id, sim) instead of ~1 KB of vector payload per
+      // candidate row (the module's slim-before-exchange rule); a
+      // pair found in several tables scores identically in each, so
+      // the extra dot products are bounded by nTables - 1 per pair
       .withColumn("sim", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .select(col("q_id"), col("vec_id"), col("sim"))
+      .dropDuplicates("q_id", "vec_id")
     rankTopK(scored, k)
   }
 
@@ -182,6 +184,15 @@ object Similarity {
   def probeMasksSql(nBits: Int, probeHamming: Int): String =
     probeMasks(nBits, probeHamming).mkString("[", ",", "]")
 
+  /** DuckDB spelling of [[lshBucket]] over a vector column `v` —
+    * keep in lock-step (the one place the sign-bucket SQL lives;
+    * every LSH oracle composes this). */
+  def bucketSql(nBits: Int, offset: Int = 0): String =
+    planesLiteral(nBits, dims = 64, offset).zipWithIndex
+      .map { case (p, j) =>
+        s"(CASE WHEN list_dot_product(v, $p) > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+
   /** Bucketed near-duplicate top-1: nearest neighbor within each
     * vector's sign-LSH bucket — the 100 TB shape of
     * [[nearestNeighbor]]. The self-join is an equi-join on bucket id
@@ -200,11 +211,10 @@ object Similarity {
     // path there is no small query side here — every vector probes —
     // so radius r multiplies ONE side of the self-join by |masks|
     // (the same multiplicity banding pays), buying back the
-    // across-one-hyperplane near-dups the single bucket misses. A
-    // pair within Hamming radius r meets in at least one probe; the
-    // left-side explode can produce the SAME pair once per shared...
-    // no — the right side sits in its one true bucket, so each
-    // (probe-row, candidate) pair is unique and needs no dedup.
+    // across-one-hyperplane near-dups the single bucket misses. No
+    // dedup is needed: a query's probed buckets are pairwise distinct
+    // and each candidate sits in exactly one true bucket, so no
+    // (query, candidate) pair can be generated twice.
     val a = e.select(col("bucket").as("qbucket"), col("vec_id").as("q_id"),
         col("v").as("qv"), col("nrm").as("qn"))
       .withColumn("bucket",

@@ -598,12 +598,21 @@ object CurationQueries extends graft.QueryModule {
     * upstream is scan-stage expressions. The oracle rebuilds the
     * packing AND the id streams independently and must agree on every
     * (shard, pack, position, id) quadruple. */
-  def qPackIds(s: SparkSession, dir: String): DataFrame = {
-    // ONE scan: the id array is the only tokenizer pass — the pack
-    // budget is size(ids) (identical to byteTokenCount by
-    // construction), so no second ranker and no self-join
-    val withIds = Tables.documents(s, dir).select(col("doc_id").as("id"),
-      Bpe.byteTokenIds(col("text"), Bpe.fixtureMergesByteLevel).as("ids"))
+  def qPackIds(s: SparkSession, dir: String): DataFrame =
+    packIdStream(s, dir, appendEos = false)
+
+  /** Shared body of [[qPackIds]] / [[qPackIdsEos]] — ONE scan: the id
+    * array is the only tokenizer pass, the pack budget is size(ids)
+    * (identical to byteTokenCount by construction, + 1 when the EOS
+    * separator rides along), so no second ranker and no self-join. */
+  private def packIdStream(s: SparkSession, dir: String,
+      appendEos: Boolean): DataFrame = {
+    val ids0 = Bpe.byteTokenIds(col("text"), Bpe.fixtureMergesByteLevel)
+    val ids = if (appendEos)
+      concat(ids0, array(lit(Bpe.eosId(Bpe.fixtureMergesByteLevel))))
+    else ids0
+    val withIds = Tables.documents(s, dir)
+      .select(col("doc_id").as("id"), ids.as("ids"))
     val assigned = Pack.assignPacksOn(withIds, "id",
       size(col("ids")).cast("long"), budget = 1024L, nShards = 8)
     val w = org.apache.spark.sql.expressions.Window
@@ -638,24 +647,8 @@ object CurationQueries extends graft.QueryModule {
     * boundaries without a manifest join. Budget weights are
     * size(ids) + 1, so the oracle's layout adds one token per doc and
     * appends an EOS row ordered after every in-doc position. */
-  def qPackIdsEos(s: SparkSession, dir: String): DataFrame = {
-    val eos = Bpe.eosId(Bpe.fixtureMergesByteLevel)
-    val withIds = Tables.documents(s, dir).select(col("doc_id").as("id"),
-      concat(Bpe.byteTokenIds(col("text"), Bpe.fixtureMergesByteLevel),
-        array(lit(eos))).as("ids"))
-    val assigned = Pack.assignPacksOn(withIds, "id",
-      size(col("ids")).cast("long"), budget = 1024L, nShards = 8)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("shard"), col("pack_id"))
-      .orderBy(col("k"), col("id"), col("pos"))
-    assigned
-      .select(col("shard"), col("pack_id"), col("k"), col("id"),
-        posexplode(col("ids")))
-      .withColumn("seq_pos", (row_number().over(w) - 1).cast("long"))
-      .select(col("shard"), col("pack_id"), col("seq_pos"),
-        col("col").cast("long").as("token_id"))
-      .orderBy(col("shard"), col("pack_id"), col("seq_pos"))
-  }
+  def qPackIdsEos(s: SparkSession, dir: String): DataFrame =
+    packIdStream(s, dir, appendEos = true)
 
   val qPackIdsEosSql: String = {
     val eos = Bpe.eosId(Bpe.fixtureMergesByteLevel)

@@ -748,10 +748,7 @@ object TrainingQueries extends graft.QueryModule {
   /** DuckDB replay of [[qAnnLsh]]: hyperplanes embedded as DOUBLE[]
     * literals, bucket = packed sign bits, candidates within bucket. */
   val qAnnLshSql: String = {
-    val bucket = Similarity.planesLiteral(nBits = 6, dims = 64).zipWithIndex
-      .map { case (p, j) =>
-        s"(CASE WHEN list_dot_product(v, $p) > 0 THEN ${1L << j} ELSE 0 END)"
-      }.mkString(" + ")
+    val bucket = Similarity.bucketSql(nBits = 6)
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |b AS (SELECT vec_id, v, $bucket AS bucket FROM e),
        |q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM b WHERE vec_id < 10),
@@ -778,10 +775,7 @@ object TrainingQueries extends graft.QueryModule {
   /** DuckDB replay of [[qAnnLshMultiprobe]]: same hyperplane bucket,
     * query side exploded over the XOR probe-mask list. */
   val qAnnLshMultiprobeSql: String = {
-    val bucket = Similarity.planesLiteral(nBits = 6, dims = 64).zipWithIndex
-      .map { case (p, j) =>
-        s"(CASE WHEN list_dot_product(v, $p) > 0 THEN ${1L << j} ELSE 0 END)"
-      }.mkString(" + ")
+    val bucket = Similarity.bucketSql(nBits = 6)
     val masks = Similarity.probeMasksSql(nBits = 6, probeHamming = 1)
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |b AS (SELECT vec_id, v, $bucket AS bucket FROM e),
@@ -809,13 +803,9 @@ object TrainingQueries extends graft.QueryModule {
     * from the SAME offset plane blocks, union, distinct pairs, score,
     * rank. */
   val qAnnLshMultitableSql: String = {
-    def bucketExpr(table: Int): String =
-      Similarity.planesLiteral(nBits = 6, dims = 64, offset = table * 6)
-        .zipWithIndex.map { case (p, j) =>
-          s"(CASE WHEN list_dot_product(v, $p) > 0 THEN ${1L << j} ELSE 0 END)"
-        }.mkString(" + ")
     val perTable = (0 until 3).map(t =>
-      s"SELECT vec_id, v, $t AS t, ${bucketExpr(t)} AS bucket FROM e")
+      s"SELECT vec_id, v, $t AS t, " +
+        s"${Similarity.bucketSql(nBits = 6, offset = t * 6)} AS bucket FROM e")
       .mkString("\n       UNION ALL ")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |b AS ($perTable),
@@ -840,10 +830,7 @@ object TrainingQueries extends graft.QueryModule {
     Similarity.lshNearestNeighbor(Tables.embeddings(s, dir), nBits = 8)
 
   val qEmbedNearDupLshSql: String = {
-    val bucket = Similarity.planesLiteral(nBits = 8, dims = 64).zipWithIndex
-      .map { case (p, j) =>
-        s"(CASE WHEN list_dot_product(v, $p) > 0 THEN ${1L << j} ELSE 0 END)"
-      }.mkString(" + ")
+    val bucket = Similarity.bucketSql(nBits = 8)
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |b AS (SELECT vec_id, v, $bucket AS bucket FROM e),
        |p AS (SELECT q.vec_id, t.vec_id AS nn_id,
@@ -866,10 +853,7 @@ object TrainingQueries extends graft.QueryModule {
       probeHamming = 1)
 
   val qEmbedNearDupMpSql: String = {
-    val bucket = Similarity.planesLiteral(nBits = 8, dims = 64).zipWithIndex
-      .map { case (p, j) =>
-        s"(CASE WHEN list_dot_product(v, $p) > 0 THEN ${1L << j} ELSE 0 END)"
-      }.mkString(" + ")
+    val bucket = Similarity.bucketSql(nBits = 8)
     val masks = Similarity.probeMasksSql(nBits = 8, probeHamming = 1)
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |b AS (SELECT vec_id, v, $bucket AS bucket FROM e),

@@ -62,7 +62,7 @@ object DedupStream {
       s: SparkSession, stream: DataFrame, textCol: String, idCol: String,
       indexDir: String, decisionsDir: String, checkpointDir: String,
       threshold: Double = 0.5, maxDf: Long = 1000L,
-      compactEvery: Option[Int] = None): DataFrame = {
+      compactEvery: Option[Int] = None, keepRecent: Int = 2): DataFrame = {
     compactEvery.foreach(n => require(n >= 1, "compactEvery must be >= 1"))
     val q = stream.writeStream
       .outputMode(OutputMode.Append)
@@ -72,7 +72,7 @@ object DedupStream {
         admitBatch(s, batch, textCol, idCol, indexDir, decisionsDir,
           batchId, threshold, maxDf)
         compactEvery.filter(n => (batchId + 1) % n == 0).foreach { _ =>
-          compactIndex(s, indexDir, decisionsDir); ()
+          compactIndex(s, indexDir, decisionsDir, keepRecent); ()
         }
       }
       .start()

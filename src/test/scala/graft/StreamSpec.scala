@@ -409,11 +409,13 @@ class StreamSpec extends SparkSpec {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(s"$tmp/in/*.parquet")
-    // compaction interleaved with the drain itself: the decision log
+    // compaction interleaved with the drain itself, keepRecent = 0 so
+    // the 3-batch drain performs a REAL rewrite mid-stream (after
+    // batch 1: cutoff 1, partitions {0, 1} merge) — the decision log
     // and index must be indistinguishable from an uncompacted run
     val decisions = DedupStream.runAdmit(spark, stream, "text", "doc_id",
         s"$tmp/index", s"$tmp/decisions", s"$tmp/ckpt",
-        compactEvery = Some(2))
+        compactEvery = Some(2), keepRecent = 0)
       .collect().map { r =>
         r.getLong(r.fieldIndex("id")) ->
           (r.getLong(r.fieldIndex("admitted")),
@@ -427,6 +429,10 @@ class StreamSpec extends SparkSpec {
     assert(decisions(5L) === (0L, 4L))  // copy of batch-1 admit: rejected vs 4
     assert(decisions(6L) === (0L, 2L))  // cross-batch copy: rejected vs 2
     assert(decisions(7L)._1 === 1L)
+    // the in-drain compaction REWROTE: partitions 0 and 1 are one dir
+    val bandParts = new java.io.File(s"$tmp/index/bands").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).sorted.toSeq
+    assert(!bandParts.contains("batch=0"), s"no rewrite ran: $bandParts")
     // the index holds exactly the admitted docs — rejected ones never
     // entered it
     val indexed = spark.read.parquet(s"$tmp/index/bands")
