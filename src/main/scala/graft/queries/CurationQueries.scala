@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.CacheScope.Scoped
 import graft.core.Tables
-import graft.ops.{Bpe, Decontaminate, Importance, Mix, Pack, Scrub, TextAnalysis}
+import graft.ops.{Bpe, Chunk, Curriculum, Decontaminate, Importance, LangModel, Mix, Pack, Scrub, TextAnalysis}
 
 /** Corpus-curation queries over the `documents` table: eval-set
   * decontamination and context packing — the two layout steps between
@@ -142,6 +142,102 @@ object CurationQueries extends graft.QueryModule {
       |    AS BIGINT) AS keep
       |FROM (SELECT doc_id FROM documents WHERE doc_id % 53 <> 0) d
       |LEFT JOIN sc ON sc.id = d.doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  /** Keep threshold for [[qPerplexity]]'s mean inverse-probability
+    * cost (ppm): interpolated into BOTH the Spark entry and the
+    * DuckDB oracle so the two can't drift. */
+  private val PerplexityKeepAt = 38000000L
+
+  /** CCNet-style LM perplexity gate: every 41st doc plays the
+    * trusted reference slice the bigram model trains on; the rest of
+    * the corpus is scored by mean add-one inverse-probability cost
+    * and kept below [[PerplexityKeepAt]] ppm
+    * ([[LangModel.perplexityReport]]). */
+  def qPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(41)) =!= 0)
+    val ref = docs.filter(pmod(col("doc_id"), lit(41)) === 0)
+    LangModel.perplexityReport(corpus, ref,
+        textCol = "text", idCol = "doc_id", keepAtMeanCost = PerplexityKeepAt)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Shared bigram-LM CTE chain (cross-engine twin of
+    * [[LangModel.perplexityReport]] over the mod-41 split), ending in
+    * `mc(doc_id, n_bigrams, total_cost, mean_cost)` — one row per
+    * corpus doc. Used by [[qPerplexitySql]] and [[qCurriculumSql]];
+    * the cost formula lives HERE, once. */
+  private val perplexityCtes: String =
+    """t AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+      |bg AS (SELECT doc_id AS id, w[i] AS prev, w[i+1] AS cur
+      |       FROM t, UNNEST(generate_series(1, len(w)-1)) AS u(i)
+      |       WHERE len(w) >= 2),
+      |rb AS (SELECT * FROM bg WHERE id % 41 = 0),
+      |cb AS (SELECT * FROM bg WHERE id % 41 <> 0),
+      |v AS (SELECT count(DISTINCT tk) AS vsz FROM
+      |        (SELECT unnest(str_split(text, ' ')) AS tk
+      |         FROM documents WHERE doc_id % 41 = 0)),
+      |ctx AS (SELECT prev, CAST(count(*) AS BIGINT) AS c_ctx
+      |        FROM rb GROUP BY prev),
+      |big AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS c_big
+      |        FROM rb GROUP BY prev, cur),
+      |sc AS (SELECT cb.id, least(
+      |         1000000 * (COALESCE(ctx.c_ctx, 0) + (SELECT vsz FROM v))
+      |           // (COALESCE(big.c_big, 0) + 1),
+      |         1000000000) AS cost
+      |       FROM cb
+      |       LEFT JOIN big USING (prev, cur)
+      |       LEFT JOIN ctx USING (prev)),
+      |agg AS (SELECT id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |          CAST(sum(cost) AS BIGINT) AS total_cost
+      |        FROM sc GROUP BY id),
+      |mc AS (SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams,
+      |         COALESCE(total_cost, 0) AS total_cost,
+      |         CASE WHEN COALESCE(n_bigrams, 0) = 0 THEN 0
+      |           ELSE total_cost // n_bigrams END AS mean_cost
+      |       FROM (SELECT doc_id FROM documents WHERE doc_id % 41 <> 0) d
+      |       LEFT JOIN agg ON agg.id = d.doc_id)""".stripMargin
+
+  val qPerplexitySql: String =
+    s"""WITH $perplexityCtes
+      |SELECT doc_id, n_bigrams, total_cost, mean_cost,
+      |  CAST(total_cost <= $PerplexityKeepAt * n_bigrams AS BIGINT) AS keep
+      |FROM mc
+      |ORDER BY doc_id""".stripMargin
+
+  /** Curriculum binning over the LM scores: the mod-41 corpus cut
+    * into 4 ~equal-frequency difficulty tiers by mean bigram cost
+    * ([[Curriculum.equalFreqBins]] at 100k-ppm histogram
+    * granularity) — the "easy first" schedule, or quality tiers for
+    * mixture weighting. */
+  def qCurriculum(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(41)) =!= 0)
+    val ref = docs.filter(pmod(col("doc_id"), lit(41)) === 0)
+    val rep = LangModel.perplexityReport(corpus, ref,
+      textCol = "text", idCol = "doc_id", keepAtMeanCost = PerplexityKeepAt)
+    Curriculum.equalFreqBins(rep.select(col("id"), col("mean_cost")),
+        "mean_cost", nBins = 4, bucketWidth = 100000L)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  val qCurriculumSql: String =
+    s"""WITH $perplexityCtes,
+      |hist AS (SELECT mean_cost // 100000 AS hb,
+      |           CAST(count(*) AS BIGINT) AS hn
+      |         FROM mc GROUP BY hb),
+      |cum AS (SELECT hb, COALESCE(CAST(sum(hn) OVER (ORDER BY hb
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |          AS BIGINT), 0) AS cum_excl
+      |        FROM hist),
+      |tot AS (SELECT CAST(sum(hn) AS BIGINT) AS t FROM hist),
+      |bins AS (SELECT hb, least(4 * cum_excl // t + 1, 4) AS bin
+      |         FROM cum, tot)
+      |SELECT mc.doc_id, mc.mean_cost, CAST(b.bin AS BIGINT) AS bin
+      |FROM mc JOIN bins b ON mc.mean_cost // 100000 = b.hb
       |ORDER BY doc_id""".stripMargin
 
   /** Context packing at a 512-token budget over 8 hash shards. */
@@ -588,6 +684,37 @@ object CurationQueries extends graft.QueryModule {
        |    AS BIGINT) AS pos, token_id
        |FROM dtok
        |ORDER BY doc_id, pos""".stripMargin
+
+  /** TOKEN-WINDOW CHUNKING — the retrieval/long-document split: each
+    * doc's byte-level id stream cut into 32-token windows at stride
+    * 24 (overlapping, RAG-style; the last window of a doc may be
+    * short). Packing concatenates docs into loader bins; THIS splits
+    * one doc into standalone windows ([[Chunk.tokenIdChunks]]). The
+    * oracle rebuilds the id stream through the byte-level recursion,
+    * then replays the window arithmetic relationally (chunk starts
+    * via generate_series, membership by position range). */
+  def qChunkIds(s: SparkSession, dir: String): DataFrame =
+    Chunk.tokenIdChunks(Tables.documents(s, dir),
+        textCol = "text", idCol = "doc_id",
+        chunkSize = 32, stride = 24, merges = Bpe.fixtureMergesByteLevel)
+      .orderBy(col("doc_id"), col("chunk_id"), col("cpos"))
+
+  val qChunkIdsSql: String =
+    s"""WITH RECURSIVE
+       |$byteIdCtes,
+       |g AS (SELECT doc_id,
+       |        CAST(row_number() OVER (PARTITION BY doc_id
+       |          ORDER BY wpos, j) - 1 AS BIGINT) AS pos, token_id
+       |      FROM dtok),
+       |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt
+       |      FROM g GROUP BY doc_id),
+       |st AS (SELECT doc_id, u.s AS start
+       |       FROM n, UNNEST(generate_series(0, nt - 1, 24)) AS u(s))
+       |SELECT g.doc_id, CAST(st.start // 24 AS BIGINT) AS chunk_id,
+       |  CAST(g.pos - st.start AS BIGINT) AS cpos, g.token_id
+       |FROM g JOIN st ON g.doc_id = st.doc_id
+       |  AND g.pos >= st.start AND g.pos < st.start + 32
+       |ORDER BY g.doc_id, chunk_id, cpos""".stripMargin
 
   /** PACKED SEQUENCES materialized: the end product of the whole
     * curation chain — each (shard, pack) emitted as its actual token-id
@@ -1161,6 +1288,7 @@ object CurationQueries extends graft.QueryModule {
     "q_pack_bytelevel" -> (qPackBytelevel _),
     "q_subwords_bytelevel" -> (qSubwordsBytelevel _),
     "q_token_ids" -> (qTokenIds _),
+    "q_chunk_ids" -> (qChunkIds _),
     "q_pack_ids" -> (qPackIds _),
     "q_pack_ids_eos" -> (qPackIdsEos _),
     "q_curation_e2e" -> (qCurationE2e _),
@@ -1170,6 +1298,8 @@ object CurationQueries extends graft.QueryModule {
     "q_decontaminate_bloom" -> (qDecontaminateBloom _),
     "q_decontaminate_semantic" -> (qDecontaminateSemantic _),
     "q_importance" -> (qImportance _),
+    "q_perplexity" -> (qPerplexity _),
+    "q_curriculum" -> (qCurriculum _),
     "q_mix" -> (qMix _),
     "q_mix_bpe50k" -> (qMixBpe50k _),
     "q_mix_epochs" -> (qMixEpochs _),
@@ -1189,6 +1319,7 @@ object CurationQueries extends graft.QueryModule {
     "q_pack_bytelevel" -> qPackBytelevelSql,
     "q_subwords_bytelevel" -> qSubwordsBytelevelSql,
     "q_token_ids" -> qTokenIdsSql,
+    "q_chunk_ids" -> qChunkIdsSql,
     "q_pack_ids" -> qPackIdsSql,
     "q_pack_ids_eos" -> qPackIdsEosSql,
     "q_curation_e2e" -> qCurationE2eSql,
@@ -1198,6 +1329,8 @@ object CurationQueries extends graft.QueryModule {
     "q_decontaminate_bloom" -> qDecontaminateBloomSql,
     "q_decontaminate_semantic" -> qDecontaminateSemanticSql,
     "q_importance" -> qImportanceSql,
+    "q_perplexity" -> qPerplexitySql,
+    "q_curriculum" -> qCurriculumSql,
     "q_mix" -> qMixSql,
     "q_mix_bpe50k" -> qMixBpe50kSql,
     "q_mix_epochs" -> qMixEpochsSql,

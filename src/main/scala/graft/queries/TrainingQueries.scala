@@ -912,6 +912,49 @@ object TrainingQueries extends graft.QueryModule {
   private def ivfOracle: Map[String, String] =
     Ivf.lastModel.map(m => "q_ann_ivf" -> ivfOracleSql(m)).toMap
 
+  /** SemDeDup: k-means clusters + within-cluster lowest-id-survives
+    * near-dup removal ([[SemDedup.report]]). Like the IVF entry, the
+    * oracle is generated post-training with the centroids as
+    * literals. */
+  def qSemdedup(s: SparkSession, dir: String): DataFrame =
+    SemDedup.report(Tables.embeddings(s, dir), eps = 0.4,
+        nClusters = 8, iters = 1)
+      .orderBy(col("vec_id"))
+
+  /** DuckDB replay of [[qSemdedup]]: identical assignment argmax as
+    * [[ivfOracleSql]] (ties to larger j), then the within-cluster
+    * lower-id pair scan and the lowest-id-survivor fold. */
+  private def semdedupOracleSql(m: SemDedup.Model): String = {
+    val values = m.centroids.zipWithIndex.map { case (c, j) =>
+      val half = c.map(x => x * x).sum / 2.0
+      s"($j, ${c.mkString("[", ",", "]")}::DOUBLE[], $half)"
+    }.mkString(", ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c(j, cv, half) AS (SELECT * FROM (VALUES $values)),
+       |scored AS (SELECT e.vec_id, e.v, c.j,
+       |             list_dot_product(e.v, c.cv) - c.half AS s
+       |           FROM e CROSS JOIN c),
+       |assign AS (SELECT vec_id, v, j AS cluster FROM (
+       |             SELECT *, row_number() OVER (PARTITION BY vec_id
+       |               ORDER BY s DESC, j DESC) AS rn FROM scored)
+       |           WHERE rn = 1),
+       |p AS (SELECT a.vec_id, b.vec_id AS b_id,
+       |        list_cosine_similarity(a.v, b.v) AS sim
+       |      FROM assign a JOIN assign b ON a.cluster = b.cluster
+       |        AND b.vec_id < a.vec_id),
+       |f AS (SELECT vec_id, min(b_id) AS dup_of, max(sim) AS best_sim
+       |      FROM p WHERE sim >= ${m.eps} GROUP BY vec_id)
+       |SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+       |  COALESCE(f.dup_of, -1) AS dup_of,
+       |  CAST(COALESCE(f.best_sim, 0) AS DOUBLE) AS best_sim,
+       |  CAST(f.vec_id IS NULL AS BIGINT) AS keep
+       |FROM assign a LEFT JOIN f ON f.vec_id = a.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+  }
+
+  private def semdedupOracle: Map[String, String] =
+    SemDedup.lastModel.map(m => "q_semdedup" -> semdedupOracleSql(m)).toMap
+
   // ---- multimodal --------------------------------------------------------
 
   /** Binary-column pipeline: blob -> batched stub decode -> per-type
@@ -977,6 +1020,7 @@ object TrainingQueries extends graft.QueryModule {
     "q_ann_lsh_multitable" -> (qAnnLshMultitable _),
     "q_embed_neardup_mp" -> (qEmbedNearDupMp _),
     "q_ann_ivf" -> (qAnnIvf _),
+    "q_semdedup" -> (qSemdedup _),
     "q_multimodal" -> (qMultimodal _))
 
   def oracleSql: Map[String, String] = Map(
@@ -1004,5 +1048,5 @@ object TrainingQueries extends graft.QueryModule {
     "q_ann_lsh_multiprobe" -> qAnnLshMultiprobeSql,
     "q_ann_lsh_multitable" -> qAnnLshMultitableSql,
     "q_embed_neardup_mp" -> qEmbedNearDupMpSql,
-    "q_multimodal" -> qMultimodalSql) ++ ivfOracle
+    "q_multimodal" -> qMultimodalSql) ++ ivfOracle ++ semdedupOracle
 }

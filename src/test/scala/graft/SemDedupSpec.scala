@@ -1,0 +1,42 @@
+package graft
+
+import graft.ops.SemDedup
+
+class SemDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // axis-aligned clusters: ids 1-3 near +x, ids 10-11 near +y;
+  // 1 and 2 are near-identical, 3 is same-cluster but distinct
+  private def emb = Seq(
+    (1L, Seq(1.0f, 0.0f, 0.01f)),
+    (2L, Seq(1.0f, 0.0f, 0.02f)),   // near-dup of 1
+    (3L, Seq(0.8f, 0.0f, 0.6f)),    // same cluster, not a dup
+    (10L, Seq(0.0f, 1.0f, 0.01f)),
+    (11L, Seq(0.0f, 1.0f, 0.012f))) // near-dup of 10
+    .toDF("vec_id", "embedding")
+
+  test("lowest id in each near-dup group survives, distinct members keep") {
+    val r = SemDedup.report(emb, eps = 0.999, nClusters = 2, iters = 2)
+      .orderBy("vec_id").collect()
+    val keep = r.map(x => x.getLong(0) -> x.getLong(4)).toMap
+    val dupOf = r.map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(keep === Map(1L -> 1L, 2L -> 0L, 3L -> 1L, 10L -> 1L, 11L -> 0L))
+    assert(dupOf(2L) === 1L && dupOf(11L) === 10L)
+    assert(dupOf(1L) === -1L && dupOf(3L) === -1L)
+  }
+
+  test("cross-cluster near-identical vectors are NOT compared (the paper's accepted trade)") {
+    // force k = number of vectors so every vector sits alone
+    val r = SemDedup.report(emb, eps = 0.9, nClusters = 5, iters = 2)
+      .orderBy("vec_id").collect()
+    assert(r.forall(_.getLong(4) === 1L))
+  }
+
+  test("eps = -1 marks everything after the cluster head as duplicate") {
+    val r = SemDedup.report(emb, eps = -1.0, nClusters = 1, iters = 1)
+      .orderBy("vec_id").collect()
+    assert(r.map(_.getLong(4)).toSeq === Seq(1L, 0L, 0L, 0L, 0L))
+    // everyone's dup_of is the global head
+    assert(r.drop(1).forall(_.getLong(2) === 1L))
+  }
+}
