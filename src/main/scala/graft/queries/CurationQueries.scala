@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.CacheScope.Scoped
 import graft.core.Tables
-import graft.ops.{Bpe, Chunk, Curriculum, Decontaminate, Importance, LangModel, Mix, Pack, Scrub, TextAnalysis}
+import graft.ops.{Bpe, Chunk, Curriculum, Decontaminate, Drift, Importance, LangModel, Mix, Pack, Scrub, TextAnalysis}
 
 /** Corpus-curation queries over the `documents` table: eval-set
   * decontamination and context packing — the two layout steps between
@@ -239,6 +239,69 @@ object CurationQueries extends graft.QueryModule {
       |SELECT mc.doc_id, mc.mean_cost, CAST(b.bin AS BIGINT) AS bin
       |FROM mc JOIN bins b ON mc.mean_cost // 100000 = b.hb
       |ORDER BY doc_id""".stripMargin
+
+  /** Mixture-drift audit: every source's hashed-unigram L1 ppm
+    * distance from the corpus-wide mixture ([[Drift.sourceDrift]]) —
+    * the data-card read before weighting sources. */
+  def qSourceDrift(s: SparkSession, dir: String): DataFrame =
+    Drift.sourceDrift(Tables.documents(s, dir),
+        textCol = "text", srcCol = "source", nBuckets = 4096)
+      .orderBy(col("src"))
+
+  val qSourceDriftSql: String =
+    """WITH tk AS (SELECT source AS src,
+      |        CAST('0x' || substr(md5(t), 1, 7) AS BIGINT) % 4096 AS b
+      |      FROM (SELECT source, unnest(str_split(text, ' ')) AS t
+      |            FROM documents)),
+      |ap AS (SELECT b, count(*) * 1000000
+      |         // (SELECT count(*) FROM tk) AS appm
+      |       FROM tk GROUP BY b),
+      |st AS (SELECT src, CAST(count(*) AS BIGINT) AS stot
+      |       FROM tk GROUP BY src),
+      |sc AS (SELECT src, b, CAST(count(*) AS BIGINT) AS n
+      |       FROM tk GROUP BY src, b),
+      |sp AS (SELECT sc.src, sc.b, sc.n * 1000000 // st.stot AS sppm
+      |       FROM sc JOIN st USING (src)),
+      |grid AS (SELECT s.src, a.b, a.appm, COALESCE(sp.sppm, 0) AS sppm
+      |         FROM (SELECT src FROM st) s CROSS JOIN ap a
+      |         LEFT JOIN sp ON sp.src = s.src AND sp.b = a.b),
+      |l1 AS (SELECT src, CAST(sum(abs(sppm - appm)) AS BIGINT) AS l1_ppm
+      |       FROM grid GROUP BY src),
+      |nd AS (SELECT source AS src, CAST(count(*) AS BIGINT) AS n_docs
+      |       FROM documents GROUP BY source)
+      |SELECT nd.src, nd.n_docs, st.stot AS n_toks, l1.l1_ppm
+      |FROM nd JOIN st USING (src) JOIN l1 USING (src)
+      |ORDER BY src""".stripMargin
+
+  /** DATA CARD: the per-source manifest a dataset release publishes —
+    * doc/char/token counts (whitespace AND the 50k-trie production
+    * currency), language spread, and exact-duplicate mass — in ONE
+    * map-side-combined aggregate pass over the corpus (the distinct
+    * counts expand inside the same aggregate; no second scan, no
+    * join). The drift entry ([[qSourceDrift]]) is this card's
+    * distributional column. */
+  def qDatacard(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("source").as("src"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(size(TextAnalysis.tokens(col("text"))).cast("long")).as("n_tokens_ws"),
+        sum(Bpe.prodTokenCount(col("text"))).as("n_tokens_bpe50k"),
+        count_distinct(col("lang")).as("n_langs"),
+        (count(lit(1)) - count_distinct(md5(col("text")))).as("n_dup_docs"))
+      .orderBy(col("src"))
+
+  val qDatacardSql: String =
+    s"""SELECT source AS src, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS n_tokens_ws,
+      |  CAST(sum(${Bpe.prodTokensSqlExpr("text")}) AS BIGINT)
+      |    AS n_tokens_bpe50k,
+      |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |  CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dup_docs
+      |FROM documents GROUP BY source
+      |ORDER BY src""".stripMargin
 
   /** Context packing at a 512-token budget over 8 hash shards. */
   def qPack(s: SparkSession, dir: String): DataFrame =
@@ -1300,6 +1363,8 @@ object CurationQueries extends graft.QueryModule {
     "q_importance" -> (qImportance _),
     "q_perplexity" -> (qPerplexity _),
     "q_curriculum" -> (qCurriculum _),
+    "q_source_drift" -> (qSourceDrift _),
+    "q_datacard" -> (qDatacard _),
     "q_mix" -> (qMix _),
     "q_mix_bpe50k" -> (qMixBpe50k _),
     "q_mix_epochs" -> (qMixEpochs _),
@@ -1331,6 +1396,8 @@ object CurationQueries extends graft.QueryModule {
     "q_importance" -> qImportanceSql,
     "q_perplexity" -> qPerplexitySql,
     "q_curriculum" -> qCurriculumSql,
+    "q_source_drift" -> qSourceDriftSql,
+    "q_datacard" -> qDatacardSql,
     "q_mix" -> qMixSql,
     "q_mix_bpe50k" -> qMixBpe50kSql,
     "q_mix_epochs" -> qMixEpochsSql,
