@@ -32,7 +32,9 @@ object ScaleStudy {
     "q_decontaminate_bloom", "q_importance", "q_mix", "q_pack_bpe50k",
     "q_bpe_bytelevel", "q_token_ids", "q_pack_ids", "q_curation_e2e",
     "q_ann_topk", "q_ann_lsh", "q_ann_lsh_multiprobe", "q_ann_ivf",
-    "q_embed_neardup_lsh")
+    "q_embed_neardup_lsh",
+    "q_perplexity", "q_curriculum", "q_semdedup", "q_chunk_ids",
+    "q_source_drift", "q_datacard")
 
   /** Replicate documents + embeddings `times`x with offset ids into
     * `outDir` (skipped if already built). Doc ids offset by a round

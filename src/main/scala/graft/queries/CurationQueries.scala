@@ -303,6 +303,65 @@ object CurationQueries extends graft.QueryModule {
       |FROM documents GROUP BY source
       |ORDER BY src""".stripMargin
 
+  /** RAG-INDEX PIPELINE — the retrieval-side composed chain next to
+    * the training-side [[qCurationFull]]: exact dedup (first-wins on
+    * content hash) → LM perplexity gate ([[LangModel]], the mod-41
+    * model) → token-window chunking ([[Chunk]], 32/24 byte-level
+    * windows) → per-chunk manifest (doc, chunk, n_ids, positional
+    * checksum). The checksum `sum(token_id * (cpos + 1))` gates
+    * chunk CONTENT and ORDER, not just counts; the oracle replays
+    * all three stages plus the id recursion in one statement, so
+    * drift in any stage moves some chunk's checksum. */
+  def qRagIndex(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val keepx = docs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1).select(col("doc_id"))
+    val corpus = docs.filter(pmod(col("doc_id"), lit(41)) =!= 0)
+    val ref = docs.filter(pmod(col("doc_id"), lit(41)) === 0)
+    val kept = LangModel.perplexityReport(corpus, ref,
+        textCol = "text", idCol = "doc_id", keepAtMeanCost = PerplexityKeepAt)
+      .filter(col("keep") === 1L)
+      .select(col("id").as("doc_id"))
+      .join(keepx, Seq("doc_id"))
+    Chunk.tokenIdChunks(docs.join(kept, Seq("doc_id")),
+        textCol = "text", idCol = "doc_id",
+        chunkSize = 32, stride = 24, merges = Bpe.fixtureMergesByteLevel)
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_ids"),
+        sum(col("token_id") * (col("cpos") + 1L)).as("checksum"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val qRagIndexSql: String =
+    s"""WITH RECURSIVE
+      |$byteIdCtes,
+      |$perplexityCtes,
+      |keepx AS (SELECT doc_id FROM (
+      |            SELECT doc_id, row_number() OVER (
+      |              PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |            FROM documents)
+      |          WHERE rn = 1),
+      |kept AS (SELECT mc.doc_id FROM mc JOIN keepx USING (doc_id)
+      |         WHERE mc.total_cost <= $PerplexityKeepAt * mc.n_bigrams),
+      |g AS (SELECT d.doc_id,
+      |        CAST(row_number() OVER (PARTITION BY d.doc_id
+      |          ORDER BY wpos, j) - 1 AS BIGINT) AS pos, token_id
+      |      FROM dtok d JOIN kept USING (doc_id)),
+      |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt
+      |      FROM g GROUP BY doc_id),
+      |st AS (SELECT doc_id, u.s AS start
+      |       FROM n, UNNEST(generate_series(0, nt - 1, 24)) AS u(s))
+      |SELECT g.doc_id, CAST(st.start // 24 AS BIGINT) AS chunk_id,
+      |  CAST(count(*) AS BIGINT) AS n_ids,
+      |  CAST(sum(g.token_id * (g.pos - st.start + 1)) AS BIGINT) AS checksum
+      |FROM g JOIN st ON g.doc_id = st.doc_id
+      |  AND g.pos >= st.start AND g.pos < st.start + 32
+      |GROUP BY g.doc_id, st.start
+      |ORDER BY g.doc_id, chunk_id""".stripMargin
+
   /** Context packing at a 512-token budget over 8 hash shards. */
   def qPack(s: SparkSession, dir: String): DataFrame =
     Pack.packSummary(Tables.documents(s, dir),
@@ -1365,6 +1424,7 @@ object CurationQueries extends graft.QueryModule {
     "q_curriculum" -> (qCurriculum _),
     "q_source_drift" -> (qSourceDrift _),
     "q_datacard" -> (qDatacard _),
+    "q_rag_index" -> (qRagIndex _),
     "q_mix" -> (qMix _),
     "q_mix_bpe50k" -> (qMixBpe50k _),
     "q_mix_epochs" -> (qMixEpochs _),
@@ -1398,6 +1458,7 @@ object CurationQueries extends graft.QueryModule {
     "q_curriculum" -> qCurriculumSql,
     "q_source_drift" -> qSourceDriftSql,
     "q_datacard" -> qDatacardSql,
+    "q_rag_index" -> qRagIndexSql,
     "q_mix" -> qMixSql,
     "q_mix_bpe50k" -> qMixBpe50kSql,
     "q_mix_epochs" -> qMixEpochsSql,
