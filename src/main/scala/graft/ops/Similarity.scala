@@ -42,7 +42,7 @@ object Similarity {
       emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
       .withColumn("nrm", norm(col("v")))
 
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+  private[ops] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     scored
