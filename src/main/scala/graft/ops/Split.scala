@@ -33,6 +33,27 @@ object Split {
   def bucketSql(idExpr: String, salt: String): String =
     s"CAST('0x' || substr(md5(CAST($idExpr AS VARCHAR) || '#$salt'), 1, 7) AS BIGINT) % 100"
 
+  /** Per-group cap rank (Dolma-style per-domain caps): rows within a
+    * group ordered by a salted 60-bit md5 of the id (id as the total-
+    * order tiebreak); `capRank(...) <= cap` keeps a deterministic,
+    * salt-re-dealable sample of at most `cap` rows per group.
+    *
+    * Unlike [[stratifiedFilter]] (a RATE per group) this bounds the
+    * absolute COUNT — the web-pipeline shape for capping an
+    * over-represented domain. Scale: a `rank <= cap` filter directly
+    * above the window becomes a WindowGroupLimit, so each map task
+    * ships at most cap rows per group into the exchange — the hot
+    * domain never funnels through one sort. */
+  def capRank(id: Column, group: Column, salt: String): Column =
+    row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy(group)
+        .orderBy(HashParity.h60(concat(id.cast("string"), lit("#" + salt))), id))
+
+  /** DuckDB spelling of [[capRank]] — keep in lock-step. */
+  def capRankSql(idExpr: String, groupExpr: String, salt: String): String =
+    s"row_number() OVER (PARTITION BY $groupExpr ORDER BY " +
+      s"CAST('0x' || substr(md5(CAST($idExpr AS VARCHAR) || '#$salt'), 1, 15) AS BIGINT), $idExpr)"
+
   /** Stratified-sampling predicate: keep a row iff its salted bucket
     * falls under its group's percentage (`rates`, with `defaultPct`
     * for unlisted groups). Same determinism contract as

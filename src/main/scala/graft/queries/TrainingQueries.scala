@@ -591,6 +591,76 @@ object TrainingQueries extends graft.QueryModule {
       |SELECT id AS doc_id, CAST(rn AS BIGINT) AS rank, term, tf, df, score
       |FROM r WHERE rn <= 5 ORDER BY doc_id, rank""".stripMargin
 
+  /** BM25 keyword retrieval ([[Bm25.search]]): three keyword queries
+    * over the corpus vocabulary, top-10 docs each, integer-ppm
+    * scores (rational-idf variant — deviation documented on the
+    * operator). */
+  private val bm25Keywords = Seq(
+    (0L, "spark table scan"), (1L, "hash merge batch"),
+    (2L, "window sort key"))
+  def qBm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Bm25.search(Tables.documents(s, dir), "text", "doc_id",
+      bm25Keywords.toDF("q_id", "qtext"), k = 10)
+  }
+
+  val qBm25Sql: String = Bm25.searchSql(
+    "SELECT CAST(c0 AS BIGINT), c1 FROM (VALUES " +
+      bm25Keywords.map { case (i, t) => s"($i, '$t')" }.mkString(", ") +
+      ") t(c0, c1)", k = 10)
+
+  /** Hybrid retrieval ([[Bm25.rrfFuse]]): related-documents search
+    * for query docs 0-4 — the BM25 arm uses each query doc's own
+    * text (self excluded), the semantic arm is exact cosine over the
+    * aligned embeddings, and reciprocal-rank fusion combines the two
+    * with rank-only integer arithmetic. */
+  def qHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val q = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("q_id"), col("text").as("qtext"))
+    val lex = Bm25.search(docs, "text", "doc_id", q, k = 20,
+      excludeSelf = true)
+      .select(col("q_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val emb = Tables.embeddings(s, dir)
+    val sem = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 20)
+      .select(col("q_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("sem_rank"))
+    Bm25.rrfFuse(lex, sem, k = 10)
+  }
+
+  val qHybridRrfSql: String = {
+    val ctes = Bm25.searchCtes(
+      "SELECT doc_id, text FROM documents WHERE doc_id < 5",
+      excludeSelf = true)
+    s"""WITH $ctes,
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |semp AS (SELECT qe.vec_id AS q_id, t.vec_id AS doc_id,
+       |           list_cosine_similarity(qe.v, t.v) AS sim
+       |         FROM e qe JOIN e t
+       |           ON qe.vec_id < 5 AND t.vec_id <> qe.vec_id),
+       |semr AS (SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+       |           ORDER BY sim DESC, doc_id) AS rn FROM semp),
+       |sem AS (SELECT q_id, doc_id, CAST(rn AS BIGINT) AS sem_rank
+       |        FROM semr WHERE rn <= 20),
+       |lex AS (SELECT q_id, doc_id, CAST(rn AS BIGINT) AS lex_rank
+       |        FROM bm25r WHERE rn <= 20),
+       |f AS (SELECT COALESCE(lex.q_id, sem.q_id) AS q_id,
+       |        COALESCE(lex.doc_id, sem.doc_id) AS doc_id, lex_rank, sem_rank
+       |      FROM lex FULL OUTER JOIN sem
+       |        ON lex.q_id = sem.q_id AND lex.doc_id = sem.doc_id),
+       |sc2 AS (SELECT q_id, doc_id,
+       |          COALESCE(CAST(floor(1000000.0 / (60 + lex_rank)) AS BIGINT), 0) +
+       |          COALESCE(CAST(floor(1000000.0 / (60 + sem_rank)) AS BIGINT), 0) AS rrf_ppm,
+       |          COALESCE(lex_rank, -1) AS lex_rank,
+       |          COALESCE(sem_rank, -1) AS sem_rank
+       |        FROM f),
+       |r2 AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |         ORDER BY rrf_ppm DESC, doc_id) AS rn FROM sc2)
+       |SELECT q_id, CAST(rn AS BIGINT) AS rank, doc_id, rrf_ppm,
+       |  lex_rank, sem_rank
+       |FROM r2 WHERE rn <= 10 ORDER BY q_id, rank""".stripMargin
+  }
+
   private val splitCuts = Seq("train" -> 80, "val" -> 10, "test" -> 10)
   private val splitSalt = "graft-r3"
 
@@ -648,6 +718,26 @@ object TrainingQueries extends graft.QueryModule {
        |FROM documents WHERE $b < $pct
        |GROUP BY lang ORDER BY lang""".stripMargin
   }
+
+  /** Per-source document cap ([[Split.capRank]]): at most `capN`
+    * docs per source, chosen by salted-hash rank — the Dolma-style
+    * per-domain cap. Row-level output so the oracle hash pins every
+    * kept (doc, rank). */
+  private val capN = 15
+  def qSourceCap(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("rk",
+        Split.capRank(col("doc_id"), col("source"), splitSalt).cast("long"))
+      .filter(col("rk") <= capN)
+      .select(col("doc_id"), col("source"), col("rk"))
+      .orderBy(col("source"), col("rk"))
+
+  val qSourceCapSql: String =
+    s"""SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM (
+       |  SELECT doc_id, source,
+       |    ${Split.capRankSql("doc_id", "source", splitSalt)} AS rk
+       |  FROM documents)
+       |WHERE rk <= $capN ORDER BY source, rk""".stripMargin
 
   /** SimHash fingerprint + high-16-bit bucket mates (md5-parity token
     * hashes — oracle-replayable). */
@@ -1132,8 +1222,11 @@ object TrainingQueries extends graft.QueryModule {
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_keeplist" -> (qDedupKeeplist _),
     "q_tfidf" -> (qTfidf _),
+    "q_bm25" -> (qBm25 _),
+    "q_hybrid_rrf" -> (qHybridRrf _),
     "q_train_split" -> (qTrainSplit _),
     "q_stratified" -> (qStratified _),
+    "q_source_cap" -> (qSourceCap _),
     "q_simhash" -> (qSimhash _),
     "q_simhash_pairs" -> (qSimhashPairs _),
     "q_ann_topk" -> (qAnnTopK _),
@@ -1164,8 +1257,11 @@ object TrainingQueries extends graft.QueryModule {
     "q_dedup_incremental" -> qDedupIncrementalSql,
     "q_dedup_keeplist" -> qDedupKeeplistSql,
     "q_tfidf" -> qTfidfSql,
+    "q_bm25" -> qBm25Sql,
+    "q_hybrid_rrf" -> qHybridRrfSql,
     "q_train_split" -> qTrainSplitSql,
     "q_stratified" -> qStratifiedSql,
+    "q_source_cap" -> qSourceCapSql,
     "q_simhash" -> qSimhashSql,
     "q_simhash_pairs" -> qSimhashPairsSql,
     "q_ann_topk" -> qAnnTopKSql,

@@ -181,6 +181,32 @@ class SplitSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(a !== c)
   }
+
+  test("per-group cap keeps at most cap rows per group, stably under growth") {
+    val df = (0L until 300L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
+    def kept(frame: org.apache.spark.sql.DataFrame): Map[String, Set[Long]] = frame
+      .withColumn("rk", Split.capRank(col("id"), col("g"), "s1"))
+      .filter(col("rk") <= 10)
+      .collect().map(r => r.getString(1) -> r.getLong(0))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val base = kept(df)
+    assert(base.values.forall(_.size === 10))
+    // growing a DIFFERENT group never moves this group's kept set
+    val grown = kept(df.union(
+      (1000L until 1100L).map(i => (i, "g0")).toDF("id", "g")))
+    assert(grown("g1") === base("g1") && grown("g2") === base("g2"))
+    // partitioning-invariant
+    assert(kept(df.repartition(7)) === base)
+  }
+
+  test("cap rank <= k plans as a WindowGroupLimit (partial top-k before the exchange)") {
+    val df = (0L until 100L).map(i => (i, s"g${i % 2}")).toDF("id", "g")
+    val plan = df
+      .withColumn("rk", Split.capRank(col("id"), col("g"), "s1"))
+      .filter(col("rk") <= 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(800))
+  }
 }
 
 class ProfileSpec extends SparkSpec {
