@@ -19,6 +19,7 @@ object SparkEntry {
     graft.queries.ScalarQueries,
     graft.queries.TrainingQueries,
     graft.queries.CurationQueries,
+    graft.queries.SelectionQueries,
     graft.queries.StreamQueries,
     graft.queries.MiscQueries)
 

@@ -1,0 +1,231 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.CacheScope.Scoped
+import graft.core.Tables
+import graft.ops.{Budget, GopherQuality, TextAnalysis}
+
+/** Corpus-selection queries: the published Gopher quality gate, the
+  * staged filter-funnel attrition report every curation run ships
+  * with, and token-budget greedy selection.
+  */
+object SelectionQueries extends graft.QueryModule {
+
+  /** Full Gopher quality rule set per document
+    * ([[GopherQuality.report]]). Published thresholds except
+    * `minStopwords = 1`: the synthetic vocabulary carries only one
+    * member of the published 8-word list ("the"), so the published
+    * `>= 2` would reject every document and the rule would gate
+    * vacuously — at 1 it separates documents that carry the common
+    * determiner from those that don't. */
+  def qGopherQuality(s: SparkSession, dir: String): DataFrame =
+    GopherQuality.report(Tables.documents(s, dir),
+        textCol = "text", idCol = "doc_id", minStopwords = 1)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
+  /** Shared metric CTE for the Gopher rules: from `documents` to
+    * `${p}gm` — one row per doc with every rule-input count. The
+    * counts and their names live HERE, once (also replayed by
+    * [[qFilterFunnelSql]]). */
+  private def gopherCtes(p: String): String =
+    s"""${p}gt AS (SELECT doc_id, text, str_split(text, ' ') AS w,
+       |        str_split(text, chr(10)) AS l FROM documents),
+       |${p}gm AS (SELECT doc_id,
+       |    CAST(len(w) AS BIGINT) AS n_words,
+       |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS word_chars,
+       |    CAST(length(text) - length(replace(text, '#', ''))
+       |      AS BIGINT) AS n_hash,
+       |    CAST((length(text) - length(replace(text, '...', ''))) // 3
+       |      AS BIGINT) AS n_ellipsis,
+       |    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+       |      AS BIGINT) AS n_alpha,
+       |    CAST(len(list_filter(
+       |        ['the','be','to','of','and','that','have','with'],
+       |        s -> list_contains(w, s))) AS BIGINT) AS n_stop,
+       |    CAST(len(l) AS BIGINT) AS n_lines,
+       |    CAST(len(list_filter(l, x -> x LIKE '-%' OR x LIKE '•%'))
+       |      AS BIGINT) AS n_bullet,
+       |    CAST(len(list_filter(l, x -> x LIKE '%...'))
+       |      AS BIGINT) AS n_ell_end
+       |  FROM ${p}gt)""".stripMargin
+
+  /** The per-rule flag expressions over a [[gopherCtes]] `gm` row,
+    * with `minStopwords` the one corpus-adapted threshold. */
+  private def gopherFlagsSql(minStop: Int): Seq[(String, String)] = Seq(
+    "rule_words" -> "n_words >= 50 AND n_words <= 100000",
+    "rule_mean_len" ->
+      "word_chars >= 3 * n_words AND word_chars <= 10 * n_words",
+    "rule_symbol" -> "10 * (n_hash + n_ellipsis) <= 1 * n_words",
+    "rule_alpha" -> "5 * n_alpha >= 4 * n_words",
+    "rule_stopwords" -> s"n_stop >= $minStop",
+    "rule_bullet" -> "10 * n_bullet <= 9 * n_lines",
+    "rule_ellipsis" -> "10 * n_ell_end <= 3 * n_lines")
+
+  val qGopherQualitySql: String = {
+    val flags = gopherFlagsSql(minStop = 1)
+    val flagCols = flags
+      .map { case (n, e) => s"CAST($e AS BIGINT) AS $n" }.mkString(",\n  ")
+    val keep = flags.map { case (n, e) => s"($e)" }.mkString(" AND ")
+    s"""WITH ${gopherCtes("")}
+      |SELECT doc_id, n_words,
+      |  word_chars / n_words AS mean_word_len,
+      |  (n_hash + n_ellipsis) / n_words AS symbol_ratio,
+      |  n_alpha / n_words AS alpha_word_frac,
+      |  n_stop AS n_rule_stopwords,
+      |  $flagCols,
+      |  CAST($keep AS BIGINT) AS keep
+      |FROM gm ORDER BY doc_id""".stripMargin
+  }
+
+  /** Staged filter-funnel attrition report — the accounting artifact
+    * every curation run ships with: how many documents (and tokens)
+    * survive each successive gate. Stages: all docs → language gate
+    * (`lang = 'en'`) → Gopher quality keep → non-repetitive → exact
+    * first-wins dedup among the remaining docs.
+    *
+    * Scale shape: all per-doc flags are computed in ONE pass over the
+    * corpus (the Gopher flags are scan-stage expressions; repetition
+    * adds its slim bigram aggregate), cached, and every stage count
+    * is a conditional sum over that one frame — the corpus is never
+    * re-filtered per stage. The dedup stage ranks within
+    * `md5(text)` groups over stage-3 survivors only (partition-local
+    * window). Output is 5 rows. */
+  def qFilterFunnel(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val gq = GopherQuality.report(docs, "text", "doc_id", minStopwords = 1)
+      .select(col("id"), col("keep").as("gopher"))
+    val rep = TextAnalysis.repetitionReport(docs, "text", "doc_id",
+        flagAt = 0.1)
+      .select(col("id"), col("repetitive"))
+    val flags = docs
+      .select(col("doc_id").as("id"), col("lang"),
+        md5(col("text")).as("fp"),
+        size(split(col("text"), " ")).cast("long").as("n_words"))
+      .join(gq, Seq("id"))
+      .join(rep, Seq("id"), "left")
+      .withColumn("f1", (col("lang") === "en").cast("long"))
+      .withColumn("f2", col("f1") * col("gopher"))
+      .withColumn("f3",
+        col("f2") * (lit(1L) - coalesce(col("repetitive"), lit(0L))))
+      .scopedCache()
+    val surv = flags.filter(col("f3") === 1)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("fp")).orderBy(col("id"))))
+      .filter(col("rn") === 1)
+    def zero(c: org.apache.spark.sql.Column) = coalesce(c, lit(0L))
+    val a = flags.agg(
+      count(lit(1)).as("d0"), zero(sum(col("n_words"))).as("t0"),
+      zero(sum(col("f1"))).as("d1"),
+      zero(sum(col("f1") * col("n_words"))).as("t1"),
+      zero(sum(col("f2"))).as("d2"),
+      zero(sum(col("f2") * col("n_words"))).as("t2"),
+      zero(sum(col("f3"))).as("d3"),
+      zero(sum(col("f3") * col("n_words"))).as("t3"))
+    val a4 = surv.agg(
+      count(lit(1)).as("d4"), zero(sum(col("n_words"))).as("t4"))
+    a.crossJoin(a4).selectExpr(
+      """stack(5,
+        |  CAST(0 AS BIGINT), 'total', d0, t0,
+        |  CAST(1 AS BIGINT), 'lang_en', d1, t1,
+        |  CAST(2 AS BIGINT), 'gopher', d2, t2,
+        |  CAST(3 AS BIGINT), 'non_repetitive', d3, t3,
+        |  CAST(4 AS BIGINT), 'unique', d4, t4)
+        |AS (stage_idx, stage, n_docs, n_tokens)""".stripMargin)
+      .orderBy(col("stage_idx"))
+  }
+
+  val qFilterFunnelSql: String = {
+    val keep = gopherFlagsSql(minStop = 1)
+      .map { case (_, e) => s"($e)" }.mkString(" AND ")
+    s"""WITH ${gopherCtes("")},
+      |gk AS (SELECT doc_id, CAST($keep AS BIGINT) AS gopher FROM gm),
+      |rt AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+      |rm AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_tokens
+      |      FROM rt WHERE len(w) >= 2),
+      |rbi AS (SELECT doc_id, n_tokens, w[i] || ' ' || w[i+1] AS g
+      |       FROM rm, UNNEST(generate_series(1, len(w)-1)) AS u(i)),
+      |rcnt AS (SELECT doc_id, n_tokens, g, CAST(count(*) AS BIGINT) AS n
+      |        FROM rbi GROUP BY doc_id, n_tokens, g),
+      |rtop AS (SELECT doc_id,
+      |          CAST(max(n) / (any_value(n_tokens) - 1) >= 0.1 AS BIGINT)
+      |            AS repetitive
+      |        FROM rcnt GROUP BY doc_id),
+      |f AS (SELECT d.doc_id AS id, md5(d.text) AS fp,
+      |    CAST(len(str_split(d.text, ' ')) AS BIGINT) AS n_words,
+      |    CAST(d.lang = 'en' AS BIGINT) AS f1,
+      |    CAST(d.lang = 'en' AND gk.gopher = 1 AS BIGINT) AS f2,
+      |    CAST(d.lang = 'en' AND gk.gopher = 1
+      |      AND COALESCE(r.repetitive, 0) = 0 AS BIGINT) AS f3
+      |  FROM documents d
+      |  JOIN gk USING (doc_id)
+      |  LEFT JOIN rtop r USING (doc_id)),
+      |surv AS (SELECT id, n_words FROM (
+      |    SELECT id, n_words, row_number() OVER (
+      |      PARTITION BY fp ORDER BY id) AS rn FROM f WHERE f3 = 1)
+      |  WHERE rn = 1)
+      |SELECT CAST(0 AS BIGINT) AS stage_idx, 'total' AS stage,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(COALESCE(sum(n_words), 0) AS BIGINT) AS n_tokens FROM f
+      |UNION ALL SELECT 1, 'lang_en', CAST(count(*) AS BIGINT),
+      |  CAST(COALESCE(sum(n_words), 0) AS BIGINT) FROM f WHERE f1 = 1
+      |UNION ALL SELECT 2, 'gopher', CAST(count(*) AS BIGINT),
+      |  CAST(COALESCE(sum(n_words), 0) AS BIGINT) FROM f WHERE f2 = 1
+      |UNION ALL SELECT 3, 'non_repetitive', CAST(count(*) AS BIGINT),
+      |  CAST(COALESCE(sum(n_words), 0) AS BIGINT) FROM f WHERE f3 = 1
+      |UNION ALL SELECT 4, 'unique', CAST(count(*) AS BIGINT),
+      |  CAST(COALESCE(sum(n_words), 0) AS BIGINT) FROM surv
+      |ORDER BY stage_idx""".stripMargin
+  }
+
+  /** Token-budget greedy selection ([[Budget.select]]): score = en
+    * stopword hits per million words (integer ppm), budget = half the
+    * corpus's tokens; keep the best-scoring docs until the budget is
+    * spent. The total-token budget is one bounded 1-row action; the
+    * selection itself never builds a global window. */
+  def qBudgetSelect(s: SparkSession, dir: String): DataFrame = {
+    val stops = TextAnalysis.langStopwords.head._2
+    val base = Tables.documents(s, dir).select(
+      col("doc_id").as("id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      TextAnalysis.stopwordHits(split(col("text"), " "), stops).as("hits"))
+      .withColumn("score", expr("hits * 1000000 DIV n_tokens"))
+      .scopedCache()
+    val budget = base.agg(sum(col("n_tokens"))).head().getLong(0) / 2
+    Budget.select(base, "id", "score", "n_tokens", budget)
+      .select(col("id").as("doc_id"), col("score").as("score_ppm"),
+        col("n_tokens"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qBudgetSelectSql: String =
+    """WITH t AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+      |m AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_filter(w,
+      |      x -> list_contains(['the','a','of','and','to'], x)))
+      |      AS BIGINT) AS hits
+      |  FROM t),
+      |s AS (SELECT doc_id, n_tokens,
+      |    hits * 1000000 // n_tokens AS score FROM m),
+      |b AS (SELECT CAST(sum(n_tokens) AS BIGINT) // 2 AS budget FROM s),
+      |r AS (SELECT doc_id, score, n_tokens,
+      |    COALESCE(sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS cum_excl
+      |  FROM s)
+      |SELECT doc_id, score AS score_ppm, n_tokens,
+      |  CAST(cum_excl < b.budget AS BIGINT) AS keep
+      |FROM r CROSS JOIN b ORDER BY doc_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gopher_quality" -> (qGopherQuality _),
+    "q_filter_funnel" -> (qFilterFunnel _),
+    "q_budget_select" -> (qBudgetSelect _))
+
+  def oracleSql: Map[String, String] = Map(
+    "q_gopher_quality" -> qGopherQualitySql,
+    "q_filter_funnel" -> qFilterFunnelSql,
+    "q_budget_select" -> qBudgetSelectSql)
+}

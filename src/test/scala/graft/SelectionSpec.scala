@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Budget, GopherQuality}
+
+class SelectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def gopher(rows: Seq[(Long, String)]) =
+    GopherQuality.report(rows.toDF("doc_id", "text"), "text", "doc_id",
+        minWords = 3, minStopwords = 1)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+
+  test("gopher rules fire individually") {
+    val good = "the quick brown fox jumps over the lazy dog today"
+    val rep = gopher(Seq(
+      1L -> good,
+      2L -> "to be", // too few words
+      3L -> "xx yy zz aa bb", // no stopword
+      4L -> "the ## ## ## word ## ## ## ## ##", // symbol-heavy
+      5L -> "the 99 88 77 66 55 44 33 22 11", // non-alpha words
+      6L -> "the a b c d e f g h i", // mean word len < 3
+      7L -> ("the start\n- one\n- two\n- three\n- four\n- five\n" +
+        "- six\n- seven\n- eight\n- nine\n- ten"), // bullet lines
+      8L -> "the line goes on...\nand on...\nplain\nplain")) // ellipsis ends
+    assert(rep(1L).getAs[Long]("keep") == 1L)
+    assert(rep(2L).getAs[Long]("rule_words") == 0L)
+    assert(rep(3L).getAs[Long]("rule_stopwords") == 0L)
+    assert(rep(4L).getAs[Long]("rule_symbol") == 0L)
+    assert(rep(5L).getAs[Long]("rule_alpha") == 0L)
+    assert(rep(6L).getAs[Long]("rule_mean_len") == 0L)
+    assert(rep(7L).getAs[Long]("rule_bullet") == 0L)
+    assert(rep(8L).getAs[Long]("rule_ellipsis") == 0L)
+    assert(Seq(2L, 3L, 4L, 5L, 6L, 7L, 8L)
+      .forall(id => rep(id).getAs[Long]("keep") == 0L))
+  }
+
+  test("gopher ellipsis symbols count non-overlapping occurrences") {
+    val rep = gopher(Seq(1L -> "the ...... word here now"))
+    // "......" = two ellipses over 5 words -> ratio 0.4 > 0.1
+    assert(rep(1L).getAs[Long]("rule_symbol") == 0L)
+  }
+
+  /** Brute-force twin: global (score DESC, id) order, keep while the
+    * running pre-sum stays under budget. */
+  private def bruteSelect(
+      docs: Seq[(Long, Long, Long)], budget: Long): Map[Long, Long] = {
+    var cum = 0L
+    docs.sortBy { case (id, score, _) => (-score, id) }.map {
+      case (id, _, n) =>
+        val keep = if (cum < budget) 1L else 0L
+        cum += n
+        id -> keep
+    }.toMap
+  }
+
+  test("budget select == global-window brute force, cutoff mid-stratum") {
+    // scores with a big tied stratum so the cutoff lands inside it
+    val docs = (1L to 40L).map { id =>
+      (id, (id % 4) * 10L, 5L + (id % 7)) // 4 strata, varied sizes
+    }
+    for (budget <- Seq(0L, 1L, 37L, 120L, 200L, 10000L)) {
+      val got = Budget.select(
+        docs.toDF("id", "score", "n_tokens"), "id", "score", "n_tokens",
+        budget).collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[Long]("keep")).toMap
+      assert(got == bruteSelect(docs, budget), s"budget=$budget")
+    }
+  }
+
+  test("budget select is partitioning-invariant") {
+    val docs = (1L to 30L).map(id => (id, id % 3 * 7L, 4L + id % 5))
+    val df = docs.toDF("id", "score", "n_tokens")
+    val a = Budget.select(df, "id", "score", "n_tokens", 60L)
+      .orderBy("id").collect().toSeq
+    val b = Budget.select(df.repartition(7), "id", "score", "n_tokens", 60L)
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("filter funnel stages are monotone and consistent at sf0.001") {
+    val rows = queries.SelectionQueries.qFilterFunnel(spark, sf).collect()
+    assert(rows.length == 5)
+    val byIdx = rows.map(r =>
+      r.getAs[Long]("stage_idx") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toMap
+    (1L to 4L).foreach { i =>
+      assert(byIdx(i)._1 <= byIdx(i - 1)._1, s"stage $i docs grew")
+      assert(byIdx(i)._2 <= byIdx(i - 1)._2, s"stage $i tokens grew")
+    }
+    assert(byIdx(0L)._1 > 0 && byIdx(1L)._1 > 0)
+  }
+}
