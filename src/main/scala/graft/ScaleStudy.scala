@@ -34,7 +34,9 @@ object ScaleStudy {
     "q_ann_topk", "q_ann_lsh", "q_ann_lsh_multiprobe", "q_ann_ivf",
     "q_embed_neardup_lsh",
     "q_perplexity", "q_curriculum", "q_semdedup", "q_chunk_ids",
-    "q_source_drift", "q_datacard")
+    "q_source_drift", "q_datacard",
+    "q_gopher_quality", "q_filter_funnel", "q_budget_select",
+    "q_selection_e2e")
 
   /** Replicate documents + embeddings `times`x with offset ids into
     * `outDir` (skipped if already built). Doc ids offset by a round

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.CacheScope.Scoped
 import graft.core.Tables
-import graft.ops.{Budget, GopherQuality, TextAnalysis}
+import graft.ops.{Budget, C4Filter, GopherQuality, Pack, TextAnalysis}
 
 /** Corpus-selection queries: the published Gopher quality gate, the
   * staged filter-funnel attrition report every curation run ships
@@ -219,13 +219,144 @@ object SelectionQueries extends graft.QueryModule {
       |  CAST(cum_excl < b.budget AS BIGINT) AS keep
       |FROM r CROSS JOIN b ORDER BY doc_id""".stripMargin
 
+  /** C4 cleaning rules ([[C4Filter.report]], published thresholds).
+    * The synthetic corpus is single-line without terminal
+    * punctuation, so the cleaned text is empty and no page survives —
+    * the entry gates the cross-engine line/page machinery on real
+    * data (the q_text_clean precedent); `SelectionSpec` plants
+    * multi-line docs and proves each rule fires. */
+  def qC4Filter(s: SparkSession, dir: String): DataFrame =
+    C4Filter.report(Tables.documents(s, dir), "text", "doc_id",
+        blocklist = Seq("nsfw", "explicit"))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
+  val qC4FilterSql: String =
+    """WITH t AS (SELECT doc_id, text, lower(text) AS lt,
+      |    list_transform(str_split(text, chr(10)), x -> trim(x)) AS ls
+      |  FROM documents),
+      |k AS (SELECT doc_id, text, lt,
+      |    CAST(len(ls) AS BIGINT) AS n_lines,
+      |    list_filter(ls, x -> regexp_matches(x, '[.!?"]$')
+      |      AND len(str_split(x, ' ')) >= 3
+      |      AND NOT contains(lower(x), 'javascript')) AS kl,
+      |    CAST(list_contains(str_split_regex(lt, '[ \n]'), 'nsfw')
+      |      OR list_contains(str_split_regex(lt, '[ \n]'), 'explicit')
+      |      AS BIGINT) AS has_badword
+      |  FROM t)
+      |SELECT doc_id,
+      |  -- array_to_string([]) is NULL in DuckDB; Spark's array_join
+      |  -- of an empty array is '' — pin the Spark semantics
+      |  COALESCE(array_to_string(kl, chr(10)), '') AS clean_text,
+      |  n_lines,
+      |  CAST(len(kl) AS BIGINT) AS n_kept_lines,
+      |  CAST(contains(lt, 'lorem ipsum') AS BIGINT) AS has_lorem,
+      |  CAST(contains(text, '{') AS BIGINT) AS has_brace,
+      |  has_badword,
+      |  CAST(len(kl) >= 5 AND NOT contains(lt, 'lorem ipsum')
+      |    AND NOT contains(text, '{') AND has_badword = 0
+      |    AS BIGINT) AS keep
+      |FROM k ORDER BY doc_id""".stripMargin
+
+  /** Composed SELECTION pipeline: language gate → Gopher quality →
+    * repetition filter → token-budget greedy selection (half the
+    * eligible tokens) → context packing of the selected docs. The
+    * output is the pack layout a loader would read; every upstream
+    * stage moves it, so one oracle statement gates the whole chain
+    * (the q_curation_e2e contract, over this session's selection
+    * stages). */
+  def qSelectionE2e(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val gq = GopherQuality.report(docs, "text", "doc_id", minStopwords = 1)
+      .select(col("id"), col("keep").as("gopher"))
+    val rep = TextAnalysis.repetitionReport(docs, "text", "doc_id",
+        flagAt = 0.1)
+      .select(col("id"), col("repetitive"))
+    val stops = TextAnalysis.langStopwords.head._2
+    val eligible = docs
+      .select(col("doc_id").as("id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        TextAnalysis.stopwordHits(split(col("text"), " "), stops).as("hits"))
+      .join(gq, Seq("id"))
+      .join(rep, Seq("id"), "left")
+      .filter(col("lang") === "en" && col("gopher") === 1 &&
+        coalesce(col("repetitive"), lit(0L)) === 0)
+      .withColumn("score", expr("hits * 1000000 DIV n_tokens"))
+      .scopedCache()
+    val budget = eligible.agg(sum(col("n_tokens"))).head().getLong(0) / 2
+    val selected = Budget.select(eligible, "id", "score", "n_tokens", budget)
+      .filter(col("keep") === 1)
+    Pack.assignPacksOn(selected.select(col("id"), col("n_tokens")),
+        "id", col("n_tokens"), budget = 512L, nShards = 8)
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("pack_tokens"),
+        min(col("id")).as("first_doc"))
+      .orderBy(col("shard"), col("pack_id"))
+  }
+
+  val qSelectionE2eSql: String = {
+    val keep = gopherFlagsSql(minStop = 1)
+      .map { case (_, e) => s"($e)" }.mkString(" AND ")
+    s"""WITH ${gopherCtes("")},
+      |gk AS (SELECT doc_id, CAST($keep AS BIGINT) AS gopher FROM gm),
+      |rt AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+      |rm AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_tokens
+      |      FROM rt WHERE len(w) >= 2),
+      |rbi AS (SELECT doc_id, n_tokens, w[i] || ' ' || w[i+1] AS g
+      |       FROM rm, UNNEST(generate_series(1, len(w)-1)) AS u(i)),
+      |rcnt AS (SELECT doc_id, n_tokens, g, CAST(count(*) AS BIGINT) AS n
+      |        FROM rbi GROUP BY doc_id, n_tokens, g),
+      |rtop AS (SELECT doc_id,
+      |          CAST(max(n) / (any_value(n_tokens) - 1) >= 0.1 AS BIGINT)
+      |            AS repetitive
+      |        FROM rcnt GROUP BY doc_id),
+      |el AS (SELECT d.doc_id, CAST(len(str_split(d.text, ' ')) AS BIGINT)
+      |      AS n_tokens,
+      |    CAST(len(list_filter(str_split(d.text, ' '),
+      |      x -> list_contains(['the','a','of','and','to'], x)))
+      |      AS BIGINT) AS hits
+      |  FROM documents d
+      |  JOIN gk USING (doc_id)
+      |  LEFT JOIN rtop r USING (doc_id)
+      |  WHERE d.lang = 'en' AND gk.gopher = 1
+      |    AND COALESCE(r.repetitive, 0) = 0),
+      |sc AS (SELECT doc_id, n_tokens,
+      |    hits * 1000000 // n_tokens AS score FROM el),
+      |b AS (SELECT CAST(sum(n_tokens) AS BIGINT) // 2 AS budget FROM sc),
+      |r AS (SELECT doc_id, n_tokens,
+      |    COALESCE(sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS cum_excl
+      |  FROM sc),
+      |sel AS (SELECT doc_id, n_tokens FROM r CROSS JOIN b
+      |  WHERE cum_excl < b.budget),
+      |pd AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS k,
+      |    n_tokens AS toks FROM sel),
+      |ps AS (SELECT *,
+      |    CAST('0x' || substr(k, 1, 7) AS BIGINT) % 8 AS shard FROM pd),
+      |pe AS (SELECT *, COALESCE(CAST(sum(toks) OVER (
+      |    PARTITION BY shard ORDER BY k, doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+      |    0) AS excl FROM ps),
+      |pp AS (SELECT *, CAST(floor(excl / 512) AS BIGINT) AS pack_id FROM pe)
+      |SELECT shard, pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(toks) AS BIGINT) AS pack_tokens, min(doc_id) AS first_doc
+      |FROM pp GROUP BY shard, pack_id
+      |ORDER BY shard, pack_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gopher_quality" -> (qGopherQuality _),
     "q_filter_funnel" -> (qFilterFunnel _),
-    "q_budget_select" -> (qBudgetSelect _))
+    "q_budget_select" -> (qBudgetSelect _),
+    "q_c4_filter" -> (qC4Filter _),
+    "q_selection_e2e" -> (qSelectionE2e _))
 
   def oracleSql: Map[String, String] = Map(
     "q_gopher_quality" -> qGopherQualitySql,
     "q_filter_funnel" -> qFilterFunnelSql,
-    "q_budget_select" -> qBudgetSelectSql)
+    "q_budget_select" -> qBudgetSelectSql,
+    "q_c4_filter" -> qC4FilterSql,
+    "q_selection_e2e" -> qSelectionE2eSql)
 }

@@ -78,6 +78,38 @@ class SelectionSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("c4 line and page rules fire individually") {
+    val ok = (1 to 6).map(i => s"this is a good sentence number $i.")
+      .mkString("\n")
+    val rep = graft.ops.C4Filter.report(
+      Seq(
+        1L -> ok,
+        2L -> (ok + "\nshort one\nno terminal punct here\n" +
+          "  a padded javascript line stays out.  "),
+        3L -> (ok.split("\n").take(4).mkString("\n")), // < 5 kept lines
+        4L -> (ok + "\nsome Lorem Ipsum filler"),
+        5L -> (ok + "\nfunction f() { return 1; }"),
+        6L -> (ok + "\nplainly nsfw content here"))
+        .toDF("doc_id", "text"),
+      "text", "doc_id", blocklist = Seq("nsfw")).collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    assert(rep(1L).getAs[Long]("keep") == 1L)
+    assert(rep(1L).getAs[String]("clean_text") == ok)
+    // doc2: the three junk lines are cut (short / no punct /
+    // javascript), the six good ones survive -> page keeps
+    assert(rep(2L).getAs[Long]("n_kept_lines") == 6L)
+    assert(rep(2L).getAs[String]("clean_text") == ok)
+    assert(rep(2L).getAs[Long]("keep") == 1L)
+    assert(rep(3L).getAs[Long]("n_kept_lines") == 4L)
+    assert(rep(3L).getAs[Long]("keep") == 0L)
+    assert(rep(4L).getAs[Long]("has_lorem") == 1L &&
+      rep(4L).getAs[Long]("keep") == 0L)
+    assert(rep(5L).getAs[Long]("has_brace") == 1L &&
+      rep(5L).getAs[Long]("keep") == 0L)
+    assert(rep(6L).getAs[Long]("has_badword") == 1L &&
+      rep(6L).getAs[Long]("keep") == 0L)
+  }
+
   test("filter funnel stages are monotone and consistent at sf0.001") {
     val rows = queries.SelectionQueries.qFilterFunnel(spark, sf).collect()
     assert(rows.length == 5)
