@@ -36,7 +36,7 @@ object ScaleStudy {
     "q_perplexity", "q_curriculum", "q_semdedup", "q_chunk_ids",
     "q_source_drift", "q_datacard",
     "q_gopher_quality", "q_filter_funnel", "q_budget_select",
-    "q_selection_e2e")
+    "q_selection_e2e", "q_c4_filter")
 
   /** Replicate documents + embeddings `times`x with offset ids into
     * `outDir` (skipped if already built). Doc ids offset by a round
@@ -89,6 +89,17 @@ object ScaleStudy {
 
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("/tmp/graft_sf1")
+    // trailing args restrict the stress pass to named HeavyFamily
+    // entries (and skip the ANN frontier) — for measuring a new
+    // operator without re-running the whole family. Unknown names
+    // fail loudly (the Bench contract).
+    val wanted: Option[Set[String]] =
+      if (args.length > 1) Some(args.drop(1).toSet) else None
+    wanted.foreach { w =>
+      val unknown = w.diff(HeavyFamily.toSet)
+      require(unknown.isEmpty,
+        s"unknown HeavyFamily entries: ${unknown.mkString(", ")}")
+    }
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
@@ -101,7 +112,7 @@ object ScaleStudy {
 
     buildScaled(spark, "/root/testdata/sf0.1", outDir, times = 10)
 
-    HeavyFamily.foreach { name =>
+    HeavyFamily.filter(n => wanted.forall(_(n))).foreach { name =>
       val secs = (0 until 2).map { _ =>
         val t = time(graft.core.CacheScope.withScope {
           SparkEntry.queries(name)(spark, outDir).count(); ()
@@ -117,8 +128,10 @@ object ScaleStudy {
     // near-copies dominate its true top-10 — favors cluster-local
     // methods) and the REAL sf0.1 corpus (representative neighborhood
     // structure, no replicas)
-    annFrontier(spark, outDir, "ann")
-    annFrontier(spark, "/root/testdata/sf0.1", "ann-sf0.1")
+    if (wanted.isEmpty) {
+      annFrontier(spark, outDir, "ann")
+      annFrontier(spark, "/root/testdata/sf0.1", "ann-sf0.1")
+    }
     spark.stop()
   }
 

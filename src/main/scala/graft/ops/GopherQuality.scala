@@ -35,6 +35,24 @@ object GopherQuality {
   val RuleStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** The keep decision alone, as a single per-row Column over the
+    * text — for composed pipelines (funnel, selection) that need the
+    * gate but not the report: inlining this into the caller's one
+    * corpus pass costs nothing, where joining [[report]]'s frame
+    * back on id would pay a second scan and a shuffle. */
+  def keepColumn(
+      text: Column,
+      minWords: Long = 50, maxWords: Long = 100000,
+      minMeanLen: Long = 3, maxMeanLen: Long = 10,
+      maxSymbolRatio: (Long, Long) = (1, 10),
+      minAlphaFrac: (Long, Long) = (4, 5),
+      minStopwords: Long = 2,
+      maxBulletFrac: (Long, Long) = (9, 10),
+      maxEllipsisFrac: (Long, Long) = (3, 10)): Column =
+    flagColumns(text, minWords, maxWords, minMeanLen, maxMeanLen,
+      maxSymbolRatio, minAlphaFrac, minStopwords, maxBulletFrac,
+      maxEllipsisFrac).last._2
+
   /** Per-document metrics + per-rule flags + the conjunction `keep`.
     *
     * Ratio thresholds are taken as exact rationals `num/den` so the
@@ -51,7 +69,23 @@ object GopherQuality {
       minStopwords: Long = 2,
       maxBulletFrac: (Long, Long) = (9, 10),
       maxEllipsisFrac: (Long, Long) = (3, 10)): DataFrame = {
-    val text = col(textCol)
+    val cols = flagColumns(col(textCol), minWords, maxWords, minMeanLen,
+      maxMeanLen, maxSymbolRatio, minAlphaFrac, minStopwords,
+      maxBulletFrac, maxEllipsisFrac)
+    df.select(col(idCol).as("id") +: cols.map { case (n, c) => c.as(n) }: _*)
+  }
+
+  /** The metric and flag expressions, in output order ending with
+    * `keep` — shared by [[report]] and [[keepColumn]]. */
+  private def flagColumns(
+      text: Column,
+      minWords: Long, maxWords: Long,
+      minMeanLen: Long, maxMeanLen: Long,
+      maxSymbolRatio: (Long, Long),
+      minAlphaFrac: (Long, Long),
+      minStopwords: Long,
+      maxBulletFrac: (Long, Long),
+      maxEllipsisFrac: (Long, Long)): Seq[(String, Column)] = {
     val w = split(text, " ")
     val lines = split(text, "\n")
     // counts: all integer, all per-row
@@ -89,21 +123,20 @@ object GopherQuality {
     val rEllipsis = flag(
       lit(maxEllipsisFrac._2) * nEllEnd <= lit(maxEllipsisFrac._1) * nLines)
 
-    df.select(
-      col(idCol).as("id"),
-      nWords.as("n_words"),
-      (wordChars / nWords).as("mean_word_len"),
-      ((nHash + nEllipsis) / nWords).as("symbol_ratio"),
-      (nAlphaWords / nWords).as("alpha_word_frac"),
-      nStop.as("n_rule_stopwords"),
-      rWords.as("rule_words"),
-      rMeanLen.as("rule_mean_len"),
-      rSymbol.as("rule_symbol"),
-      rAlpha.as("rule_alpha"),
-      rStop.as("rule_stopwords"),
-      rBullet.as("rule_bullet"),
-      rEllipsis.as("rule_ellipsis"),
-      (rWords * rMeanLen * rSymbol * rAlpha * rStop * rBullet * rEllipsis)
-        .as("keep"))
+    Seq(
+      "n_words" -> nWords,
+      "mean_word_len" -> (wordChars / nWords),
+      "symbol_ratio" -> ((nHash + nEllipsis) / nWords),
+      "alpha_word_frac" -> (nAlphaWords / nWords),
+      "n_rule_stopwords" -> nStop,
+      "rule_words" -> rWords,
+      "rule_mean_len" -> rMeanLen,
+      "rule_symbol" -> rSymbol,
+      "rule_alpha" -> rAlpha,
+      "rule_stopwords" -> rStop,
+      "rule_bullet" -> rBullet,
+      "rule_ellipsis" -> rEllipsis,
+      "keep" -> (rWords * rMeanLen * rSymbol * rAlpha * rStop * rBullet
+        * rEllipsis))
   }
 }

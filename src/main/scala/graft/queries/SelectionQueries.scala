@@ -95,16 +95,17 @@ object SelectionQueries extends graft.QueryModule {
     * window). Output is 5 rows. */
   def qFilterFunnel(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val gq = GopherQuality.report(docs, "text", "doc_id", minStopwords = 1)
-      .select(col("id"), col("keep").as("gopher"))
     val rep = TextAnalysis.repetitionReport(docs, "text", "doc_id",
         flagAt = 0.1)
       .select(col("id"), col("repetitive"))
+    // the Gopher gate is a per-row expression — inlined into the one
+    // corpus pass, never joined back on id
     val flags = docs
       .select(col("doc_id").as("id"), col("lang"),
         md5(col("text")).as("fp"),
-        size(split(col("text"), " ")).cast("long").as("n_words"))
-      .join(gq, Seq("id"))
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        GopherQuality.keepColumn(col("text"), minStopwords = 1)
+          .as("gopher"))
       .join(rep, Seq("id"), "left")
       .withColumn("f1", (col("lang") === "en").cast("long"))
       .withColumn("f2", col("f1") * col("gopher"))
@@ -267,17 +268,17 @@ object SelectionQueries extends graft.QueryModule {
     * stages). */
   def qSelectionE2e(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val gq = GopherQuality.report(docs, "text", "doc_id", minStopwords = 1)
-      .select(col("id"), col("keep").as("gopher"))
     val rep = TextAnalysis.repetitionReport(docs, "text", "doc_id",
         flagAt = 0.1)
       .select(col("id"), col("repetitive"))
     val stops = TextAnalysis.langStopwords.head._2
+    // Gopher gate inlined (per-row expression), not joined
     val eligible = docs
       .select(col("doc_id").as("id"), col("lang"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
-        TextAnalysis.stopwordHits(split(col("text"), " "), stops).as("hits"))
-      .join(gq, Seq("id"))
+        TextAnalysis.stopwordHits(split(col("text"), " "), stops).as("hits"),
+        GopherQuality.keepColumn(col("text"), minStopwords = 1)
+          .as("gopher"))
       .join(rep, Seq("id"), "left")
       .filter(col("lang") === "en" && col("gopher") === 1 &&
         coalesce(col("repetitive"), lit(0L)) === 0)
