@@ -43,13 +43,17 @@ object C4Filter {
       minLineWords: Int = 3, minKeptLines: Int = 5,
       blocklist: Seq[String] = Seq.empty): DataFrame = {
     val text = col(textCol)
-    val lines = transform(split(text, "\n"), l => trim(l))
+    // trim both spaces and \r: CRLF text would otherwise leave a
+    // carriage return on every line, where Java's '$' matches before
+    // it but RE2's (the oracle engine) does not — the one spot the
+    // two regex dialects would diverge
+    val lines = transform(split(text, "\n"), l => trim(l, " \r"))
     val kept = filter(lines, l => lineKeep(l, minLineWords))
     val lowText = lower(text)
     val nKept = size(kept).cast("long")
     val hasLorem = contains(lowText, lit("lorem ipsum"))
     val hasBrace = contains(text, lit("{"))
-    val words = split(lowText, "[ \n]")
+    val words = split(lowText, "[ \n\r]")
     val hasBad =
       if (blocklist.isEmpty) lit(false)
       else blocklist.map(b => array_contains(words, b.toLowerCase))

@@ -39,15 +39,27 @@ object Pack {
   def packSummary(
       df: DataFrame, textCol: String, idCol: String,
       budget: Long = 512L, nShards: Int = 8,
-      tokensOf: Column => Column = whitespaceTokens): DataFrame = {
-    val perDoc = assignPacks(df, textCol, idCol, budget, nShards, tokensOf)
+      tokensOf: Column => Column = whitespaceTokens): DataFrame =
+    summarize(assignPacks(df, textCol, idCol, budget, nShards, tokensOf),
+      idCol = "id")
+
+  /** [[packSummary]] from an ALREADY-COMPUTED token-count column (the
+    * [[assignPacksOn]] counterpart) — for callers whose per-doc token
+    * counts exist upstream (e.g. a budget-selected frame) and must
+    * not be re-tokenized. */
+  def packSummaryOn(df: DataFrame, idCol: String, toks: Column,
+      budget: Long, nShards: Int): DataFrame =
+    summarize(assignPacksOn(df, idCol, toks, budget, nShards), idCol)
+
+  /** The manifest shape, defined once: (shard, pack_id) with doc
+    * count, token total, and the first doc in layout order. */
+  private def summarize(perDoc: DataFrame, idCol: String): DataFrame =
     perDoc.groupBy(col("shard"), col("pack_id"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("toks")).as("pack_tokens"),
-        min(col("id")).as("first_doc"))
+        min(col(idCol)).as("first_doc"))
       .orderBy(col("shard"), col("pack_id"))
-  }
 
   /** Per-doc pack assignment: (id, toks, shard, pack_id). */
   def assignPacks(

@@ -367,20 +367,38 @@ object CurationQueries extends graft.QueryModule {
     Pack.packSummary(Tables.documents(s, dir),
       textCol = "text", idCol = "doc_id", budget = 512L, nShards = 8)
 
-  private def packSql(toksExpr: String, budget: Long = 512L): String =
-    s"""WITH d AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS k,
-       |    $toksExpr AS toks FROM documents),
-       |s AS (SELECT *,
-       |    CAST('0x' || substr(k, 1, 7) AS BIGINT) % 8 AS shard FROM d),
-       |e AS (SELECT *, COALESCE(CAST(sum(toks) OVER (
+  /** Pack-layout CTE chain (cross-engine twin of
+    * [[Pack.assignPacksOn]]): from a CTE `src` with (doc_id, toks) to
+    * `pkp` — per doc its md5 layout key, shard, exclusive prefix sum,
+    * and pack_id. The sharding/ordering/binning arithmetic lives
+    * HERE, once (also replayed by
+    * [[SelectionQueries.qSelectionE2eSql]]). */
+  private[queries] def packLayoutCtes(
+      src: String, budget: Long = 512L): String =
+    s"""pk AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS k, toks
+       |    FROM $src),
+       |pks AS (SELECT *,
+       |    CAST('0x' || substr(k, 1, 7) AS BIGINT) % 8 AS shard FROM pk),
+       |pke AS (SELECT *, COALESCE(CAST(sum(toks) OVER (
        |    PARTITION BY shard ORDER BY k, doc_id
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
-       |    0) AS excl FROM s),
-       |p AS (SELECT *, CAST(floor(excl / $budget) AS BIGINT) AS pack_id FROM e)
-       |SELECT shard, pack_id, CAST(count(*) AS BIGINT) AS n_docs,
-       |  CAST(sum(toks) AS BIGINT) AS pack_tokens, min(doc_id) AS first_doc
-       |FROM p GROUP BY shard, pack_id
-       |ORDER BY shard, pack_id""".stripMargin
+       |    0) AS excl FROM pks),
+       |pkp AS (SELECT *,
+       |    CAST(floor(excl / $budget) AS BIGINT) AS pack_id FROM pke)"""
+      .stripMargin
+
+  /** The pack-manifest SELECT over [[packLayoutCtes]]'s `pkp` (the
+    * [[Pack.packSummary]] output shape). */
+  private[queries] val packManifestSql: String =
+    """SELECT shard, pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(toks) AS BIGINT) AS pack_tokens, min(doc_id) AS first_doc
+      |FROM pkp GROUP BY shard, pack_id
+      |ORDER BY shard, pack_id""".stripMargin
+
+  private def packSql(toksExpr: String, budget: Long = 512L): String =
+    s"""WITH d AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+       |${packLayoutCtes("d", budget)}
+       |$packManifestSql""".stripMargin
 
   val qPackSql: String =
     packSql("CAST(len(str_split(text, ' ')) AS BIGINT)")

@@ -95,8 +95,13 @@ object SelectionQueries extends graft.QueryModule {
     * window). Output is 5 rows. */
   def qFilterFunnel(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val rep = TextAnalysis.repetitionReport(docs, "text", "doc_id",
-        flagAt = 0.1)
+    // the repetitive flag is only consumed by rows that already pass
+    // the cheap per-row lang gate (f3 = f2 * ...), so the expensive
+    // bigram explode+aggregate runs over the English subset only —
+    // absent ids left-join to null and coalesce to 0, which f2 = 0
+    // zeroes out anyway
+    val rep = TextAnalysis.repetitionReport(
+        docs.filter(col("lang") === "en"), "text", "doc_id", flagAt = 0.1)
       .select(col("id"), col("repetitive"))
     // the Gopher gate is a per-row expression — inlined into the one
     // corpus pass, never joined back on id
@@ -138,12 +143,17 @@ object SelectionQueries extends graft.QueryModule {
       .orderBy(col("stage_idx"))
   }
 
-  val qFilterFunnelSql: String = {
-    val keep = gopherFlagsSql(minStop = 1)
-      .map { case (_, e) => s"($e)" }.mkString(" AND ")
-    s"""WITH ${gopherCtes("")},
-      |gk AS (SELECT doc_id, CAST($keep AS BIGINT) AS gopher FROM gm),
-      |rt AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+  /** Per-doc repetitive-flag CTE chain (cross-engine twin of
+    * [[TextAnalysis.repetitionReport]]'s flag at 0.1): from
+    * `documents` to `rtop` (doc_id, repetitive). The flag threshold
+    * and top-bigram fold live HERE, once (shared by
+    * [[qFilterFunnelSql]] and [[qSelectionE2eSql]]). The oracle
+    * computes the flag for EVERY doc where the Spark entries restrict
+    * the aggregate to the English subset — sound because both only
+    * consume the flag behind the lang gate (absent ids coalesce
+    * to 0). */
+  private val repetitionCtes: String =
+    """rt AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
       |rm AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_tokens
       |      FROM rt WHERE len(w) >= 2),
       |rbi AS (SELECT doc_id, n_tokens, w[i] || ' ' || w[i+1] AS g
@@ -153,7 +163,14 @@ object SelectionQueries extends graft.QueryModule {
       |rtop AS (SELECT doc_id,
       |          CAST(max(n) / (any_value(n_tokens) - 1) >= 0.1 AS BIGINT)
       |            AS repetitive
-      |        FROM rcnt GROUP BY doc_id),
+      |        FROM rcnt GROUP BY doc_id)""".stripMargin
+
+  val qFilterFunnelSql: String = {
+    val keep = gopherFlagsSql(minStop = 1)
+      .map { case (_, e) => s"($e)" }.mkString(" AND ")
+    s"""WITH ${gopherCtes("")},
+      |gk AS (SELECT doc_id, CAST($keep AS BIGINT) AS gopher FROM gm),
+      |$repetitionCtes,
       |f AS (SELECT d.doc_id AS id, md5(d.text) AS fp,
       |    CAST(len(str_split(d.text, ' ')) AS BIGINT) AS n_words,
       |    CAST(d.lang = 'en' AS BIGINT) AS f1,
@@ -194,7 +211,9 @@ object SelectionQueries extends graft.QueryModule {
       TextAnalysis.stopwordHits(split(col("text"), " "), stops).as("hits"))
       .withColumn("score", expr("hits * 1000000 DIV n_tokens"))
       .scopedCache()
-    val budget = base.agg(sum(col("n_tokens"))).head().getLong(0) / 2
+    // coalesce: never NPE on an empty frame's NULL sum
+    val budget = base
+      .agg(coalesce(sum(col("n_tokens")), lit(0L))).head().getLong(0) / 2
     Budget.select(base, "id", "score", "n_tokens", budget)
       .select(col("id").as("doc_id"), col("score").as("score_ppm"),
         col("n_tokens"), col("keep"))
@@ -234,15 +253,16 @@ object SelectionQueries extends graft.QueryModule {
 
   val qC4FilterSql: String =
     """WITH t AS (SELECT doc_id, text, lower(text) AS lt,
-      |    list_transform(str_split(text, chr(10)), x -> trim(x)) AS ls
+      |    list_transform(str_split(text, chr(10)),
+      |      x -> trim(x, ' ' || chr(13))) AS ls
       |  FROM documents),
       |k AS (SELECT doc_id, text, lt,
       |    CAST(len(ls) AS BIGINT) AS n_lines,
       |    list_filter(ls, x -> regexp_matches(x, '[.!?"]$')
       |      AND len(str_split(x, ' ')) >= 3
       |      AND NOT contains(lower(x), 'javascript')) AS kl,
-      |    CAST(list_contains(str_split_regex(lt, '[ \n]'), 'nsfw')
-      |      OR list_contains(str_split_regex(lt, '[ \n]'), 'explicit')
+      |    CAST(list_contains(str_split_regex(lt, '[ \n\r]'), 'nsfw')
+      |      OR list_contains(str_split_regex(lt, '[ \n\r]'), 'explicit')
       |      AS BIGINT) AS has_badword
       |  FROM t)
       |SELECT doc_id,
@@ -268,8 +288,10 @@ object SelectionQueries extends graft.QueryModule {
     * stages). */
   def qSelectionE2e(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val rep = TextAnalysis.repetitionReport(docs, "text", "doc_id",
-        flagAt = 0.1)
+    // bigram aggregate over the English subset only (the flag is
+    // consumed behind the lang filter; see qFilterFunnel)
+    val rep = TextAnalysis.repetitionReport(
+        docs.filter(col("lang") === "en"), "text", "doc_id", flagAt = 0.1)
       .select(col("id"), col("repetitive"))
     val stops = TextAnalysis.langStopwords.head._2
     // Gopher gate inlined (per-row expression), not joined
@@ -284,16 +306,14 @@ object SelectionQueries extends graft.QueryModule {
         coalesce(col("repetitive"), lit(0L)) === 0)
       .withColumn("score", expr("hits * 1000000 DIV n_tokens"))
       .scopedCache()
-    val budget = eligible.agg(sum(col("n_tokens"))).head().getLong(0) / 2
+    // coalesce: an empty eligible set must yield budget 0 (and an
+    // empty layout), not a driver-side NPE on the NULL aggregate
+    val budget = eligible
+      .agg(coalesce(sum(col("n_tokens")), lit(0L))).head().getLong(0) / 2
     val selected = Budget.select(eligible, "id", "score", "n_tokens", budget)
       .filter(col("keep") === 1)
-    Pack.assignPacksOn(selected.select(col("id"), col("n_tokens")),
-        "id", col("n_tokens"), budget = 512L, nShards = 8)
-      .groupBy(col("shard"), col("pack_id"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("toks")).as("pack_tokens"),
-        min(col("id")).as("first_doc"))
-      .orderBy(col("shard"), col("pack_id"))
+    Pack.packSummaryOn(selected.select(col("id"), col("n_tokens")),
+      "id", col("n_tokens"), budget = 512L, nShards = 8)
   }
 
   val qSelectionE2eSql: String = {
@@ -301,17 +321,7 @@ object SelectionQueries extends graft.QueryModule {
       .map { case (_, e) => s"($e)" }.mkString(" AND ")
     s"""WITH ${gopherCtes("")},
       |gk AS (SELECT doc_id, CAST($keep AS BIGINT) AS gopher FROM gm),
-      |rt AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
-      |rm AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_tokens
-      |      FROM rt WHERE len(w) >= 2),
-      |rbi AS (SELECT doc_id, n_tokens, w[i] || ' ' || w[i+1] AS g
-      |       FROM rm, UNNEST(generate_series(1, len(w)-1)) AS u(i)),
-      |rcnt AS (SELECT doc_id, n_tokens, g, CAST(count(*) AS BIGINT) AS n
-      |        FROM rbi GROUP BY doc_id, n_tokens, g),
-      |rtop AS (SELECT doc_id,
-      |          CAST(max(n) / (any_value(n_tokens) - 1) >= 0.1 AS BIGINT)
-      |            AS repetitive
-      |        FROM rcnt GROUP BY doc_id),
+      |$repetitionCtes,
       |el AS (SELECT d.doc_id, CAST(len(str_split(d.text, ' ')) AS BIGINT)
       |      AS n_tokens,
       |    CAST(len(list_filter(str_split(d.text, ' '),
@@ -330,21 +340,10 @@ object SelectionQueries extends graft.QueryModule {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
       |      AS cum_excl
       |  FROM sc),
-      |sel AS (SELECT doc_id, n_tokens FROM r CROSS JOIN b
+      |sel AS (SELECT doc_id, n_tokens AS toks FROM r CROSS JOIN b
       |  WHERE cum_excl < b.budget),
-      |pd AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS k,
-      |    n_tokens AS toks FROM sel),
-      |ps AS (SELECT *,
-      |    CAST('0x' || substr(k, 1, 7) AS BIGINT) % 8 AS shard FROM pd),
-      |pe AS (SELECT *, COALESCE(CAST(sum(toks) OVER (
-      |    PARTITION BY shard ORDER BY k, doc_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
-      |    0) AS excl FROM ps),
-      |pp AS (SELECT *, CAST(floor(excl / 512) AS BIGINT) AS pack_id FROM pe)
-      |SELECT shard, pack_id, CAST(count(*) AS BIGINT) AS n_docs,
-      |  CAST(sum(toks) AS BIGINT) AS pack_tokens, min(doc_id) AS first_doc
-      |FROM pp GROUP BY shard, pack_id
-      |ORDER BY shard, pack_id""".stripMargin
+      |${CurationQueries.packLayoutCtes("sel")}
+      |${CurationQueries.packManifestSql}""".stripMargin
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -110,6 +110,17 @@ class SelectionSpec extends SparkSpec {
       rep(6L).getAs[Long]("keep") == 0L)
   }
 
+  test("c4 handles CRLF line endings (\\r trimmed before the $ anchor)") {
+    val crlf = (1 to 5).map(i => s"a good crlf sentence number $i.")
+      .mkString("\r\n")
+    val r = graft.ops.C4Filter.report(
+      Seq(1L -> crlf).toDF("doc_id", "text"), "text", "doc_id")
+      .collect().head
+    assert(r.getAs[Long]("n_kept_lines") == 5L)
+    assert(r.getAs[Long]("keep") == 1L)
+    assert(!r.getAs[String]("clean_text").contains("\r"))
+  }
+
   test("filter funnel stages are monotone and consistent at sf0.001") {
     val rows = queries.SelectionQueries.qFilterFunnel(spark, sf).collect()
     assert(rows.length == 5)
