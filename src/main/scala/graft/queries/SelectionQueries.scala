@@ -93,55 +93,9 @@ object SelectionQueries extends graft.QueryModule {
     * re-filtered per stage. The dedup stage ranks within
     * `md5(text)` groups over stage-3 survivors only (partition-local
     * window). Output is 5 rows. */
-  def qFilterFunnel(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    // the repetitive flag is only consumed by rows that already pass
-    // the cheap per-row lang gate (f3 = f2 * ...), so the expensive
-    // bigram explode+aggregate runs over the English subset only —
-    // absent ids left-join to null and coalesce to 0, which f2 = 0
-    // zeroes out anyway
-    val rep = TextAnalysis.repetitionReport(
-        docs.filter(col("lang") === "en"), "text", "doc_id", flagAt = 0.1)
-      .select(col("id"), col("repetitive"))
-    // the Gopher gate is a per-row expression — inlined into the one
-    // corpus pass, never joined back on id
-    val flags = docs
-      .select(col("doc_id").as("id"), col("lang"),
-        md5(col("text")).as("fp"),
-        size(split(col("text"), " ")).cast("long").as("n_words"),
-        GopherQuality.keepColumn(col("text"), minStopwords = 1)
-          .as("gopher"))
-      .join(rep, Seq("id"), "left")
-      .withColumn("f1", (col("lang") === "en").cast("long"))
-      .withColumn("f2", col("f1") * col("gopher"))
-      .withColumn("f3",
-        col("f2") * (lit(1L) - coalesce(col("repetitive"), lit(0L))))
-      .scopedCache()
-    val surv = flags.filter(col("f3") === 1)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("fp")).orderBy(col("id"))))
-      .filter(col("rn") === 1)
-    def zero(c: org.apache.spark.sql.Column) = coalesce(c, lit(0L))
-    val a = flags.agg(
-      count(lit(1)).as("d0"), zero(sum(col("n_words"))).as("t0"),
-      zero(sum(col("f1"))).as("d1"),
-      zero(sum(col("f1") * col("n_words"))).as("t1"),
-      zero(sum(col("f2"))).as("d2"),
-      zero(sum(col("f2") * col("n_words"))).as("t2"),
-      zero(sum(col("f3"))).as("d3"),
-      zero(sum(col("f3") * col("n_words"))).as("t3"))
-    val a4 = surv.agg(
-      count(lit(1)).as("d4"), zero(sum(col("n_words"))).as("t4"))
-    a.crossJoin(a4).selectExpr(
-      """stack(5,
-        |  CAST(0 AS BIGINT), 'total', d0, t0,
-        |  CAST(1 AS BIGINT), 'lang_en', d1, t1,
-        |  CAST(2 AS BIGINT), 'gopher', d2, t2,
-        |  CAST(3 AS BIGINT), 'non_repetitive', d3, t3,
-        |  CAST(4 AS BIGINT), 'unique', d4, t4)
-        |AS (stage_idx, stage, n_docs, n_tokens)""".stripMargin)
-      .orderBy(col("stage_idx"))
-  }
+  def qFilterFunnel(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.report(Tables.documents(s, dir),
+      textCol = "text", idCol = "doc_id", langCol = "lang")
 
   /** Per-doc repetitive-flag CTE chain (cross-engine twin of
     * [[TextAnalysis.repetitionReport]]'s flag at 0.1): from

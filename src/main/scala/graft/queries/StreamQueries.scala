@@ -133,13 +133,35 @@ object StreamQueries extends graft.QueryModule {
       .orderBy(col("user_id"), col("session_idx"))
   }
 
+  /** The continuous-ingest filter funnel
+    * ([[graft.streaming.FunnelStream]]) driven as a real stream over
+    * the documents table (one AvailableNow batch here; the per-batch
+    * accumulation contract is pinned by `FunnelStreamSpec`). The
+    * oracle is the BATCH funnel statement — the drain must reproduce
+    * it exactly, batch column included. */
+  def qFunnelStream(s: SparkSession, dir: String): DataFrame = {
+    val tmp = scratch(s, "funnel")
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .parquet(s"$dir/documents*.parquet")
+    graft.streaming.FunnelStream.runFunnel(s, stream, "text", "doc_id",
+      "lang", s"$tmp/index", s"$tmp/funnel", s"$tmp/ckpt")
+  }
+
+  val qFunnelStreamSql: String =
+    s"""SELECT CAST(0 AS BIGINT) AS batch, f.* FROM (
+       |${SelectionQueries.qFilterFunnelSql}
+       |) f""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_window" -> (qStreamWindow _),
     "q_sessionize" -> (qSessionize _),
-    "q_sessionize_stream" -> (qSessionizeStream _))
+    "q_sessionize_stream" -> (qSessionizeStream _),
+    "q_funnel_stream" -> (qFunnelStream _))
 
   def oracleSql: Map[String, String] = Map(
     "q_stream_window" -> qStreamWindowSql,
     "q_sessionize" -> qSessionizeSql,
-    "q_sessionize_stream" -> qSessionizeSql)
+    "q_sessionize_stream" -> qSessionizeSql,
+    "q_funnel_stream" -> qFunnelStreamSql)
 }

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.types._
+import graft.streaming.{EventStream, FunnelStream}
+
+class FunnelStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** A doc that passes every gate: en, 61 words, "the" stopword,
+    * letter-digit words (mean len in range), all bigrams distinct. */
+  private def good(seed: Int): String =
+    "the " + (1 to 60).map(i => s"w${seed}x$i").mkString(" ")
+  /** Passes Gopher but trips the repetition flag (top bigram share
+    * 0.5 over 61 words). */
+  private def repetitive: String =
+    "the " + Seq.fill(30)("abcd efgh").mkString(" ")
+
+  private def drain(batches: Seq[Seq[(Long, String, String)]])
+      : (String, org.apache.spark.sql.DataFrame) = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_funstream").toString
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("doc_id", "text", "lang").coalesce(1)
+        .write.parquet(s"$tmp/in/b$i.parquet")
+    }
+    EventStream.orderLanding(spark, s"$tmp/in/*.parquet", byName = true)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/in/*.parquet")
+    (tmp, FunnelStream.runFunnel(spark, stream, "text", "doc_id", "lang",
+      s"$tmp/index", s"$tmp/funnel", s"$tmp/ckpt"))
+  }
+
+  // b0: two good docs + one German; b1: a cross-batch duplicate of
+  // doc 1, an intra-batch duplicate pair, a repetitive doc; b2:
+  // another copy of the batch-1 duplicate pair's text + a short doc
+  private val batches = Seq(
+    Seq((1L, good(1), "en"), (2L, good(2), "en"), (3L, good(3), "de")),
+    Seq((4L, good(1), "en"), (5L, good(4), "en"), (6L, good(4), "en"),
+      (7L, repetitive, "en")),
+    Seq((8L, good(4), "en"), (9L, "the short one", "en")))
+
+  test("streamed funnel log sums to the batch funnel of the whole corpus") {
+    val (_, log) = drain(batches)
+    val streamed = log.collect().map(r =>
+      (r.getAs[Long]("batch"), r.getAs[Long]("stage_idx")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toMap
+    assert(streamed.keys.map(_._1).toSet == Set(0L, 1L, 2L))
+    // per-stage cumulative sums == the batch twin over the union
+    val want = graft.ops.Funnel.report(
+      batches.flatten.toDF("doc_id", "text", "lang"),
+      "text", "doc_id", "lang").collect().map(r =>
+      r.getAs[Long]("stage_idx") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toMap
+    (0L to 4L).foreach { st =>
+      val d = (0L to 2L).map(b => streamed((b, st))._1).sum
+      val t = (0L to 2L).map(b => streamed((b, st))._2).sum
+      assert((d, t) == want(st), s"stage $st: streamed ($d,$t) != $want")
+    }
+    // spot-check the dedup stage per batch: batch 1's unique = doc 5
+    // (4 is a cross-batch dup of 1, 6 an intra-batch dup of 5, 7
+    // repetitive); batch 2's unique is empty (8 dups 5's text, 9 is
+    // too short for Gopher)
+    assert(streamed((1L, 4L))._1 == 1L)
+    assert(streamed((2L, 4L))._1 == 0L)
+  }
+
+  test("funnel cycle is idempotent under at-least-once redelivery") {
+    val (tmp, log) = drain(batches)
+    val before = log.collect().toSeq
+    // redeliver a committed batch id: the marker short-circuits
+    FunnelStream.funnelBatch(spark,
+      batches(1).toDF("doc_id", "text", "lang"), "text", "doc_id", "lang",
+      s"$tmp/index", s"$tmp/funnel", 1L)
+    val after = spark.read.option("basePath", s"$tmp/funnel")
+      .parquet(s"$tmp/funnel")
+      .withColumn("batch", org.apache.spark.sql.functions.col("batch")
+        .cast("long"))
+      .orderBy("batch", "stage_idx").collect().toSeq
+    assert(after == before)
+  }
+}
