@@ -67,6 +67,32 @@ class FunnelStreamSpec extends SparkSpec {
     assert(streamed((2L, 4L))._1 == 0L)
   }
 
+  test("a half-written batch (index landed, funnel marker missing) replays cleanly") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_funhalf").toString
+    def run(b: Int): Unit = FunnelStream.funnelBatch(spark,
+      batches(b).toDF("doc_id", "text", "lang"), "text", "doc_id", "lang",
+      s"$tmp/index", s"$tmp/funnel", b.toLong)
+    run(0)
+    // simulate a crash between the index write and the funnel commit:
+    // batch 1's index partition exists, its funnel marker does not
+    graft.ops.Funnel.flags(batches(1).toDF("doc_id", "text", "lang"),
+        "text", "doc_id", "lang")
+      .filter(org.apache.spark.sql.functions.col("f3") === 1)
+      .select("fp").limit(1)
+      .write.mode("overwrite").parquet(s"$tmp/index/batch=1")
+    run(1) // redelivery must overwrite the partial index, not read it
+    run(2)
+    val log = spark.read.option("basePath", s"$tmp/funnel")
+      .parquet(s"$tmp/funnel")
+    // totals must equal the clean 3-batch drain: the partial batch-1
+    // index rows were invisible (batch < batchId) and overwritten
+    val uniqueDocs = log.filter(org.apache.spark.sql.functions
+        .col("stage_idx") === 4)
+      .agg(org.apache.spark.sql.functions.sum("n_docs"))
+      .head().getLong(0)
+    assert(uniqueDocs == 3L) // good(1), good(2), good(4)
+  }
+
   test("funnel cycle is idempotent under at-least-once redelivery") {
     val (tmp, log) = drain(batches)
     val before = log.collect().toSeq

@@ -409,3 +409,33 @@ object ComponentsProps extends SparkProperties("components") {
       got == brute(n, es)
     }
 }
+
+object BudgetProps extends SparkProperties("budget") {
+  import spark.implicits._
+
+  private val genDocs: Gen[(List[(Long, Long, Long)], Long)] = for {
+    n <- Gen.choose(1, 40)
+    rows <- Gen.listOfN(n, for {
+      score <- Gen.choose(0L, 4L) // few strata: cutoff lands mid-stratum often
+      toks <- Gen.choose(1L, 9L)
+    } yield (score, toks))
+    budget <- Gen.choose(0L, 200L)
+  } yield (rows.zipWithIndex.map { case ((s, t), i) => (i.toLong, s, t) },
+    budget)
+
+  property("stratum plan == global-window brute force") =
+    Prop.forAll(genDocs) { case (docs, budget) =>
+      val got = graft.ops.Budget.select(
+        docs.toDF("id", "score", "n_tokens"), "id", "score", "n_tokens",
+        budget).collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[Long]("keep")).toMap
+      var cum = 0L
+      val want = docs.sortBy { case (id, s, _) => (-s, id) }.map {
+        case (id, _, t) =>
+          val keep = if (cum < budget) 1L else 0L
+          cum += t
+          id -> keep
+      }.toMap
+      got == want
+    }
+}
