@@ -100,6 +100,34 @@ object Dedup {
     hashed.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Auto-tune the (bands, rows-per-band) split of a k-slot MinHash
+    * signature for a target Jaccard threshold: the probability a pair
+    * at similarity s becomes a candidate follows the S-curve
+    * 1 − (1 − s^r)^b, so the cost-balanced choice maximizes the
+    * curve's discrimination AT the threshold — below it candidates
+    * are wasted verify work, above it misses are lost recall.
+    * Evaluated exactly over every divisor split of k: pick the split
+    * minimizing `fnWeight · miss(t+margin) + fp(t−margin)` (miss and
+    * false-positive rates at similarity margins around t, both from
+    * the closed form). `fnWeight > 1` mirrors production reality —
+    * losing a true near-dup costs more than verifying a false
+    * candidate. Driver-side arithmetic over ≤ d(k) splits; feed the
+    * result to [[lshBands]] as `bandSize = k / bands`. */
+  def tuneBands(k: Int, threshold: Double, margin: Double = 0.1,
+      fnWeight: Double = 3.0): (Int, Int) = {
+    require(k > 0 && threshold > 0 && threshold < 1,
+      s"need k > 0 and threshold in (0,1): k=$k t=$threshold")
+    def curve(s: Double, b: Int, r: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(s, r), b)
+    val splits = (1 to k).filter(k % _ == 0)
+      .map(b => (b, k / b)) // (bands, rowsPerBand)
+    val sHi = math.min(threshold + margin, 0.999)
+    val sLo = math.max(threshold - margin, 0.001)
+    splits.minBy { case (b, r) =>
+      fnWeight * (1.0 - curve(sHi, b, r)) + curve(sLo, b, r)
+    }
+  }
+
   /** LSH banding: signature -> (band, band-hash) rows. Docs sharing
     * any band-hash are near-dup candidates. Band hash = 60-bit md5 of
     * the comma-joined slot minima (cross-engine replayable). */

@@ -186,6 +186,25 @@ class DedupSpec extends SparkSpec {
     assert(banded(0).getLong(0) === 1L && banded(0).getLong(1) === 2L)
     assert(banded(0).getLong(2) === 8L)
   }
+
+  test("tuneBands: optimum beats neighboring splits on the S-curve loss") {
+    val k = 64
+    val t = 0.5
+    def loss(b: Int, r: Int): Double = {
+      def curve(s: Double) = 1.0 - math.pow(1.0 - math.pow(s, r), b)
+      3.0 * (1.0 - curve(0.6)) + curve(0.4)
+    }
+    val (b, r) = graft.ops.Dedup.tuneBands(k, t)
+    assert(b * r == k)
+    (1 to k).filter(k % _ == 0).foreach { b2 =>
+      assert(loss(b, r) <= loss(b2, k / b2) + 1e-12, s"split ($b2,${k / b2}) beats ($b,$r)")
+    }
+    // a high threshold wants wider bands (fewer, longer rows); a low
+    // threshold wants narrower ones
+    val (_, rHi) = graft.ops.Dedup.tuneBands(k, 0.9)
+    val (_, rLo) = graft.ops.Dedup.tuneBands(k, 0.2)
+    assert(rHi > r && rLo < r, s"monotonicity: rLo=$rLo r=$r rHi=$rHi")
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
