@@ -300,17 +300,57 @@ object SelectionQueries extends graft.QueryModule {
       |${CurationQueries.packManifestSql}""".stripMargin
   }
 
+  /** Release-to-release corpus diff ([[CorpusDiff.report]]) between
+    * two synthetic snapshots of the documents table: the previous
+    * release lacks every 13th doc (those are "added" now), the
+    * current release drops every 19th ("removed") and rewrites every
+    * 17th ("changed" — one appended token, so the token delta is
+    * visible per source). */
+  def qCorpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val prev = docs.filter(pmod(col("doc_id"), lit(13)) =!= 0)
+    val cur = docs.filter(pmod(col("doc_id"), lit(19)) =!= 0)
+      .withColumn("text", when(pmod(col("doc_id"), lit(17)) === 0,
+        concat(col("text"), lit(" revised"))).otherwise(col("text")))
+    graft.ops.CorpusDiff.report(prev, cur, "text", "doc_id", "source")
+  }
+
+  val qCorpusDiffSql: String =
+    """WITH p AS (SELECT doc_id, source, md5(text) AS fp,
+      |    CAST(len(str_split(text, ' ')) AS BIGINT) AS toks
+      |  FROM documents WHERE doc_id % 13 <> 0),
+      |c0 AS (SELECT doc_id, source,
+      |    CASE WHEN doc_id % 17 = 0 THEN text || ' revised' ELSE text END
+      |      AS text
+      |  FROM documents WHERE doc_id % 19 <> 0),
+      |c AS (SELECT doc_id, source, md5(text) AS fp,
+      |    CAST(len(str_split(text, ' ')) AS BIGINT) AS toks FROM c0),
+      |j AS (SELECT COALESCE(c.source, p.source) AS source,
+      |    COALESCE(p.toks, 0) AS tp, COALESCE(c.toks, 0) AS tc,
+      |    CASE WHEN p.fp IS NULL THEN 'added'
+      |         WHEN c.fp IS NULL THEN 'removed'
+      |         WHEN p.fp = c.fp THEN 'unchanged'
+      |         ELSE 'changed' END AS status
+      |  FROM p FULL OUTER JOIN c ON p.doc_id = c.doc_id)
+      |SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(tp) AS BIGINT) AS tokens_prev,
+      |  CAST(sum(tc) AS BIGINT) AS tokens_cur,
+      |  CAST(sum(tc) - sum(tp) AS BIGINT) AS token_delta
+      |FROM j GROUP BY source, status ORDER BY source, status""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gopher_quality" -> (qGopherQuality _),
     "q_filter_funnel" -> (qFilterFunnel _),
     "q_budget_select" -> (qBudgetSelect _),
     "q_c4_filter" -> (qC4Filter _),
-    "q_selection_e2e" -> (qSelectionE2e _))
+    "q_selection_e2e" -> (qSelectionE2e _),
+    "q_corpus_diff" -> (qCorpusDiff _))
 
   def oracleSql: Map[String, String] = Map(
     "q_gopher_quality" -> qGopherQualitySql,
     "q_filter_funnel" -> qFilterFunnelSql,
     "q_budget_select" -> qBudgetSelectSql,
     "q_c4_filter" -> qC4FilterSql,
-    "q_selection_e2e" -> qSelectionE2eSql)
+    "q_selection_e2e" -> qSelectionE2eSql,
+    "q_corpus_diff" -> qCorpusDiffSql)
 }

@@ -121,6 +121,28 @@ class SelectionSpec extends SparkSpec {
     assert(!r.getAs[String]("clean_text").contains("\r"))
   }
 
+  test("corpus diff classifies added/removed/changed/unchanged and follows source moves") {
+    val prev = Seq(
+      (1L, "a b c", "web"), (2L, "d e f", "web"),
+      (3L, "g h i", "books"), (4L, "j k l", "web"))
+      .toDF("doc_id", "text", "source")
+    val cur = Seq(
+      (1L, "a b c", "web"), // unchanged
+      (2L, "d e f changed", "web"), // changed (+1 token)
+      (3L, "g h i", "web"), // unchanged text, MOVED books -> web
+      (5L, "m n", "books")) // added; 4 removed
+      .toDF("doc_id", "text", "source")
+    val rows = graft.ops.CorpusDiff.report(prev, cur, "text", "doc_id",
+        "source").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("status")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("token_delta"))).toMap
+    assert(rows(("web", "unchanged")) == (2L, 0L)) // doc 3 reported at cur source
+    assert(rows(("web", "changed")) == (1L, 1L))
+    assert(rows(("web", "removed")) == (1L, -3L))
+    assert(rows(("books", "added")) == (1L, 2L))
+    assert(rows.size == 4)
+  }
+
   test("filter funnel stages are monotone and consistent at sf0.001") {
     val rows = queries.SelectionQueries.qFilterFunnel(spark, sf).collect()
     assert(rows.length == 5)
