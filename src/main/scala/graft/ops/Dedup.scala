@@ -100,6 +100,26 @@ object Dedup {
     hashed.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** SOFT exact dedup: duplicate-aware sampling weights instead of
+    * removal. Every doc in an exact-duplicate cluster of size n gets
+    * `weight_ppm = 1e6 DIV n`, so the cluster contributes ~one
+    * expected copy under weighted sampling — the down-weighting
+    * alternative to a hard keep-list when duplicates carry signal
+    * (e.g. popularity) the trainer wants to preserve in expectation.
+    * The ppm weight plugs directly into [[Mix]]'s rate arithmetic.
+    *
+    * One groupBy on the md5 fingerprint + an equi-join back on it —
+    * the same shuffle budget as [[exactClusters]]; text never
+    * shuffles (only the 32-char fingerprint). */
+  def duplicateWeights(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val fps = df.select(col(idCol).as("id"), md5(col(textCol)).as("fp"))
+    val sizes = fps.groupBy(col("fp")).agg(count(lit(1)).as("n_copies"))
+    fps.join(sizes, Seq("fp"))
+      .withColumn("weight_ppm", expr("1000000 DIV n_copies"))
+      .select(col("id"), col("fp"), col("n_copies"), col("weight_ppm"))
+  }
+
   /** Auto-tune the (bands, rows-per-band) split of a k-slot MinHash
     * signature for a target Jaccard threshold: the probability a pair
     * at similarity s becomes a candidate follows the S-curve

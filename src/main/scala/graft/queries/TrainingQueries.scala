@@ -107,6 +107,21 @@ object TrainingQueries extends graft.QueryModule {
       |  CAST(min(doc_id) AS BIGINT) AS canonical_id
       |FROM documents GROUP BY md5(text) ORDER BY fp""".stripMargin
 
+  /** Soft exact dedup: per-doc duplicate-aware sampling weight
+    * (1e6 DIV cluster size, [[Dedup.duplicateWeights]]) — the
+    * down-weighting alternative to the hard keep-list. */
+  def qDedupWeights(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateWeights(Tables.documents(s, dir), "text", "doc_id")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
+  val qDedupWeightsSql: String =
+    """WITH f AS (SELECT doc_id, md5(text) AS fp FROM documents),
+      |s AS (SELECT fp, CAST(count(*) AS BIGINT) AS n_copies
+      |      FROM f GROUP BY fp)
+      |SELECT doc_id, fp, n_copies, 1000000 // n_copies AS weight_ppm
+      |FROM f JOIN s USING (fp) ORDER BY doc_id""".stripMargin
+
   /** Span-level exact-substring dedup report: 8-token sliding-window
     * hashes, duplicated-window stats, per-doc dup-ppm + keep flag —
     * the substring granularity doc-level dedup misses
@@ -1213,6 +1228,7 @@ object TrainingQueries extends graft.QueryModule {
     "q_langid" -> (qLangId _),
     "q_fingerprint" -> (qFingerprint _),
     "q_exact_dedup" -> (qExactDedup _),
+    "q_dedup_weights" -> (qDedupWeights _),
     "q_substring_dedup" -> (qSubstringDedup _),
     "q_substring_scrub" -> (qSubstringScrub _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
@@ -1248,6 +1264,7 @@ object TrainingQueries extends graft.QueryModule {
     "q_langid" -> qLangIdSql,
     "q_fingerprint" -> qFingerprintSql,
     "q_exact_dedup" -> qExactDedupSql,
+    "q_dedup_weights" -> qDedupWeightsSql,
     "q_substring_dedup" -> qSubstringDedupSql,
     "q_substring_scrub" -> qSubstringScrubSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
