@@ -53,7 +53,7 @@ object Pack {
 
   /** The manifest shape, defined once: (shard, pack_id) with doc
     * count, token total, and the first doc in layout order. */
-  private def summarize(perDoc: DataFrame, idCol: String): DataFrame =
+  private[graft] def summarize(perDoc: DataFrame, idCol: String): DataFrame =
     perDoc.groupBy(col("shard"), col("pack_id"))
       .agg(
         count(lit(1)).as("n_docs"),

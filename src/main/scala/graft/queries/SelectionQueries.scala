@@ -119,10 +119,15 @@ object SelectionQueries extends graft.QueryModule {
       |            AS repetitive
       |        FROM rcnt GROUP BY doc_id)""".stripMargin
 
-  val qFilterFunnelSql: String = {
+  /** The funnel's flag + survivor CTE chain (cross-engine twin of
+    * [[graft.ops.Funnel.flags]]/`uniqueWithin`): from `documents` to
+    * `f` (id, fp, n_words, f1..f3) and `surv` (stage-4 survivors) —
+    * shared by [[qFilterFunnelSql]] and the continuous-curation
+    * oracle ([[StreamQueries.qCurateStreamSql]]). */
+  private[queries] val funnelCtes: String = {
     val keep = gopherFlagsSql(minStop = 1)
       .map { case (_, e) => s"($e)" }.mkString(" AND ")
-    s"""WITH ${gopherCtes("")},
+    s"""${gopherCtes("")},
       |gk AS (SELECT doc_id, CAST($keep AS BIGINT) AS gopher FROM gm),
       |$repetitionCtes,
       |f AS (SELECT d.doc_id AS id, md5(d.text) AS fp,
@@ -137,7 +142,11 @@ object SelectionQueries extends graft.QueryModule {
       |surv AS (SELECT id, n_words FROM (
       |    SELECT id, n_words, row_number() OVER (
       |      PARTITION BY fp ORDER BY id) AS rn FROM f WHERE f3 = 1)
-      |  WHERE rn = 1)
+      |  WHERE rn = 1)""".stripMargin
+  }
+
+  val qFilterFunnelSql: String = {
+    s"""WITH $funnelCtes
       |SELECT CAST(0 AS BIGINT) AS stage_idx, 'total' AS stage,
       |  CAST(count(*) AS BIGINT) AS n_docs,
       |  CAST(COALESCE(sum(n_words), 0) AS BIGINT) AS n_tokens FROM f

@@ -153,15 +153,40 @@ object StreamQueries extends graft.QueryModule {
        |${SelectionQueries.qFilterFunnelSql}
        |) f""".stripMargin
 
+  /** Continuous curation ([[graft.streaming.CurationStream]]): gate →
+    * cross-batch dedup → per-batch packing, driven as a real stream
+    * (one AvailableNow batch here; multi-batch accumulation is pinned
+    * by `CurationStreamSpec`). The oracle replays the whole chain —
+    * funnel survivors into the pack layout — in one statement. */
+  def qCurateStream(s: SparkSession, dir: String): DataFrame = {
+    val tmp = scratch(s, "curate")
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .parquet(s"$dir/documents*.parquet")
+    graft.streaming.CurationStream.runCurate(s, stream, "text", "doc_id",
+      "lang", s"$tmp/index", s"$tmp/admitted", s"$tmp/manifest",
+      s"$tmp/ckpt")
+  }
+
+  val qCurateStreamSql: String =
+    s"""SELECT CAST(0 AS BIGINT) AS batch, m.* FROM (
+       |WITH ${SelectionQueries.funnelCtes},
+       |sel AS (SELECT id AS doc_id, n_words AS toks FROM surv),
+       |${CurationQueries.packLayoutCtes("sel")}
+       |${CurationQueries.packManifestSql}
+       |) m""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_window" -> (qStreamWindow _),
     "q_sessionize" -> (qSessionize _),
     "q_sessionize_stream" -> (qSessionizeStream _),
-    "q_funnel_stream" -> (qFunnelStream _))
+    "q_funnel_stream" -> (qFunnelStream _),
+    "q_curate_stream" -> (qCurateStream _))
 
   def oracleSql: Map[String, String] = Map(
     "q_stream_window" -> qStreamWindowSql,
     "q_sessionize" -> qSessionizeSql,
     "q_sessionize_stream" -> qSessionizeSql,
-    "q_funnel_stream" -> qFunnelStreamSql)
+    "q_funnel_stream" -> qFunnelStreamSql,
+    "q_curate_stream" -> qCurateStreamSql)
 }

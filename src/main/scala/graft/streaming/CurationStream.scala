@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import graft.ops.{Funnel, Pack}
+
+/** Continuous curation: the full gate-dedup-pack chain as ONE
+  * Structured-Streaming drain — arriving documents leave as
+  * loader-ready pack manifests. Each micro-batch:
+  *
+  *  1. funnel flags over itself ([[Funnel.flags]]: lang gate, Gopher
+  *     keep, repetition);
+  *  2. stage-4 survivors — first-wins within the batch, then a slim
+  *     anti-join against the standing fingerprint index (everything
+  *     admitted by earlier batches);
+  *  3. the admitted docs' context-pack layout WITHIN the batch
+  *     ([[Pack.assignPacksOn]], md5-deterministic) — packs never span
+  *     batches, so each batch's layout is final the moment it
+  *     commits, exactly what a training loader tailing the manifest
+  *     needs;
+  *  4. appends: `index/batch=N` (survivor fingerprints),
+  *     `admitted/batch=N` (per-doc pack assignment), and LAST the
+  *     per-pack `manifest/batch=N` — its `_SUCCESS` is the batch's
+  *     commit marker.
+  *
+  * Same idempotence contract as [[DedupStream]]/[[FunnelStream]]:
+  * overwrite-mode per-batch partitions, marker written last, standing
+  * reads at `batch < batchId` — a redelivered half-written batch
+  * replays cleanly and never dedups against its own first attempt.
+  */
+object CurationStream {
+
+  /** Drain `stream` through the curation chain with
+    * `Trigger.AvailableNow`, then return the accumulated pack
+    * manifest (batch, shard, pack_id, n_docs, pack_tokens,
+    * first_doc). */
+  def runCurate(
+      s: SparkSession, stream: DataFrame, textCol: String, idCol: String,
+      langCol: String, indexDir: String, admittedDir: String,
+      manifestDir: String, checkpointDir: String,
+      budget: Long = 512L, nShards: Int = 8): DataFrame = {
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        curateBatch(s, batch, textCol, idCol, langCol, indexDir,
+          admittedDir, manifestDir, batchId, budget, nShards)
+      }
+      .start()
+    q.awaitTermination()
+    val md = new Path(manifestDir)
+    val fs = md.getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(fs.exists(md), s"no manifest rows written under $manifestDir")
+    s.read.option("basePath", manifestDir).parquet(manifestDir)
+      .withColumn("batch", col("batch").cast("long"))
+      .orderBy(col("batch"), col("shard"), col("pack_id"))
+  }
+
+  /** One curation cycle — also directly usable by a batch caller.
+    * Idempotent per (dirs, batchId). */
+  def curateBatch(
+      s: SparkSession, batch: DataFrame, textCol: String, idCol: String,
+      langCol: String, indexDir: String, admittedDir: String,
+      manifestDir: String, batchId: Long, budget: Long,
+      nShards: Int): Unit =
+    graft.core.CacheScope.withScope {
+      val conf = s.sparkContext.hadoopConfiguration
+      val fs = new Path(indexDir).getFileSystem(conf)
+      val manifestBatchDir = s"$manifestDir/batch=$batchId"
+      if (fs.exists(new Path(s"$manifestBatchDir/_SUCCESS"))) return
+
+      val f = graft.core.CacheScope.cache(
+        Funnel.flags(batch, textCol, idCol, langCol))
+      val standing =
+        if (fs.exists(new Path(indexDir)))
+          s.read.option("basePath", indexDir).parquet(indexDir)
+            .filter(col("batch") < batchId)
+            .drop("batch")
+        else f.select(col("fp")).limit(0)
+      val surv = graft.core.CacheScope.cache(
+        Funnel.uniqueWithin(f).join(standing, Seq("fp"), "left_anti"))
+      val packed = graft.core.CacheScope.cache(
+        Pack.assignPacksOn(surv.select(col("id"), col("n_words")),
+          "id", col("n_words"), budget, nShards))
+      surv.select(col("fp"))
+        .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+      packed.select(col("id"), col("toks"), col("shard"), col("pack_id"))
+        .write.mode("overwrite").parquet(s"$admittedDir/batch=$batchId")
+      Pack.summarize(packed, "id")
+        .write.mode("overwrite").parquet(manifestBatchDir)
+    }
+}

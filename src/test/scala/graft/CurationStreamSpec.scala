@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+import graft.streaming.{CurationStream, EventStream}
+
+class CurationStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def good(seed: Int): String =
+    "the " + (1 to 60).map(i => s"w${seed}x$i").mkString(" ")
+  private def repetitive: String =
+    "the " + Seq.fill(30)("abcd efgh").mkString(" ")
+
+  // duplicates within and across batches, a non-en doc, a repetitive
+  // doc, a too-short doc — the same gauntlet as FunnelStreamSpec
+  private val batches = Seq(
+    Seq((1L, good(1), "en"), (2L, good(2), "en"), (3L, good(3), "de")),
+    Seq((4L, good(1), "en"), (5L, good(4), "en"), (6L, good(4), "en"),
+      (7L, repetitive, "en")),
+    Seq((8L, good(4), "en"), (9L, "the short one", "en")))
+
+  test("continuous curation: admitted set and pack mass equal the batch twin") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_curstream").toString
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("doc_id", "text", "lang").coalesce(1)
+        .write.parquet(s"$tmp/in/b$i.parquet")
+    }
+    EventStream.orderLanding(spark, s"$tmp/in/*.parquet", byName = true)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/in/*.parquet")
+    val manifest = CurationStream.runCurate(spark, stream,
+      "text", "doc_id", "lang", s"$tmp/index", s"$tmp/admitted",
+      s"$tmp/manifest", s"$tmp/ckpt", budget = 64L, nShards = 2)
+
+    // the batch twin: funnel survivors of the whole corpus
+    val union = batches.flatten.toDF("doc_id", "text", "lang")
+    val twinSurv = graft.ops.Funnel.uniqueWithin(
+        graft.ops.Funnel.flags(union, "text", "doc_id", "lang"))
+      .collect().map(r => r.getAs[Long]("id")).toSet
+    val admitted = spark.read.option("basePath", s"$tmp/admitted")
+      .parquet(s"$tmp/admitted")
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(admitted == twinSurv) // {1, 2, 5}: id-ordered arrival = min-id
+    // manifest mass = admitted docs' tokens (61 words each)
+    val mass = manifest.agg(org.apache.spark.sql.functions
+      .sum("pack_tokens")).head().getLong(0)
+    assert(mass == 61L * admitted.size)
+    // every manifest row's first_doc was admitted in ITS batch (packs
+    // never span batches)
+    val byBatch = spark.read.option("basePath", s"$tmp/admitted")
+      .parquet(s"$tmp/admitted")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("batch")).toMap
+    manifest.collect().foreach { r =>
+      assert(byBatch(r.getAs[Long]("first_doc")) ==
+        r.getAs[Long]("batch").toInt)
+    }
+
+    // redelivery of a committed batch is a no-op
+    val before = manifest.collect().toSeq
+    CurationStream.curateBatch(spark,
+      batches(1).toDF("doc_id", "text", "lang"), "text", "doc_id", "lang",
+      s"$tmp/index", s"$tmp/admitted", s"$tmp/manifest", 1L, 64L, 2)
+    val after = spark.read.option("basePath", s"$tmp/manifest")
+      .parquet(s"$tmp/manifest")
+      .withColumn("batch", col("batch").cast("long"))
+      .orderBy("batch", "shard", "pack_id").collect().toSeq
+    assert(after == before)
+  }
+}
