@@ -40,7 +40,9 @@ object CurationStream {
       s: SparkSession, stream: DataFrame, textCol: String, idCol: String,
       langCol: String, indexDir: String, admittedDir: String,
       manifestDir: String, checkpointDir: String,
-      budget: Long = 512L, nShards: Int = 8): DataFrame = {
+      budget: Long = 512L, nShards: Int = 8,
+      compactEvery: Option[Int] = None, keepRecent: Int = 2): DataFrame = {
+    compactEvery.foreach(n => require(n >= 1, "compactEvery must be >= 1"))
     val q = stream.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -48,6 +50,15 @@ object CurationStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         curateBatch(s, batch, textCol, idCol, langCol, indexDir,
           admittedDir, manifestDir, batchId, budget, nShards)
+        // only the INDEX compacts — admitted/manifest are the output,
+        // not state the loop re-reads (the DedupStream decision-log
+        // contract)
+        compactEvery.filter(n => (batchId + 1) % n == 0).foreach { _ =>
+          val fs = new Path(indexDir)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          IndexCompaction.compactCommitted(s, fs, new Path(manifestDir),
+            Seq(new Path(indexDir) -> Seq("fp")), keepRecent); ()
+        }
       }
       .start()
     q.awaitTermination()
@@ -69,6 +80,9 @@ object CurationStream {
     graft.core.CacheScope.withScope {
       val conf = s.sparkContext.hadoopConfiguration
       val fs = new Path(indexDir).getFileSystem(conf)
+      // roll a crashed index compaction forward before reading the
+      // standing side
+      IndexCompaction.recover(fs, new Path(indexDir))
       val manifestBatchDir = s"$manifestDir/batch=$batchId"
       if (fs.exists(new Path(s"$manifestBatchDir/_SUCCESS"))) return
 

@@ -178,78 +178,16 @@ object DedupStream {
     *
     * Returns the cutoff if any table was rewritten. */
   def compactIndex(s: SparkSession, indexDir: String, decisionsDir: String,
-      keepRecent: Int = 2): Option[Long] = {
-    require(keepRecent >= 0, "keepRecent must be >= 0")
-    val conf = s.sparkContext.hadoopConfiguration
-    val fs = new Path(indexDir).getFileSystem(conf)
-    val committed = batchIds(fs, new Path(decisionsDir))
-      .filter(b => fs.exists(new Path(s"$decisionsDir/batch=$b/_SUCCESS")))
-    if (committed.isEmpty) return None
-    val cutoff = committed.max - keepRecent
-    val did = Seq("bands" -> Seq("band", "bh"), "shingles" -> Seq("g"))
-      .map { case (t, clusterCols) =>
-        compactTable(s, fs, new Path(s"$indexDir/$t"), cutoff, clusterCols)
-      }
-    if (did.exists(identity)) Some(cutoff) else None
-  }
+      keepRecent: Int = 2): Option[Long] =
+    IndexCompaction.compactCommitted(s,
+      new Path(indexDir).getFileSystem(s.sparkContext.hadoopConfiguration),
+      new Path(decisionsDir),
+      Seq(new Path(s"$indexDir/bands") -> Seq("band", "bh"),
+        new Path(s"$indexDir/shingles") -> Seq("g")),
+      keepRecent)
 
-  private def batchIds(fs: org.apache.hadoop.fs.FileSystem,
-      dir: Path): Seq[Long] =
-    if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).toSeq.filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .filter(_.startsWith("batch="))
-      .map(_.stripPrefix("batch=").toLong)
-
-  private def stagePath(dir: Path, cutoff: Long): Path =
-    new Path(dir, s".compact_$cutoff")
-
-  /** Merge `batch <= cutoff` partitions of one table into
-    * `batch=cutoff`; true if a rewrite happened. */
-  private def compactTable(s: SparkSession,
-      fs: org.apache.hadoop.fs.FileSystem, dir: Path, cutoff: Long,
-      clusterCols: Seq[String]): Boolean = {
-    recoverCompaction(fs, dir)
-    val parts = batchIds(fs, dir).filter(_ <= cutoff)
-    if (parts.size < 2) return false // already compact (or empty)
-    val stage = stagePath(dir, cutoff)
-    fs.delete(stage, true) // a no-_SUCCESS leftover is garbage
-    val rows = s.read.option("basePath", dir.toString).parquet(dir.toString)
-      .filter(col("batch") <= cutoff)
-      .drop("batch")
-    rows.repartition(clusterCols.map(col): _*)
-      .sortWithinPartitions(clusterCols.map(col): _*)
-      .write.parquet(stage.toString) // committer writes _SUCCESS last
-    completeSwap(fs, dir, cutoff)
-    true
-  }
-
-  /** The swap half of compaction: drop source partitions, rename the
-    * stage in. Idempotent — every step checks before acting. */
-  private def completeSwap(fs: org.apache.hadoop.fs.FileSystem,
-      dir: Path, cutoff: Long): Unit = {
-    batchIds(fs, dir).filter(_ <= cutoff)
-      .foreach(b => fs.delete(new Path(dir, s"batch=$b"), true))
-    val stage = stagePath(dir, cutoff)
-    if (fs.exists(stage)) {
-      val ok = fs.rename(stage, new Path(dir, s"batch=$cutoff"))
-      require(ok, s"compaction swap failed renaming $stage")
-    }
-  }
-
-  /** Roll forward (or discard) a crashed compaction on one table dir:
-    * a stage with `_SUCCESS` holds every row of its source partitions
-    * — finish the swap; a stage without it is an aborted write —
-    * drop it. */
+  /** See [[IndexCompaction.recover]] (kept for the admission cycle's
+    * pre-read recovery call and existing callers). */
   private[graft] def recoverCompaction(fs: org.apache.hadoop.fs.FileSystem,
-      dir: Path): Unit = {
-    if (!fs.exists(dir)) return
-    fs.listStatus(dir).toSeq.filter(_.isDirectory).map(_.getPath)
-      .filter(_.getName.startsWith(".compact_"))
-      .foreach { stage =>
-        if (fs.exists(new Path(stage, "_SUCCESS")))
-          completeSwap(fs, dir, stage.getName.stripPrefix(".compact_").toLong)
-        else fs.delete(stage, true)
-      }
-  }
+      dir: Path): Unit = IndexCompaction.recover(fs, dir)
 }

@@ -43,7 +43,9 @@ object FunnelStream {
   def runFunnel(
       s: SparkSession, stream: DataFrame, textCol: String, idCol: String,
       langCol: String, indexDir: String, funnelDir: String,
-      checkpointDir: String): DataFrame = {
+      checkpointDir: String, compactEvery: Option[Int] = None,
+      keepRecent: Int = 2): DataFrame = {
+    compactEvery.foreach(n => require(n >= 1, "compactEvery must be >= 1"))
     val q = stream.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -51,6 +53,12 @@ object FunnelStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         funnelBatch(s, batch, textCol, idCol, langCol,
           indexDir, funnelDir, batchId)
+        compactEvery.filter(n => (batchId + 1) % n == 0).foreach { _ =>
+          val fs = new Path(indexDir)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          IndexCompaction.compactCommitted(s, fs, new Path(funnelDir),
+            Seq(new Path(indexDir) -> Seq("fp")), keepRecent); ()
+        }
       }
       .start()
     q.awaitTermination()
@@ -72,6 +80,9 @@ object FunnelStream {
     graft.core.CacheScope.withScope {
       val conf = s.sparkContext.hadoopConfiguration
       val fs = new Path(indexDir).getFileSystem(conf)
+      // roll a crashed index compaction forward before reading the
+      // standing side (same contract as DedupStream.admitBatch)
+      IndexCompaction.recover(fs, new Path(indexDir))
       val funnelBatchDir = s"$funnelDir/batch=$batchId"
       // commit marker: the funnel partition's _SUCCESS is written
       // LAST — present means this batch fully ran already

@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** Generic batch-partitioned-index compaction, shared by every
+  * streaming drain that appends `batch=N` partitions to a standing
+  * parquet table ([[DedupStream]]'s band/shingle index, the
+  * fingerprint indexes of [[FunnelStream]]/[[CurationStream]]).
+  * Without it, each cycle's listing and standing-side scan degrade
+  * linearly in drain age.
+  *
+  * Contract (identical to the one [[DedupStream]] established):
+  * rewrite all `batch <= cutoff` partitions into ONE `batch=cutoff`
+  * partition, clustered on `clusterCols` so the compacted row groups
+  * carry the min/max stats the standing-side joins skip on.
+  * Crash-safe by roll-forward staging: rows stage into a dot-dir the
+  * readers ignore, the committer's `_SUCCESS` (written last) marks
+  * the stage complete, only then are sources dropped and the stage
+  * renamed in; [[recover]] (run by every cycle before reading the
+  * standing side) finishes a crashed swap or discards an aborted
+  * stage. One compactor at a time per table.
+  */
+object IndexCompaction {
+
+  /** Committed `batch=N` partition ids under `dir` (existence only —
+    * marker filtering is the caller's policy). */
+  def batchIds(fs: FileSystem, dir: Path): Seq[Long] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong)
+
+  private def stagePath(dir: Path, cutoff: Long): Path =
+    new Path(dir, s".compact_$cutoff")
+
+  /** Merge `batch <= cutoff` partitions of one table into
+    * `batch=cutoff`; true if a rewrite happened. */
+  def compactTable(s: SparkSession, fs: FileSystem, dir: Path,
+      cutoff: Long, clusterCols: Seq[String]): Boolean = {
+    recover(fs, dir)
+    val parts = batchIds(fs, dir).filter(_ <= cutoff)
+    if (parts.size < 2) return false // already compact (or empty)
+    val stage = stagePath(dir, cutoff)
+    fs.delete(stage, true) // a no-_SUCCESS leftover is garbage
+    val rows = s.read.option("basePath", dir.toString).parquet(dir.toString)
+      .filter(col("batch") <= cutoff)
+      .drop("batch")
+    rows.repartition(clusterCols.map(col): _*)
+      .sortWithinPartitions(clusterCols.map(col): _*)
+      .write.parquet(stage.toString) // committer writes _SUCCESS last
+    completeSwap(fs, dir, cutoff)
+    true
+  }
+
+  /** The swap half: drop source partitions, rename the stage in.
+    * Idempotent — every step checks before acting. */
+  private def completeSwap(fs: FileSystem, dir: Path, cutoff: Long): Unit = {
+    batchIds(fs, dir).filter(_ <= cutoff)
+      .foreach(b => fs.delete(new Path(dir, s"batch=$b"), true))
+    val stage = stagePath(dir, cutoff)
+    if (fs.exists(stage)) {
+      val ok = fs.rename(stage, new Path(dir, s"batch=$cutoff"))
+      require(ok, s"compaction swap failed renaming $stage")
+    }
+  }
+
+  /** Roll forward (or discard) a crashed compaction on one table
+    * dir: a stage with `_SUCCESS` holds every row of its sources —
+    * finish the swap; without it the stage is an aborted write —
+    * drop it. */
+  def recover(fs: FileSystem, dir: Path): Unit = {
+    if (!fs.exists(dir)) return
+    fs.listStatus(dir).toSeq.filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith(".compact_"))
+      .foreach { stage =>
+        if (fs.exists(new Path(stage, "_SUCCESS")))
+          completeSwap(fs, dir, stage.getName.stripPrefix(".compact_").toLong)
+        else fs.delete(stage, true)
+      }
+  }
+
+  /** Compact one marker-committed index: `cutoff = max committed −
+    * keepRecent` where `committedDir`'s `batch=N/_SUCCESS` markers
+    * define commitment. Returns the cutoff if any table rewrote. */
+  def compactCommitted(s: SparkSession, fs: FileSystem,
+      committedDir: Path, tables: Seq[(Path, Seq[String])],
+      keepRecent: Int): Option[Long] = {
+    require(keepRecent >= 0, "keepRecent must be >= 0")
+    val committed = batchIds(fs, committedDir)
+      .filter(b => fs.exists(new Path(committedDir, s"batch=$b/_SUCCESS")))
+    if (committed.isEmpty) return None
+    val cutoff = committed.max - keepRecent
+    val did = tables.map { case (dir, cols) =>
+      compactTable(s, fs, dir, cutoff, cols)
+    }
+    if (did.exists(identity)) Some(cutoff) else None
+  }
+}

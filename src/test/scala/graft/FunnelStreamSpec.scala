@@ -15,7 +15,8 @@ class FunnelStreamSpec extends SparkSpec {
   private def repetitive: String =
     "the " + Seq.fill(30)("abcd efgh").mkString(" ")
 
-  private def drain(batches: Seq[Seq[(Long, String, String)]])
+  private def drain(batches: Seq[Seq[(Long, String, String)]],
+      compactEvery: Option[Int] = None, keepRecent: Int = 2)
       : (String, org.apache.spark.sql.DataFrame) = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_funstream").toString
     batches.zipWithIndex.foreach { case (rows, i) =>
@@ -30,7 +31,8 @@ class FunnelStreamSpec extends SparkSpec {
       .option("maxFilesPerTrigger", 1)
       .parquet(s"$tmp/in/*.parquet")
     (tmp, FunnelStream.runFunnel(spark, stream, "text", "doc_id", "lang",
-      s"$tmp/index", s"$tmp/funnel", s"$tmp/ckpt"))
+      s"$tmp/index", s"$tmp/funnel", s"$tmp/ckpt", compactEvery,
+      keepRecent))
   }
 
   // b0: two good docs + one German; b1: a cross-batch duplicate of
@@ -65,6 +67,17 @@ class FunnelStreamSpec extends SparkSpec {
     // too short for Gopher)
     assert(streamed((1L, 4L))._1 == 1L)
     assert(streamed((2L, 4L))._1 == 0L)
+  }
+
+  test("in-drain index compaction bounds partitions without changing the log") {
+    // keepRecent = 0 so the 3-batch drain performs a REAL rewrite
+    // mid-stream (after batch 1: cutoff 1, partitions {0, 1} merge)
+    val (tmp, log) = drain(batches, compactEvery = Some(2), keepRecent = 0)
+    val (_, plain) = drain(batches)
+    assert(log.collect().toSeq == plain.collect().toSeq)
+    val parts = new java.io.File(s"$tmp/index").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).sorted.toSeq
+    assert(!parts.contains("batch=0"), s"no rewrite ran: $parts")
   }
 
   test("a half-written batch (index landed, funnel marker missing) replays cleanly") {
