@@ -36,7 +36,9 @@ object ScaleStudy {
     "q_perplexity", "q_curriculum", "q_semdedup", "q_chunk_ids",
     "q_source_drift", "q_datacard",
     "q_gopher_quality", "q_filter_funnel", "q_budget_select",
-    "q_selection_e2e", "q_c4_filter")
+    "q_selection_e2e", "q_c4_filter",
+    "q_corpus_diff", "q_dedup_weights", "q_funnel_stream",
+    "q_curate_stream")
 
   /** Replicate documents + embeddings `times`x with offset ids into
     * `outDir` (skipped if already built). Doc ids offset by a round
