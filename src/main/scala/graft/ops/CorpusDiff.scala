@@ -28,15 +28,20 @@ object CorpusDiff {
     * landed). */
   def report(prev: DataFrame, cur: DataFrame,
       textCol: String, idCol: String, srcCol: String): DataFrame = {
+    // presence is tracked by an explicit flag, never by fp nullness —
+    // a doc with NULL text present on both sides is "unchanged", not
+    // "added" (its fp coalesces, its token count is 0)
     def slim(df: DataFrame, side: String): DataFrame = df.select(
       col(idCol).as("id"),
       col(srcCol).as(s"src_$side"),
-      md5(col(textCol)).as(s"fp_$side"),
-      size(split(col(textCol), " ")).cast("long").as(s"toks_$side"))
+      lit(true).as(s"in_$side"),
+      md5(coalesce(col(textCol), lit(""))).as(s"fp_$side"),
+      when(col(textCol).isNull, lit(0L))
+        .otherwise(Pack.whitespaceTokens(col(textCol))).as(s"toks_$side"))
     slim(prev, "p").join(slim(cur, "c"), Seq("id"), "full_outer")
       .withColumn("status",
-        when(col("fp_p").isNull, "added")
-          .when(col("fp_c").isNull, "removed")
+        when(col("in_p").isNull, "added")
+          .when(col("in_c").isNull, "removed")
           .when(col("fp_p") === col("fp_c"), "unchanged")
           .otherwise("changed"))
       .withColumn("source", coalesce(col("src_c"), col("src_p")))

@@ -53,12 +53,9 @@ object CurationStream {
         // only the INDEX compacts — admitted/manifest are the output,
         // not state the loop re-reads (the DedupStream decision-log
         // contract)
-        compactEvery.filter(n => (batchId + 1) % n == 0).foreach { _ =>
-          val fs = new Path(indexDir)
-            .getFileSystem(s.sparkContext.hadoopConfiguration)
-          IndexCompaction.compactCommitted(s, fs, new Path(manifestDir),
-            Seq(new Path(indexDir) -> Seq("fp")), keepRecent); ()
-        }
+        IndexCompaction.maybeCompact(s, new Path(manifestDir),
+          Seq(new Path(indexDir) -> Seq("fp")), batchId, compactEvery,
+          keepRecent)
       }
       .start()
     q.awaitTermination()
@@ -78,32 +75,19 @@ object CurationStream {
       manifestDir: String, batchId: Long, budget: Long,
       nShards: Int): Unit =
     graft.core.CacheScope.withScope {
-      val conf = s.sparkContext.hadoopConfiguration
-      val fs = new Path(indexDir).getFileSystem(conf)
-      // roll a crashed index compaction forward before reading the
-      // standing side
-      IndexCompaction.recover(fs, new Path(indexDir))
-      val manifestBatchDir = s"$manifestDir/batch=$batchId"
-      if (fs.exists(new Path(s"$manifestBatchDir/_SUCCESS"))) return
-
-      val f = graft.core.CacheScope.cache(
-        Funnel.flags(batch, textCol, idCol, langCol))
-      val standing =
-        if (fs.exists(new Path(indexDir)))
-          s.read.option("basePath", indexDir).parquet(indexDir)
-            .filter(col("batch") < batchId)
-            .drop("batch")
-        else f.select(col("fp")).limit(0)
-      val surv = graft.core.CacheScope.cache(
-        Funnel.uniqueWithin(f).join(standing, Seq("fp"), "left_anti"))
-      val packed = graft.core.CacheScope.cache(
-        Pack.assignPacksOn(surv.select(col("id"), col("n_words")),
-          "id", col("n_words"), budget, nShards))
-      surv.select(col("fp"))
-        .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
-      packed.select(col("id"), col("toks"), col("shard"), col("pack_id"))
-        .write.mode("overwrite").parquet(s"$admittedDir/batch=$batchId")
-      Pack.summarize(packed, "id")
-        .write.mode("overwrite").parquet(manifestBatchDir)
+      // gate + flags + cross-batch survivors + index append: the
+      // shared cycle (manifest is this drain's commit marker)
+      FunnelStream.survivorCycle(s, batch, textCol, idCol, langCol,
+          indexDir, manifestDir, batchId)
+        .foreach { case (_, surv) =>
+          val packed = graft.core.CacheScope.cache(
+            Pack.assignPacksOn(surv.select(col("id"), col("n_words")),
+              "id", col("n_words"), budget, nShards))
+          packed.select(col("id"), col("toks"), col("shard"),
+              col("pack_id"))
+            .write.mode("overwrite").parquet(s"$admittedDir/batch=$batchId")
+          Pack.summarize(packed, "id")
+            .write.mode("overwrite").parquet(s"$manifestDir/batch=$batchId")
+        }
     }
 }

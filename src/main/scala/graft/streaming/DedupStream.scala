@@ -95,6 +95,9 @@ object DedupStream {
     graft.core.CacheScope.withScope {
       val conf = s.sparkContext.hadoopConfiguration
       val fs = new Path(indexDir).getFileSystem(conf)
+      // the decision log may live on a different scheme than the
+      // index — resolve its own FileSystem for the marker probe
+      val dfs = new Path(decisionsDir).getFileSystem(conf)
       // a compaction that crashed mid-swap leaves the index missing
       // rows it has safely staged — roll it forward BEFORE reading
       // the standing side (cheap: one listing per table, which the
@@ -104,14 +107,13 @@ object DedupStream {
       val decBatchDir = s"$decisionsDir/batch=$batchId"
       // commit marker: the decision partition's _SUCCESS is written
       // LAST — present means this batch fully ran already
-      if (fs.exists(new Path(s"$decBatchDir/_SUCCESS"))) return
+      if (dfs.exists(new Path(s"$decBatchDir/_SUCCESS"))) return
 
+      // committed batch < batchId partitions by explicit path
+      // (torn-write-safe: a crashed own-batch write never reaches
+      // schema inference — see IndexCompaction.readStanding)
       def standing(dir: String, like: DataFrame): DataFrame =
-        if (fs.exists(new Path(dir)))
-          s.read.option("basePath", dir).parquet(dir)
-            .filter(col("batch") < batchId) // never our own partial writes
-            .drop("batch")
-        else like.limit(0)
+        IndexCompaction.readStanding(s, fs, new Path(dir), batchId, like)
 
       val sh0 = Dedup.wordShingles(batch, textCol, idCol)
       val bandsDir = s"$indexDir/bands"
@@ -179,9 +181,7 @@ object DedupStream {
     * Returns the cutoff if any table was rewritten. */
   def compactIndex(s: SparkSession, indexDir: String, decisionsDir: String,
       keepRecent: Int = 2): Option[Long] =
-    IndexCompaction.compactCommitted(s,
-      new Path(indexDir).getFileSystem(s.sparkContext.hadoopConfiguration),
-      new Path(decisionsDir),
+    IndexCompaction.compactCommitted(s, new Path(decisionsDir),
       Seq(new Path(s"$indexDir/bands") -> Seq("band", "bh"),
         new Path(s"$indexDir/shingles") -> Seq("g")),
       keepRecent)

@@ -2,7 +2,6 @@ package graft.streaming
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 import graft.ops.Funnel
@@ -29,17 +28,24 @@ import graft.ops.Funnel
   * Same idempotence contract as [[DedupStream]]: per-batch partition
   * dirs in overwrite mode, the funnel partition commits LAST (its
   * `_SUCCESS` is the batch's marker — present means the whole cycle
-  * ran, skip), and the standing side reads only `batch < batchId`,
-  * so a redelivered half-written batch can never dedup against its
-  * own first attempt. State is one slim parquet table of
-  * fingerprints — no driver-side state store.
+  * ran, skip), and the standing side reads only committed
+  * `batch < batchId` partitions by explicit path
+  * ([[IndexCompaction.readStanding]] — a torn own-batch write can
+  * never poison a redelivery). The cycle mechanics (marker gate,
+  * recovery, standing anti-join, index append) are
+  * [[FunnelStream.survivorCycle]], shared with [[CurationStream]].
+  * State is one slim parquet table of fingerprints — no driver-side
+  * state store; `compactEvery` bounds its partition count across an
+  * unbounded drain via [[IndexCompaction]].
   */
 object FunnelStream {
 
   /** Drain `stream` (a streaming DataFrame of documents) through the
     * funnel with `Trigger.AvailableNow`, then return the accumulated
     * per-batch funnel log (batch, stage_idx, stage, n_docs,
-    * n_tokens). Dirs must be on shared storage on a real cluster. */
+    * n_tokens). Dirs must be on shared storage on a real cluster
+    * (they may live on different schemes — each resolves its own
+    * FileSystem). */
   def runFunnel(
       s: SparkSession, stream: DataFrame, textCol: String, idCol: String,
       langCol: String, indexDir: String, funnelDir: String,
@@ -53,12 +59,9 @@ object FunnelStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         funnelBatch(s, batch, textCol, idCol, langCol,
           indexDir, funnelDir, batchId)
-        compactEvery.filter(n => (batchId + 1) % n == 0).foreach { _ =>
-          val fs = new Path(indexDir)
-            .getFileSystem(s.sparkContext.hadoopConfiguration)
-          IndexCompaction.compactCommitted(s, fs, new Path(funnelDir),
-            Seq(new Path(indexDir) -> Seq("fp")), keepRecent); ()
-        }
+        IndexCompaction.maybeCompact(s, new Path(funnelDir),
+          Seq(new Path(indexDir) -> Seq("fp")), batchId, compactEvery,
+          keepRecent)
       }
       .start()
     q.awaitTermination()
@@ -71,6 +74,41 @@ object FunnelStream {
       .orderBy(col("batch"), col("stage_idx"))
   }
 
+  /** The shared half of a funnel/curation cycle: compaction
+    * recovery, the marker gate, per-batch flags, cross-batch
+    * survivors, and the index append. Returns None when `markerDir`'s
+    * `batch=batchId` already committed (the redelivery short-circuit);
+    * otherwise Some((flags, survivors)) — both cached in the ambient
+    * [[graft.core.CacheScope]] — AFTER appending the survivors'
+    * fingerprints to `indexDir/batch=batchId`. The caller writes its
+    * own outputs and MUST write the `markerDir/batch=batchId`
+    * partition last (its `_SUCCESS` is the commit marker this gate
+    * tests). */
+  private[streaming] def survivorCycle(
+      s: SparkSession, batch: DataFrame, textCol: String, idCol: String,
+      langCol: String, indexDir: String, markerDir: String,
+      batchId: Long): Option[(DataFrame, DataFrame)] = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val ifs = new Path(indexDir).getFileSystem(conf)
+    val mfs = new Path(markerDir).getFileSystem(conf)
+    // roll a crashed index compaction forward before reading the
+    // standing side (same contract as DedupStream.admitBatch)
+    IndexCompaction.recover(ifs, new Path(indexDir))
+    if (mfs.exists(new Path(s"$markerDir/batch=$batchId/_SUCCESS")))
+      return None
+    val f = graft.core.CacheScope.cache(
+      Funnel.flags(batch, textCol, idCol, langCol))
+    val standing = IndexCompaction.readStanding(s, ifs,
+      new Path(indexDir), batchId, f.select(col("fp")))
+    // first-wins within the batch, then against everything admitted
+    // before it (slim anti-join on the fingerprint only)
+    val surv = graft.core.CacheScope.cache(
+      Funnel.uniqueWithin(f).join(standing, Seq("fp"), "left_anti"))
+    surv.select(col("fp"))
+      .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+    Some((f, surv))
+  }
+
   /** One funnel cycle — also directly usable by a batch caller that
     * manages its own batching. Idempotent per (dirs, batchId). */
   def funnelBatch(
@@ -78,31 +116,11 @@ object FunnelStream {
       langCol: String, indexDir: String, funnelDir: String,
       batchId: Long): Unit =
     graft.core.CacheScope.withScope {
-      val conf = s.sparkContext.hadoopConfiguration
-      val fs = new Path(indexDir).getFileSystem(conf)
-      // roll a crashed index compaction forward before reading the
-      // standing side (same contract as DedupStream.admitBatch)
-      IndexCompaction.recover(fs, new Path(indexDir))
-      val funnelBatchDir = s"$funnelDir/batch=$batchId"
-      // commit marker: the funnel partition's _SUCCESS is written
-      // LAST — present means this batch fully ran already
-      if (fs.exists(new Path(s"$funnelBatchDir/_SUCCESS"))) return
-
-      val f = graft.core.CacheScope.cache(
-        Funnel.flags(batch, textCol, idCol, langCol))
-      val standing =
-        if (fs.exists(new Path(indexDir)))
-          s.read.option("basePath", indexDir).parquet(indexDir)
-            .filter(col("batch") < batchId) // never our own partial writes
-            .drop("batch")
-        else f.select(col("fp")).limit(0)
-      // first-wins within the batch, then against everything admitted
-      // before it (slim anti-join on the fingerprint only)
-      val surv = graft.core.CacheScope.cache(
-        Funnel.uniqueWithin(f).join(standing, Seq("fp"), "left_anti"))
-      surv.select(col("fp"))
-        .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
-      Funnel.stageSummary(f, surv)
-        .write.mode("overwrite").parquet(funnelBatchDir)
+      survivorCycle(s, batch, textCol, idCol, langCol, indexDir,
+          funnelDir, batchId)
+        .foreach { case (f, surv) =>
+          Funnel.stageSummary(f, surv)
+            .write.mode("overwrite").parquet(s"$funnelDir/batch=$batchId")
+        }
     }
 }

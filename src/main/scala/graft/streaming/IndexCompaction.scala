@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
 /** Generic batch-partitioned-index compaction, shared by every
@@ -35,6 +35,34 @@ object IndexCompaction {
 
   private def stagePath(dir: Path, cutoff: Long): Path =
     new Path(dir, s".compact_$cutoff")
+
+  /** The standing side of a batch-partitioned index, torn-write-safe:
+    * reads ONLY the explicit `batch=K` partition dirs with
+    * `K < batchId`. A crash mid-write can tear at most the current
+    * batch's own partition (foreachBatch is sequential, so every
+    * earlier id committed) — and that partition is excluded by id
+    * here, where a whole-directory `read.parquet(dir)` would trip
+    * schema inference on its `_temporary`-only contents and wedge
+    * every redelivery. Returns `like.limit(0)` when no earlier
+    * partition exists (first batch / fresh index). */
+  def readStanding(s: SparkSession, fs: FileSystem, dir: Path,
+      batchId: Long, like: DataFrame): DataFrame = {
+    val parts = batchIds(fs, dir).filter(_ < batchId).sorted
+      .map(b => new Path(dir, s"batch=$b").toString)
+    if (parts.isEmpty) like.limit(0)
+    else s.read.option("basePath", dir.toString).parquet(parts: _*)
+      .drop("batch")
+  }
+
+  /** In-drain compaction cadence: after each batch whose id completes
+    * a `compactEvery` window, compact `tables` against `markerDir`'s
+    * committed batches. No-op when `compactEvery` is None. */
+  def maybeCompact(s: SparkSession, markerDir: Path,
+      tables: Seq[(Path, Seq[String])], batchId: Long,
+      compactEvery: Option[Int], keepRecent: Int): Unit =
+    compactEvery.filter(n => (batchId + 1) % n == 0).foreach { _ =>
+      compactCommitted(s, markerDir, tables, keepRecent); ()
+    }
 
   /** Merge `batch <= cutoff` partitions of one table into
     * `batch=cutoff`; true if a rewrite happened. */
@@ -84,17 +112,20 @@ object IndexCompaction {
 
   /** Compact one marker-committed index: `cutoff = max committed −
     * keepRecent` where `committedDir`'s `batch=N/_SUCCESS` markers
-    * define commitment. Returns the cutoff if any table rewrote. */
-  def compactCommitted(s: SparkSession, fs: FileSystem,
-      committedDir: Path, tables: Seq[(Path, Seq[String])],
-      keepRecent: Int): Option[Long] = {
+    * define commitment. Each path resolves its OWN FileSystem, so
+    * the marker log and the index tables may live on different
+    * schemes. Returns the cutoff if any table rewrote. */
+  def compactCommitted(s: SparkSession, committedDir: Path,
+      tables: Seq[(Path, Seq[String])], keepRecent: Int): Option[Long] = {
     require(keepRecent >= 0, "keepRecent must be >= 0")
-    val committed = batchIds(fs, committedDir)
-      .filter(b => fs.exists(new Path(committedDir, s"batch=$b/_SUCCESS")))
+    val conf = s.sparkContext.hadoopConfiguration
+    val mfs = committedDir.getFileSystem(conf)
+    val committed = batchIds(mfs, committedDir)
+      .filter(b => mfs.exists(new Path(committedDir, s"batch=$b/_SUCCESS")))
     if (committed.isEmpty) return None
     val cutoff = committed.max - keepRecent
     val did = tables.map { case (dir, cols) =>
-      compactTable(s, fs, dir, cutoff, cols)
+      compactTable(s, dir.getFileSystem(conf), dir, cutoff, cols)
     }
     if (did.exists(identity)) Some(cutoff) else None
   }

@@ -143,6 +143,21 @@ class SelectionSpec extends SparkSpec {
     assert(rows.size == 4)
   }
 
+  test("corpus diff treats null text as present-with-zero-tokens, not added") {
+    val prev = Seq((1L, Option.empty[String], "web"),
+      (2L, Some("a b"), "web")).toDF("doc_id", "text", "source")
+    val cur = Seq((1L, Option.empty[String], "web"),
+      (2L, Option.empty[String], "web")).toDF("doc_id", "text", "source")
+    val rows = graft.ops.CorpusDiff.report(prev, cur, "text", "doc_id",
+        "source").collect()
+      .map(r => r.getAs[String]("status") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("tokens_prev"),
+          r.getAs[Long]("tokens_cur"))).toMap
+    assert(rows("unchanged") == (1L, 0L, 0L)) // null == null, 0 tokens
+    assert(rows("changed") == (1L, 2L, 0L)) // text -> null is a change
+    assert(rows.size == 2)
+  }
+
   test("filter funnel stages are monotone and consistent at sf0.001") {
     val rows = queries.SelectionQueries.qFilterFunnel(spark, sf).collect()
     assert(rows.length == 5)
