@@ -461,6 +461,81 @@ object MiscQueries extends graft.QueryModule {
       |  CAST(v.violations = 0 AS BIGINT) AS pass
       |FROM v CROSS JOIN total ORDER BY rule""".stripMargin
 
+
+  /** Weekly cohort retention over the event stream — the classic
+    * product-analytics artifact: users bucketed by first-active week
+    * (integer epoch-week, calendar-free so it replays in any engine),
+    * activity counted at each week offset, rates against the cohort
+    * size.
+    *
+    * Scale shape: one shuffle on user_id covers both the cohort
+    * (min week per user) and the distinct activity aggregates; the
+    * per-cohort size table is bounded by the week span and joins back
+    * as a broadcast. */
+  def qCohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val weekUs = 7L * 24 * 3600 * 1000000L
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), expr(s"ts_us DIV $weekUs").as("week"))
+    val cohorts = ev.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    val sizes = cohorts.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    ev.distinct()
+      .join(cohorts, Seq("user_id"))
+      .withColumn("week_offset", col("week") - col("cohort_week"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count_distinct(col("user_id")).as("n_active"))
+      .join(broadcast(sizes), Seq("cohort_week"))
+      .withColumn("retention", col("n_active") / col("cohort_size"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val qCohortRetentionSql: String =
+    """WITH ev AS (SELECT user_id, epoch_us(ts) // 604800000000 AS week
+      |            FROM events),
+      |ch AS (SELECT user_id, min(week) AS cohort_week FROM ev
+      |       GROUP BY user_id),
+      |ac AS (SELECT DISTINCT user_id, week FROM ev),
+      |r AS (SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+      |        CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+      |      FROM ac a JOIN ch c USING (user_id) GROUP BY 1, 2),
+      |sz AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+      |       FROM ch GROUP BY 1)
+      |SELECT r.cohort_week, r.week_offset, r.n_active, sz.cohort_size,
+      |  r.n_active / sz.cohort_size AS retention
+      |FROM r JOIN sz USING (cohort_week)
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
+  /** Top co-purchased part pairs (market-basket lite): parts sharing
+    * an order, counted over distinct (order, part) memberships, top
+    * 20 by support with a total tie-break.
+    *
+    * Scale shape: the pair generator is a self-equi-join on the order
+    * key, and an order's line count is bounded (TPC-H: <= 7), so the
+    * blowup is a small constant per order; orderBy+limit plans as
+    * TakeOrdered (per-partition top-k, no global sort
+    * materialization). */
+  def qCopurchase(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    li.select(col("ok"), col("pk").as("p1"))
+      .join(li.select(col("ok"), col("pk").as("p2")), Seq("ok"))
+      .filter(col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("p1"), col("p2"))
+      .limit(20)
+  }
+
+  val qCopurchaseSql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |            FROM lineitem)
+      |SELECT a.pk AS p1, b.pk AS p2, CAST(count(*) AS BIGINT) AS n_orders
+      |FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |GROUP BY 1, 2
+      |ORDER BY n_orders DESC, p1, p2 LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quality" -> (qQuality _),
     "q_delta_metrics" -> (qDeltaMetrics _),
@@ -476,7 +551,9 @@ object MiscQueries extends graft.QueryModule {
     "q_upsert" -> (qUpsert _),
     "q_sliding_window" -> (qSlidingWindow _),
     "q_quantiles" -> (qQuantiles _),
-    "q_funnel" -> (qFunnel _))
+    "q_funnel" -> (qFunnel _),
+    "q_cohort_retention" -> (qCohortRetention _),
+    "q_copurchase" -> (qCopurchase _))
 
   def oracleSql: Map[String, String] = Map(
     "q_quality" -> qQualitySql,
@@ -493,5 +570,7 @@ object MiscQueries extends graft.QueryModule {
     "q_upsert" -> qUpsertSql,
     "q_sliding_window" -> qSlidingWindowSql,
     "q_quantiles" -> qQuantilesSql,
-    "q_funnel" -> qFunnelSql)
+    "q_funnel" -> qFunnelSql,
+    "q_cohort_retention" -> qCohortRetentionSql,
+    "q_copurchase" -> qCopurchaseSql)
 }
