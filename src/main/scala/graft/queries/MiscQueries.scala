@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{Num, Tables}
-import graft.ops.{AsofJoin, Profile, Upsert}
+import graft.ops.{AsofJoin, Curriculum, Profile, Upsert}
 import graft.report.Overlap
 
 /** Remaining SURVEY §2 surface — snapshot delta metrics (P20/P21),
@@ -536,6 +536,84 @@ object MiscQueries extends graft.QueryModule {
       |GROUP BY 1, 2
       |ORDER BY n_orders DESC, p1, p2 LIMIT 20""".stripMargin
 
+  /** RFM customer segmentation over the orders fact: recency (days
+    * since last order, against the corpus-wide latest order day),
+    * frequency (order count), monetary (exact cents), each cut into
+    * equal-frequency quartiles and concatenated into the classic
+    * `R#F#M#` segment label.
+    *
+    * Scale shape: one shuffle on custkey produces all three metrics;
+    * each quartile cut reuses [[graft.ops.Curriculum.equalFreqBins]]
+    * — a bounded integer histogram plus a broadcast bucket→bin table,
+    * never a global ntile window over the customer frame. The
+    * reference anchor day is a 1-row broadcast. */
+  def qRfm(s: SparkSession, dir: String): DataFrame = {
+    val od = Tables.orders(s, dir).select(
+      col("o_custkey").as("custkey"),
+      datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).as("day"),
+      Num.cents(col("o_totalprice")).as("price_c"))
+    val per = od.groupBy(col("custkey")).agg(
+      max(col("day")).as("last_day"),
+      count(lit(1)).as("n_orders"),
+      sum(col("price_c")).as("monetary_c"))
+    val refDay = per.agg(max(col("last_day")).as("ref_day"))
+    val base = per.crossJoin(broadcast(refDay))
+      .withColumn("recency_days",
+        (col("ref_day") - col("last_day")).cast("long"))
+      .drop("ref_day", "last_day")
+    val r = Curriculum.equalFreqBins(base, "recency_days", nBins = 4,
+      bucketWidth = 1L).withColumnRenamed("bin", "r_bin")
+    val f = Curriculum.equalFreqBins(r, "n_orders", nBins = 4,
+      bucketWidth = 1L).withColumnRenamed("bin", "f_bin")
+    val m = Curriculum.equalFreqBins(f, "monetary_c", nBins = 4,
+      bucketWidth = 100000L).withColumnRenamed("bin", "m_bin")
+    m.withColumn("segment", concat(
+        lit("R"), col("r_bin").cast("string"),
+        lit("F"), col("f_bin").cast("string"),
+        lit("M"), col("m_bin").cast("string")))
+      .orderBy(col("custkey"))
+  }
+
+  /** One dimension of the oracle's histogram-quartile replay
+    * (mirrors `Curriculum.equalFreqBins`). */
+  private def rfmBinCtes(tag: String, valueExpr: String, width: Long): String =
+    s"""${tag}h AS (SELECT ($valueExpr) // $width AS hb,
+       |        CAST(count(*) AS BIGINT) AS hn FROM base GROUP BY hb),
+       |${tag}c AS (SELECT hb, COALESCE(CAST(sum(hn) OVER (ORDER BY hb
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |          AS BIGINT), 0) AS cum_excl FROM ${tag}h),
+       |${tag}t AS (SELECT CAST(sum(hn) AS BIGINT) AS t FROM ${tag}h),
+       |${tag}b AS (SELECT hb, least(4 * cum_excl // t + 1, 4) AS bin
+       |        FROM ${tag}c, ${tag}t)""".stripMargin
+
+  val qRfmSql: String =
+    s"""WITH od AS (SELECT o_custkey AS custkey,
+       |        CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day,
+       |        ${Num.centsSql("o_totalprice")} AS price_c
+       |      FROM orders),
+       |per AS (SELECT custkey, max(day) AS last_day,
+       |          CAST(count(*) AS BIGINT) AS n_orders,
+       |          ${Num.sumSql("price_c")} AS monetary_c
+       |        FROM od GROUP BY custkey),
+       |base AS (SELECT custkey,
+       |           CAST((SELECT max(last_day) FROM per) - last_day
+       |             AS BIGINT) AS recency_days,
+       |           n_orders, monetary_c
+       |         FROM per),
+       |${rfmBinCtes("r", "recency_days", 1L)},
+       |${rfmBinCtes("f", "n_orders", 1L)},
+       |${rfmBinCtes("m", "monetary_c", 100000L)}
+       |SELECT b.custkey, b.recency_days, b.n_orders, b.monetary_c,
+       |  CAST(rb.bin AS BIGINT) AS r_bin, CAST(fb.bin AS BIGINT) AS f_bin,
+       |  CAST(mb.bin AS BIGINT) AS m_bin,
+       |  'R' || rb.bin || 'F' || fb.bin || 'M' || mb.bin AS segment
+       |FROM base b
+       |JOIN rb ON b.recency_days // 1 = rb.hb
+       |JOIN fb ON b.n_orders // 1 = fb.hb
+       |JOIN mb ON b.monetary_c // 100000 = mb.hb
+       |ORDER BY custkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quality" -> (qQuality _),
     "q_delta_metrics" -> (qDeltaMetrics _),
@@ -553,7 +631,8 @@ object MiscQueries extends graft.QueryModule {
     "q_quantiles" -> (qQuantiles _),
     "q_funnel" -> (qFunnel _),
     "q_cohort_retention" -> (qCohortRetention _),
-    "q_copurchase" -> (qCopurchase _))
+    "q_copurchase" -> (qCopurchase _),
+    "q_rfm" -> (qRfm _))
 
   def oracleSql: Map[String, String] = Map(
     "q_quality" -> qQualitySql,
@@ -572,5 +651,6 @@ object MiscQueries extends graft.QueryModule {
     "q_quantiles" -> qQuantilesSql,
     "q_funnel" -> qFunnelSql,
     "q_cohort_retention" -> qCohortRetentionSql,
-    "q_copurchase" -> qCopurchaseSql)
+    "q_copurchase" -> qCopurchaseSql,
+    "q_rfm" -> qRfmSql)
 }

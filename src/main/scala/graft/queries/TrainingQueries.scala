@@ -1223,6 +1223,118 @@ object TrainingQueries extends graft.QueryModule {
       |  CAST(sum(n_frames) AS BIGINT) AS sum_frames
       |FROM f GROUP BY media_type ORDER BY media_type""".stripMargin
 
+  /** ANN recall@k as data: the brute-force top-5 (ground truth)
+    * joined against the multi-probe LSH top-5 for the same query set,
+    * reduced to per-query hit counts and an integer-ppm recall — the
+    * evaluation a pipeline runs before trusting an approximate index,
+    * kept as an oracle-gated entry so the recall measurement itself
+    * is regression-tested, not just quoted in PLANS.md.
+    *
+    * Scale shape: both arms are bounded top-k frames (|Q| x k rows),
+    * so the evaluation join is broadcast-small no matter the corpus
+    * size; the expensive part is the two scoring passes the arms
+    * already pay. */
+  def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val truth = Similarity
+      .bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+      .select(col("q_id"), col("neighbor_id"))
+    val approx = Similarity
+      .lshTopKMultiProbe(emb, queryMaxId = 10L, k = 5, nBits = 6,
+        probeHamming = 1)
+      .select(col("q_id"), col("neighbor_id"))
+    val hits = truth.join(approx, Seq("q_id", "neighbor_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+    truth.groupBy(col("q_id")).agg(count(lit(1)).as("n_truth"))
+      .join(hits, Seq("q_id"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .withColumn("recall_ppm", expr("n_hits * 1000000 DIV n_truth"))
+      .orderBy(col("q_id"))
+  }
+
+  /** DuckDB replay of [[qAnnRecall]]: the brute arm and the
+    * multi-probe arm re-derived side by side (same hyperplane bucket
+    * + XOR mask explode as [[qAnnLshMultiprobeSql]]), then the hit
+    * join. */
+  val qAnnRecallSql: String = {
+    val bucket = Similarity.bucketSql(nBits = 6)
+    val masks = Similarity.probeMasksSql(nBits = 6, probeHamming = 1)
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |tp AS (SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+       |         list_cosine_similarity(q.v, e.v) AS sim
+       |       FROM e q JOIN e ON q.vec_id < 10 AND e.vec_id <> q.vec_id),
+       |tr AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |         ORDER BY sim DESC, neighbor_id) AS rn FROM tp),
+       |truth AS (SELECT q_id, neighbor_id FROM tr WHERE rn <= 5),
+       |b AS (SELECT vec_id, v, $bucket AS bucket FROM e),
+       |q0 AS (SELECT vec_id AS q_id, v AS qv, bucket FROM b WHERE vec_id < 10),
+       |qq AS (SELECT q_id, qv, xor(bucket, u.m) AS bucket
+       |       FROM q0, UNNEST($masks::BIGINT[]) AS u(m)),
+       |ap AS (SELECT qq.q_id, b.vec_id AS neighbor_id,
+       |         list_cosine_similarity(qq.qv, b.v) AS sim
+       |       FROM b JOIN qq ON b.bucket = qq.bucket AND b.vec_id <> qq.q_id),
+       |ar AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |         ORDER BY sim DESC, neighbor_id) AS rn FROM ap),
+       |approx AS (SELECT q_id, neighbor_id FROM ar WHERE rn <= 5),
+       |h AS (SELECT t.q_id, CAST(count(*) AS BIGINT) AS n_hits
+       |      FROM truth t JOIN approx a
+       |        ON t.q_id = a.q_id AND t.neighbor_id = a.neighbor_id
+       |      GROUP BY t.q_id),
+       |tt AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_truth
+       |       FROM truth GROUP BY q_id)
+       |SELECT tt.q_id, tt.n_truth,
+       |  COALESCE(h.n_hits, 0) AS n_hits,
+       |  CAST(COALESCE(h.n_hits, 0) * 1000000 // tt.n_truth AS BIGINT)
+       |    AS recall_ppm
+       |FROM tt LEFT JOIN h USING (q_id) ORDER BY q_id""".stripMargin
+  }
+
+  /** Nearest-centroid label audit ([[Centroids.confusionReport]]):
+    * per-label integer-quantized centroids, every vector assigned to
+    * its nearest centroid by exact squared distance, confusion counts
+    * + per-true-label share. The read that catches mislabeled or
+    * inseparable classes before a labeled slice is trusted. */
+  def qCentroidAudit(s: SparkSession, dir: String): DataFrame =
+    Centroids.confusionReport(Tables.embeddings(s, dir))
+      .orderBy(col("label"), col("assigned"))
+
+  /** DuckDB replay of [[qCentroidAudit]]: same thousandth
+    * quantization, same positivity-shifted rounded centroid division,
+    * distances re-derived as exact integer sums over unnested dims
+    * (equal to the engine's double-exact `|v|^2+|c|^2-2<v,c>`). */
+  val qCentroidAuditSql: String = {
+    val off = Centroids.Off
+    s"""WITH vq AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |        list_transform(embedding, x ->
+       |          CAST(round(CAST(x AS DOUBLE) * ${Centroids.Scale}, 0)
+       |            AS BIGINT)) AS v
+       |      FROM embeddings),
+       |dims AS (SELECT vec_id, label, i AS pos, v[i + 1] AS x
+       |         FROM vq, UNNEST(range(len(v))) AS t(i)),
+       |sums AS (SELECT label, pos, CAST(sum(x) AS BIGINT) AS s,
+       |           CAST(count(*) AS BIGINT) AS n
+       |         FROM dims GROUP BY label, pos),
+       |cent AS (SELECT label AS c_label, pos,
+       |           (2 * (s + $off * n) + n) // (2 * n) - $off AS c
+       |         FROM sums),
+       |d AS (SELECT dims.vec_id, dims.label, cent.c_label,
+       |        CAST(sum((dims.x - cent.c) * (dims.x - cent.c))
+       |          AS BIGINT) AS d2
+       |      FROM dims JOIN cent ON dims.pos = cent.pos
+       |      GROUP BY dims.vec_id, dims.label, cent.c_label),
+       |asgr AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY d2, c_label) AS rn FROM d),
+       |asg AS (SELECT label, c_label AS assigned FROM asgr WHERE rn = 1),
+       |cnt AS (SELECT label, assigned, CAST(count(*) AS BIGINT) AS n
+       |        FROM asg GROUP BY label, assigned),
+       |tot AS (SELECT label, CAST(sum(n) AS BIGINT) AS label_total
+       |        FROM cnt GROUP BY label)
+       |SELECT c.label, c.assigned, c.n,
+       |  CAST(c.n * 1000000 // t.label_total AS BIGINT) AS share_ppm
+       |FROM cnt c JOIN tot t USING (label)
+       |ORDER BY label, assigned""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats" -> (qTextStats _),
     "q_langid" -> (qLangId _),
@@ -1257,6 +1369,8 @@ object TrainingQueries extends graft.QueryModule {
     "q_ann_ivfpq" -> (qAnnIvfPq _),
     "q_ann_pq_rerank" -> (qAnnPqRerank _),
     "q_semdedup" -> (qSemdedup _),
+    "q_centroid_audit" -> (qCentroidAudit _),
+    "q_ann_recall" -> (qAnnRecall _),
     "q_multimodal" -> (qMultimodal _))
 
   def oracleSql: Map[String, String] = Map(
@@ -1288,5 +1402,7 @@ object TrainingQueries extends graft.QueryModule {
     "q_ann_lsh_multiprobe" -> qAnnLshMultiprobeSql,
     "q_ann_lsh_multitable" -> qAnnLshMultitableSql,
     "q_embed_neardup_mp" -> qEmbedNearDupMpSql,
+    "q_centroid_audit" -> qCentroidAuditSql,
+    "q_ann_recall" -> qAnnRecallSql,
     "q_multimodal" -> qMultimodalSql) ++ ivfOracle ++ pqOracle ++ semdedupOracle
 }
