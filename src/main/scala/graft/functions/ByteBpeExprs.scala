@@ -132,6 +132,37 @@ final class ByteBpeRanker(merges: Seq[(String, String)]) extends Serializable {
     new GenericArrayData(out.toArray)
   }
 
+  /** Inverse vocabulary, id -> piece, in the same published numbering
+    * as `pieceId` (256 base symbols by sorted code point, then one
+    * piece per rule). A redundant rule's product decodes to the same
+    * spelling as the earlier id, so first-wins on the encode side
+    * never breaks the round trip. */
+  @transient private lazy val idPiece: Array[String] = {
+    val arr = new Array[String](256 + merges.size)
+    ByteLevel.symbolsByIdOrder.zipWithIndex.foreach { case (c, id) =>
+      arr(id) = c.toString
+    }
+    merges.zipWithIndex.foreach { case ((a, b), i) => arr(256 + i) = a + b }
+    arr
+  }
+
+  /** Detokenize: ids -> pieces -> byte symbols -> UTF-8 text. The
+    * loader-faithfulness direction — proves the id stream alone
+    * reconstructs the document. Loud on ids outside the vocabulary. */
+  def decodeIds(ids: org.apache.spark.sql.catalyst.util.ArrayData): UTF8String = {
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    val n = ids.numElements()
+    while (i < n) {
+      val id = ids.getInt(i)
+      require(id >= 0 && id < idPiece.length,
+        s"token id $id outside the merge-derived vocab (size ${idPiece.length})")
+      sb.append(idPiece(id))
+      i += 1
+    }
+    UTF8String.fromString(ByteLevel.decode(sb.toString))
+  }
+
   /** Token count of a document: every char is in exactly one
     * [[ByteLevel.Gpt2Pattern]] pre-token; no fallback path exists —
     * the byte alphabet covers everything. */
@@ -223,6 +254,31 @@ case class ByteBpeTokenIds(child: Expression, merges: Seq[(String, String)])
     copy(child = newChild)
 }
 
+/** Detokenization as a native expression: `array<int>` token ids back
+  * to the document text — the inverse of [[ByteBpeTokenIds]] and the
+  * proof that the id stream is a loader-faithful artifact. */
+case class ByteBpeDecode(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "byte_bpe_decode"
+
+  @transient private lazy val ranker = new ByteBpeRanker(merges)
+
+  override def nullSafeEval(input: Any): Any =
+    ranker.decodeIds(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("byteBpeRanker", ranker,
+      classOf[ByteBpeRanker].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.decodeIds($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object ByteBpeExprs {
   def byteTokenCount(text: Column, merges: Seq[(String, String)]): Column =
     Bridge.column(ByteBpeTokenCount(Bridge.expression(text), merges))
@@ -232,4 +288,7 @@ object ByteBpeExprs {
 
   def byteTokenIds(text: Column, merges: Seq[(String, String)]): Column =
     Bridge.column(ByteBpeTokenIds(Bridge.expression(text), merges))
+
+  def byteDecodeIds(ids: Column, merges: Seq[(String, String)]): Column =
+    Bridge.column(ByteBpeDecode(Bridge.expression(ids), merges))
 }

@@ -330,6 +330,12 @@ object Bpe {
   def byteTokenIds(c: Column, merges: Seq[(String, String)]): Column =
     graft.functions.ByteBpeExprs.byteTokenIds(c, merges)
 
+  /** Detokenize: the id array back to document text (ids -> pieces ->
+    * byte symbols -> UTF-8) — the loader-faithfulness inverse of
+    * [[byteTokenIds]]. */
+  def byteDecodeIds(c: Column, merges: Seq[(String, String)]): Column =
+    graft.functions.ByteBpeExprs.byteDecodeIds(c, merges)
+
   /** The first SPECIAL-token id under the published numbering:
     * special tokens append AFTER the merge products, so the
     * end-of-text id is 256 + |merges| — for GPT-2's 50,000-rule file

@@ -825,6 +825,55 @@ object CurationQueries extends graft.QueryModule {
        |FROM dtok
        |ORDER BY doc_id, pos""".stripMargin
 
+  /** DETOKENIZATION round trip — the id stream decoded back to the
+    * document through the inverse vocabulary
+    * ([[graft.ops.Bpe.byteDecodeIds]]): ids -> pieces -> byte symbols
+    * -> UTF-8 text, compared against the original. The
+    * loader-faithfulness gate: q_token_ids proves the ids are RIGHT,
+    * this proves they are SUFFICIENT — a loader holding only the id
+    * stream and the merges file reconstructs the corpus bit-for-bit.
+    * Both directions run inside WholeStageCodegen; one scan, no
+    * shuffle (the output is one row per doc from a scan-stage map).
+    */
+  def qDetokenize(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"),
+        Bpe.byteTokenIds(col("text"), Bpe.fixtureMergesByteLevel).as("ids"))
+      .select(col("doc_id"),
+        size(col("ids")).cast("long").as("n_ids"),
+        Bpe.byteDecodeIds(col("ids"), Bpe.fixtureMergesByteLevel)
+          .as("decoded"),
+        col("text"))
+      .select(col("doc_id"), col("n_ids"),
+        length(col("decoded")).cast("long").as("decoded_chars"),
+        (col("decoded") === col("text")).cast("long").as("ok"))
+      .orderBy(col("doc_id"))
+
+  /** DuckDB replay of [[qDetokenize]]: ids re-derived through the
+    * byte-level recursion, the INVERSE vocab lookup replayed
+    * relationally (`voc.v[token_id + 1]`), pieces reassembled in
+    * stream order. The symbol->byte step reduces to the single
+    * Ġ->space replace because the corpus tables are printable-ASCII —
+    * the same documented corpus-domain simplification as
+    * [[graft.ops.ByteLevel.OraclePreTokenPattern]]; the general
+    * inverse is pinned Spark-side by ByteLevelSpec on non-ASCII
+    * vectors. Docs with no pre-tokens decode to ''. */
+  val qDetokenizeSql: String =
+    s"""WITH RECURSIVE
+       |$byteIdCtes,
+       |dec AS (SELECT d.doc_id,
+       |          string_agg(voc.v[CAST(d.token_id AS INT) + 1], ''
+       |            ORDER BY d.wpos, d.j) AS sym,
+       |          CAST(count(*) AS BIGINT) AS n_ids
+       |        FROM dtok d CROSS JOIN voc GROUP BY d.doc_id)
+       |SELECT doc.doc_id, COALESCE(dec.n_ids, 0) AS n_ids,
+       |  CAST(strlen(COALESCE(replace(dec.sym, chr(288), ' '), ''))
+       |    AS BIGINT) AS decoded_chars,
+       |  CAST(COALESCE(replace(dec.sym, chr(288), ' '), '') = doc.text
+       |    AS BIGINT) AS ok
+       |FROM documents doc LEFT JOIN dec ON doc.doc_id = dec.doc_id
+       |ORDER BY doc.doc_id""".stripMargin
+
   /** TOKEN-WINDOW CHUNKING — the retrieval/long-document split: each
     * doc's byte-level id stream cut into 32-token windows at stride
     * 24 (overlapping, RAG-style; the last window of a doc may be
@@ -1428,6 +1477,7 @@ object CurationQueries extends graft.QueryModule {
     "q_pack_bytelevel" -> (qPackBytelevel _),
     "q_subwords_bytelevel" -> (qSubwordsBytelevel _),
     "q_token_ids" -> (qTokenIds _),
+    "q_detokenize" -> (qDetokenize _),
     "q_chunk_ids" -> (qChunkIds _),
     "q_pack_ids" -> (qPackIds _),
     "q_pack_ids_eos" -> (qPackIdsEos _),
@@ -1462,6 +1512,7 @@ object CurationQueries extends graft.QueryModule {
     "q_pack_bytelevel" -> qPackBytelevelSql,
     "q_subwords_bytelevel" -> qSubwordsBytelevelSql,
     "q_token_ids" -> qTokenIdsSql,
+    "q_detokenize" -> qDetokenizeSql,
     "q_chunk_ids" -> qChunkIdsSql,
     "q_pack_ids" -> qPackIdsSql,
     "q_pack_ids_eos" -> qPackIdsEosSql,

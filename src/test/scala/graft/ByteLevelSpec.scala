@@ -191,6 +191,25 @@ class ByteLevelSpec extends SparkSpec {
     }
   }
 
+  test("byteDecodeIds inverts byteTokenIds in-plan, including non-ASCII text") {
+    import spark.implicits._
+    val merges = Bpe.fixtureMergesByteLevel
+    // adversarial strings: multi-byte UTF-8, digits, punctuation,
+    // astral plane, contractions, interior whitespace runs
+    val texts = Seq("héllo wörld", "aé世界 42!", "it's 3.14",
+      "😀 ok", "tabs\tand\nnewlines", "", "  double  spaces")
+    val r = texts.toDF("text")
+      .select(col("text"),
+        Bpe.byteDecodeIds(Bpe.byteTokenIds(col("text"), merges), merges)
+          .as("decoded"))
+      .collect()
+    r.foreach(x => assert(x.getString(1) === x.getString(0)))
+    // out-of-vocab ids fail loudly
+    val bad = Seq(Seq(0, 999999)).toDF("ids")
+      .select(Bpe.byteDecodeIds(col("ids"), merges))
+    assertThrows[Exception](bad.collect())
+  }
+
   test("byteTokens and byteTokenCount agree; pieces decode back to the document") {
     val docs = graft.core.Tables.documents(spark, sf).limit(20)
     val rows = docs.select(col("text"),
