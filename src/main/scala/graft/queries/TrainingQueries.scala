@@ -1223,6 +1223,56 @@ object TrainingQueries extends graft.QueryModule {
       |  CAST(sum(n_frames) AS BIGINT) AS sum_frames
       |FROM f GROUP BY media_type ORDER BY media_type""".stripMargin
 
+  /** SUPERVISED quality classifier ([[QualityClassifier]]): logistic
+    * regression over hashed-unigram tf features, trained
+    * distributed (batch GD, one bounded gradient aggregate per
+    * iteration) to separate the trusted reference slice
+    * (doc_id % 41 == 0 — the same convention as the perplexity gate)
+    * from the raw corpus, then scored over every document in exact
+    * integer-ppm arithmetic. The classifier arm of quality filtering,
+    * next to the LM arm (q_perplexity) and the importance arm
+    * (q_importance). */
+  def qQualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pos = docs.filter(pmod(col("doc_id"), lit(41)) === 0)
+    val neg = docs.filter(pmod(col("doc_id"), lit(41)) =!= 0)
+    val model = QualityClassifier.train(pos, neg,
+      textCol = "text", idCol = "doc_id", nBuckets = 1024, iters = 12)
+    QualityClassifier.scoreReport(docs, model, "text", "doc_id")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Post-training oracle for [[qQualityClassifier]] (the
+    * [[Ivf.lastModel]] contract): the trained ppm weight table rides
+    * as ONE literal list indexed by bucket, the decision replays as
+    * `sum(c_b * w_ppm) + bias_ppm * n_toks > 0` — integer end to
+    * end. */
+  private def qcOracleSql(m: QualityClassifier.Model): String = {
+    val wl = m.weightsPpm.mkString("[", ",", "]")
+    s"""WITH wt AS (SELECT i AS b, wl[CAST(i AS INT) + 1] AS wppm
+       |      FROM (SELECT $wl AS wl), UNNEST(range(len(wl))) AS t(i)),
+       |tok AS (SELECT doc_id AS id, u.t AS t
+       |        FROM documents, UNNEST(str_split(text, ' ')) AS u(t)),
+       |bk AS (SELECT id,
+       |         CAST('0x' || substr(md5(t), 1, 7) AS BIGINT) % ${m.nBuckets}
+       |           AS b
+       |       FROM tok),
+       |sc AS (SELECT bk.id, CAST(count(*) AS BIGINT) AS n_toks,
+       |         CAST(sum(wt.wppm) AS BIGINT) AS score
+       |       FROM bk JOIN wt USING (b) GROUP BY bk.id)
+       |SELECT d.doc_id, COALESCE(sc.n_toks, 0) AS n_toks,
+       |  COALESCE(sc.score, 0) AS score,
+       |  CAST(COALESCE(sc.score, 0)
+       |    + ${m.biasPpm} * COALESCE(sc.n_toks, 0) > 0 AS BIGINT) AS keep
+       |FROM documents d LEFT JOIN sc ON d.doc_id = sc.id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  private def qcOracle: Map[String, String] =
+    QualityClassifier.lastModel
+      .map(m => "q_quality_classifier" -> qcOracleSql(m)).toMap
+
   /** ANN recall@k as data: the brute-force top-5 (ground truth)
     * joined against the multi-probe LSH top-5 for the same query set,
     * reduced to per-query hit counts and an integer-ppm recall — the
@@ -1371,6 +1421,7 @@ object TrainingQueries extends graft.QueryModule {
     "q_semdedup" -> (qSemdedup _),
     "q_centroid_audit" -> (qCentroidAudit _),
     "q_ann_recall" -> (qAnnRecall _),
+    "q_quality_classifier" -> (qQualityClassifier _),
     "q_multimodal" -> (qMultimodal _))
 
   def oracleSql: Map[String, String] = Map(
@@ -1404,5 +1455,6 @@ object TrainingQueries extends graft.QueryModule {
     "q_embed_neardup_mp" -> qEmbedNearDupMpSql,
     "q_centroid_audit" -> qCentroidAuditSql,
     "q_ann_recall" -> qAnnRecallSql,
-    "q_multimodal" -> qMultimodalSql) ++ ivfOracle ++ pqOracle ++ semdedupOracle
+    "q_multimodal" -> qMultimodalSql) ++
+    ivfOracle ++ pqOracle ++ semdedupOracle ++ qcOracle
 }
