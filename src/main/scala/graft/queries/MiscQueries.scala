@@ -614,6 +614,52 @@ object MiscQueries extends graft.QueryModule {
        |JOIN mb ON b.monetary_c // 100000 = mb.hb
        |ORDER BY custkey""".stripMargin
 
+  /** Per-user 3-sigma outlier counts over the event stream, in EXACT
+    * integer arithmetic: the z-score test `|x - mean| > 3*sigma` is
+    * multiplied through by `n^2` to
+    * `(x*n - sum)^2 > 9*(n*sumsq - sum^2)` — cents-integer sums only,
+    * no float aggregation, no division, so the flag replays
+    * bit-for-bit in any engine (population sigma; a single-event user
+    * equals its mean and never flags).
+    *
+    * Scale shape: ONE shuffle on user_id — the stats ride unbounded
+    * window aggregates over the user partition, the flag is a row
+    * expression, and the summary groupBy reuses the same
+    * partitioning, so no join-back and no second exchange. Overflow
+    * bound: |x_c| * n per user must stay under ~3e9 (squares below
+    * 2^63) — documented, far above any real per-user event count at
+    * cent scale. */
+  def qOutlierEvents(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+      Num.cents(col("value")).as("x"))
+    val w = Window.partitionBy(col("user_id"))
+    val dev = col("x") * col("n") - col("sm")
+    ev.withColumn("n", count(lit(1)).over(w))
+      .withColumn("sm", sum(col("x")).over(w))
+      .withColumn("sq", sum(col("x") * col("x")).over(w))
+      .withColumn("outlier",
+        (dev * dev > lit(9L) * (col("n") * col("sq") - col("sm") * col("sm")))
+          .cast("long"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), max(col("sm")).as("sum_c"),
+        sum(col("outlier")).as("n_outliers"))
+      .orderBy(col("user_id"))
+  }
+
+  val qOutlierEventsSql: String =
+    s"""WITH ev AS (SELECT user_id, event_id,
+       |        ${Num.centsSql("value")} AS x FROM events),
+       |st AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+       |         ${Num.sumSql("x")} AS sm, ${Num.sumSql("x*x")} AS sq
+       |       FROM ev GROUP BY user_id),
+       |fl AS (SELECT ev.user_id, ev.x, st.sm,
+       |         CAST((ev.x*st.n - st.sm)*(ev.x*st.n - st.sm)
+       |           > 9*(st.n*st.sq - st.sm*st.sm) AS BIGINT) AS o
+       |       FROM ev JOIN st USING (user_id))
+       |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       |  CAST(max(sm) AS BIGINT) AS sum_c, ${Num.sumSql("o")} AS n_outliers
+       |FROM fl GROUP BY user_id ORDER BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quality" -> (qQuality _),
     "q_delta_metrics" -> (qDeltaMetrics _),
@@ -632,7 +678,8 @@ object MiscQueries extends graft.QueryModule {
     "q_funnel" -> (qFunnel _),
     "q_cohort_retention" -> (qCohortRetention _),
     "q_copurchase" -> (qCopurchase _),
-    "q_rfm" -> (qRfm _))
+    "q_rfm" -> (qRfm _),
+    "q_outlier_events" -> (qOutlierEvents _))
 
   def oracleSql: Map[String, String] = Map(
     "q_quality" -> qQualitySql,
@@ -652,5 +699,6 @@ object MiscQueries extends graft.QueryModule {
     "q_funnel" -> qFunnelSql,
     "q_cohort_retention" -> qCohortRetentionSql,
     "q_copurchase" -> qCopurchaseSql,
-    "q_rfm" -> qRfmSql)
+    "q_rfm" -> qRfmSql,
+    "q_outlier_events" -> qOutlierEventsSql)
 }

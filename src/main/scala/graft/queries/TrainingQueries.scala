@@ -122,6 +122,36 @@ object TrainingQueries extends graft.QueryModule {
       |SELECT doc_id, fp, n_copies, 1000000 // n_copies AS weight_ppm
       |FROM f JOIN s USING (fp) ORDER BY doc_id""".stripMargin
 
+  /** REALIZED duplicate-aware weighted sample: the soft-dedup weights
+    * ([[Dedup.duplicateWeights]]) drawn against a salted-md5 ppm
+    * bucket (`draw < weight_ppm` — the [[Mix.bucketPpm]] scheme), then
+    * rolled up per duplicate cluster: each cluster's kept count has
+    * expectation ~1 whatever its size, which is exactly the soft
+    * alternative to a hard keep-list. One fingerprint groupBy + a
+    * broadcast-size join; text never shuffles. */
+  def qWeightedSample(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateWeights(Tables.documents(s, dir), "text", "doc_id")
+      .withColumn("keep",
+        (Mix.bucketPpm(col("id"), "wsamp") < col("weight_ppm")).cast("long"))
+      .groupBy(col("fp"))
+      .agg(max(col("n_copies")).as("n_copies"),
+        max(col("weight_ppm")).as("weight_ppm"),
+        sum(col("keep")).as("n_kept"))
+      .orderBy(col("fp"))
+
+  val qWeightedSampleSql: String =
+    s"""WITH f AS (SELECT doc_id, md5(text) AS fp FROM documents),
+       |s AS (SELECT fp, CAST(count(*) AS BIGINT) AS n_copies
+       |      FROM f GROUP BY fp),
+       |w AS (SELECT f.doc_id, f.fp, s.n_copies,
+       |        1000000 // s.n_copies AS weight_ppm
+       |      FROM f JOIN s USING (fp))
+       |SELECT fp, CAST(max(n_copies) AS BIGINT) AS n_copies,
+       |  CAST(max(weight_ppm) AS BIGINT) AS weight_ppm,
+       |  CAST(sum(CAST(${Mix.bucketPpmSql("doc_id", "wsamp")} < weight_ppm
+       |    AS BIGINT)) AS BIGINT) AS n_kept
+       |FROM w GROUP BY fp ORDER BY fp""".stripMargin
+
   /** Span-level exact-substring dedup report: 8-token sliding-window
     * hashes, duplicated-window stats, per-doc dup-ppm + keep flag —
     * the substring granularity doc-level dedup misses
@@ -1391,6 +1421,7 @@ object TrainingQueries extends graft.QueryModule {
     "q_fingerprint" -> (qFingerprint _),
     "q_exact_dedup" -> (qExactDedup _),
     "q_dedup_weights" -> (qDedupWeights _),
+    "q_weighted_sample" -> (qWeightedSample _),
     "q_substring_dedup" -> (qSubstringDedup _),
     "q_substring_scrub" -> (qSubstringScrub _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
@@ -1430,6 +1461,7 @@ object TrainingQueries extends graft.QueryModule {
     "q_fingerprint" -> qFingerprintSql,
     "q_exact_dedup" -> qExactDedupSql,
     "q_dedup_weights" -> qDedupWeightsSql,
+    "q_weighted_sample" -> qWeightedSampleSql,
     "q_substring_dedup" -> qSubstringDedupSql,
     "q_substring_scrub" -> qSubstringScrubSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,

@@ -16,6 +16,21 @@ class DedupSpec extends SparkSpec {
     assert(r(0).getLong(1) === 2L && r(0).getLong(2) === 1L)
   }
 
+  test("realized weighted sample: unique docs always keep, clusters down-sample") {
+    // a 10-copy cluster (weight 100000 ppm) plus two unique docs
+    val df = ((1L to 10L).map(i => (i, "dup dup dup")) ++
+      Seq((20L, "unique one"), (21L, "unique two"))).toDF("doc_id", "text")
+    val kept = Dedup.duplicateWeights(df, "text", "doc_id")
+      .withColumn("keep",
+        (Mix.bucketPpm(col("id"), "wsamp") < col("weight_ppm")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(kept(20L) === 1L && kept(21L) === 1L) // weight_ppm = 1e6
+    // each copy keeps with p = 0.1, deterministic under the salt —
+    // this cluster's draw lands exactly on ids {1, 4, 5, 6, 9}
+    val keptIds = (1L to 10L).filter(kept(_) === 1L)
+    assert(keptIds === Seq(1L, 4L, 5L, 6L, 9L))
+  }
+
   test("jaccard: identical docs score 1.0, disjoint docs absent") {
     val df = Seq(
       (1L, "a b c d e"), (2L, "a b c d e"), (3L, "p q r s t"))
