@@ -38,7 +38,9 @@ object ScaleStudy {
     "q_gopher_quality", "q_filter_funnel", "q_budget_select",
     "q_selection_e2e", "q_c4_filter",
     "q_corpus_diff", "q_dedup_weights", "q_funnel_stream",
-    "q_curate_stream")
+    "q_curate_stream",
+    "q_quality_classifier", "q_centroid_audit", "q_ann_recall",
+    "q_detokenize", "q_weighted_sample", "q_epoch_order")
 
   /** Replicate documents + embeddings `times`x with offset ids into
     * `outDir` (skipped if already built). Doc ids offset by a round

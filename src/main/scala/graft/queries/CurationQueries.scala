@@ -367,6 +367,52 @@ object CurationQueries extends graft.QueryModule {
     Pack.packSummary(Tables.documents(s, dir),
       textCol = "text", idCol = "doc_id", budget = 512L, nShards = 8)
 
+  /** Deterministic PER-EPOCH training data order — the final loader
+    * artifact after packing: each epoch shuffles the pack manifest by
+    * a salted-md5 order key, ranked WITHIN its shard (the loader
+    * reads shards in parallel; a global rank would be a global sort).
+    * Reproducibility is the point: any worker, resuming at any time,
+    * derives the same (epoch, shard) read order from the ids alone.
+    *
+    * Scale shape: operates on the pack MANIFEST (corpus_tokens /
+    * budget rows, not docs); the rank window is partitioned per
+    * (epoch, shard) — partition-local, no global sort. */
+  def qEpochOrder(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.HashParity
+    val packs = Pack.packSummary(Tables.documents(s, dir),
+        textCol = "text", idCol = "doc_id", budget = 512L, nShards = 8)
+      .select(col("shard"), col("pack_id"))
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("ok"), col("pack_id"))
+    packs
+      .withColumn("epoch", explode(sequence(lit(0L), lit(2L))))
+      .withColumn("ok", HashParity.h28(concat(
+        lit("ep:"), col("epoch").cast("string"), lit("#"),
+        col("shard").cast("string"), lit(":"),
+        col("pack_id").cast("string"))))
+      .withColumn("seq", row_number().over(w).cast("long"))
+      .select(col("epoch"), col("shard"), col("pack_id"), col("seq"))
+      .orderBy(col("epoch"), col("shard"), col("seq"))
+  }
+
+  /** DuckDB replay of [[qEpochOrder]]: the shared pack layout, the
+    * same salted md5 order keys, the same shard-local rank. */
+  val qEpochOrderSql: String =
+    s"""WITH d AS (SELECT doc_id,
+       |        CAST(len(str_split(text, ' ')) AS BIGINT) AS toks
+       |      FROM documents),
+       |${packLayoutCtes("d")},
+       |pp AS (SELECT DISTINCT shard, pack_id FROM pkp),
+       |ep AS (SELECT e.epoch, pp.shard, pp.pack_id,
+       |         CAST('0x' || substr(md5('ep:' || e.epoch || '#' ||
+       |           pp.shard || ':' || pp.pack_id), 1, 7) AS BIGINT) AS ok
+       |       FROM pp, UNNEST([0, 1, 2]) AS e(epoch))
+       |SELECT CAST(epoch AS BIGINT) AS epoch, shard, pack_id,
+       |  CAST(row_number() OVER (PARTITION BY epoch, shard
+       |    ORDER BY ok, pack_id) AS BIGINT) AS seq
+       |FROM ep ORDER BY epoch, shard, seq""".stripMargin
+
   /** Pack-layout CTE chain (cross-engine twin of
     * [[Pack.assignPacksOn]]): from a CTE `src` with (doc_id, toks) to
     * `pkp` — per doc its md5 layout key, shard, exclusive prefix sum,
@@ -1497,6 +1543,7 @@ object CurationQueries extends graft.QueryModule {
     "q_mix_bpe50k" -> (qMixBpe50k _),
     "q_mix_epochs" -> (qMixEpochs _),
     "q_pack" -> (qPack _),
+    "q_epoch_order" -> (qEpochOrder _),
     "q_pack_bpe" -> (qPackBpe _),
     "q_pack_bpe50k" -> (qPackBpe50k _),
     "q_pack_epochs" -> (qPackEpochs _),
@@ -1532,6 +1579,7 @@ object CurationQueries extends graft.QueryModule {
     "q_mix_bpe50k" -> qMixBpe50kSql,
     "q_mix_epochs" -> qMixEpochsSql,
     "q_pack" -> qPackSql,
+    "q_epoch_order" -> qEpochOrderSql,
     "q_pack_bpe" -> qPackBpeSql,
     "q_pack_bpe50k" -> qPackBpe50kSql,
     "q_pack_epochs" -> qPackEpochsSql,

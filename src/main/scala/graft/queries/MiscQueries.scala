@@ -660,6 +660,30 @@ object MiscQueries extends graft.QueryModule {
        |  CAST(max(sm) AS BIGINT) AS sum_c, ${Num.sumSql("o")} AS n_outliers
        |FROM fl GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Key-skew audit — the read before choosing a salting factor or
+    * trusting AQE's skew split: per-key row counts over a join key,
+    * reduced to the top-10 keys with exact integer ppm shares and the
+    * global key statistics riding along. One map-side-combined
+    * aggregate; `orderBy+limit` plans as TakeOrdered (per-partition
+    * top-k, no global sort). */
+  def qSkewAudit(s: SparkSession, dir: String): DataFrame = {
+    val k = Tables.lineitem(s, dir).groupBy(col("l_suppkey").as("key"))
+      .agg(count(lit(1)).as("n"))
+    val tot = k.agg(sum(col("n")).as("tot"), count(lit(1)).as("n_keys"))
+    k.crossJoin(broadcast(tot))
+      .withColumn("share_ppm", expr("n * 1000000 DIV tot"))
+      .orderBy(col("n").desc, col("key")).limit(10)
+  }
+
+  val qSkewAuditSql: String =
+    """WITH k AS (SELECT l_suppkey AS key, CAST(count(*) AS BIGINT) AS n
+      |           FROM lineitem GROUP BY 1),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot,
+      |        CAST(count(*) AS BIGINT) AS n_keys FROM k)
+      |SELECT k.key, k.n, t.tot, t.n_keys,
+      |  CAST(k.n * 1000000 // t.tot AS BIGINT) AS share_ppm
+      |FROM k, t ORDER BY n DESC, key LIMIT 10""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quality" -> (qQuality _),
     "q_delta_metrics" -> (qDeltaMetrics _),
@@ -679,7 +703,8 @@ object MiscQueries extends graft.QueryModule {
     "q_cohort_retention" -> (qCohortRetention _),
     "q_copurchase" -> (qCopurchase _),
     "q_rfm" -> (qRfm _),
-    "q_outlier_events" -> (qOutlierEvents _))
+    "q_outlier_events" -> (qOutlierEvents _),
+    "q_skew_audit" -> (qSkewAudit _))
 
   def oracleSql: Map[String, String] = Map(
     "q_quality" -> qQualitySql,
@@ -700,5 +725,6 @@ object MiscQueries extends graft.QueryModule {
     "q_cohort_retention" -> qCohortRetentionSql,
     "q_copurchase" -> qCopurchaseSql,
     "q_rfm" -> qRfmSql,
-    "q_outlier_events" -> qOutlierEventsSql)
+    "q_outlier_events" -> qOutlierEventsSql,
+    "q_skew_audit" -> qSkewAuditSql)
 }
