@@ -76,6 +76,57 @@ object Pack {
     * for callers that materialize per-doc token structures anyway
     * (e.g. id streams budget by `size(ids)`) and must not pay the
     * tokenizer twice. Adds (toks, k, shard, pack_id). */
+  /** DOCUMENT-INTEGRITY (no-span) packing: same md5 layout, but a doc
+    * that would cross the budget boundary STARTS A NEW PACK instead
+    * of spanning — the loader mode when sequences must not fragment
+    * documents (instruction tuning, long-context curricula). Every
+    * multi-doc pack's token total is <= budget by construction; an
+    * oversized single doc sits alone in its own pack.
+    *
+    * The greedy first-fit walk is inherently sequential (each pack
+    * boundary depends on everything before it), so it runs as ONE
+    * ordered pass per shard inside `mapPartitions` — the same
+    * justified-sequential contract as the span-packing window, with
+    * shards bounding the sequential chain. Deterministic at any input
+    * partitioning: rows are hash-repartitioned BY shard and sorted
+    * (shard, k, id) before the walk. */
+  def assignPacksNoSpan(df: DataFrame, idCol: String, toks: Column,
+      budget: Long, nShards: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val s = df.sparkSession
+    import s.implicits._
+    val base = df
+      .withColumn("toks", toks)
+      .withColumn("k", md5(col(idCol).cast("string")))
+      .withColumn("shard",
+        conv(substring(col("k"), 1, 7), 16, 10).cast("long") % nShards)
+      .select(col(idCol).cast("long").as("id"), col("toks"),
+        col("k"), col("shard"))
+      .as[(Long, Long, String, Long)]
+    base.repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("k"), col("id"))
+      .mapPartitions { it =>
+        var curShard = Long.MinValue
+        var pack = 0L
+        var filled = 0L
+        it.map { case (id, t, _, shard) =>
+          if (shard != curShard) { curShard = shard; pack = 0L; filled = t }
+          else if (filled + t <= budget) { filled += t }
+          else { pack += 1L; filled = t }
+          (id, t, shard, pack)
+        }
+      }
+      .toDF("id", "toks", "shard", "pack_id")
+  }
+
+  /** [[summarize]] over the no-span assignment. */
+  def packSummaryNoSpan(df: DataFrame, textCol: String, idCol: String,
+      budget: Long = 512L, nShards: Int = 8,
+      tokensOf: Column => Column = whitespaceTokens): DataFrame =
+    summarize(assignPacksNoSpan(
+      df.select(col(idCol).as("id"), tokensOf(col(textCol)).as("toks")),
+      "id", col("toks"), budget, nShards), idCol = "id")
+
   def assignPacksOn(df: DataFrame, idCol: String, toks: Column,
       budget: Long, nShards: Int): DataFrame = {
     // the layout columns would silently clobber same-named caller

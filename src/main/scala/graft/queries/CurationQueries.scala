@@ -367,6 +367,45 @@ object CurationQueries extends graft.QueryModule {
     Pack.packSummary(Tables.documents(s, dir),
       textCol = "text", idCol = "doc_id", budget = 512L, nShards = 8)
 
+  /** DOCUMENT-INTEGRITY (no-span) packing
+    * ([[Pack.packSummaryNoSpan]]): greedy first-fit in the md5
+    * layout order where a doc that would cross the budget boundary
+    * starts a new pack — every multi-doc pack holds <= budget tokens,
+    * no document ever fragments (the instruction-tuning /
+    * long-context loader mode; span-packing `q_pack` is the
+    * pretraining mode). The oracle replays the sequential walk as a
+    * RECURSIVE CTE stepping one doc per shard per iteration. */
+  def qPackNospan(s: SparkSession, dir: String): DataFrame =
+    Pack.packSummaryNoSpan(Tables.documents(s, dir),
+      textCol = "text", idCol = "doc_id", budget = 512L, nShards = 8)
+
+  val qPackNospanSql: String =
+    """WITH RECURSIVE
+      |d AS (SELECT doc_id,
+      |        CAST(len(str_split(text, ' ')) AS BIGINT) AS toks
+      |      FROM documents),
+      |pk AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS k, toks FROM d),
+      |o AS (SELECT *,
+      |        CAST('0x' || substr(k, 1, 7) AS BIGINT) % 8 AS shard,
+      |        row_number() OVER (
+      |          PARTITION BY CAST('0x' || substr(k, 1, 7) AS BIGINT) % 8
+      |          ORDER BY k, doc_id) AS rn
+      |      FROM pk),
+      |walk(shard, rn, doc_id, toks, pack_id, filled) AS (
+      |  SELECT shard, rn, doc_id, toks, CAST(0 AS BIGINT), toks
+      |  FROM o WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o.shard, o.rn, o.doc_id, o.toks,
+      |    CASE WHEN w.filled + o.toks <= 512 THEN w.pack_id
+      |      ELSE w.pack_id + 1 END,
+      |    CASE WHEN w.filled + o.toks <= 512 THEN w.filled + o.toks
+      |      ELSE o.toks END
+      |  FROM walk w JOIN o ON o.shard = w.shard AND o.rn = w.rn + 1)
+      |SELECT shard, pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(toks) AS BIGINT) AS pack_tokens,
+      |  min(doc_id) AS first_doc
+      |FROM walk GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin
+
   /** Deterministic PER-EPOCH training data order — the final loader
     * artifact after packing: each epoch shuffles the pack manifest by
     * a salted-md5 order key, ranked WITHIN its shard (the loader
@@ -1544,6 +1583,7 @@ object CurationQueries extends graft.QueryModule {
     "q_mix_epochs" -> (qMixEpochs _),
     "q_pack" -> (qPack _),
     "q_epoch_order" -> (qEpochOrder _),
+    "q_pack_nospan" -> (qPackNospan _),
     "q_pack_bpe" -> (qPackBpe _),
     "q_pack_bpe50k" -> (qPackBpe50k _),
     "q_pack_epochs" -> (qPackEpochs _),
@@ -1580,6 +1620,7 @@ object CurationQueries extends graft.QueryModule {
     "q_mix_epochs" -> qMixEpochsSql,
     "q_pack" -> qPackSql,
     "q_epoch_order" -> qEpochOrderSql,
+    "q_pack_nospan" -> qPackNospanSql,
     "q_pack_bpe" -> qPackBpeSql,
     "q_pack_bpe50k" -> qPackBpe50kSql,
     "q_pack_epochs" -> qPackEpochsSql,

@@ -564,4 +564,42 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
     assert(again === per.map(r => (r.getLong(0), r.getLong(3))).toSet)
   }
+
+  test("no-span packing: packs never exceed budget, docs never split, greedy parity") {
+    import spark.implicits._
+    val docs = ((1L to 30L).map(i => (i, ("w " * ((i * 17 % 97).toInt + 1)).trim)) :+
+      (99L, ("w " * 700).trim)) // oversized: alone in its own pack
+      .toDF("doc_id", "text")
+    val per = Pack.assignPacksNoSpan(
+        docs.select(col("doc_id").as("id"),
+          Pack.whitespaceTokens(col("text")).as("toks")),
+        "id", col("toks"), budget = 100L, nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(per.length === 31)
+    // no multi-doc pack over budget; the oversized doc sits alone
+    per.groupBy(r => (r._3, r._4)).foreach { case (_, rows) =>
+      if (rows.length > 1) assert(rows.map(_._2).sum <= 100L)
+      else assert(rows.head._2 <= 100L || rows.head._1 === 99L)
+    }
+    // greedy parity: replay first-fit over the md5 order driver-side
+    val byShard = per.groupBy(_._3)
+    byShard.foreach { case (_, rows) =>
+      val ordered = rows.sortBy(r =>
+        (graft.functions.HashParity.md5Hex(r._1.toString), r._1))
+      var pack = 0L; var filled = 0L; var first = true
+      ordered.foreach { case (_, t, _, p) =>
+        if (first) { filled = t; first = false }
+        else if (filled + t <= 100L) filled += t
+        else { pack += 1L; filled = t }
+        assert(p === pack)
+      }
+    }
+    // partitioning invariance
+    val again = Pack.assignPacksNoSpan(
+        docs.repartition(7).select(col("doc_id").as("id"),
+          Pack.whitespaceTokens(col("text")).as("toks")),
+        "id", col("toks"), budget = 100L, nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(again === per.map(r => (r._1, r._4)).toSet)
+  }
 }
