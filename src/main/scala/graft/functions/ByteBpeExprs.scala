@@ -154,6 +154,8 @@ final class ByteBpeRanker(merges: Seq[(String, String)]) extends Serializable {
     var i = 0
     val n = ids.numElements()
     while (i < n) {
+      require(!ids.isNullAt(i),
+        s"null token id at position $i — the id stream must be total")
       val id = ids.getInt(i)
       require(id >= 0 && id < idPiece.length,
         s"token id $id outside the merge-derived vocab (size ${idPiece.length})")

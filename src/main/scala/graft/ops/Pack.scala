@@ -71,11 +71,6 @@ object Pack {
       "id", col("toks"), budget, nShards)
       .select(col("id"), col("toks"), col("shard"), col("pack_id"))
 
-  /** Pack assignment from an ALREADY-COMPUTED token-count column,
-    * keeping the caller's other columns (and the layout key `k`) —
-    * for callers that materialize per-doc token structures anyway
-    * (e.g. id streams budget by `size(ids)`) and must not pay the
-    * tokenizer twice. Adds (toks, k, shard, pack_id). */
   /** DOCUMENT-INTEGRITY (no-span) packing: same md5 layout, but a doc
     * that would cross the budget boundary STARTS A NEW PACK instead
     * of spanning — the loader mode when sequences must not fragment
@@ -93,6 +88,11 @@ object Pack {
   def assignPacksNoSpan(df: DataFrame, idCol: String, toks: Column,
       budget: Long, nShards: Int): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
+    // "toks" is the one legitimate overwrite — defined here as the
+    // given expression, exactly as in assignPacksOn
+    val clash = df.columns.toSet.intersect(Set("k", "shard", "pack_id"))
+    require(clash.isEmpty,
+      s"assignPacksNoSpan would overwrite caller column(s) ${clash.mkString(", ")}")
     val s = df.sparkSession
     import s.implicits._
     val base = df
@@ -127,6 +127,11 @@ object Pack {
       df.select(col(idCol).as("id"), tokensOf(col(textCol)).as("toks")),
       "id", col("toks"), budget, nShards), idCol = "id")
 
+  /** Pack assignment from an ALREADY-COMPUTED token-count column,
+    * keeping the caller's other columns (and the layout key `k`) —
+    * for callers that materialize per-doc token structures anyway
+    * (e.g. id streams budget by `size(ids)`) and must not pay the
+    * tokenizer twice. Adds (toks, k, shard, pack_id). */
   def assignPacksOn(df: DataFrame, idCol: String, toks: Column,
       budget: Long, nShards: Int): DataFrame = {
     // the layout columns would silently clobber same-named caller

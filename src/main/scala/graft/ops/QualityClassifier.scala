@@ -122,25 +122,26 @@ object QualityClassifier {
   /** Integer-ppm inference over a corpus: (id, n_toks, score, keep)
     * with `score = sum(c_b * w_ppm(b))` and
     * `keep = score + bias_ppm * n_toks > 0` (the logistic decision
-    * multiplied through by the token count — no division). Docs with
-    * no tokens score 0 and keep iff bias > 0. */
+    * multiplied through by the token count — no division). Null text
+    * coalesces to '' (one empty-string token — the `split` semantics
+    * every text operator here shares), so every corpus row scores and
+    * no join-back is needed: the scoring pass is one broadcast weight
+    * join + one per-doc aggregate, nothing corpus-sized beyond it. */
   def scoreReport(corpus: DataFrame, model: Model, textCol: String,
       idCol: String): DataFrame = {
     val s = corpus.sparkSession
     import s.implicits._
     val wt = model.weightsPpm.toIndexedSeq.zipWithIndex
       .map { case (wp, b) => (b.toLong, wp) }.toDF("b", "wppm")
-    val scored = graft.core.Par.widen(corpus)
+    graft.core.Par.widen(corpus)
       .select(col(idCol).as("id"),
-        explode(TextAnalysis.tokens(col(textCol))).as("t"))
+        explode(TextAnalysis.tokens(coalesce(col(textCol), lit(""))))
+          .as("t"))
       .select(col("id"),
         pmod(HashParity.h28(col("t")), lit(model.nBuckets.toLong)).as("b"))
       .join(broadcast(wt), Seq("b"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_toks"), sum(col("wppm")).as("score"))
-    corpus.select(col(idCol).as("id"))
-      .join(scored, Seq("id"), "left")
-      .na.fill(0L, Seq("n_toks", "score"))
       .withColumn("keep",
         (col("score") + lit(model.biasPpm) * col("n_toks") > 0L).cast("long"))
   }
