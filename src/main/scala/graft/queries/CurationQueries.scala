@@ -35,7 +35,7 @@ object CurationQueries extends graft.QueryModule {
     * `${p}best` — one row per overlapping corpus doc with its best
     * eval doc (ratio DESC, ties to lowest eval_id). The ratio formula
     * and tie-break live HERE, once. */
-  private def overlapCtes(cs: String, es: String, p: String): String =
+  private[queries] def overlapCtes(cs: String, es: String, p: String): String =
     s"""${p}esz AS (SELECT eval_id, CAST(count(*) AS BIGINT) AS eval_ng
        |        FROM $es GROUP BY eval_id),
        |${p}shared AS (SELECT c.id, e.eval_id, CAST(count(*) AS BIGINT) AS shared

@@ -176,17 +176,68 @@ object StreamQueries extends graft.QueryModule {
        |${CurationQueries.packManifestSql}
        |) m""".stripMargin
 
+  /** Continuous curation WITH DECONTAMINATION: the full drain of
+    * [[qCurateStream]] plus a batch-local eval-suite gate ahead of
+    * the funnel — each micro-batch drops docs whose best 3-gram
+    * overlap with the (static, broadcast-small) benchmark slice
+    * (doc_id % 53 == 0, the decontamination entries' convention)
+    * reaches 0.2 before anything else runs, so eval data and its
+    * near-copies can never reach the training manifest. The oracle
+    * pins decon INSIDE the first-wins window (ahead of dedup, the
+    * engine's stage order); with exact-md5 fingerprints the two
+    * orders coincide — identical texts are identically contaminated —
+    * but the pin keeps the composed semantics explicit for fuzzier
+    * dedup variants. */
+  def qCurateDeconStream(s: SparkSession, dir: String): DataFrame = {
+    val tmp = scratch(s, "curatedc")
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .parquet(s"$dir/documents*.parquet")
+    val evalSet = s.read.parquet(s"$dir/documents.parquet")
+      .filter(pmod(col("doc_id"), lit(53)) === 0)
+    graft.streaming.CurationStream.runCurate(s, stream, "text", "doc_id",
+      "lang", s"$tmp/index", s"$tmp/admitted", s"$tmp/manifest",
+      s"$tmp/ckpt", evalDf = Some(evalSet))
+  }
+
+  /** DuckDB replay of [[qCurateDeconStream]]: the shared funnel flag
+    * chain, the shared best-overlap decon chain, then survivors
+    * recomputed with the decon filter INSIDE the first-wins window
+    * (the stage-order pin), into the shared pack layout. */
+  val qCurateDeconStreamSql: String =
+    s"""SELECT CAST(0 AS BIGINT) AS batch, m.* FROM (
+       |WITH ${SelectionQueries.funnelCtes},
+       |dct AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+       |dcsh AS (SELECT DISTINCT doc_id AS id,
+       |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+       |       FROM dct, UNNEST(generate_series(1, len(w)-2)) AS u(i)
+       |       WHERE len(w) >= 3),
+       |dcshe AS (SELECT id AS eval_id, g FROM dcsh WHERE id % 53 = 0),
+       |${CurationQueries.overlapCtes("dcsh", "dcshe", "dc")},
+       |dcflg AS (SELECT id FROM dcbest WHERE ratio >= 0.2),
+       |sel AS (SELECT id AS doc_id, n_words AS toks FROM (
+       |    SELECT id, n_words, row_number() OVER (
+       |      PARTITION BY fp ORDER BY id) AS rn
+       |    FROM f WHERE f3 = 1
+       |      AND id NOT IN (SELECT id FROM dcflg))
+       |  WHERE rn = 1),
+       |${CurationQueries.packLayoutCtes("sel")}
+       |${CurationQueries.packManifestSql}
+       |) m""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_window" -> (qStreamWindow _),
     "q_sessionize" -> (qSessionize _),
     "q_sessionize_stream" -> (qSessionizeStream _),
     "q_funnel_stream" -> (qFunnelStream _),
-    "q_curate_stream" -> (qCurateStream _))
+    "q_curate_stream" -> (qCurateStream _),
+    "q_curate_decon_stream" -> (qCurateDeconStream _))
 
   def oracleSql: Map[String, String] = Map(
     "q_stream_window" -> qStreamWindowSql,
     "q_sessionize" -> qSessionizeSql,
     "q_sessionize_stream" -> qSessionizeSql,
     "q_funnel_stream" -> qFunnelStreamSql,
-    "q_curate_stream" -> qCurateStreamSql)
+    "q_curate_stream" -> qCurateStreamSql,
+    "q_curate_decon_stream" -> qCurateDeconStreamSql)
 }

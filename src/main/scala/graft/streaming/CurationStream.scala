@@ -41,7 +41,9 @@ object CurationStream {
       langCol: String, indexDir: String, admittedDir: String,
       manifestDir: String, checkpointDir: String,
       budget: Long = 512L, nShards: Int = 8,
-      compactEvery: Option[Int] = None, keepRecent: Int = 2): DataFrame = {
+      compactEvery: Option[Int] = None, keepRecent: Int = 2,
+      evalDf: Option[DataFrame] = None,
+      deconFlagAt: Double = 0.2): DataFrame = {
     compactEvery.foreach(n => require(n >= 1, "compactEvery must be >= 1"))
     val q = stream.writeStream
       .outputMode(OutputMode.Append)
@@ -49,7 +51,8 @@ object CurationStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         curateBatch(s, batch, textCol, idCol, langCol, indexDir,
-          admittedDir, manifestDir, batchId, budget, nShards)
+          admittedDir, manifestDir, batchId, budget, nShards,
+          evalDf, deconFlagAt)
         // only the INDEX compacts — admitted/manifest are the output,
         // not state the loop re-reads (the DedupStream decision-log
         // contract)
@@ -68,16 +71,29 @@ object CurationStream {
   }
 
   /** One curation cycle — also directly usable by a batch caller.
-    * Idempotent per (dirs, batchId). */
+    * Idempotent per (dirs, batchId). With `evalDf` set, each batch is
+    * DECONTAMINATED before the funnel: docs whose best n-gram overlap
+    * with the (static, broadcast-small) eval suite reaches
+    * `deconFlagAt` are dropped — batch-local like the quality gates,
+    * no cross-batch state, and the eval docs themselves (ratio 1.0
+    * against their own shingles) can never reach the manifest. */
   def curateBatch(
       s: SparkSession, batch: DataFrame, textCol: String, idCol: String,
       langCol: String, indexDir: String, admittedDir: String,
       manifestDir: String, batchId: Long, budget: Long,
-      nShards: Int): Unit =
+      nShards: Int, evalDf: Option[DataFrame] = None,
+      deconFlagAt: Double = 0.2): Unit =
     graft.core.CacheScope.withScope {
+      val gated = evalDf.fold(batch) { ev =>
+        batch.join(
+          graft.ops.Decontaminate.flaggedIds(batch, ev, textCol, idCol,
+              evalIdCol = idCol, n = 3, flagAt = deconFlagAt)
+            .withColumnRenamed("id", idCol),
+          Seq(idCol), "left_anti")
+      }
       // gate + flags + cross-batch survivors + index append: the
       // shared cycle (manifest is this drain's commit marker)
-      FunnelStream.survivorCycle(s, batch, textCol, idCol, langCol,
+      FunnelStream.survivorCycle(s, gated, textCol, idCol, langCol,
           indexDir, manifestDir, batchId)
         .foreach { case (_, surv) =>
           val packed = graft.core.CacheScope.cache(

@@ -71,4 +71,52 @@ class CurationStreamSpec extends SparkSpec {
       .orderBy("batch", "shard", "pack_id").collect().toSeq
     assert(after == before)
   }
+
+  test("decontaminating drain: eval copies never reach the manifest") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_curdc").toString
+    val evalText = good(90)
+    // batch 0: an exact and a near copy of the eval doc (both pass
+    // every quality gate) beside a clean doc duplicated across batches
+    val dcBatches = Seq(
+      Seq((1L, evalText, "en"), (2L, good(1), "en"),
+        (3L, evalText + " extra tail words here", "en")),
+      Seq((4L, good(1), "en"), (5L, good(2), "en")))
+    dcBatches.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("doc_id", "text", "lang").coalesce(1)
+        .write.parquet(s"$tmp/in/b$i.parquet")
+    }
+    EventStream.orderLanding(spark, s"$tmp/in/*.parquet", byName = true)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/in/*.parquet")
+    val evalDf = Seq((900L, evalText)).toDF("doc_id", "text")
+    CurationStream.runCurate(spark, stream,
+      "text", "doc_id", "lang", s"$tmp/index", s"$tmp/admitted",
+      s"$tmp/manifest", s"$tmp/ckpt", budget = 64L, nShards = 2,
+      evalDf = Some(evalDf))
+    val admitted = spark.read.option("basePath", s"$tmp/admitted")
+      .parquet(s"$tmp/admitted")
+      .collect().map(_.getAs[Long]("id")).toSet
+    // 1 (exact eval copy) and 3 (near copy) are gone; 2 admitted in
+    // batch 0; 4 rejected as a cross-batch dup of 2; 5 admitted
+    assert(admitted === Set(2L, 5L))
+
+    // one-batch composition: a contaminated doc (lowest id) beside a
+    // clean duplicated pair — decon drops 10, first-wins keeps 11
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft_curdc2").toString
+    val dupText = good(91)
+    CurationStream.curateBatch(spark,
+      Seq((10L, dupText + " " + evalText, "en"), // contaminated
+        (11L, dupText, "en"), (12L, dupText, "en"))
+        .toDF("doc_id", "text", "lang"),
+      "text", "doc_id", "lang", s"$tmp2/index", s"$tmp2/admitted",
+      s"$tmp2/manifest", 0L, 64L, 2, Some(evalDf))
+    val admitted2 = spark.read.option("basePath", s"$tmp2/admitted")
+      .parquet(s"$tmp2/admitted")
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(admitted2 === Set(11L))
+  }
 }
