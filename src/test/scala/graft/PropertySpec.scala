@@ -330,6 +330,35 @@ object PackProps extends SparkProperties("pack") {
       }
       allOnce && bound
     }
+
+  property("no-span: packs never exceed budget; exact parity with the greedy walk") =
+    Prop.forAll(genDocs, Gen.choose(8L, 64L)) { (docs, budget) =>
+      val per = graft.ops.Pack.assignPacksNoSpan(
+          df(docs).select(col("doc_id").as("id"),
+            graft.ops.Pack.whitespaceTokens(col("text")).as("toks")),
+          "id", col("toks"), budget = budget, nShards = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val allOnce = per.map(_._1).sorted.toSeq == docs.map(_._1).sorted
+      // multi-doc packs bounded; oversized docs only ever alone
+      val bound = per.groupBy(r => (r._3, r._4)).values.forall { rows =>
+        if (rows.length > 1) rows.map(_._2).sum <= budget
+        else rows.head._2 <= budget || rows.length == 1
+      }
+      // driver-side greedy replay over the md5 layout order
+      val parity = per.groupBy(_._3).values.forall { rows =>
+        val ordered = rows.sortBy(r =>
+          (graft.functions.HashParity.md5Hex(r._1.toString), r._1))
+        var pack = 0L; var filled = 0L; var first = true; var ok = true
+        ordered.foreach { case (_, t, _, p) =>
+          if (first) { filled = t; first = false }
+          else if (filled + t <= budget) filled += t
+          else { pack += 1L; filled = t }
+          ok &&= (p == pack)
+        }
+        ok
+      }
+      allOnce && bound && parity
+    }
 }
 
 object DecontaminateProps extends SparkProperties("decontaminate") {
