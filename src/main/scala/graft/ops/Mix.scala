@@ -178,4 +178,38 @@ object Mix {
         col("rate_ppm"), col("n_copies"),
         col("src_kept_copies"), col("src_kept_tokens"))
   }
+
+  /** FIXED-rate upsampling copies — the continuous-pipeline arm of
+    * [[mixEpochs]]: rates are frozen OFFLINE (a snapshot's mixture
+    * run decides ppm per source) and each arriving batch applies them
+    * locally, so the drain gains no cross-batch state and every batch
+    * keeps/replicates with exactly the deterministic
+    * `(rate_ppm + 999999 - ppm) DIV 1e6` arithmetic of the batch
+    * operator. Input frame: (id, source, n_tokens). A source absent
+    * from the table rates 0 and is dropped (document the table
+    * completely). Over-maxEpochs rates fail loudly at plan time —
+    * the table is static, no runtime guard needed. */
+  def copiesAtRatesOn(df: DataFrame, ratesPpm: Seq[(String, Long)],
+      salt: String, maxEpochs: Int = 16): DataFrame = {
+    require(ratesPpm.nonEmpty, "empty rate table")
+    require(ratesPpm.map(_._1).distinct.size == ratesPpm.size,
+      "duplicate source in rate table")
+    require(ratesPpm.forall(_._2 >= 0), "negative rate")
+    ratesPpm.filter(_._2 > maxEpochs * 1000000L) match {
+      case bad if bad.nonEmpty => throw new IllegalArgumentException(
+        s"copiesAtRatesOn: rates over maxEpochs=$maxEpochs for " +
+          bad.map { case (s, r) => s"$s ($r ppm)" }.mkString(", "))
+      case _ =>
+    }
+    val rate = ratesPpm.foldRight(lit(0L): Column) { case ((s, r), rest) =>
+      when(col("source") === s, r).otherwise(rest)
+    }
+    df.withColumn("ppm", bucketPpm(col("id"), salt))
+      .withColumn("rate_ppm", rate)
+      .withColumn("n_copies", expr("(rate_ppm + 999999 - ppm) DIV 1000000"))
+      .filter(col("n_copies") > 0L)
+      .withColumn("epoch",
+        explode(sequence(lit(0L), col("n_copies") - 1L)))
+      .drop("ppm")
+  }
 }

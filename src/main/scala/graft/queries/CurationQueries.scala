@@ -1296,7 +1296,7 @@ object CurationQueries extends graft.QueryModule {
 
   /** Per-copy pack layout + final manifest SELECT over `keptc`
     * (cross-engine twin of [[packOnCopies]]). */
-  private val packCopiesTail: String =
+  private[queries] val packCopiesTail: String =
     s"""pd AS (SELECT CAST(doc_id AS VARCHAR) || '#' ||
        |      CAST(epoch AS VARCHAR) AS copy_id,
        |    n_tokens AS toks FROM keptc),

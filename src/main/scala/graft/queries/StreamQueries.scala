@@ -200,14 +200,12 @@ object StreamQueries extends graft.QueryModule {
       s"$tmp/ckpt", evalDf = Some(evalSet))
   }
 
-  /** DuckDB replay of [[qCurateDeconStream]]: the shared funnel flag
-    * chain, the shared best-overlap decon chain, then survivors
-    * recomputed with the decon filter INSIDE the first-wins window
-    * (the stage-order pin), into the shared pack layout. */
-  val qCurateDeconStreamSql: String =
-    s"""SELECT CAST(0 AS BIGINT) AS batch, m.* FROM (
-       |WITH ${SelectionQueries.funnelCtes},
-       |dct AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+  /** Decon + decon-aware survivor CTE chain shared by the two
+    * decontaminating drain oracles: funnel `f` -> `sel` (doc_id,
+    * toks), with the flagged set removed INSIDE the first-wins
+    * window. */
+  private val deconSelCtes: String =
+    s"""dct AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
        |dcsh AS (SELECT DISTINCT doc_id AS id,
        |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
        |       FROM dct, UNNEST(generate_series(1, len(w)-2)) AS u(i)
@@ -220,9 +218,72 @@ object StreamQueries extends graft.QueryModule {
        |      PARTITION BY fp ORDER BY id) AS rn
        |    FROM f WHERE f3 = 1
        |      AND id NOT IN (SELECT id FROM dcflg))
-       |  WHERE rn = 1),
+       |  WHERE rn = 1)""".stripMargin
+
+  /** DuckDB replay of [[qCurateDeconStream]]: the shared funnel flag
+    * chain, the shared best-overlap decon chain, then survivors
+    * recomputed with the decon filter INSIDE the first-wins window
+    * (the stage-order pin), into the shared pack layout. */
+  val qCurateDeconStreamSql: String =
+    s"""SELECT CAST(0 AS BIGINT) AS batch, m.* FROM (
+       |WITH ${SelectionQueries.funnelCtes},
+       |$deconSelCtes,
        |${CurationQueries.packLayoutCtes("sel")}
        |${CurationQueries.packManifestSql}
+       |) m""".stripMargin
+
+  /** The frozen per-source rate table for the FULL streaming chain:
+    * src_i upsamples/downsamples at ((i % 4) + 1) x 0.5 epochs —
+    * every corpus source rated explicitly, spanning the sub-1x keep
+    * regime and true 1.5x/2x replication. Frozen offline is the
+    * streaming contract: a snapshot's [[graft.ops.Mix]] run decides
+    * the ppm, the drain applies it batch-locally. */
+  private val fullStreamRates: Seq[(String, Long)] =
+    (0 until 20).map(i => s"src$i" -> ((i % 4) + 1) * 500000L)
+
+  private def ratesCase(rs: Seq[(String, Long)]): String =
+    "CASE source " +
+      rs.map { case (s, r) => s"WHEN '$s' THEN $r" }.mkString(" ") +
+      " ELSE 0 END"
+
+  /** The COMPLETE curation chain as one continuous drain: quality
+    * gate -> decontamination -> cross-batch dedup -> FIXED-RATE
+    * mixing with upsampling epochs -> per-copy context packing.
+    * Every stage of the batch pipeline (`q_curation_full`) now runs
+    * continuously; rates are frozen offline
+    * ([[graft.ops.Mix.copiesAtRatesOn]]) so the mixing stage adds no
+    * cross-batch state and the drain keeps its idempotence contract
+    * unchanged. */
+  def qCurateFullStream(s: SparkSession, dir: String): DataFrame = {
+    val tmp = scratch(s, "curatefull")
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .parquet(s"$dir/documents*.parquet")
+    val evalSet = s.read.parquet(s"$dir/documents.parquet")
+      .filter(pmod(col("doc_id"), lit(53)) === 0)
+    graft.streaming.CurationStream.runCurate(s, stream, "text", "doc_id",
+      "lang", s"$tmp/index", s"$tmp/admitted", s"$tmp/manifest",
+      s"$tmp/ckpt", budget = 1024L,
+      evalDf = Some(evalSet), mixRatesPpm = Some(fullStreamRates))
+  }
+
+  /** DuckDB replay of [[qCurateFullStream]]: the shared funnel +
+    * decon survivor chain, the fixed-rate copy formula, the shared
+    * per-copy pack layout. */
+  val qCurateFullStreamSql: String =
+    s"""SELECT CAST(0 AS BIGINT) AS batch, m.* FROM (
+       |WITH ${SelectionQueries.funnelCtes},
+       |$deconSelCtes,
+       |mbase AS (SELECT sel.doc_id, d.source, sel.toks AS n_tokens,
+       |    ${graft.ops.Mix.bucketPpmSql("sel.doc_id", "mix")} AS ppm
+       |  FROM sel JOIN documents d USING (doc_id)),
+       |mcp AS (SELECT doc_id, n_tokens,
+       |    ((${ratesCase(fullStreamRates)}) + 999999 - ppm) // 1000000
+       |      AS n_copies FROM mbase),
+       |keptc AS (SELECT doc_id, n_tokens,
+       |    unnest(generate_series(0, n_copies - 1)) AS epoch
+       |  FROM mcp WHERE n_copies > 0),
+       |${CurationQueries.packCopiesTail}
        |) m""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -231,7 +292,8 @@ object StreamQueries extends graft.QueryModule {
     "q_sessionize_stream" -> (qSessionizeStream _),
     "q_funnel_stream" -> (qFunnelStream _),
     "q_curate_stream" -> (qCurateStream _),
-    "q_curate_decon_stream" -> (qCurateDeconStream _))
+    "q_curate_decon_stream" -> (qCurateDeconStream _),
+    "q_curate_full_stream" -> (qCurateFullStream _))
 
   def oracleSql: Map[String, String] = Map(
     "q_stream_window" -> qStreamWindowSql,
@@ -239,5 +301,6 @@ object StreamQueries extends graft.QueryModule {
     "q_sessionize_stream" -> qSessionizeSql,
     "q_funnel_stream" -> qFunnelStreamSql,
     "q_curate_stream" -> qCurateStreamSql,
-    "q_curate_decon_stream" -> qCurateDeconStreamSql)
+    "q_curate_decon_stream" -> qCurateDeconStreamSql,
+    "q_curate_full_stream" -> qCurateFullStreamSql)
 }

@@ -43,7 +43,9 @@ object CurationStream {
       budget: Long = 512L, nShards: Int = 8,
       compactEvery: Option[Int] = None, keepRecent: Int = 2,
       evalDf: Option[DataFrame] = None,
-      deconFlagAt: Double = 0.2): DataFrame = {
+      deconFlagAt: Double = 0.2,
+      mixRatesPpm: Option[Seq[(String, Long)]] = None,
+      sourceCol: String = "source", mixSalt: String = "mix"): DataFrame = {
     compactEvery.foreach(n => require(n >= 1, "compactEvery must be >= 1"))
     val q = stream.writeStream
       .outputMode(OutputMode.Append)
@@ -52,7 +54,7 @@ object CurationStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         curateBatch(s, batch, textCol, idCol, langCol, indexDir,
           admittedDir, manifestDir, batchId, budget, nShards,
-          evalDf, deconFlagAt)
+          evalDf, deconFlagAt, mixRatesPpm, sourceCol, mixSalt)
         // only the INDEX compacts — admitted/manifest are the output,
         // not state the loop re-reads (the DedupStream decision-log
         // contract)
@@ -82,7 +84,9 @@ object CurationStream {
       langCol: String, indexDir: String, admittedDir: String,
       manifestDir: String, batchId: Long, budget: Long,
       nShards: Int, evalDf: Option[DataFrame] = None,
-      deconFlagAt: Double = 0.2): Unit =
+      deconFlagAt: Double = 0.2,
+      mixRatesPpm: Option[Seq[(String, Long)]] = None,
+      sourceCol: String = "source", mixSalt: String = "mix"): Unit =
     graft.core.CacheScope.withScope {
       val gated = evalDf.fold(batch) { ev =>
         batch.join(
@@ -96,13 +100,38 @@ object CurationStream {
       FunnelStream.survivorCycle(s, gated, textCol, idCol, langCol,
           indexDir, manifestDir, batchId)
         .foreach { case (_, surv) =>
-          val packed = graft.core.CacheScope.cache(
-            Pack.assignPacksOn(surv.select(col("id"), col("n_words")),
-              "id", col("n_words"), budget, nShards))
-          packed.select(col("id"), col("toks"), col("shard"),
-              col("pack_id"))
+          val packed = graft.core.CacheScope.cache(mixRatesPpm match {
+            case None =>
+              Pack.assignPacksOn(surv.select(col("id"), col("n_words")),
+                "id", col("n_words"), budget, nShards)
+            case Some(rates) =>
+              // fixed-rate mixing/upsampling before packing: rates
+              // are frozen offline, the batch applies them locally
+              // (Mix.copiesAtRatesOn); copies pack on the composite
+              // (doc, epoch) key exactly as the batch operator does
+              val copies = graft.ops.Mix.copiesAtRatesOn(
+                surv.select(col("id"), col("n_words").as("n_tokens"))
+                  .join(batch.select(col(idCol).as("id"),
+                    col(sourceCol).as("source")), Seq("id")),
+                rates, mixSalt)
+              Pack.assignPacksOn(
+                copies.select(
+                  concat_ws("#", col("id"), col("epoch")).as("copy_id"),
+                  col("id").as("doc"), col("epoch"), col("n_tokens")),
+                "copy_id", col("n_tokens"), budget, nShards)
+          })
+          val admitted = mixRatesPpm match {
+            case None =>
+              packed.select(col("id"), col("toks"), col("shard"),
+                col("pack_id"))
+            case Some(_) =>
+              packed.select(col("doc").as("id"), col("epoch"),
+                col("toks"), col("shard"), col("pack_id"))
+          }
+          admitted
             .write.mode("overwrite").parquet(s"$admittedDir/batch=$batchId")
-          Pack.summarize(packed, "id")
+          Pack.summarize(packed,
+              if (mixRatesPpm.isDefined) "copy_id" else "id")
             .write.mode("overwrite").parquet(s"$manifestDir/batch=$batchId")
         }
     }

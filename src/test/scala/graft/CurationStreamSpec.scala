@@ -119,4 +119,41 @@ class CurationStreamSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("id")).toSet
     assert(admitted2 === Set(11L))
   }
+
+  test("mixing drain: fixed rates replicate per the batch operator's exact formula") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_curmix").toString
+    // srcA at 2.0 epochs (always 2 copies), srcB at 0 (dropped),
+    // srcC at 0.5 (kept iff the salted draw lands under the rate)
+    val rates = Seq("srcA" -> 2000000L, "srcB" -> 0L, "srcC" -> 500000L)
+    val rows = Seq(
+      (1L, good(50), "en", "srcA"), (2L, good(51), "en", "srcB"),
+      (3L, good(52), "en", "srcC"), (4L, good(53), "en", "srcC"),
+      (5L, good(54), "en", "srcC"), (6L, good(55), "en", "srcC"))
+    CurationStream.curateBatch(spark,
+      rows.toDF("doc_id", "text", "lang", "source"),
+      "text", "doc_id", "lang", s"$tmp/index", s"$tmp/admitted",
+      s"$tmp/manifest", 0L, 1024L, 2, mixRatesPpm = Some(rates))
+    val admitted = spark.read.option("basePath", s"$tmp/admitted")
+      .parquet(s"$tmp/admitted")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("epoch")))
+    // the exact batch-operator formula, replayed driver-side
+    def copies(id: Long, ratePpm: Long): Long = {
+      val h = graft.functions.HashParity.md5Hex(s"$id#mix").take(7)
+      val ppm = java.lang.Long.parseLong(h, 16) % 1000000L
+      math.max(0L, (ratePpm + 999999L - ppm) / 1000000L)
+    }
+    val want = rows.flatMap { case (id, _, _, src) =>
+      val r = rates.toMap.apply(src)
+      (0L until copies(id, r)).map(e => (id, e))
+    }.toSet
+    assert(admitted.toSet === want)
+    assert(admitted.count(_._1 == 1L) === 2) // srcA: exactly 2 epochs
+    assert(!admitted.exists(_._1 == 2L)) // srcB dropped entirely
+    // manifest mass equals the copies' token mass (61 words each)
+    val mass = spark.read.option("basePath", s"$tmp/manifest")
+      .parquet(s"$tmp/manifest")
+      .agg(org.apache.spark.sql.functions.sum("pack_tokens"))
+      .head().getLong(0)
+    assert(mass === 61L * want.size)
+  }
 }
