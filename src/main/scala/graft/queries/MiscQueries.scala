@@ -536,6 +536,71 @@ object MiscQueries extends graft.QueryModule {
       |GROUP BY 1, 2
       |ORDER BY n_orders DESC, p1, p2 LIMIT 20""".stripMargin
 
+  /** Association rules over the co-purchase pairs: for the top pairs
+    * by support, confidence and lift in EXACT integer ppm —
+    * `conf(p1→p2) = n_pair/n_p1`, `lift = conf/P(p2)` computed as
+    * `n_pair * n_orders * 1e6 DIV (n_p1 * n_p2)` so no float division
+    * ever runs. The market-basket read beyond raw pair counts.
+    *
+    * Scale shape: same bounded self-equi-join as [[qCopurchase]];
+    * per-item counts are one map-side-combined aggregate joined back
+    * only onto the top-20 pairs (broadcast-small after TakeOrdered).
+    * Overflow: n_pair * n_orders * 1e6 needs n_pair * n_orders
+    * < ~9e12 — at 100 TB run the lift as a two-step DIV, documented
+    * here. */
+  def qAssocRules(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val items = li.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+    val orders = li.select(col("ok")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val pairs = li.select(col("ok"), col("pk").as("p1"))
+      .join(li.select(col("ok"), col("pk").as("p2")), Seq("ok"))
+      .filter(col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .orderBy(col("n_pair").desc, col("p1"), col("p2"))
+      .limit(20)
+    pairs
+      .join(broadcast(items.withColumnRenamed("pk", "p1")
+        .withColumnRenamed("n_item", "n_p1")), Seq("p1"))
+      .join(broadcast(items.withColumnRenamed("pk", "p2")
+        .withColumnRenamed("n_item", "n_p2")), Seq("p2"))
+      .crossJoin(broadcast(orders))
+      .withColumn("conf12_ppm", expr("n_pair * 1000000 DIV n_p1"))
+      .withColumn("conf21_ppm", expr("n_pair * 1000000 DIV n_p2"))
+      .withColumn("lift_ppm",
+        expr("n_pair * n_orders * 1000000 DIV (n_p1 * n_p2)"))
+      .select(col("p1"), col("p2"), col("n_pair"), col("n_p1"),
+        col("n_p2"), col("n_orders"), col("conf12_ppm"),
+        col("conf21_ppm"), col("lift_ppm"))
+      .orderBy(col("n_pair").desc, col("p1"), col("p2"))
+  }
+
+  val qAssocRulesSql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |            FROM lineitem),
+      |it AS (SELECT pk, CAST(count(*) AS BIGINT) AS n_item
+      |       FROM li GROUP BY pk),
+      |no AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM li),
+      |pr AS (SELECT a.pk AS p1, b.pk AS p2,
+      |         CAST(count(*) AS BIGINT) AS n_pair
+      |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |       GROUP BY 1, 2
+      |       ORDER BY n_pair DESC, p1, p2 LIMIT 20)
+      |SELECT pr.p1, pr.p2, pr.n_pair,
+      |  i1.n_item AS n_p1, i2.n_item AS n_p2, no.n_orders,
+      |  CAST(pr.n_pair * 1000000 // i1.n_item AS BIGINT) AS conf12_ppm,
+      |  CAST(pr.n_pair * 1000000 // i2.n_item AS BIGINT) AS conf21_ppm,
+      |  CAST(pr.n_pair * no.n_orders * 1000000
+      |    // (i1.n_item * i2.n_item) AS BIGINT) AS lift_ppm
+      |FROM pr
+      |JOIN it i1 ON pr.p1 = i1.pk
+      |JOIN it i2 ON pr.p2 = i2.pk
+      |CROSS JOIN no
+      |ORDER BY n_pair DESC, p1, p2""".stripMargin
+
   /** RFM customer segmentation over the orders fact: recency (days
     * since last order, against the corpus-wide latest order day),
     * frequency (order count), monetary (exact cents), each cut into
@@ -704,7 +769,8 @@ object MiscQueries extends graft.QueryModule {
     "q_copurchase" -> (qCopurchase _),
     "q_rfm" -> (qRfm _),
     "q_outlier_events" -> (qOutlierEvents _),
-    "q_skew_audit" -> (qSkewAudit _))
+    "q_skew_audit" -> (qSkewAudit _),
+    "q_assoc_rules" -> (qAssocRules _))
 
   def oracleSql: Map[String, String] = Map(
     "q_quality" -> qQualitySql,
@@ -726,5 +792,6 @@ object MiscQueries extends graft.QueryModule {
     "q_copurchase" -> qCopurchaseSql,
     "q_rfm" -> qRfmSql,
     "q_outlier_events" -> qOutlierEventsSql,
-    "q_skew_audit" -> qSkewAuditSql)
+    "q_skew_audit" -> qSkewAuditSql,
+    "q_assoc_rules" -> qAssocRulesSql)
 }
