@@ -286,6 +286,38 @@ object StreamQueries extends graft.QueryModule {
        |${CurationQueries.packCopiesTail}
        |) m""".stripMargin
 
+  /** CONTINUOUS vector-index ingestion
+    * ([[graft.streaming.VectorIndexStream]]): the quantizer is
+    * trained offline on the snapshot and FROZEN, the embedding stream
+    * drains into cluster-partitioned inverted-list appends with the
+    * marker-last idempotence contract, and the top-k search runs
+    * against the PERSISTED standing index — proving the index
+    * partitions, not the stream, are the queryable artifact. Same
+    * (queryMaxId, k, nProbe) surface as `q_ann_ivf`, so the oracle is
+    * the SAME full IVF replay with this run's centroids inlined. */
+  def qAnnStream(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.CacheScope.Scoped
+    val tmp = scratch(s, "annstream")
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val prepared = graft.ops.Similarity.prepared(emb).scopedCache()
+    val centroids = graft.ops.Ivf.train(prepared, k = 8, iters = 1)
+    annStreamModel = Some(graft.ops.Ivf.Model(centroids,
+      queryMaxId = 10L, k = 5, nProbe = 3))
+    val stream = s.readStream.schema(emb.schema)
+      .parquet(s"$dir/embeddings*.parquet")
+    graft.streaming.VectorIndexStream.runIngest(s, stream, centroids,
+      s"$tmp/index", s"$tmp/manifest", s"$tmp/ckpt")
+    graft.streaming.VectorIndexStream.searchStanding(s, s"$tmp/index",
+      s"$tmp/manifest", emb.filter(col("vec_id") < 10), centroids,
+      k = 5, nProbe = 3)
+  }
+
+  @volatile private var annStreamModel: Option[graft.ops.Ivf.Model] = None
+
+  private def annStreamOracle: Map[String, String] =
+    annStreamModel
+      .map(m => "q_ann_stream" -> TrainingQueries.ivfOracleSql(m)).toMap
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_window" -> (qStreamWindow _),
     "q_sessionize" -> (qSessionize _),
@@ -293,7 +325,8 @@ object StreamQueries extends graft.QueryModule {
     "q_funnel_stream" -> (qFunnelStream _),
     "q_curate_stream" -> (qCurateStream _),
     "q_curate_decon_stream" -> (qCurateDeconStream _),
-    "q_curate_full_stream" -> (qCurateFullStream _))
+    "q_curate_full_stream" -> (qCurateFullStream _),
+    "q_ann_stream" -> (qAnnStream _))
 
   def oracleSql: Map[String, String] = Map(
     "q_stream_window" -> qStreamWindowSql,
@@ -302,5 +335,5 @@ object StreamQueries extends graft.QueryModule {
     "q_funnel_stream" -> qFunnelStreamSql,
     "q_curate_stream" -> qCurateStreamSql,
     "q_curate_decon_stream" -> qCurateDeconStreamSql,
-    "q_curate_full_stream" -> qCurateFullStreamSql)
+    "q_curate_full_stream" -> qCurateFullStreamSql) ++ annStreamOracle
 }

@@ -1014,7 +1014,7 @@ object TrainingQueries extends graft.QueryModule {
   /** DuckDB replay of [[qAnnIvf]] for the trained model: assignment
     * argmax (ties to larger j, like Spark's max(struct)), probe
     * selection (ties to smaller j), probe-limited scoring. */
-  private def ivfOracleSql(m: Ivf.Model): String = {
+  private[queries] def ivfOracleSql(m: Ivf.Model): String = {
     val values = m.centroids.zipWithIndex.map { case (c, j) =>
       val half = c.map(x => x * x).sum / 2.0
       s"($j, ${c.mkString("[", ",", "]")}::DOUBLE[], $half)"
