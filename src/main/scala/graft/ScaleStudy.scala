@@ -41,7 +41,8 @@ object ScaleStudy {
     "q_curate_stream",
     "q_quality_classifier", "q_centroid_audit", "q_ann_recall",
     "q_detokenize", "q_weighted_sample", "q_epoch_order",
-    "q_pack_nospan", "q_curate_decon_stream", "q_curate_full_stream")
+    "q_pack_nospan", "q_curate_decon_stream", "q_curate_full_stream",
+    "q_ann_stream")
 
   /** Replicate documents + embeddings `times`x with offset ids into
     * `outDir` (skipped if already built). Doc ids offset by a round
