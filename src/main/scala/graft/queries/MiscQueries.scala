@@ -536,6 +536,80 @@ object MiscQueries extends graft.QueryModule {
       |GROUP BY 1, 2
       |ORDER BY n_orders DESC, p1, p2 LIMIT 20""".stripMargin
 
+  /** Calendar gap-filling (resampling): per-user HOURLY activity
+    * counts with the empty hours between a user's first and last
+    * event materialized as zero rows — the densification every
+    * time-series chart and window model needs before it can assume a
+    * regular grid.
+    *
+    * Scale shape: the grid explodes `sequence(min_hr, max_hr)` per
+    * user — rows are bounded by users x their own span, never a
+    * global calendar cross join; the count join is co-keyed with the
+    * grid's groupBy. */
+  def qGapFill(s: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), expr(s"ts_us DIV $hourUs").as("hr"))
+    val counts = ev.groupBy(col("user_id"), col("hr"))
+      .agg(count(lit(1)).as("n_events"))
+    val grid = ev.groupBy(col("user_id"))
+      .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"))).as("hr"))
+    grid.join(counts, Seq("user_id", "hr"), "left")
+      .na.fill(0L, Seq("n_events"))
+      .orderBy(col("user_id"), col("hr"))
+  }
+
+  val qGapFillSql: String =
+    """WITH ev AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hr
+      |            FROM events),
+      |c AS (SELECT user_id, hr, CAST(count(*) AS BIGINT) AS n_events
+      |      FROM ev GROUP BY user_id, hr),
+      |sp AS (SELECT user_id, min(hr) AS h0, max(hr) AS h1
+      |       FROM ev GROUP BY user_id),
+      |g AS (SELECT user_id, u.hr
+      |      FROM sp, UNNEST(generate_series(h0, h1)) AS u(hr))
+      |SELECT g.user_id, g.hr, COALESCE(c.n_events, 0) AS n_events
+      |FROM g LEFT JOIN c ON g.user_id = c.user_id AND g.hr = c.hr
+      |ORDER BY g.user_id, g.hr""".stripMargin
+
+  /** SCD2 (type-2 slowly-changing-dimension) build from the event
+    * change log: each user's observed `value` becomes a validity
+    * interval `[valid_from, valid_to)` via LEAD over the user's
+    * timeline — open intervals close at the next change, the current
+    * row carries the sentinel `Long.MaxValue`. One window exchange on
+    * the natural key; the standard temporal-table construction.
+    * Consecutive events keep their own rows (interval per
+    * observation, not per distinct value — the change-log grain). */
+  def qScd2(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        Num.cents(col("value")).as("value_c"))
+      .withColumn("valid_from_us", col("ts_us"))
+      .withColumn("valid_to_us",
+        coalesce(lead(col("ts_us"), 1).over(w), lit(Long.MaxValue)))
+      .withColumn("is_current",
+        (col("valid_to_us") === Long.MaxValue).cast("long"))
+      .select(col("user_id"), col("event_id"), col("value_c"),
+        col("valid_from_us"), col("valid_to_us"), col("is_current"))
+      .orderBy(col("user_id"), col("valid_from_us"), col("event_id"))
+  }
+
+  val qScd2Sql: String =
+    s"""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       |        ${Num.centsSql("value")} AS value_c FROM events)
+       |SELECT user_id, event_id, value_c,
+       |  ts_us AS valid_from_us,
+       |  COALESCE(lead(ts_us, 1) OVER (PARTITION BY user_id
+       |    ORDER BY ts_us, event_id), ${Long.MaxValue}) AS valid_to_us,
+       |  CAST(COALESCE(lead(ts_us, 1) OVER (PARTITION BY user_id
+       |    ORDER BY ts_us, event_id), ${Long.MaxValue})
+       |    = ${Long.MaxValue} AS BIGINT) AS is_current
+       |FROM ev ORDER BY user_id, valid_from_us, event_id""".stripMargin
+
   /** Association rules over the co-purchase pairs: for the top pairs
     * by support, confidence and lift in EXACT integer ppm —
     * `conf(p1→p2) = n_pair/n_p1`, `lift = conf/P(p2)` computed as
@@ -770,7 +844,9 @@ object MiscQueries extends graft.QueryModule {
     "q_rfm" -> (qRfm _),
     "q_outlier_events" -> (qOutlierEvents _),
     "q_skew_audit" -> (qSkewAudit _),
-    "q_assoc_rules" -> (qAssocRules _))
+    "q_assoc_rules" -> (qAssocRules _),
+    "q_gap_fill" -> (qGapFill _),
+    "q_scd2" -> (qScd2 _))
 
   def oracleSql: Map[String, String] = Map(
     "q_quality" -> qQualitySql,
@@ -793,5 +869,7 @@ object MiscQueries extends graft.QueryModule {
     "q_rfm" -> qRfmSql,
     "q_outlier_events" -> qOutlierEventsSql,
     "q_skew_audit" -> qSkewAuditSql,
-    "q_assoc_rules" -> qAssocRulesSql)
+    "q_assoc_rules" -> qAssocRulesSql,
+    "q_gap_fill" -> qGapFillSql,
+    "q_scd2" -> qScd2Sql)
 }
