@@ -116,13 +116,34 @@ object Decontaminate {
     * corpus doc that shares at least one n-gram with some eval doc —
     * its best-overlapping eval doc (ratio DESC, ties to lowest
     * eval_id). Columns: id, eval_id, shared, eval_ng, ratio. */
+  /** The eval suite's shingle frame (eval_id, g) — precompute and
+    * cache this for a long-lived drain so the static suite shingles
+    * once, not once per micro-batch. */
+  def evalShingles(evalSet: DataFrame, textCol: String,
+      evalIdCol: String, n: Int = 3): DataFrame =
+    Dedup.wordShingles(evalSet, textCol, evalIdCol, n)
+      .withColumnRenamed("id", "eval_id")
+
+  /** [[flaggedIds]] against a PRE-SHINGLED eval frame — the
+    * continuous-ingest arm. */
+  def flaggedIdsPreShingled(
+      corpus: DataFrame, shE: DataFrame,
+      textCol: String, idCol: String,
+      n: Int = 3, flagAt: Double = 0.2): DataFrame =
+    bestOverlapShingled(
+        Dedup.wordShingles(corpus, textCol, idCol, n), shE)
+      .filter(col("ratio") >= flagAt)
+      .select(col("id"))
+
   private def bestOverlap(
       corpus: DataFrame, evalSet: DataFrame,
       textCol: String, idCol: String, evalIdCol: String,
-      n: Int): DataFrame = {
-    val shC = Dedup.wordShingles(corpus, textCol, idCol, n)
-    val shE = Dedup.wordShingles(evalSet, textCol, evalIdCol, n)
-      .withColumnRenamed("id", "eval_id")
+      n: Int): DataFrame =
+    bestOverlapShingled(
+      Dedup.wordShingles(corpus, textCol, idCol, n),
+      evalShingles(evalSet, textCol, evalIdCol, n))
+
+  private def bestOverlapShingled(shC: DataFrame, shE: DataFrame): DataFrame = {
     val evalSizes = shE.groupBy(col("eval_id"))
       .agg(count(lit(1)).as("eval_ng"))
     val shared = shC.join(broadcast(shE), Seq("g"))

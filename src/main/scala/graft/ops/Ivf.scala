@@ -83,13 +83,25 @@ object Ivf {
   def ivfTopK(
       emb: DataFrame, queryMaxId: Long, k: Int,
       nClusters: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
-    val s = emb.sparkSession
     val base = Similarity.prepared(emb).cache() // shared by train + assign + probes
     val centroids = train(base, nClusters, iters)
     lastModel = Some(Model(centroids, queryMaxId, k, nProbe))
-    val e = assigned(base, centroids)
+    probeTopK(assigned(base, centroids),
+      base.filter(col("vec_id") < queryMaxId), centroids, k, nProbe)
+  }
+
+  /** The probe/score/rank half, shared by [[ivfTopK]] and the
+    * streaming index's standing-search
+    * ([[graft.streaming.VectorIndexStream.searchStanding]]) — ONE
+    * spelling of the probe tie-breaks and the rank window, so the
+    * [[Model]]-literal oracle replay gates both callers. `index` is
+    * an assigned frame (cluster, vec_id, v, nrm); `queriesPrepared`
+    * a [[Similarity.prepared]] frame. */
+  def probeTopK(index: DataFrame, queriesPrepared: DataFrame,
+      centroids: Array[Array[Double]], k: Int, nProbe: Int): DataFrame = {
+    val s = index.sparkSession
     // query -> its nProbe nearest clusters (small side, exploded)
-    val probes = base.filter(col("vec_id") < queryMaxId)
+    val probes = queriesPrepared
       .crossJoin(broadcast(centroidFrame(s, centroids)))
       .withColumn("s", Similarity.dot(col("v"), col("c")) - col("half"))
       .withColumn("pr", row_number().over(
@@ -97,7 +109,7 @@ object Ivf {
       .filter(col("pr") <= nProbe)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
         col("j").as("cluster"))
-    val scored = e.join(broadcast(probes), Seq("cluster"))
+    val scored = index.join(broadcast(probes), Seq("cluster"))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("sim",
         Similarity.dot(col("qv"), col("v")) / (col("qn") * col("nrm")))

@@ -548,8 +548,14 @@ object MiscQueries extends graft.QueryModule {
     * grid's groupBy. */
   def qGapFill(s: SparkSession, dir: String): DataFrame = {
     val hourUs = 3600L * 1000000L
-    val ev = Tables.events(s, dir)
-      .select(col("user_id"), expr(s"ts_us DIV $hourUs").as("hr"))
+    gapFillCounts(Tables.events(s, dir)
+        .select(col("user_id"), expr(s"ts_us DIV $hourUs").as("hr")))
+      .orderBy(col("user_id"), col("hr"))
+  }
+
+  /** The densification itself, over (user_id, hr) — shared by
+    * [[qGapFill]] and its hand-computed spec. */
+  private[graft] def gapFillCounts(ev: DataFrame): DataFrame = {
     val counts = ev.groupBy(col("user_id"), col("hr"))
       .agg(count(lit(1)).as("n_events"))
     val grid = ev.groupBy(col("user_id"))
@@ -558,7 +564,6 @@ object MiscQueries extends graft.QueryModule {
         explode(sequence(col("h0"), col("h1"))).as("hr"))
     grid.join(counts, Seq("user_id", "hr"), "left")
       .na.fill(0L, Seq("n_events"))
-      .orderBy(col("user_id"), col("hr"))
   }
 
   val qGapFillSql: String =
@@ -582,20 +587,24 @@ object MiscQueries extends graft.QueryModule {
     * the natural key; the standard temporal-table construction.
     * Consecutive events keep their own rows (interval per
     * observation, not per distinct value — the change-log grain). */
-  def qScd2(s: SparkSession, dir: String): DataFrame = {
+  def qScd2(s: SparkSession, dir: String): DataFrame =
+    scd2Intervals(Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          Num.cents(col("value")).as("value_c")))
+      .orderBy(col("user_id"), col("valid_from_us"), col("event_id"))
+
+  /** The interval build itself, over (user_id, event_id, ts_us,
+    * value_c) — shared by [[qScd2]] and its hand-computed spec. */
+  private[graft] def scd2Intervals(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("event_id"))
-    Tables.events(s, dir)
-      .select(col("user_id"), col("event_id"), col("ts_us"),
-        Num.cents(col("value")).as("value_c"))
-      .withColumn("valid_from_us", col("ts_us"))
+    ev.withColumn("valid_from_us", col("ts_us"))
       .withColumn("valid_to_us",
         coalesce(lead(col("ts_us"), 1).over(w), lit(Long.MaxValue)))
       .withColumn("is_current",
         (col("valid_to_us") === Long.MaxValue).cast("long"))
       .select(col("user_id"), col("event_id"), col("value_c"),
         col("valid_from_us"), col("valid_to_us"), col("is_current"))
-      .orderBy(col("user_id"), col("valid_from_us"), col("event_id"))
   }
 
   val qScd2Sql: String =
@@ -623,9 +632,12 @@ object MiscQueries extends graft.QueryModule {
     * < ~9e12 — at 100 TB run the lift as a two-step DIV, documented
     * here. */
   def qAssocRules(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.CacheScope.Scoped
+    // four consumers (item counts, order count, both join sides) —
+    // one distinct pass instead of four lineitem scans
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
+      .distinct().scopedCache()
     val items = li.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
     val orders = li.select(col("ok")).distinct()
       .agg(count(lit(1)).as("n_orders"))
@@ -768,9 +780,15 @@ object MiscQueries extends graft.QueryModule {
     * bound: |x_c| * n per user must stay under ~3e9 (squares below
     * 2^63) — documented, far above any real per-user event count at
     * cent scale. */
-  def qOutlierEvents(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir).select(col("user_id"), col("event_id"),
-      Num.cents(col("value")).as("x"))
+  def qOutlierEvents(s: SparkSession, dir: String): DataFrame =
+    outlierSummary(Tables.events(s, dir).select(col("user_id"),
+        col("event_id"), Num.cents(col("value")).as("x")))
+      .orderBy(col("user_id"))
+
+  /** The integer 3-sigma test + per-user rollup, over (user_id,
+    * event_id, x) — shared by [[qOutlierEvents]] and its
+    * hand-computed spec. */
+  private[graft] def outlierSummary(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
     val dev = col("x") * col("n") - col("sm")
     ev.withColumn("n", count(lit(1)).over(w))
@@ -782,7 +800,6 @@ object MiscQueries extends graft.QueryModule {
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"), max(col("sm")).as("sum_c"),
         sum(col("outlier")).as("n_outliers"))
-      .orderBy(col("user_id"))
   }
 
   val qOutlierEventsSql: String =

@@ -47,6 +47,10 @@ object CurationStream {
       mixRatesPpm: Option[Seq[(String, Long)]] = None,
       sourceCol: String = "source", mixSalt: String = "mix"): DataFrame = {
     compactEvery.foreach(n => require(n >= 1, "compactEvery must be >= 1"))
+    // the eval suite is FROZEN for the drain's lifetime: shingle it
+    // once here and cache, instead of re-exploding it every batch
+    val shE = evalDf.map(ev =>
+      graft.ops.Decontaminate.evalShingles(ev, textCol, idCol).cache())
     val q = stream.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -54,7 +58,8 @@ object CurationStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         curateBatch(s, batch, textCol, idCol, langCol, indexDir,
           admittedDir, manifestDir, batchId, budget, nShards,
-          evalDf, deconFlagAt, mixRatesPpm, sourceCol, mixSalt)
+          evalDf, deconFlagAt, mixRatesPpm, sourceCol, mixSalt,
+          evalShingles = shE)
         // only the INDEX compacts — admitted/manifest are the output,
         // not state the loop re-reads (the DedupStream decision-log
         // contract)
@@ -63,7 +68,8 @@ object CurationStream {
           keepRecent)
       }
       .start()
-    q.awaitTermination()
+    try q.awaitTermination()
+    finally shE.foreach(_.unpersist())
     val md = new Path(manifestDir)
     val fs = md.getFileSystem(s.sparkContext.hadoopConfiguration)
     require(fs.exists(md), s"no manifest rows written under $manifestDir")
@@ -86,12 +92,17 @@ object CurationStream {
       nShards: Int, evalDf: Option[DataFrame] = None,
       deconFlagAt: Double = 0.2,
       mixRatesPpm: Option[Seq[(String, Long)]] = None,
-      sourceCol: String = "source", mixSalt: String = "mix"): Unit =
+      sourceCol: String = "source", mixSalt: String = "mix",
+      evalShingles: Option[DataFrame] = None): Unit =
     graft.core.CacheScope.withScope {
-      val gated = evalDf.fold(batch) { ev =>
+      // `evalShingles` (the drain's cached frame) wins over
+      // re-shingling `evalDf` — a direct batch caller may pass either
+      val shE = evalShingles.orElse(evalDf.map(ev =>
+        graft.ops.Decontaminate.evalShingles(ev, textCol, idCol)))
+      val gated = shE.fold(batch) { sh =>
         batch.join(
-          graft.ops.Decontaminate.flaggedIds(batch, ev, textCol, idCol,
-              evalIdCol = idCol, n = 3, flagAt = deconFlagAt)
+          graft.ops.Decontaminate.flaggedIdsPreShingled(batch, sh,
+              textCol, idCol, n = 3, flagAt = deconFlagAt)
             .withColumnRenamed("id", idCol),
           Seq(idCol), "left_anti")
       }
@@ -109,10 +120,15 @@ object CurationStream {
               // are frozen offline, the batch applies them locally
               // (Mix.copiesAtRatesOn); copies pack on the composite
               // (doc, epoch) key exactly as the batch operator does
+              // one source per id even if the batch redelivered the
+              // same row twice (the funnel admits one survivor; a
+              // plain join would multiply its copies)
+              val srcOf = batch
+                .select(col(idCol).as("id"), col(sourceCol).as("source"))
+                .groupBy(col("id")).agg(min(col("source")).as("source"))
               val copies = graft.ops.Mix.copiesAtRatesOn(
                 surv.select(col("id"), col("n_words").as("n_tokens"))
-                  .join(batch.select(col(idCol).as("id"),
-                    col(sourceCol).as("source")), Seq("id")),
+                  .join(srcOf, Seq("id")),
                 rates, mixSalt)
               Pack.assignPacksOn(
                 copies.select(

@@ -2,7 +2,6 @@ package graft.streaming
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 import graft.ops.{Ivf, Similarity}
@@ -81,46 +80,60 @@ object VectorIndexStream {
 
   /** Probe-limited top-k served from the STANDING index: only
     * marker-committed batches are read (a torn batch — index written,
-    * manifest not — is invisible), each query probes its `nProbe`
-    * nearest clusters, candidates score exact cosine. Same
-    * plan shape as [[Ivf.ivfTopK]]'s query side: broadcast probes,
-    * cluster equi-join, rank window over slim (q_id, vec_id, sim). */
+    * manifest not — is invisible). STRICTLY READ-ONLY: unlike the
+    * drain's cycles this never runs compaction recovery — a reader
+    * must not delete a concurrent compactor's stage. Instead it reads
+    * a consistent VIEW of a possibly mid-compaction index: a
+    * completed stage (`.compact_C/_SUCCESS`) holds every row of the
+    * batches it merged and supersedes them; an unfinished stage is
+    * ignored (its sources are intact); and any committed batch
+    * covered by neither is a loud error, never a silent partial
+    * result. Probe/score/rank is [[Ivf.probeTopK]] — the one spelling
+    * both the batch IVF entry and this search share. */
   def searchStanding(
       s: SparkSession, indexDir: String, manifestDir: String,
       queries: DataFrame, centroids: Array[Array[Double]],
       k: Int, nProbe: Int): DataFrame = {
     val conf = s.sparkContext.hadoopConfiguration
-    val ifs = new Path(indexDir).getFileSystem(conf)
+    val indexPath = new Path(indexDir)
+    val ifs = indexPath.getFileSystem(conf)
     val mfs = new Path(manifestDir).getFileSystem(conf)
-    IndexCompaction.recover(ifs, new Path(indexDir))
     val committed = IndexCompaction.batchIds(mfs, new Path(manifestDir))
       .filter(b => mfs.exists(new Path(s"$manifestDir/batch=$b/_SUCCESS")))
     require(committed.nonEmpty, s"no committed batches under $manifestDir")
-    val present = IndexCompaction.batchIds(ifs, new Path(indexDir))
-      .filter(committed.toSet)
-    val idx = s.read.option("basePath", indexDir)
-      .parquet(present.map(b => s"$indexDir/batch=$b"): _*)
-      .drop("batch")
-    val cdf = Ivf.centroidFrame(s, centroids)
-    val probes = Similarity.prepared(queries)
-      .crossJoin(broadcast(cdf))
-      .withColumn("s", Similarity.dot(col("v"), col("c")) - col("half"))
-      .withColumn("pr", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("s").desc, col("j"))))
-      .filter(col("pr") <= nProbe)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("nrm").as("qn"), col("j").as("cluster"))
-    val scored = idx.join(broadcast(probes), Seq("cluster"))
-      .filter(col("q_id") =!= col("vec_id"))
-      .withColumn("sim",
-        Similarity.dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    scored.select(col("q_id"), col("vec_id"), col("sim"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        col("sim"))
-      .orderBy(col("q_id"), col("rank"))
+    val present = IndexCompaction.batchIds(ifs, indexPath).toSet
+    val stageDone: Option[Long] =
+      if (!ifs.exists(indexPath)) None
+      else ifs.listStatus(indexPath).toSeq
+        .filter(_.isDirectory).map(_.getPath)
+        .filter(_.getName.startsWith(".compact_"))
+        .filter(p => ifs.exists(new Path(p, "_SUCCESS")))
+        .map(_.getName.stripPrefix(".compact_").toLong)
+        .sorted.lastOption
+    val paths: Seq[String] = stageDone match {
+      case Some(c) =>
+        val tail = committed.filter(_ > c)
+        val missing = tail.filterNot(present)
+        require(missing.isEmpty,
+          s"committed batches ${missing.mkString(", ")} absent from " +
+            s"$indexDir beyond staged cutoff $c — torn index")
+        s"$indexDir/.compact_$c" +: tail.map(b => s"$indexDir/batch=$b")
+      case None =>
+        // compaction only ever merges a PREFIX into its cutoff, so
+        // the smallest present partition covers everything below it
+        val floor = present.toSeq.sorted.headOption.getOrElse(
+          sys.error(s"no index partitions under $indexDir"))
+        val wanted = floor +: committed.filter(_ > floor)
+        val missing = wanted.filterNot(present)
+        require(missing.isEmpty,
+          s"committed batches ${missing.mkString(", ")} absent from " +
+            s"$indexDir — mid-compaction swap or torn index; retry " +
+            "(recovery runs in the single-writer drain)")
+        wanted.map(b => s"$indexDir/batch=$b")
+    }
+    // direct partition paths (no basePath): uniform schema with no
+    // batch column, whether a path is a stage dir or a batch dir
+    val idx = s.read.parquet(paths: _*)
+    Ivf.probeTopK(idx, Similarity.prepared(queries), centroids, k, nProbe)
   }
 }

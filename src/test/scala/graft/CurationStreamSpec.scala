@@ -125,8 +125,12 @@ class CurationStreamSpec extends SparkSpec {
     // srcA at 2.0 epochs (always 2 copies), srcB at 0 (dropped),
     // srcC at 0.5 (kept iff the salted draw lands under the rate)
     val rates = Seq("srcA" -> 2000000L, "srcB" -> 0L, "srcC" -> 500000L)
+    // doc 1 arrives TWICE in the batch (redelivered row): the funnel
+    // admits one survivor, and the source lookup must not multiply
+    // its copies
     val rows = Seq(
-      (1L, good(50), "en", "srcA"), (2L, good(51), "en", "srcB"),
+      (1L, good(50), "en", "srcA"), (1L, good(50), "en", "srcA"),
+      (2L, good(51), "en", "srcB"),
       (3L, good(52), "en", "srcC"), (4L, good(53), "en", "srcC"),
       (5L, good(54), "en", "srcC"), (6L, good(55), "en", "srcC"))
     CurationStream.curateBatch(spark,

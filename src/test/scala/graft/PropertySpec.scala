@@ -339,11 +339,12 @@ object PackProps extends SparkProperties("pack") {
           "id", col("toks"), budget = budget, nShards = 4)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       val allOnce = per.map(_._1).sorted.toSeq == docs.map(_._1).sorted
-      // multi-doc packs bounded; oversized docs only ever alone
-      val bound = per.groupBy(r => (r._3, r._4)).values.forall { rows =>
-        if (rows.length > 1) rows.map(_._2).sum <= budget
-        else rows.head._2 <= budget || rows.length == 1
-      }
+      // multi-doc packs bounded (a SINGLETON pack may legally exceed
+      // the budget — that is exactly the oversized-doc-alone rule, so
+      // there is nothing to assert for it)
+      val bound = per.groupBy(r => (r._3, r._4)).values
+        .filter(_.length > 1)
+        .forall(rows => rows.map(_._2).sum <= budget)
       // driver-side greedy replay over the md5 layout order
       val parity = per.groupBy(_._3).values.forall { rows =>
         val ordered = rows.sortBy(r =>

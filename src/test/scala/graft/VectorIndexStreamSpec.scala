@@ -90,4 +90,34 @@ class VectorIndexStreamSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("neighbor_id")).toSet
     assert(seen === batches(0).map(_._1).toSet)
   }
+
+  test("a completed compaction stage supersedes its merged batches for a READ-ONLY search") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_vecstage").toString
+    val all = batches.take(2).flatten
+    val centroids = train(all)
+    (0 to 1).foreach { b =>
+      VectorIndexStream.ingestBatch(spark,
+        batches(b).toDF("vec_id", "embedding"), centroids,
+        s"$tmp/index", s"$tmp/manifest", b.toLong)
+    }
+    // simulate the mid-swap window: batch 0's rows live in a
+    // COMPLETED stage (.compact_0 with _SUCCESS), its source dir
+    // already deleted, the rename not yet done
+    spark.read.parquet(s"$tmp/index/batch=0")
+      .write.parquet(s"$tmp/index/.compact_0")
+    val fs = new org.apache.hadoop.fs.Path(s"$tmp/index")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$tmp/index/batch=0"), true)
+    val seen = VectorIndexStream.searchStanding(spark, s"$tmp/index",
+        s"$tmp/manifest",
+        Seq((99L, vec(3, 0))).toDF("vec_id", "embedding"),
+        centroids, k = 10, nProbe = 2)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    // every vector of BOTH batches is visible, none double-counted
+    assert(seen === all.map(_._1).toSet)
+    // and the read did NOT mutate the index (stage still staged)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$tmp/index/.compact_0/_SUCCESS")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/index/batch=0")))
+  }
 }
