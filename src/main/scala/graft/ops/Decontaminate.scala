@@ -135,6 +135,42 @@ object Decontaminate {
       .filter(col("ratio") >= flagAt)
       .select(col("id"))
 
+  /** MULTI-SUITE decontamination: the eval corpus carries a
+    * `suiteCol` (MMLU vs GSM vs ... — labs decontaminate against many
+    * benchmarks at once and must report WHICH one a doc collides
+    * with), and the report keeps one best-overlap row per (doc,
+    * suite) that reaches `flagAt` — per-benchmark attribution instead
+    * of one global verdict, so a release note can say "n docs dropped
+    * for suite X" and a miss in one suite never hides behind a hit in
+    * another.
+    *
+    * Scale shape: identical to the single-suite path — the suite
+    * label rides the broadcast eval side; the corpus pays the same
+    * one shingle join. */
+  def suiteOverlap(
+      corpus: DataFrame, evalSet: DataFrame,
+      textCol: String, idCol: String, evalIdCol: String,
+      suiteCol: String, n: Int = 3, flagAt: Double = 0.2): DataFrame = {
+    val shC = Dedup.wordShingles(corpus, textCol, idCol, n)
+    val shE = evalShingles(evalSet, textCol, evalIdCol, n)
+    val suites = evalSet
+      .select(col(evalIdCol).as("eval_id"), col(suiteCol).as("suite"))
+      .distinct()
+    val sizes = shE.groupBy(col("eval_id")).agg(count(lit(1)).as("eval_ng"))
+    shC.join(broadcast(shE), Seq("g"))
+      .groupBy(col("id"), col("eval_id"))
+      .agg(count(lit(1)).as("shared"))
+      .join(broadcast(sizes), Seq("eval_id"))
+      .join(broadcast(suites), Seq("eval_id"))
+      .withColumn("ratio", col("shared") / col("eval_ng"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id"), col("suite"))
+          .orderBy(col("ratio").desc, col("eval_id"))))
+      .filter(col("rn") === 1 && col("ratio") >= flagAt)
+      .select(col("id"), col("suite"), col("eval_id"), col("shared"),
+        col("eval_ng"), col("ratio"))
+  }
+
   private def bestOverlap(
       corpus: DataFrame, evalSet: DataFrame,
       textCol: String, idCol: String, evalIdCol: String,

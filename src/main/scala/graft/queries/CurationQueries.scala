@@ -65,6 +65,50 @@ object CurationQueries extends graft.QueryModule {
       |LEFT JOIN best b USING (id)
       |ORDER BY doc_id""".stripMargin
 
+  /** Multi-suite decontamination ([[Decontaminate.suiteOverlap]]):
+    * the eval slice split into three synthetic benchmark suites
+    * (`s0`/`s1`/`s2` by doc_id % 3), one best-overlap row per
+    * flagged (doc, suite) — per-benchmark attribution, the release
+    * note's "n docs dropped for suite X" read. Screened at a
+    * STRICTER 0.05 than the drop entries' 0.2: attribution is a
+    * review surface, so weak collisions should surface here before
+    * they ever reach dropping strength. */
+  def qDeconSuites(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(53)) =!= 0)
+    val evalSet = docs.filter(pmod(col("doc_id"), lit(53)) === 0)
+      .withColumn("suite", concat(lit("s"), pmod(col("doc_id"), lit(3))))
+    Decontaminate.suiteOverlap(corpus, evalSet,
+        textCol = "text", idCol = "doc_id", evalIdCol = "doc_id",
+        suiteCol = "suite", n = 3, flagAt = 0.05)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"), col("suite"))
+  }
+
+  val qDeconSuitesSql: String =
+    s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+       |sh AS (SELECT DISTINCT doc_id AS id,
+       |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+       |       FROM t, UNNEST(generate_series(1, len(w)-2)) AS u(i)
+       |       WHERE len(w) >= 3),
+       |shc AS (SELECT * FROM sh WHERE id % 53 <> 0),
+       |she AS (SELECT id AS eval_id, g FROM sh WHERE id % 53 = 0),
+       |sz AS (SELECT eval_id, CAST(count(*) AS BIGINT) AS eval_ng
+       |       FROM she GROUP BY eval_id),
+       |sm AS (SELECT DISTINCT doc_id AS eval_id,
+       |         's' || (doc_id % 3) AS suite
+       |       FROM documents WHERE doc_id % 53 = 0),
+       |sh2 AS (SELECT c.id, e.eval_id, CAST(count(*) AS BIGINT) AS shared
+       |        FROM shc c JOIN she e USING (g) GROUP BY c.id, e.eval_id),
+       |r AS (SELECT s2.id, sm.suite, s2.eval_id, s2.shared, sz.eval_ng,
+       |        s2.shared / sz.eval_ng AS ratio,
+       |        row_number() OVER (PARTITION BY s2.id, sm.suite
+       |          ORDER BY s2.shared / sz.eval_ng DESC, s2.eval_id) AS rn
+       |      FROM sh2 s2 JOIN sz USING (eval_id) JOIN sm USING (eval_id))
+       |SELECT id AS doc_id, suite, eval_id, shared, eval_ng, ratio
+       |FROM r WHERE rn = 1 AND ratio >= 0.05
+       |ORDER BY doc_id, suite""".stripMargin
+
   /** The same decontamination computed the 100 TB way
     * ([[Decontaminate.flaggedReportBloom]]): the eval suite's shingles
     * fold into a bloom filter probed INSIDE the corpus scan (codegen'd
@@ -1570,6 +1614,7 @@ object CurationQueries extends graft.QueryModule {
     "q_curation_full" -> (qCurationFull _),
     "q_bpe_vocab" -> (qBpeVocab _),
     "q_decontaminate" -> (qDecontaminate _),
+    "q_decon_suites" -> (qDeconSuites _),
     "q_decontaminate_bloom" -> (qDecontaminateBloom _),
     "q_decontaminate_semantic" -> (qDecontaminateSemantic _),
     "q_importance" -> (qImportance _),
@@ -1607,6 +1652,7 @@ object CurationQueries extends graft.QueryModule {
     "q_curation_full" -> qCurationFullSql,
     "q_bpe_vocab" -> qBpeVocabSql,
     "q_decontaminate" -> qDecontaminateSql,
+    "q_decon_suites" -> qDeconSuitesSql,
     "q_decontaminate_bloom" -> qDecontaminateBloomSql,
     "q_decontaminate_semantic" -> qDecontaminateSemanticSql,
     "q_importance" -> qImportanceSql,
