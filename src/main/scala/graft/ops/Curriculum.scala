@@ -1,7 +1,7 @@
 package graft.ops
 
+import graft.core.CacheScope.Scoped
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Curriculum / quality binning: order a corpus by a difficulty or
@@ -13,36 +13,63 @@ import org.apache.spark.sql.functions._
   * funnels the whole corpus through one task. This operator instead
   * bins by VALUE thresholds derived from a bounded integer
   * histogram: scores bucket at `bucketWidth` granularity, the
-  * histogram (≤ maxScore/bucketWidth rows) takes one
-  * map-side-combined aggregate, its running sum assigns each BUCKET
-  * a bin by integer cross-multiplication, and docs join the
-  * broadcast bucket→bin table. Equal frequency holds up to bucket
+  * histogram (≤ maxScore/bucketWidth rows, guarded loudly) takes one
+  * map-side-combined aggregate and is collected DRIVER-SIDE, the
+  * running sum assigns each BUCKET a bin by integer
+  * cross-multiplication on the driver, and docs join the broadcast
+  * bucket→bin local table. Equal frequency holds up to bucket
   * granularity; ties at a boundary land in ONE bin (value-stable:
   * equal scores never split across bins, which ntile cannot
-  * promise). The only windows run over the tiny histogram.
+  * promise).
+  *
+  * The driver-side collect is deliberate: when the histogram stayed
+  * a lazy frame, its three consumers (running sum, total, final
+  * join) each re-ran the ENTIRE upstream lineage — chained calls
+  * (e.g. RFM's r→f→m) multiplied that into ~3³ full re-scans of the
+  * fact table. With the bounded histogram materialized once, each
+  * call costs exactly one aggregate pass over its input plus one
+  * broadcast hash join of a LocalTableScan, and the returned plan
+  * contains the upstream exactly once.
   */
 object Curriculum {
 
+  /** Hard ceiling on collected histogram rows (≈32 MB of (hb, hn)
+    * pairs). Raise `bucketWidth` if the score range exceeds it. */
+  val MaxHistogramBuckets: Int = 2000000
+
   /** Adds `bin` (1..nBins, ascending score order) to `df` by
     * ~equal-frequency value-threshold binning of integer column
-    * `valueCol` (scores must be non-negative). */
+    * `valueCol` (scores must be non-negative). Eager: runs one
+    * aggregate job over `df` at call time to build the histogram. */
   def equalFreqBins(
       df: DataFrame, valueCol: String,
       nBins: Int, bucketWidth: Long): DataFrame = {
     require(nBins > 0 && bucketWidth > 0,
       s"nBins and bucketWidth must be positive (got $nBins, $bucketWidth)")
-    val b = df.withColumn("hb", expr(s"$valueCol DIV $bucketWidth"))
+    // scoped cache: the histogram collect below and the caller's
+    // eventual action otherwise each recompute the full upstream —
+    // ruinous when the input is itself an expensive report (the
+    // perplexity pipeline) or a chain of prior equalFreqBins calls
+    val b = df.withColumn("hb",
+      expr(s"CAST($valueCol AS BIGINT) DIV $bucketWidth")).scopedCache()
+    // one map-side-combined pass; bounded by maxScore/bucketWidth rows
     val hist = b.groupBy(col("hb")).agg(count(lit(1)).as("hn"))
-    // bounded windows: the histogram has at most maxScore/bucketWidth rows
-    val cum = hist.withColumn("cum_excl",
-      coalesce(sum(col("hn")).over(
-        Window.orderBy(col("hb"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    val tot = hist.agg(sum(col("hn")).as("tot"))
-    val binOf = cum.crossJoin(broadcast(tot))
-      .select(col("hb"),
-        least(expr(s"CAST($nBins * cum_excl DIV tot AS BIGINT) + 1"),
-          lit(nBins.toLong)).as("bin"))
+      .limit(MaxHistogramBuckets + 1).collect()
+    require(hist.length <= MaxHistogramBuckets,
+      s"equalFreqBins: histogram exceeded $MaxHistogramBuckets buckets for " +
+        s"column '$valueCol' at bucketWidth=$bucketWidth — raise bucketWidth " +
+        "so the score range collapses into a driver-collectable histogram")
+    val sorted = hist.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val tot = sorted.iterator.map(_._2).sum
+    var cumExcl = 0L
+    val binRows = sorted.map { case (hb, hn) =>
+      val bin = math.min(nBins.toLong * cumExcl / tot + 1L, nBins.toLong)
+      cumExcl += hn
+      (hb, bin)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val binOf = binRows.toSeq.toDF("hb", "bin")
     b.join(broadcast(binOf), Seq("hb")).drop("hb")
   }
 }
