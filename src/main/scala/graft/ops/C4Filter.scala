@@ -9,12 +9,13 @@ import org.apache.spark.sql.functions._
   * Line level (lines split on '\n', trimmed):
   *   - retain only lines ending in a terminal punctuation mark
   *     (. ! ? ")
-  *   - drop lines with fewer than `minLineWords` words (paper: 3)
+  *   - drop lines with fewer than `minLineWords` words (paper: 5 —
+  *     "only retained lines that contained at least 5 words")
   *   - drop lines containing the word "javascript" (case-insensitive)
   *
   * Page level (the whole doc):
   *   - drop pages with fewer than `minKeptLines` retained lines
-  *     (paper: 5 sentences)
+  *     (paper: 3 — "discarded any page with fewer than 3 sentences")
   *   - drop pages containing "lorem ipsum" (case-insensitive)
   *   - drop pages containing a curly brace '{' (code)
   *   - drop pages containing any word from a blocklist
@@ -40,7 +41,7 @@ object C4Filter {
     * flags, keep. */
   def report(
       df: DataFrame, textCol: String, idCol: String,
-      minLineWords: Int = 3, minKeptLines: Int = 5,
+      minLineWords: Int = 5, minKeptLines: Int = 3,
       blocklist: Seq[String] = Seq.empty): DataFrame = {
     val text = col(textCol)
     // trim both spaces and \r: CRLF text would otherwise leave a

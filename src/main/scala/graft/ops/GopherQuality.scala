@@ -9,7 +9,10 @@ import org.apache.spark.sql.functions._
   *
   *   1. word count within [minWords, maxWords]
   *   2. mean word length within [minMeanLen, maxMeanLen]
-  *   3. symbol-to-word ratio ('#' and '...') at most maxSymbolRatio
+  *   3. symbol-to-word ratio at most maxSymbolRatio for '#' and for
+  *      '...' SEPARATELY (the paper thresholds each symbol's ratio
+  *      on its own — 0.06 hash + 0.06 ellipsis passes, where a
+  *      pooled 0.12 would wrongly fail)
   *   4. at least minAlphaFrac of words contain an alphabetic character
   *   5. at least minStopwords DISTINCT members of the published
   *      8-word stopword list present
@@ -112,9 +115,11 @@ object GopherQuality {
     val rMeanLen = flag(
       wordChars >= lit(minMeanLen) * nWords &&
         wordChars <= lit(maxMeanLen) * nWords)
+    // each symbol's ratio tested against the threshold on its own
     val rSymbol = flag(
-      lit(maxSymbolRatio._2) * (nHash + nEllipsis) <=
-        lit(maxSymbolRatio._1) * nWords)
+      lit(maxSymbolRatio._2) * nHash <= lit(maxSymbolRatio._1) * nWords &&
+        lit(maxSymbolRatio._2) * nEllipsis <=
+          lit(maxSymbolRatio._1) * nWords)
     val rAlpha = flag(
       lit(minAlphaFrac._2) * nAlphaWords >= lit(minAlphaFrac._1) * nWords)
     val rStop = flag(nStop >= minStopwords)

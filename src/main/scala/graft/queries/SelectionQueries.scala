@@ -58,7 +58,8 @@ object SelectionQueries extends graft.QueryModule {
     "rule_words" -> "n_words >= 50 AND n_words <= 100000",
     "rule_mean_len" ->
       "word_chars >= 3 * n_words AND word_chars <= 10 * n_words",
-    "rule_symbol" -> "10 * (n_hash + n_ellipsis) <= 1 * n_words",
+    "rule_symbol" ->
+      "10 * n_hash <= 1 * n_words AND 10 * n_ellipsis <= 1 * n_words",
     "rule_alpha" -> "5 * n_alpha >= 4 * n_words",
     "rule_stopwords" -> s"n_stop >= $minStop",
     "rule_bullet" -> "10 * n_bullet <= 9 * n_lines",
@@ -222,7 +223,7 @@ object SelectionQueries extends graft.QueryModule {
       |k AS (SELECT doc_id, text, lt,
       |    CAST(len(ls) AS BIGINT) AS n_lines,
       |    list_filter(ls, x -> regexp_matches(x, '[.!?"]$')
-      |      AND len(str_split(x, ' ')) >= 3
+      |      AND len(str_split(x, ' ')) >= 5
       |      AND NOT contains(lower(x), 'javascript')) AS kl,
       |    CAST(list_contains(str_split_regex(lt, '[ \n\r]'), 'nsfw')
       |      OR list_contains(str_split_regex(lt, '[ \n\r]'), 'explicit')
@@ -237,7 +238,7 @@ object SelectionQueries extends graft.QueryModule {
       |  CAST(contains(lt, 'lorem ipsum') AS BIGINT) AS has_lorem,
       |  CAST(contains(text, '{') AS BIGINT) AS has_brace,
       |  has_badword,
-      |  CAST(len(kl) >= 5 AND NOT contains(lt, 'lorem ipsum')
+      |  CAST(len(kl) >= 3 AND NOT contains(lt, 'lorem ipsum')
       |    AND NOT contains(text, '{') AND has_badword = 0
       |    AS BIGINT) AS keep
       |FROM k ORDER BY doc_id""".stripMargin

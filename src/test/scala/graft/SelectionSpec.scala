@@ -41,6 +41,20 @@ class SelectionSpec extends SparkSpec {
     assert(rep(1L).getAs[Long]("rule_symbol") == 0L)
   }
 
+  test("gopher symbol rule thresholds hash and ellipsis separately") {
+    // Rae 2021 A1.1: each symbol's ratio is tested on its own. Here
+    // hash 1/10 and ellipsis 1/10 both sit AT the threshold — kept,
+    // even though the pooled ratio 0.2 would fail a combined gate.
+    val rep = gopher(Seq(
+      1L -> "the quick # fox runs on... and keeps going still",
+      2L -> "the # # word goes on smoothly enough right here", // hash 0.22
+      3L -> "the trail runs on... and on... quite far today")) // ell 0.22
+    assert(rep(1L).getAs[Long]("rule_symbol") == 1L)
+    assert(rep(1L).getAs[Long]("keep") == 1L)
+    assert(rep(2L).getAs[Long]("rule_symbol") == 0L)
+    assert(rep(3L).getAs[Long]("rule_symbol") == 0L)
+  }
+
   /** Brute-force twin: global (score DESC, id) order, keep while the
     * running pre-sum stays under budget. */
   private def bruteSelect(
@@ -84,24 +98,31 @@ class SelectionSpec extends SparkSpec {
     val rep = graft.ops.C4Filter.report(
       Seq(
         1L -> ok,
-        2L -> (ok + "\nshort one\nno terminal punct here\n" +
+        2L -> (ok + "\nshort one.\njust four words here.\n" +
+          "no terminal punct on this line\n" +
           "  a padded javascript line stays out.  "),
-        3L -> (ok.split("\n").take(4).mkString("\n")), // < 5 kept lines
+        3L -> (ok.split("\n").take(2).mkString("\n")), // < 3 kept lines
         4L -> (ok + "\nsome Lorem Ipsum filler"),
         5L -> (ok + "\nfunction f() { return 1; }"),
-        6L -> (ok + "\nplainly nsfw content here"))
+        6L -> (ok + "\nplainly nsfw content here"),
+        // Raffel 2020 §2.2: a page with exactly 3 retained
+        // sentences is KEPT (threshold is "fewer than 3")
+        7L -> (ok.split("\n").take(3).mkString("\n")))
         .toDF("doc_id", "text"),
       "text", "doc_id", blocklist = Seq("nsfw")).collect()
       .map(r => r.getAs[Long]("id") -> r).toMap
     assert(rep(1L).getAs[Long]("keep") == 1L)
     assert(rep(1L).getAs[String]("clean_text") == ok)
-    // doc2: the three junk lines are cut (short / no punct /
+    // doc2: the four junk lines are cut (2-word / 4-word — the
+    // paper's line threshold is "at least 5 words" / no punct /
     // javascript), the six good ones survive -> page keeps
     assert(rep(2L).getAs[Long]("n_kept_lines") == 6L)
     assert(rep(2L).getAs[String]("clean_text") == ok)
     assert(rep(2L).getAs[Long]("keep") == 1L)
-    assert(rep(3L).getAs[Long]("n_kept_lines") == 4L)
+    assert(rep(3L).getAs[Long]("n_kept_lines") == 2L)
     assert(rep(3L).getAs[Long]("keep") == 0L)
+    assert(rep(7L).getAs[Long]("n_kept_lines") == 3L)
+    assert(rep(7L).getAs[Long]("keep") == 1L)
     assert(rep(4L).getAs[Long]("has_lorem") == 1L &&
       rep(4L).getAs[Long]("keep") == 0L)
     assert(rep(5L).getAs[Long]("has_brace") == 1L &&
