@@ -21,6 +21,10 @@ import graft.functions.HashParity
   * map-side-combined aggregate of <= nBuckets+2 rows to the driver.
   * Iteration cost is one pass over the cached features, independent
   * of corpus width; nothing corpus-sized ever shuffles or collects.
+  * Training is bit-deterministic under any partitioning: per-doc
+  * feature arrays are sorted by bucket (fixing the margin fold's
+  * order) and gradients accumulate as pico-unit longs (exactly
+  * associative), so `weightsPpm` is a pure function of the data.
   *
   * Inference is exactly replayable integer arithmetic, the
   * [[Ivf.lastModel]] post-training oracle contract: trained weights
@@ -57,7 +61,10 @@ object QualityClassifier {
       .agg(count(lit(1)).as("c"))
       .groupBy(col("id"), col("y"))
       .agg(sum(col("c")).as("n_toks"),
-        collect_list(struct(col("b"), col("c"))).as("f"))
+        // sorted by bucket: collect_list order is shuffle-arrival
+        // order, and the float margin fold is not associative — an
+        // unsorted array made weightsPpm run-dependent
+        sort_array(collect_list(struct(col("b"), col("c")))).as("f"))
       .select(col("id"), col("y"),
         concat(array(lit(-1L)), expr("transform(f, p -> p.b)")).as("bs"),
         concat(array(lit(1.0d)),
@@ -105,11 +112,16 @@ object QualityClassifier {
               .otherwise(lit(0.5d / nNeg)))
         .select(col("r"), explode(arrays_zip(col("bs"), col("xs"))).as("z"))
         .groupBy(col("z.bs").as("b"))
-        .agg(sum(col("r") * col("z.xs")).as("g"))
+        // pico-unit fixed point: long addition is exactly associative,
+        // so the per-bucket reduction is partition-order-independent
+        // (a float sum here made borderline weights flip across runs);
+        // |r*x| <= 0.5, so each term is <= 5e11 — no overflow risk
+        .agg(sum(round(col("r") * col("z.xs") * lit(1e12)).cast("long"))
+          .as("g"))
         .collect()
       g.foreach { row =>
         val b = row.getLong(0).toInt
-        val step = lr * row.getDouble(1)
+        val step = lr * (row.getLong(1) / 1e12)
         if (b < 0) bias -= step else w(b) -= step
       }
       it += 1

@@ -62,6 +62,28 @@ class QualityClassifierSpec extends SparkSpec {
     }
   }
 
+  test("training is bit-deterministic under repartitioning") {
+    // bigger vocab overlap so several buckets carry multi-doc float
+    // sums — the configuration that exposed run-dependent weights
+    val p = (1L to 12L).map(i =>
+      (i, s"excellent brilliant insightful prose sample $i"))
+      .toDF("doc_id", "text")
+    val n = (21L to 40L).map(i =>
+      (i, s"spam junk clickbait garbage noise filler $i"))
+      .toDF("doc_id", "text")
+    val a = QualityClassifier.train(p, n, "text", "doc_id",
+      nBuckets = 64, iters = 15, lr = 3.0)
+    val b = QualityClassifier.train(
+      p.repartition(7), n.repartition(5), "text", "doc_id",
+      nBuckets = 64, iters = 15, lr = 3.0)
+    val c = QualityClassifier.train(
+      p.repartition(1), n.coalesce(1), "text", "doc_id",
+      nBuckets = 64, iters = 15, lr = 3.0)
+    assert(a.weightsPpm.toSeq === b.weightsPpm.toSeq)
+    assert(a.weightsPpm.toSeq === c.weightsPpm.toSeq)
+    assert(a.biasPpm === b.biasPpm && a.biasPpm === c.biasPpm)
+  }
+
   test("model is stashed for the oracle and empty training fails loudly") {
     QualityClassifier.train(pos, neg, "text", "doc_id",
       nBuckets = 32, iters = 2)
