@@ -24,10 +24,19 @@ import graft.core.CacheScope.Scoped
   * (broadcast centroid join + map-side argmax). The dedup pass is an
   * equi-join on `cluster` — at corpus scale `nClusters` should grow
   * ~sqrt(n) to keep per-cluster pair counts bounded; a skewed (giant)
-  * cluster is the known failure mode and AQE's skew-split applies to
-  * the probe side. The trained model is stashed in [[lastModel]] so
-  * the DuckDB oracle can replay the data-dependent assignment with
-  * the centroids as literals (same contract as [[Ivf.lastModel]]).
+  * cluster is the known failure mode: its self-join is O(size²) in
+  * ONE key, beyond what AQE's skew-split can save (it splits the
+  * probe side, not the pair count). [[report]] therefore audits
+  * cluster sizes (an nClusters-row aggregate) and SUB-SPLITS any
+  * cluster over `maxClusterSize` into `ceil(size/max)` cells by
+  * `vec_id` modulus, logging loudly: pairs across cells of an
+  * oversized cluster are missed — the same accepted trade the paper
+  * makes for cross-cluster pairs, bought only when the alternative
+  * is a quadratic blowup. The reported `cluster` column is unchanged;
+  * only the join key gains the cell. The trained model is stashed in
+  * [[lastModel]] so the DuckDB oracle can replay the data-dependent
+  * assignment with the centroids as literals (same contract as
+  * [[Ivf.lastModel]]).
   */
 object SemDedup {
 
@@ -35,20 +44,47 @@ object SemDedup {
       centroids: Array[Array[Double]], eps: Double, nClusters: Int)
   @volatile var lastModel: Option[Model] = None
 
+  /** (cluster, size) of clusters the last [[report]] sub-split —
+    * empty when the guard never fired. */
+  @volatile var lastOversized: Seq[(Long, Long)] = Seq.empty
+
   /** One row per vector: (vec_id, cluster, keep, dup_of, best_sim)
     * where `dup_of` is the LOWEST lower id within `eps` in the same
     * cluster (-1 when none — then keep=1) and `best_sim` the highest
     * such similarity (0.0 when none). */
   def report(
       emb: DataFrame, eps: Double,
-      nClusters: Int = 16, iters: Int = 3): DataFrame = {
+      nClusters: Int = 16, iters: Int = 3,
+      maxClusterSize: Long = 1L << 16): DataFrame = {
+    require(maxClusterSize > 0, "maxClusterSize must be positive")
     val base = Similarity.prepared(emb).scopedCache() // train + assign reuse
     val centroids = Ivf.train(base, nClusters, iters)
     lastModel = Some(Model(centroids, eps, nClusters))
-    val a = Ivf.assigned(base, centroids).scopedCache() // both sides of the self-join
-    val lower = a.select(col("cluster"), col("vec_id").as("b_id"),
-      col("v").as("bv"), col("nrm").as("bn"))
-    val dups = a.join(lower, Seq("cluster"))
+    val a0 = Ivf.assigned(base, centroids)
+    // size audit: nClusters rows to the driver. Clusters over the cap
+    // sub-split into ceil(size/cap) cells by vec_id modulus so the
+    // pairwise self-join below stays O(cap²) per join key.
+    val sizes = a0.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getAs[Number]("cluster").longValue(), r.getLong(1)))
+    val oversized = sizes.filter(_._2 > maxClusterSize).sortBy(_._1)
+    lastOversized = oversized.toSeq
+    if (oversized.nonEmpty) System.err.println(
+      s"[semdedup] WARNING: ${oversized.size} cluster(s) exceed " +
+        s"maxClusterSize=$maxClusterSize and are sub-split for the " +
+        s"pair join (cross-cell pairs inside them are missed): " +
+        oversized.map { case (c, n) => s"$c=$n" }.mkString(", ") +
+        " — raise nClusters to shrink clusters instead")
+    val cell = oversized.foldLeft(lit(0L)) { case (acc, (c, n)) =>
+      val nCells = (n + maxClusterSize - 1) / maxClusterSize
+      when(col("cluster") === c, pmod(col("vec_id"), lit(nCells)))
+        .otherwise(acc)
+    }
+    val a = a0.withColumn("cell", cell)
+      .scopedCache() // both sides of the self-join
+    val lower = a.select(col("cluster"), col("cell"),
+      col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn"))
+    val dups = a.join(lower, Seq("cluster", "cell"))
       .filter(col("b_id") < col("vec_id"))
       .withColumn("sim",
         Similarity.dot(col("v"), col("bv")) / (col("nrm") * col("bn")))

@@ -32,6 +32,31 @@ class SemDedupSpec extends SparkSpec {
     assert(r.forall(_.getLong(4) === 1L))
   }
 
+  test("a planted giant cluster trips the size guard and sub-splits the pair join") {
+    // 12 identical vectors -> one cluster of 12; cap at 6 -> 2 cells
+    // by id parity. In-cell duplicates are still found; the one
+    // cross-cell consequence is a second surviving head (id 1) — the
+    // documented accepted miss, traded against the O(size²) join.
+    val giant = (0L until 12L).map(i => (i, Seq(1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val r = SemDedup.report(giant, eps = 0.999, nClusters = 1, iters = 1,
+        maxClusterSize = 6L)
+      .orderBy("vec_id").collect()
+    assert(SemDedup.lastOversized.map(_._2) === Seq(12L))
+    val keep = r.map(x => x.getLong(0) -> x.getLong(4)).toMap
+    assert(keep === (0L until 12L).map(i =>
+      i -> (if (i <= 1L) 1L else 0L)).toMap)
+    // even ids dup to head 0, odd ids to head 1 (cells by id modulus)
+    assert(r.filter(_.getLong(0) >= 2L)
+      .forall(x => x.getLong(2) === x.getLong(0) % 2))
+
+    // default cap: guard silent, single survivor
+    val full = SemDedup.report(giant, eps = 0.999, nClusters = 1, iters = 1)
+      .orderBy("vec_id").collect()
+    assert(SemDedup.lastOversized.isEmpty)
+    assert(full.map(_.getLong(4)).toSeq === (1L +: Seq.fill(11)(0L)))
+  }
+
   test("eps = -1 marks everything after the cluster head as duplicate") {
     val r = SemDedup.report(emb, eps = -1.0, nClusters = 1, iters = 1)
       .orderBy("vec_id").collect()
