@@ -3,7 +3,8 @@ package graft.sources
 import java.io.Writer
 import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
 import graft.report.Report
 
 /** S7: the multi-section CSV report sink + its splitter inverse
@@ -23,15 +24,31 @@ import graft.report.Report
   */
 object ReportWriter {
 
-  private def esc(v: Any): String = v match {
+  private[sources] def esc(v: Any): String = v match {
     case null => ""
     case s => s.toString.replace(",", ";").replace("\t", "\\t").replace("\n", "\\n")
   }
 
-  /** Escaped CSV lines, built on executors (no collect). */
+  /** [[esc]] as a Column expression — pure string functions, so the
+    * formatting stays inside whole-stage codegen (a typed `df.map`
+    * here forced every raw row through deserialization). */
+  private def escCol(c: Column): Column =
+    replace(
+      replace(
+        replace(coalesce(c.cast("string"), lit("")), lit(","), lit(";")),
+        lit("\t"), lit("\\t")),
+      lit("\n"), lit("\\n"))
+
+  /** Escaped CSV lines, built on executors (no collect, no typed
+    * map): each column escapes and the row joins with concat (NOT
+    * concat_ws, which silently drops nulls — escCol has already
+    * pinned null to ''). */
   private def csvLines(df: DataFrame): Dataset[String] = {
-    val cols = df.columns
-    df.map(r => cols.indices.map(i => esc(r.get(i))).mkString(","))(Encoders.STRING)
+    val pieces = df.columns.zipWithIndex.flatMap { case (n, i) =>
+      if (i == 0) Seq(escCol(df(n))) else Seq(lit(","), escCol(df(n)))
+    }
+    df.select(concat(pieces.toIndexedSeq: _*).as("line"))
+      .as[String](Encoders.STRING)
   }
 
   /** Driver-side section render. ONLY for bounded aggregate sections
