@@ -367,6 +367,121 @@ object Bpe {
     ("#version: 0.2" +: merges.map { case (a, b) => s"$a $b" })
       .mkString("", "\n", "\n")
 
+  // ---- vocab.json (the merges file's artifact pair) ----------------------
+
+  /** The merge-DERIVED vocabulary as an ordered (piece, id) list —
+    * the published numbering itself: 256 byte symbols in ascending
+    * mapped-code-point order (ids 0-255), then one piece per merge
+    * rule in rank order (id = 256 + rank), first-wins when a
+    * redundant rule re-creates an existing spelling (the earlier id
+    * is the one inference emits, and a published vocab.json cannot
+    * hold two ids for one piece). */
+  def mergeDerivedVocab(merges: Seq[(String, String)]): Seq[(String, Int)] = {
+    val seen = new java.util.HashSet[String](256 + merges.size * 2)
+    val out = Vector.newBuilder[(String, Int)]
+    ByteLevel.symbolsByIdOrder.zipWithIndex.foreach { case (c, id) =>
+      seen.add(c.toString); out += (c.toString -> id)
+    }
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      if (seen.add(a + b)) out += ((a + b) -> (256 + i))
+    }
+    out.result()
+  }
+
+  /** Parse a GPT-2-format `vocab.json` ({"piece": id, ...}) — the
+    * second file of the published tokenizer artifact pair. Strict:
+    * the document must be one flat string→integer object. */
+  def parseVocabJson(text: String): Map[String, Int] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    mapper.enable(com.fasterxml.jackson.core.JsonParser
+      .Feature.STRICT_DUPLICATE_DETECTION)
+    val root =
+      try mapper.readTree(text)
+      catch {
+        case e: com.fasterxml.jackson.core.JsonProcessingException =>
+          throw new IllegalArgumentException(
+            s"vocab.json failed to parse: ${e.getMessage}")
+      }
+    require(root != null && root.isObject,
+      "vocab.json must be a single JSON object of piece -> id")
+    val out = Map.newBuilder[String, Int]
+    root.fields().forEachRemaining { e =>
+      require(e.getValue.isIntegralNumber,
+        s"vocab.json id for piece '${e.getKey}' is not an integer: " +
+          s"${e.getValue}")
+      out += e.getKey -> e.getValue.asInt()
+    }
+    out.result()
+  }
+
+  /** Render a vocabulary in the vocab.json format (inverse of
+    * [[parseVocabJson]]), entries in id order. */
+  def renderVocabJson(vocab: Seq[(String, Int)]): String = {
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    vocab.sortBy(_._2).map { case (p, id) => s""""${esc(p)}": $id""" }
+      .mkString("{", ", ", "}")
+  }
+
+  /** Cross-check a published vocab.json against the merge-derived
+    * numbering — the loader-integrity gate for the artifact pair: a
+    * merges.txt and vocab.json from DIFFERENT tokenizer versions
+    * would silently mis-number every packed batch. Checks both
+    * directions: every derived (piece, id) must appear verbatim, and
+    * every published entry below 256 + |merges| must be
+    * merge-derivable; entries at or above that line are appended
+    * special tokens (GPT-2's <|endoftext|> = 50256) and pass
+    * through. Fails LOUDLY at the first divergence, lowest id first,
+    * naming the piece and both ids. Returns the number of appended
+    * special tokens accepted. */
+  def crossCheckVocab(
+      published: Map[String, Int],
+      merges: Seq[(String, String)]): Int = {
+    val derived = mergeDerivedVocab(merges)
+    val limit = 256 + merges.size
+    derived.foreach { case (piece, id) =>
+      published.get(piece) match {
+        case Some(`id`) => ()
+        case Some(other) => throw new IllegalArgumentException(
+          s"vocab.json cross-check FAILED at id $id: piece '$piece' " +
+            s"is numbered $other in vocab.json but $id by the merge " +
+            "derivation — merges.txt and vocab.json are not from the " +
+            "same tokenizer build")
+        case None => throw new IllegalArgumentException(
+          s"vocab.json cross-check FAILED at id $id: merge-derived " +
+            s"piece '$piece' is absent from vocab.json (vocab holds " +
+            s"${published.size} entries) — merges.txt and vocab.json " +
+            "are not from the same tokenizer build")
+      }
+    }
+    val derivedMap = derived.toMap
+    published.toSeq.sortBy(_._2).foreach { case (piece, id) =>
+      if (id < limit && !derivedMap.get(piece).contains(id))
+        throw new IllegalArgumentException(
+          s"vocab.json cross-check FAILED: vocab entry '$piece' -> $id " +
+            s"sits inside the merge-derived range (< $limit) but the " +
+            "derivation produces no such pair — merges.txt and " +
+            "vocab.json are not from the same tokenizer build")
+    }
+    published.count(_._2 >= limit)
+  }
+
+  /** [[parseVocabJson]] + [[crossCheckVocab]] from disk — load the
+    * artifact pair the way a production pipeline points at its
+    * tokenizer directory. */
+  def loadCheckedVocabJson(
+      path: String, merges: Seq[(String, String)]): Map[String, Int] = {
+    val vocab = parseVocabJson(
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8))
+    crossCheckVocab(vocab, merges)
+    vocab
+  }
+
   /** Checked-in BYTE-LEVEL merge fixture: [[learnMergesByteLevel]]
     * over the sf0.01 corpus, stored in the GPT-2 merges-file format
     * itself (ByteBpeSpec pins the file bit-for-bit against the
