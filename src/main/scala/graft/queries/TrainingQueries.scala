@@ -1069,6 +1069,15 @@ object TrainingQueries extends graft.QueryModule {
     Pq.adcTopKReranked(Tables.embeddings(s, dir), queryMaxId = 10L,
       k = 5, shortlist = 50, m = 8, ksub = 16, iters = 2)
 
+  /** IVF-PQ + exact re-rank ([[Pq.ivfpqTopKReranked]]): the full
+    * production serving stack — coarse probes cut candidates, ADC
+    * codes score them, the shortlist re-ranks exactly. PqSpec pins
+    * recall@k at or above pure IVF-PQ on the same model settings. */
+  def qAnnIvfPqRerank(s: SparkSession, dir: String): DataFrame =
+    Pq.ivfpqTopKReranked(Tables.embeddings(s, dir), queryMaxId = 10L,
+      k = 5, shortlist = 50, m = 8, ksub = 16, iters = 2, nClusters = 8,
+      nProbe = 3, coarseIters = 1)
+
   /** DuckDB replay of the ADC pipeline for a trained [[Pq.Model]]:
     * subvector slices, assignment argmax (ties to larger j), the
     * integer-floored query LUT, the order-independent integer score
@@ -1169,7 +1178,9 @@ object TrainingQueries extends graft.QueryModule {
   private def pqOracle: Map[String, String] =
     Pq.lastModel.map(m => "q_ann_pq" -> pqOracleSql(m)).toMap ++
       Pq.lastIvfpqModel.map(m => "q_ann_ivfpq" -> pqOracleSql(m)).toMap ++
-      Pq.lastRerankModel.map(m => "q_ann_pq_rerank" -> pqOracleSql(m)).toMap
+      Pq.lastRerankModel.map(m => "q_ann_pq_rerank" -> pqOracleSql(m)).toMap ++
+      Pq.lastIvfpqRerankModel
+        .map(m => "q_ann_ivfpq_rerank" -> pqOracleSql(m)).toMap
 
   /** SemDeDup: k-means clusters + within-cluster lowest-id-survives
     * near-dup removal ([[SemDedup.report]]). Like the IVF entry, the
@@ -1449,6 +1460,7 @@ object TrainingQueries extends graft.QueryModule {
     "q_ann_pq" -> (qAnnPq _),
     "q_ann_ivfpq" -> (qAnnIvfPq _),
     "q_ann_pq_rerank" -> (qAnnPqRerank _),
+    "q_ann_ivfpq_rerank" -> (qAnnIvfPqRerank _),
     "q_semdedup" -> (qSemdedup _),
     "q_centroid_audit" -> (qCentroidAudit _),
     "q_ann_recall" -> (qAnnRecall _),

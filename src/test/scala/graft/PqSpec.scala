@@ -112,6 +112,33 @@ class PqSpec extends SparkSpec {
     ivfPerQ.foreach { case (q, n) => assert(n <= adcPerQ(q)) }
   }
 
+  test("IVF-PQ + exact re-rank: recall at or above pure IVF-PQ, sims exact") {
+    val emb = Tables.embeddings(spark, sf)
+    val brute = Similarity.bruteForceTopK(emb,
+      emb.filter($"vec_id" < 10L), k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def pairs(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivfpq = pairs(Pq.ivfpqTopK(emb, queryMaxId = 10L, k = 5,
+      m = 8, ksub = 16, iters = 2, nClusters = 8, nProbe = 3,
+      coarseIters = 1).collect())
+    val rrRows = Pq.ivfpqTopKReranked(emb, queryMaxId = 10L, k = 5,
+      shortlist = 50, m = 8, ksub = 16, iters = 2, nClusters = 8,
+      nProbe = 3, coarseIters = 1).collect()
+    val rr = pairs(rrRows)
+    val recallIvfpq = (brute & ivfpq).size.toDouble / brute.size
+    val recallRr = (brute & rr).size.toDouble / brute.size
+    assert(recallRr >= recallIvfpq,
+      s"ivfpq+rerank recall $recallRr fell below pure ivfpq $recallIvfpq")
+    // the re-ranked sims are true cosines (same exact-join contract
+    // as the ADC re-rank)
+    val exact = topkPairs(Similarity.bruteForceTopK(emb,
+      emb.filter($"vec_id" < 10L), k = 5000).collect())
+    topkPairs(rrRows).foreach { case (pair, sim) =>
+      assert(math.abs(sim - exact(pair)) < 1e-12, s"pair $pair")
+    }
+  }
+
   test("integer norm literals match the frame (driver-computed once, zero parity risk)") {
     val books = Array(Array(Array(0.5, 0.5), Array(1.0, 0.0)),
       Array(Array(0.0, 2.0), Array(0.3, 0.4)))
