@@ -35,6 +35,21 @@ import org.apache.spark.sql.SparkSession
   * skipped entirely (there is nothing sound to adjudicate against —
   * this also keeps sf0.001 smoke runs from re-running half the sweep
   * against sf0.1 floors). SPARK_GRAFT_ADJUDICATE=off opts out.
+  *
+  * `--rebaseline`: floors are all-time minima across heterogeneous
+  * load windows, so over months they drift unreachably tight and the
+  * adjudicator starts crying wolf on every fixed-cost entry. The
+  * rebaseline mode takes a fresh quiet min-of-5 over the FULL suite
+  * (named filters are refused — a partial rebaseline would silently
+  * drop every other query's floor), archives the previous floor file
+  * next to itself with today's date, and REPLACES the current scale
+  * factor's map with this sweep's readings (stale names disappear,
+  * per-query old→new ratios print to stderr for provenance).
+  * Adjudication is off during the run — the floors being replaced
+  * are exactly the ones that can no longer be trusted; the sweep's
+  * own min-of-5 is the noise control. Take it in a quiet window: the
+  * current 1-minute load average prints first and warns above
+  * cpus/4.
   */
 object Bench {
 
@@ -88,17 +103,40 @@ object Bench {
     }.mkString("{\n", ",\n", "\n}\n")
 
   def main(args: Array[String]): Unit = {
+    val (flags, filters) = args.partition(_.startsWith("--"))
+    val unknownFlags = flags.filterNot(Set("--rebaseline"))
+    require(unknownFlags.isEmpty,
+      s"unknown flag(s): ${unknownFlags.mkString(", ")} — " +
+        "supported: --rebaseline")
+    val rebaseline = flags.contains("--rebaseline")
+    require(!rebaseline || filters.isEmpty,
+      "--rebaseline runs the FULL suite: a filtered rebaseline would " +
+        "silently drop every unnamed query's floor")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val nRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt)
+      .getOrElse(if (rebaseline) 5 else 3)
     val floorsPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_FLOORS", "bench_floors.json"))
     val floorScale = sys.env.getOrElse("SPARK_GRAFT_FLOOR_SCALE", "1").toDouble
     val maxAttempts =
       sys.env.getOrElse("SPARK_GRAFT_ISOLATED_ATTEMPTS", "3").toInt
     val adjudicateOn =
-      sys.env.getOrElse("SPARK_GRAFT_ADJUDICATE", "on") != "off"
+      sys.env.getOrElse("SPARK_GRAFT_ADJUDICATE", "on") != "off" &&
+        !rebaseline
     val sfKey = java.nio.file.Paths.get(sfDir).getFileName.toString
+    if (rebaseline) {
+      val load = try java.nio.file.Files
+        .readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ")(0).toDouble
+      catch { case _: Exception => -1.0 }
+      System.err.println(f"[bench] rebaseline for '$sfKey': min-of-$nRuns, " +
+        f"1-min load $load%.2f" + (
+          if (load > cpus.toInt / 4.0)
+            s" — WARNING: loaded box (> ${cpus.toInt / 4.0}), the " +
+              "re-based floors will be soft; prefer a quiet window"
+          else ""))
+    }
 
     val allFloors: Map[String, Map[String, Double]] =
       if (java.nio.file.Files.exists(floorsPath))
@@ -141,11 +179,12 @@ object Bench {
     // name fails LOUDLY (a typo'd filter would otherwise print a
     // healthy-looking zero-query sweep and exit 0 — a silent empty
     // sweep could poison a round artifact)
-    val unknown = args.filterNot(SparkEntry.queries.keySet)
+    val unknown = filters.filterNot(SparkEntry.queries.keySet)
     require(unknown.isEmpty,
       s"unknown query filter(s): ${unknown.mkString(", ")} — " +
         s"valid names: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
-    val wanted = if (args.nonEmpty) args.toSet else SparkEntry.queries.keySet
+    val wanted =
+      if (filters.nonEmpty) filters.toSet else SparkEntry.queries.keySet
     val sweep = SparkEntry.queries.keys.filter(wanted).map { name =>
       name -> timeQuery(name, nRuns)
     }.toMap
@@ -175,15 +214,38 @@ object Bench {
     }.mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"adjudicated":$adjudicated,"runs_per_query":$nRuns,"errors":$errJson,"sf":"$sfDir"}""")
+    val rebaseJson = if (rebaseline) ""","rebaseline":true""" else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"adjudicated":$adjudicated,"runs_per_query":$nRuns,"errors":$errJson$rebaseJson,"sf":"$sfDir"}""")
 
-    // persist min-observed floors (errored queries excluded — a
-    // failed run's wall-clock is not a throughput floor)
+    // persist floors (errored queries excluded — a failed run's
+    // wall-clock is not a throughput floor): normally min-merged;
+    // under --rebaseline the sf's map is REPLACED and the previous
+    // file archived with today's date
     if (floorScale == 1.0) try {
       val clean = results.filter { case (n, _) => !errors.contains(n) }
-      val merged = allFloors.updated(sfKey,
-        mergeFloors(allFloors.getOrElse(sfKey, Map.empty), clean))
-      java.nio.file.Files.writeString(floorsPath, renderFloors(merged))
+      val next =
+        if (rebaseline) {
+          if (java.nio.file.Files.exists(floorsPath)) {
+            val archive = floorsPath.resolveSibling(
+              floorsPath.getFileName.toString.stripSuffix(".json") +
+                s".archived-${java.time.LocalDate.now()}.json")
+            java.nio.file.Files.copy(floorsPath, archive,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            System.err.println(s"[bench] previous floors archived to $archive")
+          }
+          allFloors.getOrElse(sfKey, Map.empty).toSeq.sortBy(_._1)
+            .foreach { case (q, old) =>
+              clean.get(q) match {
+                case Some(now) => System.err.println(
+                  f"[bench] rebase $q: $old%.4f -> $now%.4f (${now / old}%.2fx)")
+                case None => System.err.println(
+                  s"[bench] rebase $q: dropped (no longer in the suite)")
+              }
+            }
+          allFloors.updated(sfKey, clean)
+        } else allFloors.updated(sfKey,
+          mergeFloors(allFloors.getOrElse(sfKey, Map.empty), clean))
+      java.nio.file.Files.writeString(floorsPath, renderFloors(next))
     } catch {
       case e: Exception =>
         System.err.println(s"[bench] floors not persisted: ${e.getMessage}")

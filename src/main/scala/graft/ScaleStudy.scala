@@ -19,10 +19,21 @@ import org.apache.spark.sql.functions._
   * no RNG) so ANN neighborhoods stay non-degenerate while remaining
   * exactly reproducible.
   *
+  * The EVENTS side ([[EventsFamily]]) replicates `events`, `orders`
+  * and `lineitem` with offset entity ids (10x users / customers /
+  * orders, each keeping its original per-entity series) and each
+  * events replica TIME-SHIFTED past the previous one — 10x the
+  * timeline at the ORIGINAL density. That keeps the interval-overlap
+  * family's true pair count linear in the replica count (densifying
+  * one window 10x would square it by construction and measure the
+  * generator, not the plan) while stressing every shuffle, window
+  * and state machine with 10x rows.
+  *
   * Output: one JSON line per reading —
-  * `{"study":"sf1","query":...,"sec":...}` and
+  * `{"study":"sf1","query":...,"sec":...}`,
   * `{"study":"ann","method":...,"param":...,"recall":...,"sec":...}`
-  * — the table PLANS.md's round-8 section records.
+  * and `{"study":"overlap","corpus":...,"plan":...,"n":...,"sec":...}`
+  * (the J1 binned-vs-naive crossover) — the table PLANS.md records.
   */
 object ScaleStudy {
 
@@ -44,6 +55,17 @@ object ScaleStudy {
     "q_pack_nospan", "q_curate_decon_stream", "q_curate_full_stream",
     "q_ann_stream")
 
+  /** The report/events family — everything backed by `events`,
+    * `orders` or `lineitem`: the reference's one hard join (J1
+    * overlap), the e2e report pipeline, sessionization (batch +
+    * stateful streaming), windowing, SCD2, gap-fill, tenancy, and
+    * the OLAP breadth entries. */
+  val EventsFamily: Seq[String] = Seq(
+    "q_e2e_report", "q_tenancy", "q_overlap", "q_overlap_all",
+    "q_sessionize", "q_sessionize_stream", "q_stream_window",
+    "q_gap_fill", "q_scd2", "q_rolling_window", "q_outlier_events",
+    "q_rfm", "q_copurchase", "q_cohort_retention")
+
   /** Replicate documents + embeddings `times`x with offset ids into
     * `outDir` (skipped if already built). Doc ids offset by a round
     * 10^7 per replica so modulo-derived synthetic roles (eval slices,
@@ -52,31 +74,62 @@ object ScaleStudy {
       times: Int): Unit = {
     val fs = new org.apache.hadoop.fs.Path(outDir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    // documents write LAST: its existence implies the whole build
-    // (a run killed mid-build re-builds instead of running the study
-    // against a half-written corpus)
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/documents.parquet")))
-      return
-    val docs = graft.core.Tables.documents(s, srcDir)
-    val emb = graft.core.Tables.embeddings(s, srcDir)
+    def missing(t: String) =
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/$t.parquet"))
     val reps = explode(sequence(lit(0), lit(times - 1))).as("r")
-    // deterministic per-(replica, id, dim) jitter in [-3e-3, 3e-3]:
-    // keeps replicated vectors near their original (realistic cluster
-    // structure) without making neighborhoods degenerate ties
-    emb.select(col("*"), reps)
-      .withColumn("embedding", expr(
-        """transform(embedding, (x, i) ->
-          |  CAST(x + (pmod(hash(vec_id, i, r), 7) - 3) * 0.001D AS FLOAT))"""
-          .stripMargin))
-      .withColumn("vec_id", col("vec_id") + col("r") * 10000000L)
-      .drop("r")
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
-    docs.select(col("*"), reps)
-      .withColumn("doc_id", col("doc_id") + col("r") * 10000000L)
-      .drop("r")
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    // per-group sentinel written LAST: its existence implies that
+    // group's whole build (a run killed mid-build re-builds instead
+    // of running the study against a half-written corpus)
+    if (missing("documents")) {
+      val docs = graft.core.Tables.documents(s, srcDir)
+      val emb = graft.core.Tables.embeddings(s, srcDir)
+      // deterministic per-(replica, id, dim) jitter in [-3e-3, 3e-3]:
+      // keeps replicated vectors near their original (realistic cluster
+      // structure) without making neighborhoods degenerate ties
+      emb.select(col("*"), reps)
+        .withColumn("embedding", expr(
+          """transform(embedding, (x, i) ->
+            |  CAST(x + (pmod(hash(vec_id, i, r), 7) - 3) * 0.001D AS FLOAT))"""
+            .stripMargin))
+        .withColumn("vec_id", col("vec_id") + col("r") * 10000000L)
+        .drop("r")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+      docs.select(col("*"), reps)
+        .withColumn("doc_id", col("doc_id") + col("r") * 10000000L)
+        .drop("r")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    }
+    // events group (sentinel: events.parquet, written last). Entity
+    // ids offset per replica; events time-shift one full span + 1h
+    // per replica — constant density over a 10x timeline.
+    if (missing("events")) {
+      graft.core.Tables.orders(s, srcDir).select(col("*"), reps)
+        .withColumn("o_orderkey", col("o_orderkey") + col("r") * 10000000L)
+        .withColumn("o_custkey", col("o_custkey") + col("r") * 10000000L)
+        .drop("r")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+      graft.core.Tables.lineitem(s, srcDir).select(col("*"), reps)
+        .withColumn("l_orderkey", col("l_orderkey") + col("r") * 10000000L)
+        .drop("r")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+      val ev = graft.core.Tables.events(s, srcDir)
+      val mm = ev.agg(min(col("ts_us")).as("lo"), max(col("ts_us")).as("hi"))
+        .collect()(0)
+      val spanUs = mm.getLong(1) - mm.getLong(0) + 3600000000L
+      ev.select(col("event_id"), col("ts_us"), col("user_id"),
+          col("event_type"), col("value"), col("props"), reps)
+        .withColumn("event_id", col("event_id") + col("r") * 10000000L)
+        .withColumn("user_id", col("user_id") + col("r") * 10000000L)
+        .withColumn("ts",
+          timestamp_micros(col("ts_us") + col("r") * spanUs))
+        .drop("r", "ts_us")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    }
   }
 
   private def time[A](body: => A): Double = {
@@ -102,9 +155,9 @@ object ScaleStudy {
     val wanted: Option[Set[String]] =
       if (args.length > 1) Some(args.drop(1).toSet) else None
     wanted.foreach { w =>
-      val unknown = w.diff(HeavyFamily.toSet)
+      val unknown = w.diff(HeavyFamily.toSet ++ EventsFamily)
       require(unknown.isEmpty,
-        s"unknown HeavyFamily entries: ${unknown.mkString(", ")}")
+        s"unknown HeavyFamily/EventsFamily entries: ${unknown.mkString(", ")}")
     }
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -118,16 +171,17 @@ object ScaleStudy {
 
     buildScaled(spark, "/root/testdata/sf0.1", outDir, times = 10)
 
-    HeavyFamily.filter(n => wanted.forall(_(n))).foreach { name =>
-      val secs = (0 until 2).map { _ =>
-        val t = time(graft.core.CacheScope.withScope {
-          SparkEntry.queries(name)(spark, outDir).count(); ()
-        })
-        spark.catalog.clearCache()
-        t
+    (HeavyFamily ++ EventsFamily).filter(n => wanted.forall(_(n)))
+      .foreach { name =>
+        val secs = (0 until 2).map { _ =>
+          val t = time(graft.core.CacheScope.withScope {
+            SparkEntry.queries(name)(spark, outDir).count(); ()
+          })
+          spark.catalog.clearCache()
+          t
+        }
+        println(f"""{"study":"sf1","query":"$name","sec":${secs.min}%.3f}""")
       }
-      println(f"""{"study":"sf1","query":"$name","sec":${secs.min}%.3f}""")
-    }
 
     // ---- ANN recall-vs-cost frontier ------------------------------------
     // twice: the 10x jittered-replica corpus (each query's 9
@@ -137,8 +191,33 @@ object ScaleStudy {
     if (wanted.isEmpty) {
       annFrontier(spark, outDir, "ann")
       annFrontier(spark, "/root/testdata/sf0.1", "ann-sf0.1")
+      overlapCrossover(spark, outDir)
     }
     spark.stop()
+  }
+
+  /** J1 binned-vs-naive crossover: both physical plans timed at
+    * three corpus sizes. The naive theta join is SKIPPED at the 10x
+    * corpus — with ~5 event types it is ~2e11 pair evaluations, a
+    * reading whose only content is "quadratic things are quadratic";
+    * the sub-quadratic sizes bracket the crossover. */
+  private def overlapCrossover(spark: SparkSession, scaledDir: String): Unit = {
+    import graft.report.Overlap
+    Seq(
+      ("sf0.01", "/root/testdata/sf0.01", true),
+      ("sf0.1", "/root/testdata/sf0.1", true),
+      ("sf1", scaledDir, false)).foreach { case (tag, dir, runNaive) =>
+      val ev = graft.core.Tables.events(spark, dir).cache()
+      val n = ev.count()
+      if (runNaive) {
+        val sec = time(Overlap.naive(ev).count())
+        println(f"""{"study":"overlap","corpus":"$tag","plan":"naive","n":$n,"sec":$sec%.3f}""")
+      } else System.err.println(
+        s"[scale] overlap naive skipped at $tag (n=$n): quadratic")
+      val sec = time(Overlap.binned(ev).count())
+      println(f"""{"study":"overlap","corpus":"$tag","plan":"binned","n":$n,"sec":$sec%.3f}""")
+      ev.unpersist()
+    }
   }
 
   private def annFrontier(spark: SparkSession, dir: String,
