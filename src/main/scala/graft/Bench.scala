@@ -56,6 +56,15 @@ object Bench {
   /** Anything without a recorded floor has always swept under this. */
   val DefaultFloor = 0.5
 
+  /** Evaluate a query's FULL result through Spark's noop sink.
+    * `count()` is not an honest drain: Catalyst prunes everything the
+    * count doesn't need — for the overlap entries it eliminated the
+    * whole ratio left-join (unique agg keys preserve row count), so
+    * the bench timed an empty plan. The noop sink materializes every
+    * row of the projection without writing bytes. */
+  def drain(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   /** Min over isolated attempts, stopping early once a reading lands
     * within 2x floor (= interference ruled out). Returns
     * (min reading, attempts used). */
@@ -161,8 +170,7 @@ object Bench {
       (0 until runs).map { _ =>
         val t0 = System.nanoTime()
         try graft.core.CacheScope.withScope {
-          SparkEntry.queries(name)(spark, sfDir).count()
-          ()
+          drain(SparkEntry.queries(name)(spark, sfDir))
         } catch {
           case e: Throwable =>
             if (!errors.contains(name)) errors += name

@@ -154,8 +154,10 @@ object ScaleStudy {
     // fail loudly (the Bench contract).
     val wanted: Option[Set[String]] =
       if (args.length > 1) Some(args.drop(1).toSet) else None
+    // "crossover" is a pseudo-entry selecting the J1 binned-vs-naive
+    // study, which otherwise only runs with the full (unfiltered) set
     wanted.foreach { w =>
-      val unknown = w.diff(HeavyFamily.toSet ++ EventsFamily)
+      val unknown = w.diff(HeavyFamily.toSet ++ EventsFamily + "crossover")
       require(unknown.isEmpty,
         s"unknown HeavyFamily/EventsFamily entries: ${unknown.mkString(", ")}")
     }
@@ -175,7 +177,7 @@ object ScaleStudy {
       .foreach { name =>
         val secs = (0 until 2).map { _ =>
           val t = time(graft.core.CacheScope.withScope {
-            SparkEntry.queries(name)(spark, outDir).count(); ()
+            Bench.drain(SparkEntry.queries(name)(spark, outDir))
           })
           spark.catalog.clearCache()
           t
@@ -191,30 +193,38 @@ object ScaleStudy {
     if (wanted.isEmpty) {
       annFrontier(spark, outDir, "ann")
       annFrontier(spark, "/root/testdata/sf0.1", "ann-sf0.1")
-      overlapCrossover(spark, outDir)
     }
+    if (wanted.forall(_("crossover"))) overlapCrossover(spark, outDir)
     spark.stop()
   }
 
+  /** Naive-plan cap for [[overlapCrossover]]. Measured: the theta
+    * join's per-equal-key cross product runs ~1e7 pair evaluations/s
+    * (SortMergeJoin buffers each equal-key group and re-scans it per
+    * probe row — not tight codegen), so 10k rows ≈ 2.6 s, 100k ≈
+    * 4 min, 1M ≈ 7 h. The crossover sits BELOW 10k rows (binned wins
+    * 2.3x there already); larger naive readings have no content. */
+  val NaiveOverlapCap: Long = 20000L
+
   /** J1 binned-vs-naive crossover: both physical plans timed at
-    * three corpus sizes. The naive theta join is SKIPPED at the 10x
-    * corpus — with ~5 event types it is ~2e11 pair evaluations, a
-    * reading whose only content is "quadratic things are quadratic";
-    * the sub-quadratic sizes bracket the crossover. */
+    * three corpus sizes (naive skipped above [[NaiveOverlapCap]]). */
   private def overlapCrossover(spark: SparkSession, scaledDir: String): Unit = {
     import graft.report.Overlap
     Seq(
-      ("sf0.01", "/root/testdata/sf0.01", true),
-      ("sf0.1", "/root/testdata/sf0.1", true),
-      ("sf1", scaledDir, false)).foreach { case (tag, dir, runNaive) =>
+      ("sf0.01", "/root/testdata/sf0.01"),
+      ("sf0.1", "/root/testdata/sf0.1"),
+      ("sf1", scaledDir)).foreach { case (tag, dir) =>
       val ev = graft.core.Tables.events(spark, dir).cache()
       val n = ev.count()
-      if (runNaive) {
-        val sec = time(Overlap.naive(ev).count())
+      // Bench.drain, not count(): count alone lets Catalyst drop the
+      // ratio left-join (unique agg keys preserve row count), timing
+      // an empty plan
+      if (n <= NaiveOverlapCap) {
+        val sec = time(Bench.drain(Overlap.naive(ev)))
         println(f"""{"study":"overlap","corpus":"$tag","plan":"naive","n":$n,"sec":$sec%.3f}""")
       } else System.err.println(
         s"[scale] overlap naive skipped at $tag (n=$n): quadratic")
-      val sec = time(Overlap.binned(ev).count())
+      val sec = time(Bench.drain(Overlap.binned(ev)))
       println(f"""{"study":"overlap","corpus":"$tag","plan":"binned","n":$n,"sec":$sec%.3f}""")
       ev.unpersist()
     }

@@ -139,7 +139,8 @@ object ReportQueries extends graft.QueryModule {
        |    ON a.k = b.k AND a.id <> b.id AND a.s < b.e AND b.s < a.e)
        |SELECT i.id AS event_id,
        |  CAST(COALESCE(sum(p.ov), 0) AS BIGINT) AS ov_us,
-       |  COALESCE(sum(p.ov), 0) / (i.e - i.s) AS overlap_ratio
+       |  CASE WHEN i.e = i.s THEN 0.0
+       |    ELSE COALESCE(sum(p.ov), 0) / (i.e - i.s) END AS overlap_ratio
        |FROM iv i LEFT JOIN pairs p ON i.id = p.id
        |GROUP BY i.id, i.e, i.s
        |ORDER BY i.id""".stripMargin

@@ -44,7 +44,12 @@ object Overlap {
       .select(
         col("id").as("event_id"),
         coalesce(col("ov_us"), lit(0L)).as("ov_us"),
-        (coalesce(col("ov_us"), lit(0L)) / (col("e") - col("s"))).as("overlap_ratio"))
+        // zero-length runs exist in real data (value rounds to 0 µs);
+        // they can strictly contain nothing, so their share is 0 —
+        // the guard keeps ANSI division from failing the whole report
+        when(col("e") === col("s"), lit(0.0d))
+          .otherwise(coalesce(col("ov_us"), lit(0L)) / (col("e") - col("s")))
+          .as("overlap_ratio"))
       .orderBy(col("event_id"))
   }
 

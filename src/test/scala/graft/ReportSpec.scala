@@ -32,6 +32,19 @@ class OverlapSpec extends SparkSpec {
     val r = Overlap.binned(ev).collect()
     assert(r.forall(_.getDouble(2) == 3.0))
   }
+  test("zero-length runs ratio 0, not a division error (real sf0.1 rows hit this)") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 5000000L, "a", 0.0), // zero length, strictly inside 2
+      (2L, 0L, "a", 10.0),
+      (3L, 30000000L, "a", 0.0)) // zero length, disjoint
+      .toDF("event_id", "ts_us", "event_type", "value")
+    Seq(Overlap.naive(ev), Overlap.binned(ev)).foreach { plan =>
+      val r = plan.collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+      assert(r(1L) === 0.0 && r(3L) === 0.0)
+      assert(r(2L) === 0.0) // the contained zero-length run adds 0 µs
+    }
+  }
 }
 
 class RunRecordsSpec extends SparkSpec {
