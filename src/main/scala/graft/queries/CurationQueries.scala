@@ -1600,7 +1600,38 @@ object CurationQueries extends graft.QueryModule {
       |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Full PII scrub ([[graft.ops.PiiScrub.report]]): email / IPv4 /
+    * SSN-shape / phone detectors applied in fixed order, counts taken
+    * on each stage's input, every occurrence redacted. The synthetic
+    * corpus carries no PII, so the entry gates the four-stage
+    * machinery end-to-end on real data with all-zero counts (the
+    * q_c4_filter precedent); `PiiScrubSpec` plants every shape and
+    * proves detection, ordering, and redaction. */
+  def qPiiScrub(s: SparkSession, dir: String): DataFrame =
+    graft.ops.PiiScrub.report(Tables.documents(s, dir), "text", "doc_id")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
+  val qPiiScrubSql: String = {
+    val stages = graft.ops.PiiScrub.Stages
+    val ctes = stages.zipWithIndex.map { case ((re, ph, name), i) =>
+      s"""t${i + 1} AS (SELECT doc_id,${
+        if (i > 0) " " + stages.take(i).map(_._3).mkString(", ") + "," else ""}
+         |  CAST(len(regexp_extract_all(t, '$re')) AS BIGINT) AS $name,
+         |  regexp_replace(t, '$re', '$ph', 'g') AS t
+         |FROM t$i)""".stripMargin
+    }.mkString(",\n")
+    val names = stages.map(_._3)
+    s"""WITH t0 AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+       |$ctes
+       |SELECT doc_id, ${names.mkString(", ")}, t AS clean_text,
+       |  ${names.mkString(" + ")} AS n_pii,
+       |  CAST(${names.mkString(" + ")} > 0 AS BIGINT) AS has_pii
+       |FROM t${stages.size} ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pii_scrub" -> (qPiiScrub _),
     "q_bpe_merges" -> (qBpeMerges _),
     "q_bpe_bytelevel" -> (qBpeBytelevel _),
     "q_pack_bytelevel" -> (qPackBytelevel _),
@@ -1639,6 +1670,7 @@ object CurationQueries extends graft.QueryModule {
     "q_text_clean" -> (qTextClean _))
 
   def oracleSql: Map[String, String] = Map(
+    "q_pii_scrub" -> qPiiScrubSql,
     "q_bpe_merges" -> qBpeMergesSql,
     "q_bpe_bytelevel" -> qBpeBytelevelSql,
     "q_pack_bytelevel" -> qPackBytelevelSql,

@@ -1,0 +1,65 @@
+package graft
+
+import graft.ops.PiiScrub
+
+class PiiScrubSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def scrub(rows: Seq[(Long, String)]) =
+    PiiScrub.report(rows.toDF("doc_id", "text"), "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+  test("each detector fires and redacts every occurrence") {
+    val r = scrub(Seq(
+      1L -> "contact jane.doe+x@example.co.uk or bob@corp.io today",
+      2L -> "server 192.168.0.1 fell over; failover is 10.0.0.255.",
+      3L -> "the id on file is 123-45-6789 for this record",
+      4L -> "call +1 555 123 4567 or (555) 123-4567 or 555.123.4567",
+      5L -> "perfectly clean prose with numbers 1 2 3 and the word at"))
+    assert(r(1L).getAs[Long]("n_emails") === 2L)
+    assert(r(1L).getAs[String]("clean_text") ===
+      "contact <EMAIL> or <EMAIL> today")
+    assert(r(2L).getAs[Long]("n_ips") === 2L)
+    assert(r(2L).getAs[String]("clean_text") ===
+      "server <IP> fell over; failover is <IP>.")
+    assert(r(3L).getAs[Long]("n_ids") === 1L)
+    assert(r(3L).getAs[String]("clean_text") ===
+      "the id on file is <ID> for this record")
+    assert(r(4L).getAs[Long]("n_phones") === 3L)
+    assert(r(4L).getAs[String]("clean_text") ===
+      "call <PHONE> or <PHONE> or <PHONE>")
+    assert(r(5L).getAs[Long]("n_pii") === 0L)
+    assert(r(5L).getAs[Long]("has_pii") === 0L)
+    assert(r(5L).getAs[String]("clean_text") ===
+      "perfectly clean prose with numbers 1 2 3 and the word at")
+    val expectedPii = Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 3L)
+    expectedPii.foreach { case (id, n) =>
+      assert(r(id).getAs[Long]("has_pii") === 1L, s"doc $id")
+      assert(r(id).getAs[Long]("n_pii") === n, s"doc $id")
+    }
+  }
+
+  test("stage order: an IP is counted as an IP, never re-matched as a phone") {
+    val r = scrub(Seq(1L -> "node 192.168.001.001 pings 10.20.30.40"))
+    assert(r(1L).getAs[Long]("n_ips") === 2L)
+    assert(r(1L).getAs[Long]("n_phones") === 0L)
+    // an SSN is not a phone either (2-digit middle group)
+    val r2 = scrub(Seq(1L -> "ids 123-45-6789 and 987-65-4321"))
+    assert(r2(1L).getAs[Long]("n_ids") === 2L)
+    assert(r2(1L).getAs[Long]("n_phones") === 0L)
+  }
+
+  test("null text scrubs as empty, counts stay zero") {
+    val r = PiiScrub.report(
+      Seq((1L, null: String)).toDF("doc_id", "text"), "text", "doc_id")
+      .collect().head
+    assert(r.getAs[String]("clean_text") === "")
+    assert(r.getAs[Long]("n_pii") === 0L)
+  }
+
+  test("bare digit runs in prose are not phones (separated-group shape only)") {
+    val r = scrub(Seq(1L -> "the year 2026 and value 5551234567 stay put"))
+    assert(r(1L).getAs[Long]("n_phones") === 0L)
+    assert(r(1L).getAs[String]("clean_text").contains("5551234567"))
+  }
+}
