@@ -72,11 +72,31 @@ object Multimodal {
     decodeBatch(mediaFromDocuments(docs).as[MediaRecord]).toDF()
   }
 
+  /** Aspect-preserving resize plan: the (out_w, out_h) a real resize
+    * step would emit for a `maxW`x`maxH` box — never upscales, keeps
+    * the binding edge exact and floors the other by integer
+    * cross-multiplication (no float ratios, so the plan replays
+    * bit-for-bit in SQL). The arithmetic IS the production logic;
+    * only the pixel work belongs to the (stubbed) decoder. */
+  def resizePlan(features: DataFrame, maxW: Int = 336, maxH: Int = 336): DataFrame = {
+    require(maxW > 0 && maxH > 0, "resize box must be positive")
+    features
+      .withColumn("out_w",
+        when(col("width") <= maxW && col("height") <= maxH, col("width"))
+          .when(expr(s"width * $maxH >= height * $maxW"), lit(maxW))
+          .otherwise(greatest(lit(1), expr(s"width * $maxH DIV height"))))
+      .withColumn("out_h",
+        when(col("width") <= maxW && col("height") <= maxH, col("height"))
+          .when(expr(s"width * $maxH >= height * $maxW"),
+            greatest(lit(1), expr(s"height * $maxW DIV width")))
+          .otherwise(lit(maxH)))
+  }
+
   /** Frame sampling: one row per sampled frame index (every `everyN`
-    * frames) — the explode pattern a video pipeline fans out with. */
+    * frames), all feature columns carried — the explode pattern a
+    * video pipeline fans out with (non-video rows drop). */
   def frameSample(features: DataFrame, everyN: Int = 24): DataFrame =
     features.filter(col("media_type") === "video")
-      .select(col("doc_id"),
-        explode(sequence(lit(0), col("n_frames") - 1, lit(everyN)))
-          .as("frame_idx"))
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), col("n_frames") - 1, lit(everyN))))
 }

@@ -1264,6 +1264,52 @@ object TrainingQueries extends graft.QueryModule {
       |  CAST(sum(n_frames) AS BIGINT) AS sum_frames
       |FROM f GROUP BY media_type ORDER BY media_type""".stripMargin
 
+  /** The video arm end-to-end: stub decode -> aspect-preserving
+    * resize plan (336x336, integer cross-multiply — the production
+    * arithmetic, only pixels are stubbed) -> every-24th frame
+    * sampling fan-out. One row per (video doc, sampled frame) with
+    * the planned output dims — the work list a frame-extraction
+    * cluster job consumes. */
+  def qMediaFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.frameSample(
+        Multimodal.resizePlan(
+          Multimodal.features(s, Tables.documents(s, dir)),
+          maxW = 336, maxH = 336),
+        everyN = 24)
+      .select(col("doc_id"), col("frame_idx"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("out_w").cast("long").as("out_w"),
+        col("out_h").cast("long").as("out_h"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  /** DuckDB replay of [[qMediaFrames]]: same md5 stub decode as
+    * [[qMultimodalSql]], the integer resize cross-multiply, and a
+    * correlated generate_series for the frame fan-out. */
+  val qMediaFramesSql: String =
+    """WITH m AS (SELECT doc_id, md5(text) AS hx FROM documents
+      |  WHERE CAST(doc_id % 3 AS INT) = 2),
+      |f AS (SELECT doc_id,
+      |  CAST('0x' || substr(hx, 1, 7) AS BIGINT) % 1920 + 1 AS width,
+      |  CAST('0x' || substr(hx, 8, 7) AS BIGINT) % 1080 + 1 AS height,
+      |  CAST('0x' || substr(hx, 15, 7) AS BIGINT) % 240 + 1 AS n_frames
+      |  FROM m),
+      |r AS (SELECT doc_id, width, height, n_frames,
+      |  CASE WHEN width <= 336 AND height <= 336 THEN width
+      |    WHEN width * 336 >= height * 336 THEN 336
+      |    ELSE greatest(1, width * 336 // height) END AS out_w,
+      |  CASE WHEN width <= 336 AND height <= 336 THEN height
+      |    WHEN width * 336 >= height * 336
+      |      THEN greatest(1, height * 336 // width)
+      |    ELSE 336 END AS out_h
+      |  FROM f)
+      |SELECT doc_id,
+      |  CAST(unnest(generate_series(0, n_frames - 1, 24)) AS BIGINT)
+      |    AS frame_idx,
+      |  width, height, out_w, out_h
+      |FROM r
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   /** SUPERVISED quality classifier ([[QualityClassifier]]): logistic
     * regression over hashed-unigram tf features, trained
     * distributed (batch GD, one bounded gradient aggregate per
@@ -1465,7 +1511,8 @@ object TrainingQueries extends graft.QueryModule {
     "q_centroid_audit" -> (qCentroidAudit _),
     "q_ann_recall" -> (qAnnRecall _),
     "q_quality_classifier" -> (qQualityClassifier _),
-    "q_multimodal" -> (qMultimodal _))
+    "q_multimodal" -> (qMultimodal _),
+    "q_media_frames" -> (qMediaFrames _))
 
   def oracleSql: Map[String, String] = Map(
     "q_text_stats" -> qTextStatsSql,
@@ -1499,6 +1546,7 @@ object TrainingQueries extends graft.QueryModule {
     "q_embed_neardup_mp" -> qEmbedNearDupMpSql,
     "q_centroid_audit" -> qCentroidAuditSql,
     "q_ann_recall" -> qAnnRecallSql,
-    "q_multimodal" -> qMultimodalSql) ++
+    "q_multimodal" -> qMultimodalSql,
+    "q_media_frames" -> qMediaFramesSql) ++
     ivfOracle ++ pqOracle ++ semdedupOracle ++ qcOracle
 }

@@ -331,13 +331,33 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.length === docs.count())
     assert(f1.forall(r => r.getInt(3) > 0 && r.getInt(4) > 0 && r.getInt(5) > 0))
   }
-  test("frame sampling explodes only videos") {
+  test("frame sampling explodes only videos, carrying feature columns") {
     val f = Multimodal.features(spark, Tables.documents(spark, sf))
     val frames = Multimodal.frameSample(f, everyN = 24)
     assert(frames.count() > 0)
-    val joined = frames.join(f, Seq("doc_id"))
-      .filter(col("media_type") =!= "video").count()
-    assert(joined === 0)
+    assert(frames.filter(col("media_type") =!= "video").count() === 0)
+    // every sampled index is a multiple of everyN inside [0, n_frames)
+    assert(frames.filter(col("frame_idx") % 24 =!= 0
+      || col("frame_idx") < 0 || col("frame_idx") >= col("n_frames"))
+      .count() === 0)
+  }
+
+  test("resize plan: aspect-preserving, never upscales, binding edge exact") {
+    import spark.implicits._
+    val f = Seq(
+      (1L, "image", 10L, 100, 50, 1),   // fits -> unchanged
+      (2L, "image", 10L, 1920, 1080, 1), // width-binding
+      (3L, "image", 10L, 300, 900, 1),   // height-binding
+      (4L, "video", 10L, 336, 336, 48))  // exact fit
+      .toDF("doc_id", "media_type", "byte_len", "width", "height", "n_frames")
+    val r = Multimodal.resizePlan(f, maxW = 336, maxH = 336)
+      .collect().map(x => x.getLong(0) ->
+        (x.getAs[Number]("out_w").longValue(),
+          x.getAs[Number]("out_h").longValue())).toMap
+    assert(r(1L) === ((100L, 50L)))
+    assert(r(2L) === ((336L, 1080L * 336 / 1920))) // 189
+    assert(r(3L) === ((300L * 336 / 900, 336L)))   // 112
+    assert(r(4L) === ((336L, 336L)))
   }
 }
 
