@@ -57,6 +57,22 @@ class PiiScrubSpec extends SparkSpec {
     assert(r.getAs[Long]("n_pii") === 0L)
   }
 
+  test("scrub is idempotent: a second pass over clean_text finds nothing") {
+    val dirty = Seq(
+      1L -> "a@b.co at 192.168.0.1, id 123-45-6789, call 555-123-4567",
+      2L -> "mail x.y@z.org and x.y@z.org twice from 10.0.0.1")
+    val once = PiiScrub.report(dirty.toDF("doc_id", "text"), "text", "doc_id")
+      .select(org.apache.spark.sql.functions.col("id").as("doc_id"),
+        org.apache.spark.sql.functions.col("clean_text"))
+    val twice = PiiScrub.report(once, "clean_text", "doc_id")
+      .collect()
+    assert(twice.forall(_.getAs[Long]("n_pii") === 0L))
+    // and the placeholders survive the second pass verbatim
+    assert(twice.forall(r =>
+      !r.getAs[String]("clean_text").contains("@")
+        || r.getAs[String]("clean_text").contains("<EMAIL>")))
+  }
+
   test("bare digit runs in prose are not phones (separated-group shape only)") {
     val r = scrub(Seq(1L -> "the year 2026 and value 5551234567 stay put"))
     assert(r(1L).getAs[Long]("n_phones") === 0L)
