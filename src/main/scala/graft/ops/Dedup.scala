@@ -31,6 +31,57 @@ object Dedup {
         count(lit(1)).as("n_copies"),
         min(col(idCol)).as("canonical_id"))
 
+  /** CCNet-style corpus-wide LINE (paragraph) dedup (Wenzek et al.
+    * 2020 §3.1 — the pre-dedup every CommonCrawl pipeline runs before
+    * language ID: boilerplate lines repeat across pages far more than
+    * whole documents do): hash each NONBLANK trimmed line; the
+    * globally FIRST occurrence — lexicographic (doc id, line index) —
+    * survives, every later copy is cut. Blank lines never dedup
+    * (they would all collapse onto one) and ride through the rebuild
+    * so document shape is preserved.
+    *
+    * Output per doc: `n_lines` (nonblank), `n_dup_lines`,
+    * `dup_line_ppm` (integer cross-multiplied), `clean_text` (the
+    * original lines minus cut duplicates, original spelling — the
+    * TRIM is only the hash key, CRLF-safe like C4Filter).
+    *
+    * Scale shape: one explode, one (fp) shuffle for the keeper
+    * argmin, one equi-join back on fp, one per-doc rebuild
+    * aggregate — no all-pairs work at any corpus size; the keeper
+    * frame is bounded by the number of DISTINCT lines. */
+  def lineDedupReport(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val lines = graft.core.Par.widen(df)
+      .select(col(idCol).as("id"),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+          .as(Seq("idx", "line")))
+      .withColumn("t", trim(col("line"), " \r"))
+    val nb = lines.filter(col("t") =!= "").withColumn("fp", md5(col("t")))
+    val keeper = nb.groupBy(col("fp"))
+      .agg(min(struct(col("id"), col("idx"))).as("k"))
+    val flagged = nb.join(keeper, Seq("fp"))
+      .select(col("id"), col("idx"), col("line"), lit(1L).as("nb"),
+        (col("k.id") === col("id") && col("k.idx") === col("idx"))
+          .cast("long").as("keep"))
+    val blanks = lines.filter(col("t") === "")
+      .select(col("id"), col("idx"), col("line"), lit(0L).as("nb"),
+        lit(1L).as("keep"))
+    flagged.unionByName(blanks)
+      .groupBy(col("id"))
+      .agg(
+        sum(col("nb")).as("n_lines"),
+        sum(when(col("nb") === 1L && col("keep") === 0L, 1L).otherwise(0L))
+          .as("n_dup_lines"),
+        array_join(transform(
+          filter(
+            sort_array(collect_list(
+              struct(col("idx"), col("keep"), col("line")))),
+            s => s.getField("keep") === 1L),
+          s => s.getField("line")), "\n").as("clean_text"))
+      .withColumn("dup_line_ppm",
+        when(col("n_lines") === 0L, lit(0L))
+          .otherwise(expr("n_dup_lines * 1000000 DIV n_lines")))
+  }
+
   /** Distinct word n-gram shingles, one row per (id, shingle).
     * Documents shorter than n tokens drop out (they cannot shingle). */
   def wordShingles(df: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame = {

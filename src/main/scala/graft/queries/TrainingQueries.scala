@@ -107,6 +107,43 @@ object TrainingQueries extends graft.QueryModule {
       |  CAST(min(doc_id) AS BIGINT) AS canonical_id
       |FROM documents GROUP BY md5(text) ORDER BY fp""".stripMargin
 
+  /** CCNet-style corpus-wide line dedup
+    * ([[Dedup.lineDedupReport]]): globally-first occurrence of each
+    * repeated nonblank line survives, later copies cut; per-doc
+    * duplicate-line ppm + rebuilt text. */
+  def qLineDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.lineDedupReport(Tables.documents(s, dir), "text", "doc_id")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
+  val qLineDedupSql: String =
+    """WITH d AS (SELECT doc_id, str_split(COALESCE(text, ''), chr(10)) AS ls
+      |  FROM documents),
+      |l AS (SELECT doc_id, unnest(ls) AS line,
+      |        unnest(generate_series(0, len(ls) - 1)) AS idx FROM d),
+      |t AS (SELECT doc_id, idx, line,
+      |        trim(line, ' ' || chr(13)) AS tl FROM l),
+      |nb AS (SELECT doc_id, idx, line, md5(tl) AS fp FROM t WHERE tl <> ''),
+      |k1 AS (SELECT fp, min(doc_id) AS kd FROM nb GROUP BY fp),
+      |k2 AS (SELECT nb.fp, min(nb.idx) AS ki FROM nb
+      |       JOIN k1 ON nb.fp = k1.fp AND nb.doc_id = k1.kd GROUP BY nb.fp),
+      |f AS (SELECT nb.doc_id, nb.idx, nb.line, 1 AS nbf,
+      |        CAST(nb.doc_id = k1.kd AND nb.idx = k2.ki AS BIGINT) AS keep
+      |      FROM nb JOIN k1 ON nb.fp = k1.fp JOIN k2 ON nb.fp = k2.fp),
+      |b AS (SELECT doc_id, idx, line, 0 AS nbf, 1 AS keep
+      |      FROM t WHERE tl = ''),
+      |a AS (SELECT * FROM f UNION ALL SELECT * FROM b)
+      |SELECT doc_id,
+      |  CAST(sum(nbf) AS BIGINT) AS n_lines,
+      |  CAST(sum(CASE WHEN nbf = 1 AND keep = 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_dup_lines,
+      |  COALESCE(string_agg(line, chr(10) ORDER BY idx)
+      |    FILTER (WHERE keep = 1), '') AS clean_text,
+      |  CAST(CASE WHEN sum(nbf) = 0 THEN 0
+      |    ELSE sum(CASE WHEN nbf = 1 AND keep = 0 THEN 1 ELSE 0 END)
+      |      * 1000000 // sum(nbf) END AS BIGINT) AS dup_line_ppm
+      |FROM a GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Soft exact dedup: per-doc duplicate-aware sampling weight
     * (1e6 DIV cluster size, [[Dedup.duplicateWeights]]) — the
     * down-weighting alternative to the hard keep-list. */
@@ -1477,6 +1514,7 @@ object TrainingQueries extends graft.QueryModule {
     "q_langid" -> (qLangId _),
     "q_fingerprint" -> (qFingerprint _),
     "q_exact_dedup" -> (qExactDedup _),
+    "q_line_dedup" -> (qLineDedup _),
     "q_dedup_weights" -> (qDedupWeights _),
     "q_weighted_sample" -> (qWeightedSample _),
     "q_substring_dedup" -> (qSubstringDedup _),
@@ -1519,6 +1557,7 @@ object TrainingQueries extends graft.QueryModule {
     "q_langid" -> qLangIdSql,
     "q_fingerprint" -> qFingerprintSql,
     "q_exact_dedup" -> qExactDedupSql,
+    "q_line_dedup" -> qLineDedupSql,
     "q_dedup_weights" -> qDedupWeightsSql,
     "q_weighted_sample" -> qWeightedSampleSql,
     "q_substring_dedup" -> qSubstringDedupSql,

@@ -16,6 +16,33 @@ class DedupSpec extends SparkSpec {
     assert(r(0).getLong(1) === 2L && r(0).getLong(2) === 1L)
   }
 
+  test("line dedup: globally first line survives, later copies cut, blanks preserved") {
+    val df = Seq(
+      (1L, "breaking news today.\n\nshare this article now\nunique one"),
+      (2L, "share this article now\nunique two\nbreaking news today."),
+      (3L, "  share this article now  \nunique three"), // trim-equal copy
+      (4L, ""))
+      .toDF("doc_id", "text")
+    val r = graft.ops.Dedup.lineDedupReport(df, "text", "doc_id")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    // doc 1 is first for both its nonblank lines -> nothing cut
+    assert(r(1L).getAs[Long]("n_dup_lines") === 0L)
+    assert(r(1L).getAs[String]("clean_text") ===
+      "breaking news today.\n\nshare this article now\nunique one")
+    // doc 2 loses both boilerplate copies, keeps its unique line
+    assert(r(2L).getAs[Long]("n_lines") === 3L)
+    assert(r(2L).getAs[Long]("n_dup_lines") === 2L)
+    assert(r(2L).getAs[String]("clean_text") === "unique two")
+    assert(r(2L).getAs[Long]("dup_line_ppm") === 666666L)
+    // doc 3's padded copy hashes trim-equal but keeps ORIGINAL spelling
+    assert(r(3L).getAs[Long]("n_dup_lines") === 1L)
+    assert(r(3L).getAs[String]("clean_text") === "unique three")
+    // empty doc: zero lines, zero ppm, empty rebuild
+    assert(r(4L).getAs[Long]("n_lines") === 0L)
+    assert(r(4L).getAs[Long]("dup_line_ppm") === 0L)
+    assert(r(4L).getAs[String]("clean_text") === "")
+  }
+
   test("realized weighted sample: unique docs always keep, clusters down-sample") {
     // a 10-copy cluster (weight 100000 ppm) plus two unique docs
     val df = ((1L to 10L).map(i => (i, "dup dup dup")) ++
