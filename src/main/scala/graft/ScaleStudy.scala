@@ -53,7 +53,11 @@ object ScaleStudy {
     "q_quality_classifier", "q_centroid_audit", "q_ann_recall",
     "q_detokenize", "q_weighted_sample", "q_epoch_order",
     "q_pack_nospan", "q_curate_decon_stream", "q_curate_full_stream",
-    "q_ann_stream")
+    "q_ann_stream",
+    // round 10: the replicated corpus is line-dedup's worst case
+    // (every line gains 9 verbatim copies); the scrub and media arms
+    // are scan-shape; the composed ANN entry carries both quantizers
+    "q_line_dedup", "q_pii_scrub", "q_media_frames", "q_ann_ivfpq_rerank")
 
   /** The report/events family — everything backed by `events`,
     * `orders` or `lineitem`: the reference's one hard join (J1

@@ -1630,8 +1630,30 @@ object CurationQueries extends graft.QueryModule {
        |FROM t${stages.size} ORDER BY doc_id""".stripMargin
   }
 
+  /** Unicode NFC canonicalization ([[graft.functions.NormExprs.nfc]],
+    * a native codegen'd expression — Spark ships no normalization
+    * function and a UDF would leave codegen). The synthetic corpus is
+    * ASCII, so the entry gates the cross-engine machinery with
+    * changed=0 everywhere (the q_c4_filter precedent);
+    * `FunctionsSpec` plants decomposed sequences and proves
+    * composition and the no-allocation fast path. */
+  def qNfcNorm(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        graft.functions.NormExprs.nfc(col("text")).as("norm_text"),
+        (graft.functions.NormExprs.nfc(col("text")) =!= col("text"))
+          .cast("long").as("changed"))
+      .orderBy(col("doc_id"))
+
+  val qNfcNormSql: String =
+    """SELECT doc_id, nfc_normalize(text) AS norm_text,
+      |  CAST(nfc_normalize(text) <> text AS BIGINT) AS changed
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pii_scrub" -> (qPiiScrub _),
+    "q_nfc_norm" -> (qNfcNorm _),
     "q_bpe_merges" -> (qBpeMerges _),
     "q_bpe_bytelevel" -> (qBpeBytelevel _),
     "q_pack_bytelevel" -> (qPackBytelevel _),
@@ -1671,6 +1693,7 @@ object CurationQueries extends graft.QueryModule {
 
   def oracleSql: Map[String, String] = Map(
     "q_pii_scrub" -> qPiiScrubSql,
+    "q_nfc_norm" -> qNfcNormSql,
     "q_bpe_merges" -> qBpeMergesSql,
     "q_bpe_bytelevel" -> qBpeBytelevelSql,
     "q_pack_bytelevel" -> qPackBytelevelSql,

@@ -1,10 +1,34 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.functions.{GraftExtensions, VectorExprs}
+import graft.functions.{GraftExtensions, NfcNormalize, NormExprs, VectorExprs}
 
 class FunctionsSpec extends SparkSpec {
   import spark.implicits._
+
+  test("nfc_normalize composes decomposed sequences, identity on NFC input") {
+    val rows = Seq(
+      (1L, "cafe\u0301 re\u0301sume\u0301"), // decomposed e + U+0301
+      (2L, "plain ascii stays put"),
+      (3L, "A\u030a is \u00c5"), // A + ring composes to U+00C5
+      (4L, null: String))
+      .toDF("id", "s")
+    val r = rows.select($"id", NormExprs.nfc($"s").as("n"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r(1L) === "caf\u00e9 r\u00e9sum\u00e9")
+    assert(r(2L) === "plain ascii stays put")
+    assert(r(3L) === "\u00c5 is \u00c5")
+    assert(r(4L) === null)
+    // changed flag form used by the entry: composed input is a no-op
+    val changed = rows.filter($"s".isNotNull)
+      .select($"id", (NormExprs.nfc($"s") =!= $"s").cast("long").as("c"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(changed === Map(1L -> 1L, 2L -> 0L, 3L -> 1L))
+    // fast path: already-normalized UTF8String returns unallocated
+    import org.apache.spark.unsafe.types.UTF8String
+    val s = UTF8String.fromString("already nfc")
+    assert(NfcNormalize.normalize(s) eq s)
+  }
 
   test("dot_product expression evaluates and codegens") {
     val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)))
