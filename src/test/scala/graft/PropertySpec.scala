@@ -16,6 +16,41 @@ abstract class SparkProperties(name: String) extends Properties(name) {
     p.withMinSuccessfulTests(8)
 }
 
+object LineDedupProps extends SparkProperties("linededup") {
+  import spark.implicits._
+
+  // tiny line alphabet forces cross-doc duplicates; padded and CRLF
+  // variants hash trim-equal; blanks exercise shape preservation
+  private val genDocs: Gen[List[String]] =
+    Gen.choose(1, 6).flatMap { n =>
+      Gen.listOfN(n, Gen.choose(0, 5).flatMap(k =>
+        Gen.listOfN(k, Gen.oneOf(
+          "alpha line", "beta line", "gamma", "",
+          "  alpha line ", "beta line\r")).map(_.mkString("\n"))))
+    }
+
+  private def trimmed(l: String): String =
+    l.replaceAll("^[ \r]+|[ \r]+$", "")
+
+  property("kept nonblank lines == distinct trimmed lines, exactly once each") =
+    Prop.forAll(genDocs) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val rows = graft.ops.Dedup.lineDedupReport(df, "text", "doc_id")
+        .collect()
+      val expectedDistinct = docs.flatMap(_.split("\n", -1))
+        .map(trimmed).filter(_.nonEmpty).toSet
+      val keptTotal = rows.map(r =>
+        r.getAs[Long]("n_lines") - r.getAs[Long]("n_dup_lines")).sum
+      val keptLines = rows.flatMap(_.getAs[String]("clean_text")
+        .split("\n", -1)).map(trimmed).filter(_.nonEmpty).toSeq
+      keptTotal == expectedDistinct.size.toLong &&
+        keptLines.sorted == expectedDistinct.toSeq.sorted &&
+        rows.map(_.getAs[Long]("n_lines")).sum ==
+          docs.flatMap(_.split("\n", -1)).map(trimmed).count(_.nonEmpty).toLong
+    }
+}
+
 object OverlapProps extends SparkProperties("overlap") {
   import spark.implicits._
 
@@ -24,7 +59,7 @@ object OverlapProps extends SparkProperties("overlap") {
       Gen.listOfN(n, for {
         ts <- Gen.choose(0L, 3000000000L) // 0..50min in us
         key <- Gen.oneOf("a", "b")
-        durSec <- Gen.choose(1, 600)
+        durSec <- Gen.choose(0, 600) // 0 = the zero-length-run guard
       } yield (ts, key, durSec.toDouble))
     }.map(_.zipWithIndex.map { case ((ts, k, d), i) => (i.toLong, ts, k, d) })
 
