@@ -510,13 +510,23 @@ object EventStream {
   /** St5: live progress observation — the Spark-native form of the
     * reference's `.progress.txt` polling (experiment_caller.py:103-111
     * / interactive_helpers.py:589-617): a StreamingQueryListener
-    * accumulating per-micro-batch input-row counts. */
-  class ProgressListener extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    * accumulating per-micro-batch input-row counts.
+    *
+    * `onlyName` scopes the tally to one named query. The listener bus
+    * is JVM-global and asynchronous: events still queued from a query
+    * that already terminated are delivered to listeners registered at
+    * DELIVERY time, so an unfiltered listener on a busy session tallies
+    * other queries' stragglers. A production observer names its query
+    * and filters, exactly like the reference polls one run's own
+    * progress file. */
+  class ProgressListener(onlyName: Option[String] = None)
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
     import org.apache.spark.sql.streaming.StreamingQueryListener._
     val batches = new java.util.concurrent.CopyOnWriteArrayList[Long]()
     override def onQueryStarted(e: QueryStartedEvent): Unit = ()
     override def onQueryProgress(e: QueryProgressEvent): Unit =
-      batches.add(e.progress.numInputRows)
+      if (onlyName.forall(_ == e.progress.name))
+        batches.add(e.progress.numInputRows)
     override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
     def totalRows: Long = {
       var s = 0L

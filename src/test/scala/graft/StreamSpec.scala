@@ -90,13 +90,19 @@ class StreamSpec extends SparkSpec {
   }
 
   test("progress listener observes every input row (St5)") {
-    val listener = new EventStream.ProgressListener
+    // the listener bus is async and JVM-global: progress events from
+    // queries run by EARLIER tests/suites can still be in the queue and
+    // would be delivered to this fresh listener — flush them first and
+    // scope the listener to this test's own query name
+    org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(spark)
+    val listener = new EventStream.ProgressListener(Some("t_progress"))
     spark.streams.addListener(listener)
     try {
       EventStream.runToMemory(spark,
         EventStream.windowedAgg(EventStream.read(spark, sf)), "t_progress")
-      // listener events are async; wait for delivery
-      val deadline = System.currentTimeMillis() + 30000
+      // listener events are async; wait for delivery (generous bound —
+      // the bus lags under full-suite box load)
+      val deadline = System.currentTimeMillis() + 120000
       while (listener.totalRows < 1000 && System.currentTimeMillis() < deadline)
         Thread.sleep(200)
       assert(listener.totalRows === 1000L)
@@ -635,6 +641,9 @@ class StreamSpec extends SparkSpec {
     // the manifest must come from parquet FOOTER stats only — no SQL
     // data scan may run during the ranking pass (at 100 TB the
     // difference is the whole job)
+    // flush queued execution events from earlier tests before counting
+    // (the async bus delivers stragglers to listeners registered later)
+    org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(spark)
     val sqlSeen = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(funcName: String,
