@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.graftbridge.{Bridge, ExpectsStringInput}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -26,7 +26,8 @@ object NormExprs {
   def nfc(c: Column): Column = Bridge.column(NfcNormalize(Bridge.expression(c)))
 }
 
-case class NfcNormalize(child: Expression) extends UnaryExpression {
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with ExpectsStringInput {
 
   override def dataType: DataType = StringType
   override def prettyName: String = "nfc_normalize"

@@ -34,9 +34,15 @@ object PiiScrub {
 
   /** Optional +country prefix, then 3-3-4 digit groups with
     * space/dot/dash separators — the separated-group shape; a bare
-    * digit run inside prose stays untouched. */
+    * digit run inside prose stays untouched. The left edge is
+    * anchored per alternative (`\+country`, `(`, or `\b` before the
+    * bare digit group) so the match can never start mid-digit-run —
+    * without it a longer serial like `1234-567-8901` would match from
+    * its second digit, inflating `n_phones` and stranding the leading
+    * digit next to the redaction. Lookaround-free, so Java regex
+    * (Spark) and RE2 (DuckDB) agree. */
   val PhoneRe: String =
-    "(\\+[0-9]{1,3}[ .-])?\\(?[0-9]{3}\\)?[ .-][0-9]{3}[ .-][0-9]{4}\\b"
+    "(?:\\+[0-9]{1,3}[ .-]\\(?|\\(|\\b)[0-9]{3}\\)?[ .-][0-9]{3}[ .-][0-9]{4}\\b"
 
   /** The ordered (pattern, placeholder, count column) stages. */
   val Stages: Seq[(String, String, String)] = Seq(

@@ -1603,14 +1603,26 @@ object CurationQueries extends graft.QueryModule {
   /** Full PII scrub ([[graft.ops.PiiScrub.report]]): email / IPv4 /
     * SSN-shape / phone detectors applied in fixed order, counts taken
     * on each stage's input, every occurrence redacted. The synthetic
-    * corpus carries no PII, so the entry gates the four-stage
-    * machinery end-to-end on real data with all-zero counts (the
-    * q_c4_filter precedent); `PiiScrubSpec` plants every shape and
-    * proves detection, ordering, and redaction. */
-  def qPiiScrub(s: SparkSession, dir: String): DataFrame =
-    graft.ops.PiiScrub.report(Tables.documents(s, dir), "text", "doc_id")
+    * corpus carries no PII, so the entry INJECTS deterministic
+    * synthetic PII on a doc_id modulus — mirrored verbatim in the
+    * oracle SQL — and the DuckDB oracle therefore replays NONZERO
+    * detection, ordering, and redaction at corpus scale (not just the
+    * all-zero machinery pass); `PiiScrubSpec` additionally pins the
+    * per-shape vectors and asserts the corpus signal stays nonzero. */
+  private val PiiInjectA = " Reach me at jane.doe@example.com from 10.1.2.3 today."
+  private val PiiInjectB = " SSN 123-45-6789; call +1 555-867-5309 or (212) 555-0144."
+
+  def qPiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val injected = Tables.documents(s, dir).select(
+      col("doc_id"),
+      concat(coalesce(col("text"), lit("")),
+        when(col("doc_id") % 7 === 0, lit(PiiInjectA))
+          .when(col("doc_id") % 7 === 3, lit(PiiInjectB))
+          .otherwise(lit(""))).as("text"))
+    graft.ops.PiiScrub.report(injected, "text", "doc_id")
       .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"))
+  }
 
   val qPiiScrubSql: String = {
     val stages = graft.ops.PiiScrub.Stages
@@ -1622,7 +1634,10 @@ object CurationQueries extends graft.QueryModule {
          |FROM t$i)""".stripMargin
     }.mkString(",\n")
     val names = stages.map(_._3)
-    s"""WITH t0 AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+    s"""WITH t0 AS (SELECT doc_id, COALESCE(text, '') ||
+       |    CASE WHEN doc_id % 7 = 0 THEN '$PiiInjectA'
+       |         WHEN doc_id % 7 = 3 THEN '$PiiInjectB'
+       |         ELSE '' END AS t FROM documents),
        |$ctes
        |SELECT doc_id, ${names.mkString(", ")}, t AS clean_text,
        |  ${names.mkString(" + ")} AS n_pii,
@@ -1633,23 +1648,33 @@ object CurationQueries extends graft.QueryModule {
   /** Unicode NFC canonicalization ([[graft.functions.NormExprs.nfc]],
     * a native codegen'd expression — Spark ships no normalization
     * function and a UDF would leave codegen). The synthetic corpus is
-    * ASCII, so the entry gates the cross-engine machinery with
-    * changed=0 everywhere (the q_c4_filter precedent);
-    * `FunctionsSpec` plants decomposed sequences and proves
-    * composition and the no-allocation fast path. */
-  def qNfcNorm(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(
+    * ASCII, so the entry APPENDS a decomposed sequence (`e` +
+    * U+0301 COMBINING ACUTE) on a doc_id modulus — mirrored in the
+    * oracle via `chr(769)` — so the DuckDB oracle (utf8proc) replays
+    * NONZERO composition against the JVM normalizer at corpus scale;
+    * `FunctionsSpec` pins the codepoint vectors, the no-allocation
+    * fast path, and that the corpus signal stays nonzero. */
+  def qNfcNorm(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(s, dir).select(
+      col("doc_id"),
+      concat(coalesce(col("text"), lit("")),
+        when(col("doc_id") % 5 === 0, lit(" cafe\u0301"))
+          .otherwise(lit(""))).as("t"))
+    t.select(
         col("doc_id"),
-        graft.functions.NormExprs.nfc(col("text")).as("norm_text"),
-        (graft.functions.NormExprs.nfc(col("text")) =!= col("text"))
+        graft.functions.NormExprs.nfc(col("t")).as("norm_text"),
+        (graft.functions.NormExprs.nfc(col("t")) =!= col("t"))
           .cast("long").as("changed"))
       .orderBy(col("doc_id"))
+  }
 
   val qNfcNormSql: String =
-    """SELECT doc_id, nfc_normalize(text) AS norm_text,
-      |  CAST(nfc_normalize(text) <> text AS BIGINT) AS changed
-      |FROM documents ORDER BY doc_id""".stripMargin
+    """WITH t0 AS (SELECT doc_id, COALESCE(text, '') ||
+      |    CASE WHEN doc_id % 5 = 0 THEN ' cafe' || chr(769)
+      |         ELSE '' END AS t FROM documents)
+      |SELECT doc_id, nfc_normalize(t) AS norm_text,
+      |  CAST(nfc_normalize(t) <> t AS BIGINT) AS changed
+      |FROM t0 ORDER BY doc_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pii_scrub" -> (qPiiScrub _),
