@@ -1347,6 +1347,94 @@ object TrainingQueries extends graft.QueryModule {
       |FROM r
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** REAL-BYTES media ingest: a deterministic on-disk PNG/JPEG corpus
+    * ([[graft.sources.MediaCorpus]]) read through Spark's `binaryFile`
+    * source, dimensions parsed from the container bytes by the native
+    * [[graft.functions.MediaExprs.imageDims]] expression (PNG IHDR at
+    * its spec-fixed offset; JPEG via a real marker-segment walk — the
+    * corpus varies each file's SOF offset with a COM segment so a
+    * fixed-offset parse cannot pass), then the same aspect-preserving
+    * integer resize plan as [[qMediaFrames]]. The DuckDB oracle
+    * re-derives every value from the same files' bytes (`read_blob`
+    * + hex arithmetic + a recursive-CTE segment walk), so this entry
+    * certifies byte-level parsing, not a stub. At 100 TB the shape
+    * holds: `binaryFile` is a distributed scan, the parse is one
+    * codegen'd expression in the scan project, nothing collects. */
+  def qMediaMeta(s: SparkSession, dir: String): DataFrame = {
+    val mediaDir = graft.sources.MediaCorpus.ensure()
+    val packed = graft.functions.MediaExprs.imageDims(col("content"))
+    val feats = s.read.format("binaryFile").load(mediaDir)
+      .select(
+        regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"),
+        col("length").as("byte_len"),
+        packed.as("packed"))
+      .withColumn("fmt",
+        when(col("file_name").endsWith(".png"), lit("png"))
+          .otherwise(lit("jpeg")))
+      .withColumn("width", graft.functions.MediaExprs.width(col("packed")))
+      .withColumn("height", graft.functions.MediaExprs.height(col("packed")))
+      .drop("packed")
+    Multimodal.resizePlan(feats, maxW = 336, maxH = 336)
+      .select(col("file_name"), col("fmt"), col("byte_len"),
+        col("width"), col("height"),
+        col("out_w").cast("long").as("out_w"),
+        col("out_h").cast("long").as("out_h"))
+      .orderBy(col("file_name"))
+  }
+
+  /** DuckDB replay of [[qMediaMeta]] from the same bytes: PNG width /
+    * height at IHDR's fixed offsets (hex chars 33/41 = byte offsets
+    * 16/20); JPEG via a recursive-CTE marker walk (seek FF C0-CF
+    * excluding C4/C8/CC, skip other segments by their big-endian
+    * length); then the identical integer resize arithmetic. */
+  val qMediaMetaSql: String = {
+    val dir = graft.sources.MediaCorpus.DefaultDir
+    s"""WITH RECURSIVE png AS (
+       |  SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name,
+       |    'png' AS fmt, CAST(octet_length(content) AS BIGINT) AS byte_len,
+       |    CAST('0x' || substr(hex(content), 33, 8) AS BIGINT) AS width,
+       |    CAST('0x' || substr(hex(content), 41, 8) AS BIGINT) AS height
+       |  FROM read_blob('$dir/*.png')),
+       |jr AS (
+       |  SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name,
+       |    CAST(octet_length(content) AS BIGINT) AS byte_len,
+       |    hex(content) AS hx
+       |  FROM read_blob('$dir/*.jpg')),
+       |walk(file_name, byte_len, hx, pos, w, h) AS (
+       |  SELECT file_name, byte_len, hx, 2,
+       |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM jr
+       |  UNION ALL
+       |  SELECT file_name, byte_len, hx,
+       |    CASE WHEN sof THEN -1
+       |      ELSE pos + 2 + CAST('0x' || substr(hx, 2*pos+5, 4) AS BIGINT)
+       |      END,
+       |    CASE WHEN sof
+       |      THEN CAST('0x' || substr(hx, 2*pos+15, 4) AS BIGINT) END,
+       |    CASE WHEN sof
+       |      THEN CAST('0x' || substr(hx, 2*pos+11, 4) AS BIGINT) END
+       |  FROM (
+       |    SELECT file_name, byte_len, hx, pos,
+       |      substr(hx, 2*pos+1, 2) = 'FF'
+       |      AND substr(hx, 2*pos+3, 2) BETWEEN 'C0' AND 'CF'
+       |      AND substr(hx, 2*pos+3, 2) NOT IN ('C4', 'C8', 'CC') AS sof
+       |    FROM walk
+       |    WHERE pos >= 0 AND 2*pos + 8 <= len(hx))),
+       |jpg AS (
+       |  SELECT file_name, 'jpeg' AS fmt, byte_len, w AS width,
+       |    h AS height
+       |  FROM walk WHERE w IS NOT NULL),
+       |dims AS (SELECT * FROM png UNION ALL SELECT * FROM jpg)
+       |SELECT file_name, fmt, byte_len, width, height,
+       |  CAST(CASE WHEN width <= 336 AND height <= 336 THEN width
+       |    WHEN width * 336 >= height * 336 THEN 336
+       |    ELSE greatest(1, width * 336 // height) END AS BIGINT) AS out_w,
+       |  CAST(CASE WHEN width <= 336 AND height <= 336 THEN height
+       |    WHEN width * 336 >= height * 336
+       |      THEN greatest(1, height * 336 // width)
+       |    ELSE 336 END AS BIGINT) AS out_h
+       |FROM dims ORDER BY file_name""".stripMargin
+  }
+
   /** SUPERVISED quality classifier ([[QualityClassifier]]): logistic
     * regression over hashed-unigram tf features, trained
     * distributed (batch GD, one bounded gradient aggregate per
@@ -1550,7 +1638,8 @@ object TrainingQueries extends graft.QueryModule {
     "q_ann_recall" -> (qAnnRecall _),
     "q_quality_classifier" -> (qQualityClassifier _),
     "q_multimodal" -> (qMultimodal _),
-    "q_media_frames" -> (qMediaFrames _))
+    "q_media_frames" -> (qMediaFrames _),
+    "q_media_meta" -> (qMediaMeta _))
 
   def oracleSql: Map[String, String] = Map(
     "q_text_stats" -> qTextStatsSql,
@@ -1586,6 +1675,7 @@ object TrainingQueries extends graft.QueryModule {
     "q_centroid_audit" -> qCentroidAuditSql,
     "q_ann_recall" -> qAnnRecallSql,
     "q_multimodal" -> qMultimodalSql,
-    "q_media_frames" -> qMediaFramesSql) ++
+    "q_media_frames" -> qMediaFramesSql,
+    "q_media_meta" -> qMediaMetaSql) ++
     ivfOracle ++ pqOracle ++ semdedupOracle ++ qcOracle
 }

@@ -69,3 +69,10 @@ trait ExpectsStringInput
   override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
     Seq(org.apache.spark.sql.types.StringType)
 }
+
+/** Binary-input twin of [[ExpectsStringInput]]. */
+trait ExpectsBinaryInput
+    extends org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    Seq(org.apache.spark.sql.types.BinaryType)
+}
