@@ -230,6 +230,9 @@ object ScaleStudy {
         s"[scale] overlap naive skipped at $tag (n=$n): quadratic")
       val sec = time(Bench.drain(Overlap.binned(ev)))
       println(f"""{"study":"overlap","corpus":"$tag","plan":"binned","n":$n,"sec":$sec%.3f}""")
+      // the self-tuned width (quantile pass included in the timing)
+      val secAuto = time(Bench.drain(Overlap.binnedAuto(ev)))
+      println(f"""{"study":"overlap","corpus":"$tag","plan":"binned_auto","n":$n,"sec":$secAuto%.3f}""")
       ev.unpersist()
     }
   }

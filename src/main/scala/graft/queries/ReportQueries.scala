@@ -125,6 +125,9 @@ object ReportQueries extends graft.QueryModule {
 
   // ---- J1 interval-overlap theta self-join -------------------------------
 
+  // fixed width, not binnedAuto: below ~100k rows the self-tuning
+  // quantile job's fixed cost (~0.3s) dominates the join it tunes
+  // (measured in PLANS.md r11); binnedAuto wins from sf0.1 up
   def qOverlap(s: SparkSession, dir: String): DataFrame =
     Overlap.binned(Tables.events(s, dir))
 

@@ -32,6 +32,33 @@ class OverlapSpec extends SparkSpec {
     val r = Overlap.binned(ev).collect()
     assert(r.forall(_.getDouble(2) == 3.0))
   }
+  test("autoBinUs derives p90 span rounded up to a power of two, loudly clamped") {
+    import spark.implicits._
+    def iv(spansUs: Seq[Long]) = Overlap.intervals(
+      spansUs.zipWithIndex.map { case (sp, i) =>
+        (i.toLong, 0L, "a", sp / 1e6) }
+        .toDF("event_id", "ts_us", "event_type", "value"))
+    // uniform 100s spans: p90 = 1e8 -> next pow2 = 2^27 us
+    assert(Overlap.autoBinUs(iv(Seq.fill(20)(100000000L))) === 134217728L)
+    // exact power of two stays put (no needless doubling)
+    assert(Overlap.autoBinUs(iv(Seq.fill(20)(134217728L))) === 134217728L)
+    // a tail of giants does not drag the width past p90
+    assert(Overlap.autoBinUs(
+      iv(Seq.fill(95)(100000000L) ++ Seq.fill(2)(86400000000L)))
+      === 134217728L)
+    // degenerate all-zero spans clamp UP to the 1s floor
+    assert(Overlap.autoBinUs(iv(Seq.fill(10)(0L))) === Overlap.MinBinUs)
+    // one multi-day span clamps DOWN to the 1-day ceiling
+    assert(Overlap.autoBinUs(iv(Seq.fill(10)(5L * 86400000000L)))
+      === Overlap.MaxBinUs)
+  }
+  test("binnedAuto equals the naive plan (any derived width is correct)") {
+    val ev = Tables.events(spark, sf)
+    val naive = Overlap.naive(ev).collect()
+    val auto = Overlap.binnedAuto(ev).collect()
+    assert(naive.length === auto.length)
+    naive.zip(auto).foreach { case (n, b) => assert(n === b) }
+  }
   test("zero-length runs ratio 0, not a division error (real sf0.1 rows hit this)") {
     import spark.implicits._
     val ev = Seq(
