@@ -75,13 +75,25 @@ object SemDedup {
         s"pair join (cross-cell pairs inside them are missed): " +
         oversized.map { case (c, n) => s"$c=$n" }.mkString(", ") +
         " — raise nClusters to shrink clusters instead")
-    val cell = oversized.foldLeft(lit(0L)) { case (acc, (c, n)) =>
-      val nCells = (n + maxClusterSize - 1) / maxClusterSize
-      when(col("cluster") === c, pmod(col("vec_id"), lit(nCells)))
-        .otherwise(acc)
-    }
-    val a = a0.withColumn("cell", cell)
-      .scopedCache() // both sides of the self-join
+    // cell assignment via a broadcast equi-join on the (tiny)
+    // oversized list — NOT a per-cluster when() chain, whose
+    // expression tree would deepen linearly with the number of
+    // oversized clusters and blow up analysis/codegen when many
+    // clusters exceed the cap (small nClusters at corpus scale)
+    val a1 =
+      if (oversized.isEmpty) a0.withColumn("cell", lit(0L))
+      else {
+        val sp = emb.sparkSession
+        import sp.implicits._
+        val cells = oversized.toSeq.map { case (c, n) =>
+          (c, (n + maxClusterSize - 1) / maxClusterSize) }
+          .toDF("o_cluster", "n_cells")
+        a0.join(broadcast(cells), col("cluster") === col("o_cluster"), "left")
+          .withColumn("cell",
+            coalesce(pmod(col("vec_id"), col("n_cells")), lit(0L)))
+          .drop("o_cluster", "n_cells")
+      }
+    val a = a1.scopedCache() // both sides of the self-join
     val lower = a.select(col("cluster"), col("cell"),
       col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn"))
     val dups = a.join(lower, Seq("cluster", "cell"))
@@ -96,5 +108,40 @@ object SemDedup {
       .withColumn("keep", col("dup_of").isNull.cast("long"))
       .na.fill(-1L, Seq("dup_of"))
       .na.fill(0.0, Seq("best_sim"))
+  }
+
+  /** Query-shaped audit of the sub-split trade: one row per cluster
+    * over `maxClusterSize` with its size, the cell count the pair
+    * join will use, and an EXACT upper bound on the pairs the split
+    * can miss. The bound is the convexity extreme: within-cell pair
+    * count `Σ C(sᵢ,2)` is minimized — so missed pairs are maximized
+    * — when the cells are balanced (`r` cells of `q+1`, the rest
+    * `q`, for `q = size div n_cells`, `r = size mod n_cells`);
+    * whatever sizes `pmod(vec_id, n_cells)` actually produces can
+    * only miss fewer. Same training as [[report]] (sets
+    * [[lastModel]], so with [[report]]'s parameters the two entries
+    * share one model regardless of execution order) — the trade
+    * stays observable IN DATA, not just in a stderr warning. */
+  def oversizedAudit(
+      emb: DataFrame, eps: Double,
+      nClusters: Int = 16, iters: Int = 3,
+      maxClusterSize: Long = 1L << 16): DataFrame = {
+    require(maxClusterSize > 0, "maxClusterSize must be positive")
+    val base = Similarity.prepared(emb).scopedCache()
+    val centroids = Ivf.train(base, nClusters, iters)
+    lastModel = Some(Model(centroids, eps, nClusters))
+    val cap = maxClusterSize
+    Ivf.assigned(base, centroids)
+      .groupBy(col("cluster").cast("long").as("cluster"))
+      .agg(count(lit(1)).as("size"))
+      .filter(col("size") > cap)
+      .withColumn("n_cells", expr(s"(size + $cap - 1) DIV $cap"))
+      .withColumn("q", expr("size DIV n_cells"))
+      .withColumn("r", expr("size % n_cells"))
+      .withColumn("pairs_missed_max", expr(
+        "size * (size - 1) DIV 2 - " +
+          "(r * (q + 1) * q DIV 2 + (n_cells - r) * q * (q - 1) DIV 2)"))
+      .drop("q", "r")
+      .orderBy(col("cluster"))
   }
 }

@@ -1259,8 +1259,57 @@ object TrainingQueries extends graft.QueryModule {
        |ORDER BY a.vec_id""".stripMargin
   }
 
+  /** The sub-split telemetry entry's cap — chosen BELOW the corpus's
+    * typical cluster size (500 vectors / 8 clusters ≈ 62) so the
+    * guard demonstrably fires on real data at every test SF. */
+  private val SemdedupAuditCap = 32L
+
+  /** Observability for [[SemDedup.report]]'s documented trade: which
+    * clusters the pair join sub-split, into how many cells, and at
+    * most how many pairs that can miss — the stderr warning as
+    * auditable data. Same training parameters as [[qSemdedup]], so
+    * both entries derive one shared model whichever runs first. */
+  def qSemdedupOversized(s: SparkSession, dir: String): DataFrame =
+    SemDedup.oversizedAudit(Tables.embeddings(s, dir), eps = 0.4,
+      nClusters = 8, iters = 1, maxClusterSize = SemdedupAuditCap)
+
+  /** DuckDB replay of [[qSemdedupOversized]]: same centroid-literal
+    * assignment argmax as [[semdedupOracleSql]], then cluster sizes,
+    * ceil-division cell counts, and the balanced-cells convexity
+    * bound in integer arithmetic. */
+  private def semdedupOversizedSql(m: SemDedup.Model): String = {
+    val values = m.centroids.zipWithIndex.map { case (c, j) =>
+      val half = c.map(x => x * x).sum / 2.0
+      s"($j, ${c.mkString("[", ",", "]")}::DOUBLE[], $half)"
+    }.mkString(", ")
+    val cap = SemdedupAuditCap
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c(j, cv, half) AS (SELECT * FROM (VALUES $values)),
+       |scored AS (SELECT e.vec_id, c.j,
+       |             list_dot_product(e.v, c.cv) - c.half AS s
+       |           FROM e CROSS JOIN c),
+       |assign AS (SELECT vec_id, j AS cluster FROM (
+       |             SELECT *, row_number() OVER (PARTITION BY vec_id
+       |               ORDER BY s DESC, j DESC) AS rn FROM scored)
+       |           WHERE rn = 1),
+       |sz AS (SELECT CAST(cluster AS BIGINT) AS cluster,
+       |         CAST(count(*) AS BIGINT) AS size
+       |       FROM assign GROUP BY cluster),
+       |o AS (SELECT cluster, size,
+       |        (size + $cap - 1) // $cap AS n_cells
+       |      FROM sz WHERE size > $cap),
+       |x AS (SELECT *, size // n_cells AS q, size % n_cells AS r FROM o)
+       |SELECT cluster, size, CAST(n_cells AS BIGINT) AS n_cells,
+       |  CAST(size * (size - 1) // 2 - (r * (q + 1) * q // 2
+       |    + (n_cells - r) * q * (q - 1) // 2) AS BIGINT)
+       |    AS pairs_missed_max
+       |FROM x ORDER BY cluster""".stripMargin
+  }
+
   private def semdedupOracle: Map[String, String] =
-    SemDedup.lastModel.map(m => "q_semdedup" -> semdedupOracleSql(m)).toMap
+    SemDedup.lastModel.map(m => Map(
+      "q_semdedup" -> semdedupOracleSql(m),
+      "q_semdedup_oversized" -> semdedupOversizedSql(m))).getOrElse(Map.empty)
 
   // ---- multimodal --------------------------------------------------------
 
@@ -1634,6 +1683,7 @@ object TrainingQueries extends graft.QueryModule {
     "q_ann_pq_rerank" -> (qAnnPqRerank _),
     "q_ann_ivfpq_rerank" -> (qAnnIvfPqRerank _),
     "q_semdedup" -> (qSemdedup _),
+    "q_semdedup_oversized" -> (qSemdedupOversized _),
     "q_centroid_audit" -> (qCentroidAudit _),
     "q_ann_recall" -> (qAnnRecall _),
     "q_quality_classifier" -> (qQualityClassifier _),

@@ -57,6 +57,45 @@ class SemDedupSpec extends SparkSpec {
     assert(full.map(_.getLong(4)).toSeq === (1L +: Seq.fill(11)(0L)))
   }
 
+  test("oversizedAudit reports size, cells, and the convexity bound on missed pairs") {
+    // two planted clusters: +x with 7 members, +y with 2; cap 3
+    val vs = (0L until 7L).map(i => (i, Seq(1.0f, 0.0f, 0.001f * i))) ++
+      Seq((10L, Seq(0.0f, 1.0f, 0.0f)), (11L, Seq(0.0f, 1.0f, 0.01f)))
+    val r = SemDedup.oversizedAudit(vs.toDF("vec_id", "embedding"),
+        eps = 0.9, nClusters = 2, iters = 2, maxClusterSize = 3L)
+      .collect()
+    // only the 7-cluster exceeds the cap: 3 cells (ceil 7/3); balanced
+    // cells are (3,2,2) -> within-cell pairs 3+1+1=5; C(7,2)=21 -> 16
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("size") === 7L)
+    assert(r.head.getAs[Long]("n_cells") === 3L)
+    assert(r.head.getAs[Long]("pairs_missed_max") === 16L)
+    // under-cap corpus: audit is empty, never null-rowed
+    assert(SemDedup.oversizedAudit(vs.toDF("vec_id", "embedding"),
+      eps = 0.9, nClusters = 2, iters = 2, maxClusterSize = 100L)
+      .collect().isEmpty)
+  }
+
+  test("MULTIPLE oversized clusters sub-split via one broadcast join (no when-chain)") {
+    // two giant clusters (12 in +x, 12 in +y), cap 6 -> both split
+    // into 2 cells by id parity; duplicates are still found in-cell
+    val giants = ((0L until 12L).map(i => (i, Seq(1.0f, 0.0f, 0.0f))) ++
+      (100L until 112L).map(i => (i, Seq(0.0f, 1.0f, 0.0f))))
+      .toDF("vec_id", "embedding")
+    val r = SemDedup.report(giants, eps = 0.999, nClusters = 2, iters = 2,
+        maxClusterSize = 6L)
+      .orderBy("vec_id").collect()
+    assert(SemDedup.lastOversized.map(_._2) === Seq(12L, 12L))
+    val keep = r.map(x => x.getLong(0) -> x.getLong(4)).toMap
+    // per cluster: one surviving head per parity cell (ids 0,1; 100,101)
+    assert(keep === (0L until 12L).map(i =>
+      i -> (if (i <= 1L) 1L else 0L)).toMap ++
+      (100L until 112L).map(i => i -> (if (i <= 101L) 1L else 0L)).toMap)
+    // every duplicate's survivor shares its parity (cells by id modulus)
+    assert(r.filter(_.getLong(4) === 0L)
+      .forall(x => x.getLong(2) % 2 === x.getLong(0) % 2))
+  }
+
   test("eps = -1 marks everything after the cluster head as duplicate") {
     val r = SemDedup.report(emb, eps = -1.0, nClusters = 1, iters = 1)
       .orderBy("vec_id").collect()
