@@ -241,16 +241,24 @@ object Bench {
               java.nio.file.StandardCopyOption.REPLACE_EXISTING)
             System.err.println(s"[bench] previous floors archived to $archive")
           }
+          // a query that ERRORED during this run keeps its previous
+          // floor (a transient failure must not permanently lose the
+          // floor and let a later slow reading re-seed it); only a
+          // query absent from the suite is genuinely dropped
+          val retained = allFloors.getOrElse(sfKey, Map.empty)
+            .filter { case (q, _) => errors.contains(q) }
           allFloors.getOrElse(sfKey, Map.empty).toSeq.sortBy(_._1)
             .foreach { case (q, old) =>
               clean.get(q) match {
                 case Some(now) => System.err.println(
                   f"[bench] rebase $q: $old%.4f -> $now%.4f (${now / old}%.2fx)")
+                case None if errors.contains(q) => System.err.println(
+                  f"[bench] rebase $q: ERRORED this run - previous floor $old%.4f retained")
                 case None => System.err.println(
                   s"[bench] rebase $q: dropped (no longer in the suite)")
               }
             }
-          allFloors.updated(sfKey, clean)
+          allFloors.updated(sfKey, clean ++ retained)
         } else allFloors.updated(sfKey,
           mergeFloors(allFloors.getOrElse(sfKey, Map.empty), clean))
       java.nio.file.Files.writeString(floorsPath, renderFloors(next))

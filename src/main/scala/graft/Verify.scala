@@ -20,10 +20,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // self-evidencing run metadata: a genuine re-run is
+    // distinguishable from a copied artifact by its timestamps and
+    // per-query wall seconds (written alongside the dumps as
+    // verify_meta.json)
+    val runStartMs = System.currentTimeMillis()
+    val wallS = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     SparkEntry.queries.view.filterKeys(wanted).foreach { case (name, fn) =>
       // per-entry cache scope: operator-internal caches (registered
       // via CacheScope) release once the dump completes, so a full
       // Verify pass holds at most one entry's caches at a time
+      val t0 = System.nanoTime()
       try graft.core.CacheScope.withScope {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
@@ -31,6 +38,7 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      wallS(name) = (System.nanoTime() - t0) / 1e9
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -47,6 +55,15 @@ object Verify {
     val json = SparkEntry.oracleSql.view.filterKeys(wanted)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val runEndMs = System.currentTimeMillis()
+    val meta = s"""{"run_ts": "${java.time.Instant.ofEpochMilli(runStartMs)}",
+      |"run_end_ts": "${java.time.Instant.ofEpochMilli(runEndMs)}",
+      |"wall_s_total": ${(runEndMs - runStartMs) / 1e3},
+      |"sf_dir": ${q(sfDir)},
+      |"n_queries": ${wallS.size},
+      |"wall_s": ${wallS.map { case (k, v) => s"${q(k)}: $v" }
+        .mkString("{", ",", "}")}}""".stripMargin.replace("\n", " ")
+    Files.writeString(Paths.get(s"$outDir/verify_meta.json"), meta)
     spark.stop()
   }
 }

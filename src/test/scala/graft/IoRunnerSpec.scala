@@ -83,6 +83,43 @@ class ReportSpecFull extends SparkSpec {
     val p2 = ReportWriter.write(tmp, "report", csv)
     assert(p1.endsWith("report.csv") && p2.endsWith("report-1.csv"))
   }
+  test("escCol rendering of timestamp/date/array columns is pinned (cast form)") {
+    // the expression path renders via cast-to-string, which differs
+    // from Row.toString for these types (no trailing .0, '[1, 2]'
+    // not 'WrappedArray(1, 2)'); pin the exact bytes so the
+    // typed-map-to-expression swap can never silently change a
+    // report that later gains such a column
+    import spark.implicits._
+    val df = Seq((java.sql.Timestamp.valueOf("2024-01-02 03:04:05"),
+        java.sql.Date.valueOf("2024-01-02"), Seq(1, 2), 1.5))
+      .toDF("ts", "d", "arr", "x")
+    val csv = ReportWriter.sectionCsv(df)
+    assert(csv ===
+      "ts,d,arr,x\n2024-01-02 03:04:05,2024-01-02,[1; 2],1.5")
+  }
+
+  test("report sections carry no timestamp/date/array columns (rendering guard)") {
+    // today every section column is string/numeric, so the cast
+    // rendering is identity-safe; if a section ever gains one of the
+    // divergent types this trips and the pin above documents the form
+    val runs = Tables.events(spark, sf)
+      .withColumn("value_c", graft.core.Num.cents(col("value")))
+      .select("event_id", "user_id", "event_type", "value_c")
+    val spec = ExperimentSpec(
+      outputGroups = Seq("event_type"),
+      showAsList = Set("user_id"),
+      showAsSum = Set("value_c"))
+    val sections = Report.build(runs, spec,
+      idCol = Some("user_id"), attrCol = Some("event_type"))
+    val all = sections.raw +:
+      (sections.groups.values ++ sections.rawOfGroups.values).toSeq
+    all.foreach(df => df.schema.foreach { f =>
+      val t = f.dataType.typeName
+      assert(t != "array" && !t.startsWith("timestamp") && t != "date",
+        s"section column ${f.name} has divergent-rendering type $t")
+    })
+  }
+
   test("raw sections are written distributed — no collect on the raw path") {
     import org.apache.spark.sql.execution.QueryExecution
     import org.apache.spark.sql.graftbridge.Bridge
