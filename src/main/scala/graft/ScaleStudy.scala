@@ -70,6 +70,16 @@ object ScaleStudy {
     "q_gap_fill", "q_scd2", "q_rolling_window", "q_outlier_events",
     "q_rfm", "q_copurchase", "q_cohort_retention")
 
+  /** The sales/TLQ family — the star-schema entries over
+    * `lineitem`/`orders`/`customer` plus the verbatim-copied product
+    * and geography dims (round 11: the last bench family without an
+    * sf1 reading). Fact tables are 10x, dims fixed — the broadcast
+    * joins keep their build side while the probe side scales. */
+  val SalesFamily: Seq[String] = Seq(
+    "q_sales_transform", "q_sales_report", "q_sales_priority",
+    "q_sales_date_range", "q_parts_supplier", "q_join_star",
+    "q_join_semi_anti")
+
   /** Replicate documents + embeddings `times`x with offset ids into
     * `outDir` (skipped if already built). Doc ids offset by a round
     * 10^7 per replica so modulo-derived synthetic roles (eval slices,
@@ -134,6 +144,27 @@ object ScaleStudy {
         .repartition(32)
         .write.mode("overwrite").parquet(s"$outDir/events.parquet")
     }
+    // sales group (sentinel: customer.parquet, written last).
+    // Customer replicates with c_custkey offset to match the orders
+    // replicas (each orders replica joins its own customer replica);
+    // c_nationkey stays, so the geography dims join unchanged. The
+    // small dims (region/nation/part/supplier) copy VERBATIM —
+    // deliberately: a 10x fact against fixed-size dims is the harder
+    // broadcast-join case (same build side, 10x the probe side), and
+    // it keeps q_parts_supplier's group-by output comparable across
+    // scales. l_partkey/l_suppkey are already un-offset in the events
+    // group's lineitem, so they land on the verbatim dims directly.
+    if (missing("customer")) {
+      Seq("region", "nation", "part", "supplier").foreach { t =>
+        graft.core.Tables.load(s, srcDir, t)
+          .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      }
+      graft.core.Tables.customer(s, srcDir).select(col("*"), reps)
+        .withColumn("c_custkey", col("c_custkey") + col("r") * 10000000L)
+        .drop("r")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+    }
   }
 
   private def time[A](body: => A): Double = {
@@ -161,7 +192,8 @@ object ScaleStudy {
     // "crossover" is a pseudo-entry selecting the J1 binned-vs-naive
     // study, which otherwise only runs with the full (unfiltered) set
     wanted.foreach { w =>
-      val unknown = w.diff(HeavyFamily.toSet ++ EventsFamily + "crossover")
+      val unknown = w.diff(
+        HeavyFamily.toSet ++ EventsFamily ++ SalesFamily + "crossover")
       require(unknown.isEmpty,
         s"unknown HeavyFamily/EventsFamily entries: ${unknown.mkString(", ")}")
     }
@@ -177,7 +209,8 @@ object ScaleStudy {
 
     buildScaled(spark, "/root/testdata/sf0.1", outDir, times = 10)
 
-    (HeavyFamily ++ EventsFamily).filter(n => wanted.forall(_(n)))
+    (HeavyFamily ++ EventsFamily ++ SalesFamily)
+      .filter(n => wanted.forall(_(n)))
       .foreach { name =>
         val secs = (0 until 2).map { _ =>
           val t = time(graft.core.CacheScope.withScope {

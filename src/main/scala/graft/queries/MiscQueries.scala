@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{Num, Tables}
-import graft.ops.{AsofJoin, Curriculum, Profile, Upsert}
+import graft.ops.{AsofJoin, Curriculum, Hll, Profile, Upsert}
 import graft.report.Overlap
 
 /** Remaining SURVEY §2 surface — snapshot delta metrics (P20/P21),
@@ -413,6 +413,39 @@ object MiscQueries extends graft.QueryModule {
        |  $arms
        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
   }
+
+  /** Oracle-replayable HyperLogLog approx-distinct — the COUNT
+    * (DISTINCT) scale path: one (group, bucket)-keyed shuffle with
+    * map-side partial max, ≤ 256 register rows per group, no expand.
+    * Joined against the exact distinct count so the sketch's error is
+    * visible in-row; at 100 TB only the register pipeline runs (the
+    * exact side here is the test-scale witness). Registers and the
+    * raw estimate replay bit-exactly in DuckDB (md5 parity hash +
+    * integer register sums + one IEEE division); the libm
+    * linear-counting correction stays consumer-side ([[Hll.corrected]],
+    * exercised in HllSpec). */
+  def qHllDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"), col("event_id"))
+    val est = Hll.estimate(
+      Hll.registers(ev, Seq("event_type"), "event_id", p = 8),
+      Seq("event_type"), p = 8)
+    val exact = ev.groupBy(col("event_type"))
+      .agg(count_distinct(col("event_id")).as("n_exact"))
+    est.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_exact"), col("n_zero_regs"),
+        col("sum_pow"), col("est_hll"), col("use_lc").cast("long").as("use_lc"))
+      .orderBy(col("event_type"))
+  }
+
+  val qHllDistinctSql: String =
+    s"""WITH hll AS (
+       |${Hll.estimateSql("events", "event_type", "CAST(event_id AS VARCHAR)", 8)}),
+       |ex AS (SELECT event_type, count(DISTINCT event_id) AS n_exact
+       |       FROM events GROUP BY 1)
+       |SELECT hll.event_type, n_exact, n_zero_regs, sum_pow, est_hll,
+       |  CAST(use_lc AS BIGINT) AS use_lc
+       |FROM hll JOIN ex ON hll.event_type = ex.event_type
+       |ORDER BY hll.event_type""".stripMargin
 
   /** Data-quality expectations over the events table: three row-level
     * rules folded into one aggregate pass, two uniqueness checks, one
@@ -856,6 +889,7 @@ object MiscQueries extends graft.QueryModule {
     "q_upsert" -> (qUpsert _),
     "q_sliding_window" -> (qSlidingWindow _),
     "q_quantiles" -> (qQuantiles _),
+    "q_hll_distinct" -> (qHllDistinct _),
     "q_funnel" -> (qFunnel _),
     "q_cohort_retention" -> (qCohortRetention _),
     "q_copurchase" -> (qCopurchase _),
@@ -881,6 +915,7 @@ object MiscQueries extends graft.QueryModule {
     "q_upsert" -> qUpsertSql,
     "q_sliding_window" -> qSlidingWindowSql,
     "q_quantiles" -> qQuantilesSql,
+    "q_hll_distinct" -> qHllDistinctSql,
     "q_funnel" -> qFunnelSql,
     "q_cohort_retention" -> qCohortRetentionSql,
     "q_copurchase" -> qCopurchaseSql,
