@@ -1484,6 +1484,155 @@ object TrainingQueries extends graft.QueryModule {
        |FROM dims ORDER BY file_name""".stripMargin
   }
 
+  /** Tar-shard (WebDataset-layout) multimodal ingest: a directory of
+    * POSIX-ustar shards read through the distributed `binaryFile`
+    * source, members parsed out of the shard bytes by the native
+    * [[graft.functions.TarExprs.tarEntries]] walk (checksum-verified
+    * headers), sliced with a binary `substring`, grouped back into
+    * image+caption samples, image dims parsed from the member bytes
+    * ([[graft.functions.MediaExprs.imageDims]] — the same expression
+    * as the flat-directory corpus) and fed through the integer resize
+    * plan. At 100 TB the shard is the unit of IO: one sequential read
+    * per shard, every member derived from bytes the executor already
+    * holds — no per-member GETs, no tar library, nothing leaves the
+    * scan stage until the per-sample aggregate. */
+  def qTarShards(s: SparkSession, dir: String): DataFrame = {
+    val tarDir = graft.sources.TarShards.ensure()
+    val shards = s.read.format("binaryFile").load(tarDir)
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("shard"),
+        col("content"))
+    val members = shards
+      .select(col("shard"),
+        explode(graft.functions.TarExprs.tarEntries(col("content"))).as("e"),
+        col("content"))
+      .select(col("shard"),
+        col("e.name").as("member"), col("e.size").as("msize"),
+        expr("substring(content, CAST(e.offset + 1 AS INT), CAST(e.size AS INT))")
+          .as("bytes"))
+      .withColumn("sample", regexp_extract(col("member"), "^([^.]+)\\.", 1))
+      .withColumn("is_txt", col("member").endsWith(".txt"))
+    val packed = graft.functions.MediaExprs.imageDims(col("bytes"))
+    val perSample = members
+      .groupBy(col("shard"), col("sample"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(when(!col("is_txt"),
+          when(col("member").endsWith(".png"), "png").otherwise("jpeg")))
+          .as("fmt"),
+        max(when(!col("is_txt"), col("msize"))).as("img_bytes"),
+        max(when(!col("is_txt"), packed)).as("packed"),
+        max(when(col("is_txt"), col("bytes").cast("string"))).as("caption"))
+      .withColumn("width", graft.functions.MediaExprs.width(col("packed")))
+      .withColumn("height", graft.functions.MediaExprs.height(col("packed")))
+      .drop("packed")
+    Multimodal.resizePlan(perSample, maxW = 336, maxH = 336)
+      .select(col("shard"), col("sample"), col("n_members"), col("fmt"),
+        col("img_bytes"), col("width"), col("height"),
+        col("out_w").cast("long").as("out_w"),
+        col("out_h").cast("long").as("out_h"),
+        col("caption"), length(col("caption")).cast("long").as("caption_len"))
+      .orderBy(col("sample"))
+  }
+
+  /** DuckDB replay of [[qTarShards]] from the shard bytes alone: a
+    * recursive CTE walks the ustar headers (name = hex pairs to the
+    * first NUL, size = 11 zero-padded octal ASCII digits re-based in
+    * SQL, next header at the 512-padded boundary), a second recursive
+    * CTE runs the JPEG marker walk INSIDE jpg members, PNG dims read
+    * at IHDR's fixed member offsets, captions decoded from the sliced
+    * hex — then the identical per-sample aggregate and integer resize
+    * arithmetic. */
+  val qTarShardsSql: String = {
+    val dir = graft.sources.TarShards.DefaultDir
+    // size field: 11 octal ASCII digits at header offset 124
+    val sz = (0 until 11).map { i =>
+      s"(CAST('0x' || substr(hx, 2*(pos+${124 + i})+1, 2) AS BIGINT) - 48) * ${1L << (3 * (10 - i))}"
+    }.mkString("\n      + ")
+    s"""WITH RECURSIVE raw AS (
+       |  SELECT regexp_extract(filename, '([^/]+)$$', 1) AS shard,
+       |    hex(content) AS hx, CAST(octet_length(content) AS BIGINT) AS blen
+       |  FROM read_blob('$dir/*.tar')),
+       |walk(shard, hx, blen, pos, member, off, msize) AS (
+       |  SELECT shard, hx, blen, CAST(0 AS BIGINT), CAST(NULL AS VARCHAR),
+       |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM raw
+       |  UNION ALL
+       |  SELECT shard, hx, blen, pos + 512 + ((sz + 511) // 512) * 512,
+       |    nm, pos + 512, sz
+       |  FROM (
+       |    SELECT shard, hx, blen, pos,
+       |      decode(unhex(regexp_extract(substr(hx, 2*pos+1, 200),
+       |        '^((?:..)*?)00', 1))) AS nm,
+       |      $sz AS sz
+       |    FROM walk
+       |    WHERE pos + 512 <= blen AND substr(hx, 2*pos+1, 2) <> '00')),
+       |members AS (
+       |  SELECT shard, member, off, msize,
+       |    regexp_extract(member, '^([^.]+)\\.', 1) AS sample,
+       |    member LIKE '%.txt' AS is_txt,
+       |    member LIKE '%.png' AS is_png
+       |  FROM walk WHERE member IS NOT NULL),
+       |png AS (
+       |  SELECT m.shard, m.member,
+       |    CAST('0x' || substr(r.hx, 2*(m.off+16)+1, 8) AS BIGINT) AS w,
+       |    CAST('0x' || substr(r.hx, 2*(m.off+20)+1, 8) AS BIGINT) AS h
+       |  FROM members m JOIN raw r ON m.shard = r.shard
+       |  WHERE m.is_png),
+       |jwalk(shard, member, hx, fin, pos, w, h) AS (
+       |  SELECT m.shard, m.member, r.hx, m.off + m.msize, m.off + 2,
+       |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+       |  FROM members m JOIN raw r ON m.shard = r.shard
+       |  WHERE NOT m.is_txt AND NOT m.is_png
+       |  UNION ALL
+       |  SELECT shard, member, hx, fin,
+       |    CASE WHEN sof THEN CAST(-1 AS BIGINT)
+       |      ELSE pos + 2 + CAST('0x' || substr(hx, 2*pos+5, 4) AS BIGINT)
+       |      END,
+       |    CASE WHEN sof
+       |      THEN CAST('0x' || substr(hx, 2*pos+15, 4) AS BIGINT) END,
+       |    CASE WHEN sof
+       |      THEN CAST('0x' || substr(hx, 2*pos+11, 4) AS BIGINT) END
+       |  FROM (
+       |    SELECT shard, member, hx, fin, pos,
+       |      substr(hx, 2*pos+1, 2) = 'FF'
+       |      AND substr(hx, 2*pos+3, 2) BETWEEN 'C0' AND 'CF'
+       |      AND substr(hx, 2*pos+3, 2) NOT IN ('C4', 'C8', 'CC') AS sof
+       |    FROM jwalk
+       |    WHERE pos >= 0 AND pos + 4 <= fin)),
+       |dims AS (
+       |  SELECT shard, member, w, h FROM png
+       |  UNION ALL
+       |  SELECT shard, member, w, h FROM jwalk WHERE w IS NOT NULL),
+       |cap AS (
+       |  SELECT m.shard, m.sample,
+       |    decode(unhex(substr(r.hx, 2*m.off+1, CAST(2*m.msize AS INT))))
+       |      AS caption
+       |  FROM members m JOIN raw r ON m.shard = r.shard
+       |  WHERE m.is_txt),
+       |per_sample AS (
+       |  SELECT m.shard, m.sample,
+       |    count(*) AS n_members,
+       |    max(CASE WHEN NOT m.is_txt THEN
+       |      CASE WHEN m.is_png THEN 'png' ELSE 'jpeg' END END) AS fmt,
+       |    max(CASE WHEN NOT m.is_txt THEN m.msize END) AS img_bytes,
+       |    max(d.w) AS width, max(d.h) AS height
+       |  FROM members m
+       |  LEFT JOIN dims d ON m.shard = d.shard AND m.member = d.member
+       |  GROUP BY 1, 2)
+       |SELECT p.shard, p.sample, p.n_members, p.fmt, p.img_bytes,
+       |  p.width, p.height,
+       |  CAST(CASE WHEN width <= 336 AND height <= 336 THEN width
+       |    WHEN width * 336 >= height * 336 THEN 336
+       |    ELSE greatest(1, width * 336 // height) END AS BIGINT) AS out_w,
+       |  CAST(CASE WHEN width <= 336 AND height <= 336 THEN height
+       |    WHEN width * 336 >= height * 336
+       |      THEN greatest(1, height * 336 // width)
+       |    ELSE 336 END AS BIGINT) AS out_h,
+       |  c.caption, CAST(length(c.caption) AS BIGINT) AS caption_len
+       |FROM per_sample p JOIN cap c
+       |  ON p.shard = c.shard AND p.sample = c.sample
+       |ORDER BY p.sample""".stripMargin
+  }
+
   /** SUPERVISED quality classifier ([[QualityClassifier]]): logistic
     * regression over hashed-unigram tf features, trained
     * distributed (batch GD, one bounded gradient aggregate per
@@ -1689,7 +1838,8 @@ object TrainingQueries extends graft.QueryModule {
     "q_quality_classifier" -> (qQualityClassifier _),
     "q_multimodal" -> (qMultimodal _),
     "q_media_frames" -> (qMediaFrames _),
-    "q_media_meta" -> (qMediaMeta _))
+    "q_media_meta" -> (qMediaMeta _),
+    "q_tar_shards" -> (qTarShards _))
 
   def oracleSql: Map[String, String] = Map(
     "q_text_stats" -> qTextStatsSql,
@@ -1726,6 +1876,7 @@ object TrainingQueries extends graft.QueryModule {
     "q_ann_recall" -> qAnnRecallSql,
     "q_multimodal" -> qMultimodalSql,
     "q_media_frames" -> qMediaFramesSql,
-    "q_media_meta" -> qMediaMetaSql) ++
+    "q_media_meta" -> qMediaMetaSql,
+    "q_tar_shards" -> qTarShardsSql) ++
     ivfOracle ++ pqOracle ++ semdedupOracle ++ qcOracle
 }
