@@ -318,7 +318,61 @@ object StreamQueries extends graft.QueryModule {
     annStreamModel
       .map(m => "q_ann_stream" -> TrainingQueries.ivfOracleSql(m)).toMap
 
+  /** Stream-stream inner join ([[EventStream.attributionJoin]]):
+    * views matched to same-user purchases within 2 hours, both sides
+    * watermarked so join state is bounded by the horizon. Append
+    * output — each match is emitted exactly once via the file sink's
+    * commit log. Oracle: the identical batch theta join. */
+  def qStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val tmp = scratch(s, "sjoin")
+    val joined = EventStream.attributionJoin(
+      EventStream.read(s, dir), EventStream.read(s, dir),
+      windowUs = 7200000000L)
+    EventStream.runAppendToParquet(s, joined, s"$tmp/out", s"$tmp/ckpt")
+      .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
+  }
+
+  val qStreamJoinSql: String =
+    """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+      |  epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+      |FROM events v JOIN events p ON v.user_id = p.user_id
+      |  AND v.event_type = 'view' AND p.event_type = 'purchase'
+      |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '2 hours'
+      |ORDER BY 1, 2, 3""".stripMargin
+
+  /** Streaming approx-distinct: the [[graft.ops.Hll]] registers as a
+    * continuous Update-mode aggregate — per (event_type, bucket) max
+    * rank, state bounded at 2^p rows per group FOREVER (the mergeable
+    * sketch property), where a streaming `dropDuplicates` would
+    * accrete every distinct key. The register log compacts
+    * last-update-wins; the estimate folds the final registers with
+    * the same exact-integer arithmetic, so the oracle is the batch
+    * HLL SQL over the drained corpus. */
+  def qHllStream(s: SparkSession, dir: String): DataFrame = {
+    val tmp = scratch(s, "hll")
+    val regs = graft.ops.Hll.registers(
+      EventStream.read(s, dir)
+        .select(col("event_type"), col("user_id")),
+      Seq("event_type"), "user_id", p = 8)
+    val finalRegs = EventStream.runUpdateToParquet(s, regs,
+      s"$tmp/out", s"$tmp/ckpt", keyCols = Seq("event_type", "bucket"))
+    graft.ops.Hll.estimate(finalRegs, Seq("event_type"), p = 8)
+      .select(col("event_type"), col("n_zero_regs"), col("sum_pow"),
+        col("est_hll"), col("use_lc").cast("long").as("use_lc"))
+      .orderBy(col("event_type"))
+  }
+
+  val qHllStreamSql: String =
+    s"""SELECT event_type, n_zero_regs, sum_pow, est_hll,
+       |  CAST(use_lc AS BIGINT) AS use_lc
+       |FROM (
+       |${graft.ops.Hll.estimateSql("events", "event_type",
+           "CAST(user_id AS VARCHAR)", 8)})
+       |ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_join" -> (qStreamJoin _),
+    "q_hll_stream" -> (qHllStream _),
     "q_stream_window" -> (qStreamWindow _),
     "q_sessionize" -> (qSessionize _),
     "q_sessionize_stream" -> (qSessionizeStream _),
@@ -329,6 +383,8 @@ object StreamQueries extends graft.QueryModule {
     "q_ann_stream" -> (qAnnStream _))
 
   def oracleSql: Map[String, String] = Map(
+    "q_stream_join" -> qStreamJoinSql,
+    "q_hll_stream" -> qHllStreamSql,
     "q_stream_window" -> qStreamWindowSql,
     "q_sessionize" -> qSessionizeSql,
     "q_sessionize_stream" -> qSessionizeSql,

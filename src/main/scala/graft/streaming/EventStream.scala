@@ -494,6 +494,35 @@ object EventStream {
     readBackOrEmpty(s, outDir, stream.schema)
   }
 
+  /** Stream-stream inner join with event-time bounds: views matched
+    * to the same user's purchases inside `[view_ts, view_ts +
+    * windowUs]`. Both inputs carry watermarks, so Spark derives a
+    * state-retention bound from the time-range condition — each
+    * side's join state holds only the horizon's worth of rows (views
+    * evict once `view_ts + windowUs` passes the watermark, purchases
+    * once their own ts does), O(rows per horizon) at any ingest rate.
+    * This is the attribution join a clickstream pipeline runs
+    * continuously; the unbounded alternative (no watermark, no time
+    * bound) would accrete state forever and is not a 100 TB plan. */
+  def attributionJoin(views: DataFrame, purchases: DataFrame,
+      windowUs: Long, delay: String = "2 hours"): DataFrame = {
+    val v = views.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts_us").as("view_ts_us"), col("tsT").as("v_tsT"))
+      .withWatermark("v_tsT", delay)
+    val p = purchases.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"),
+        col("ts_us").as("purchase_ts_us"), col("tsT").as("p_tsT"))
+      .withWatermark("p_tsT", delay)
+    v.join(p,
+        col("user_id") === col("p_user_id") &&
+        col("p_tsT") >= col("v_tsT") &&
+        col("p_tsT") <= col("v_tsT") + expr(s"INTERVAL $windowUs MICROSECOND"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        (col("purchase_ts_us") - col("view_ts_us")).as("gap_us"))
+  }
+
   /** Streaming exact dedup: drop duplicate event ids across
     * micro-batches — the streaming twin of
     * [[graft.ops.Dedup.exactClusters]]'s keep-first semantics (the
