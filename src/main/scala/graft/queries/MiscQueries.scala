@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{Num, Tables}
-import graft.ops.{AsofJoin, Curriculum, Hll, Profile, Upsert}
+import graft.ops.{AsofJoin, Cms, Curriculum, Hll, Profile, Upsert}
 import graft.report.Overlap
 
 /** Remaining SURVEY §2 surface — snapshot delta metrics (P20/P21),
@@ -446,6 +446,46 @@ object MiscQueries extends graft.QueryModule {
        |  CAST(use_lc AS BIGINT) AS use_lc
        |FROM hll JOIN ex ON hll.event_type = ex.event_type
        |ORDER BY hll.event_type""".stripMargin
+
+  /** Count-Min heavy-hitter estimation — the frequency twin of
+    * [[qHllDistinct]]: per event_type, a d=4 × w=256 integer-counter
+    * sketch of user activity (one shuffle, map-side partial sums,
+    * ≤ d·w register rows per group at ANY corpus size), probed for
+    * the top-5 users with the exact counts in-row as the test-scale
+    * witness. Every counter and estimate is an exact integer over
+    * md5 parity hashes, so the full sketch replays in DuckDB. CMS
+    * never underestimates; the overshoot bound is spec-pinned. */
+  def qCmsTopk(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"), col("user_id"))
+    val regs = Cms.registers(ev, Seq("event_type"), "user_id", d = 4, w = 256)
+    val exact = ev.groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n_exact"))
+    val rkW = Window.partitionBy(col("event_type"))
+      .orderBy(col("n_exact").desc, col("user_id"))
+    val cand = exact.withColumn("rk", row_number().over(rkW).cast("long"))
+      .filter(col("rk") <= 5)
+    Cms.estimate(regs, cand.select(col("event_type"), col("user_id")),
+        Seq("event_type"), "user_id", d = 4, w = 256)
+      .join(cand, Seq("event_type", "user_id"))
+      .select(col("event_type"), col("rk"), col("user_id"),
+        col("n_exact"), col("n_est"))
+      .orderBy(col("event_type"), col("rk"))
+  }
+
+  val qCmsTopkSql: String = {
+    val cand =
+      """SELECT event_type, user_id, n_exact, rk FROM (
+        |    SELECT event_type, user_id, count(*) AS n_exact,
+        |      row_number() OVER (PARTITION BY event_type
+        |        ORDER BY count(*) DESC, user_id) AS rk
+        |    FROM events GROUP BY 1, 2) WHERE rk <= 5""".stripMargin
+    s"""WITH ${Cms.estimateSql("events", "event_type",
+          "CAST(user_id AS VARCHAR)", cand, "user_id", d = 4, w = 256)}
+       |SELECT e.event_type, c.rk, e.user_id, c.n_exact, e.n_est
+       |FROM est e JOIN cand c
+       |  ON e.event_type = c.event_type AND e.user_id = c.user_id
+       |ORDER BY 1, 2""".stripMargin
+  }
 
   /** Data-quality expectations over the events table: three row-level
     * rules folded into one aggregate pass, two uniqueness checks, one
@@ -890,6 +930,7 @@ object MiscQueries extends graft.QueryModule {
     "q_sliding_window" -> (qSlidingWindow _),
     "q_quantiles" -> (qQuantiles _),
     "q_hll_distinct" -> (qHllDistinct _),
+    "q_cms_topk" -> (qCmsTopk _),
     "q_funnel" -> (qFunnel _),
     "q_cohort_retention" -> (qCohortRetention _),
     "q_copurchase" -> (qCopurchase _),
@@ -916,6 +957,7 @@ object MiscQueries extends graft.QueryModule {
     "q_sliding_window" -> qSlidingWindowSql,
     "q_quantiles" -> qQuantilesSql,
     "q_hll_distinct" -> qHllDistinctSql,
+    "q_cms_topk" -> qCmsTopkSql,
     "q_funnel" -> qFunnelSql,
     "q_cohort_retention" -> qCohortRetentionSql,
     "q_copurchase" -> qCopurchaseSql,
