@@ -487,6 +487,49 @@ object MiscQueries extends graft.QueryModule {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  /** Gzipped-JSONL shard ingest — the layout web-scale text corpora
+    * ship in. gzip is not splittable, so the parallelism unit is the
+    * SHARD (one task decompresses one file end to end; throughput
+    * scales with shard count — why corpora ship many mid-size shards).
+    * The read takes an EXPLICIT schema (no inference pass over
+    * compressed bytes at 100 TB), extracts a nested `meta` struct,
+    * and routes each shard's deliberately malformed line through
+    * PERMISSIVE null-row semantics — which DuckDB's
+    * `ignore_errors=true` mirrors exactly, so even the corrupt-line
+    * count is oracle-checked (the `_corrupt` group). */
+  def qJsonlGz(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val jdir = graft.sources.JsonlCorpus.ensure()
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("source", StringType),
+      StructField("meta", StructType(Seq(
+        StructField("lang", StringType),
+        StructField("stars", LongType)))),
+      StructField("text", StringType)))
+    s.read.schema(schema).json(s"$jdir/*.jsonl.gz")
+      .groupBy(coalesce(col("source"), lit("_corrupt")).as("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(size(split(col("text"), " "))), lit(0))
+          .cast("long").as("n_tokens"),
+        coalesce(sum(col("meta.stars")), lit(0)).cast("long").as("sum_stars"),
+        count_distinct(col("meta.lang")).as("n_langs"))
+      .orderBy(col("source"))
+  }
+
+  val qJsonlGzSql: String = {
+    val dir = graft.sources.JsonlCorpus.DefaultDir
+    s"""SELECT COALESCE(source, '_corrupt') AS source, count(*) AS n_docs,
+       |  CAST(COALESCE(sum(len(str_split(text, ' '))), 0) AS BIGINT)
+       |    AS n_tokens,
+       |  CAST(COALESCE(sum(meta.stars), 0) AS BIGINT) AS sum_stars,
+       |  count(DISTINCT meta.lang) AS n_langs
+       |FROM read_json('$dir/*.jsonl.gz', format='newline_delimited',
+       |  ignore_errors=true)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Data-quality expectations over the events table: three row-level
     * rules folded into one aggregate pass, two uniqueness checks, one
     * referential check against customer — the promote-gate report. */
@@ -931,6 +974,7 @@ object MiscQueries extends graft.QueryModule {
     "q_quantiles" -> (qQuantiles _),
     "q_hll_distinct" -> (qHllDistinct _),
     "q_cms_topk" -> (qCmsTopk _),
+    "q_jsonl_gz" -> (qJsonlGz _),
     "q_funnel" -> (qFunnel _),
     "q_cohort_retention" -> (qCohortRetention _),
     "q_copurchase" -> (qCopurchase _),
@@ -958,6 +1002,7 @@ object MiscQueries extends graft.QueryModule {
     "q_quantiles" -> qQuantilesSql,
     "q_hll_distinct" -> qHllDistinctSql,
     "q_cms_topk" -> qCmsTopkSql,
+    "q_jsonl_gz" -> qJsonlGzSql,
     "q_funnel" -> qFunnelSql,
     "q_cohort_retention" -> qCohortRetentionSql,
     "q_copurchase" -> qCopurchaseSql,

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.JsonlCorpus
+
+/** Gzipped-JSONL shard ingest: corrupt-line routing and
+  * generator-side recomputation of the per-source stats. */
+class JsonlSpec extends SparkSpec {
+
+  test("q_jsonl_gz: corrupt group counts exactly one line per shard") {
+    val rows = graft.queries.MiscQueries.qJsonlGz(spark, sf).collect()
+    val bySource = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(bySource("_corrupt") ===
+      ((JsonlCorpus.NumShards.toLong, 0L, 0L, 0L)))
+    // recompute the clean side from the generator's own functions
+    val ids = for {
+      s <- 0 until JsonlCorpus.NumShards
+      i <- 0 until JsonlCorpus.DocsPerShard
+      if i != JsonlCorpus.DocsPerShard / 2
+    } yield JsonlCorpus.docId(s, i)
+    val want = ids.groupBy(JsonlCorpus.source).map { case (src, g) =>
+      src -> ((g.size.toLong,
+        g.map(id => JsonlCorpus.text(id).split(" ").length.toLong).sum,
+        g.map(JsonlCorpus.stars).sum,
+        g.map(JsonlCorpus.lang).distinct.size.toLong))
+    }
+    want.foreach { case (src, w) => assert(bySource(src) === w, src) }
+    assert(rows.length === want.size + 1)
+  }
+
+  test("explicit schema: no inference job, nested meta extracted") {
+    import org.apache.spark.sql.types._
+    val jdir = JsonlCorpus.ensure()
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("meta", StructType(Seq(StructField("lang", StringType))))))
+    val df = spark.read.schema(schema).json(s"$jdir/*.jsonl.gz")
+    assert(df.schema === schema) // schema taken verbatim, not inferred
+    val en = df.filter(col("meta.lang") === "en").count()
+    assert(en > 0)
+  }
+}
