@@ -414,6 +414,75 @@ object MiscQueries extends graft.QueryModule {
        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
   }
 
+  /** Bounded-histogram approximate quantiles — the SCALE path for
+    * [[qQuantiles]]: the exact entry ranks every row inside a
+    * per-group window (a full per-group sort — fine at report scale,
+    * not a 100 TB plan); this one folds values into 256-cent bins
+    * with one (group, bin)-keyed shuffle + map-side partial counts,
+    * then runs the cumulative scan over ≤ ~200 REGISTER rows per
+    * group, data-size-independent past the first aggregate. The
+    * approximate quantile is the covering bin's inclusive upper edge,
+    * so error ≤ one bin width by construction and every output is an
+    * exact integer — the exact quantiles ride along in-row as the
+    * test-scale witness (the HLL/CMS pattern). */
+  def qQuantilesHist(s: SparkSession, dir: String): DataFrame = {
+    val binW = 256L
+    val ev = Tables.events(s, dir)
+      .withColumn("value_c", Num.cents(col("value")))
+      .select(col("event_type"), col("value_c"))
+    val hist = ev.groupBy(col("event_type"),
+        expr(s"value_c DIV $binW").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt"))
+        .over(Window.partitionBy(col("event_type"))))
+    val approx = quantilePs.map { case (name, p) =>
+      min(when(col("cum") >= ceil(lit(p) * col("n")),
+        (col("bin") + 1L) * binW - 1L)).as(s"${name}_hi")
+    }
+    val histSide = cum.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), approx: _*)
+    val exact = qQuantiles(s, dir)
+      .select(col("event_type") +: quantilePs.map { case (name, _) =>
+        col(name).as(s"${name}_exact")
+      }: _*)
+    histSide.join(exact, Seq("event_type")).orderBy(col("event_type"))
+  }
+
+  val qQuantilesHistSql: String = {
+    val arms = quantilePs.map { case (name, p) =>
+      s"min(CASE WHEN cum >= CAST(ceil($p * n) AS BIGINT) THEN (bin + 1) * 256 - 1 END) AS ${name}_hi"
+    }.mkString(",\n  ")
+    val exactArms = quantilePs.map { case (name, p) =>
+      s"max(CASE WHEN rn = CAST(ceil($p * n) AS BIGINT) THEN value_c END) AS ${name}_exact"
+    }.mkString(",\n  ")
+    s"""WITH ev AS (SELECT event_type, ${Num.centsSql("value")} AS value_c FROM events),
+       |hist AS (SELECT event_type, value_c // 256 AS bin, count(*) AS cnt
+       |         FROM ev GROUP BY 1, 2),
+       |cum AS (SELECT event_type, bin, cnt,
+       |          CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |            AS BIGINT) AS cum,
+       |          CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+       |        FROM hist),
+       |approx AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       |  $arms
+       |FROM cum GROUP BY event_type),
+       |r AS (SELECT event_type, value_c,
+       |        row_number() OVER (PARTITION BY event_type ORDER BY value_c) AS rn,
+       |        count(*) OVER (PARTITION BY event_type) AS n
+       |      FROM ev),
+       |exact AS (SELECT event_type,
+       |  $exactArms
+       |FROM r GROUP BY event_type)
+       |SELECT a.event_type, a.n, a.p50_hi, a.p90_hi, a.p99_hi,
+       |  e.p50_exact, e.p90_exact, e.p99_exact
+       |FROM approx a JOIN exact e ON a.event_type = e.event_type
+       |ORDER BY a.event_type""".stripMargin
+  }
+
   /** Oracle-replayable HyperLogLog approx-distinct — the COUNT
     * (DISTINCT) scale path: one (group, bucket)-keyed shuffle with
     * map-side partial max, ≤ 256 register rows per group, no expand.
@@ -975,6 +1044,7 @@ object MiscQueries extends graft.QueryModule {
     "q_hll_distinct" -> (qHllDistinct _),
     "q_cms_topk" -> (qCmsTopk _),
     "q_jsonl_gz" -> (qJsonlGz _),
+    "q_quantiles_hist" -> (qQuantilesHist _),
     "q_funnel" -> (qFunnel _),
     "q_cohort_retention" -> (qCohortRetention _),
     "q_copurchase" -> (qCopurchase _),
@@ -1003,6 +1073,7 @@ object MiscQueries extends graft.QueryModule {
     "q_hll_distinct" -> qHllDistinctSql,
     "q_cms_topk" -> qCmsTopkSql,
     "q_jsonl_gz" -> qJsonlGzSql,
+    "q_quantiles_hist" -> qQuantilesHistSql,
     "q_funnel" -> qFunnelSql,
     "q_cohort_retention" -> qCohortRetentionSql,
     "q_copurchase" -> qCopurchaseSql,

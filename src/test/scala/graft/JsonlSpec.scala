@@ -41,3 +41,19 @@ class JsonlSpec extends SparkSpec {
     assert(en > 0)
   }
 }
+
+/** Histogram-quantile scale path: the approximate upper edge must
+  * cover the exact quantile and stay within one bin width of it. */
+class HistQuantileSpec extends SparkSpec {
+  test("q_quantiles_hist: hi >= exact and hi - exact < bin width") {
+    val rows = graft.queries.MiscQueries.qQuantilesHist(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Seq((2, 5), (3, 6), (4, 7)).foreach { case (hi, ex) =>
+        val (h, e) = (r.getLong(hi), r.getLong(ex))
+        assert(h >= e, s"${r.getString(0)}: approx $h below exact $e")
+        assert(h - e < 256L, s"${r.getString(0)}: error ${h - e} >= bin width")
+      }
+    }
+  }
+}
