@@ -46,23 +46,29 @@ object Cms {
   }
 
   /** Point estimates for candidate keys: `min_i CMS[i][h_i(key)]`.
-    * `candidates` carries groupCols + `keyCol`; registers join on
-    * (group, row, col) — both sides bounded, the join is
-    * broadcast-sized at any corpus scale. Keys the sketch never saw
-    * estimate 0 (their counters may still be 0). */
+    * `candidates` carries groupCols + `keyCol` (+ optional
+    * `carryCols`, functionally dependent on the key — e.g. a witness
+    * exact count — passed through the fold so the candidate frame is
+    * consumed exactly ONCE; re-joining it after the estimate would
+    * recompute its whole lineage, a third corpus scan at 100 TB).
+    * Registers join on (group, row, col) — both sides bounded, the
+    * join broadcast-sized at any corpus scale. Keys the sketch never
+    * saw estimate 0 (their counters may still be 0). */
   def estimate(registers: DataFrame, candidates: DataFrame,
-      groupCols: Seq[String], keyCol: String, d: Int, w: Int): DataFrame = {
+      groupCols: Seq[String], keyCol: String, d: Int, w: Int,
+      carryCols: Seq[String] = Nil): DataFrame = {
+    val keep = groupCols ++ (keyCol +: carryCols)
     val hashed = (0 until d).foldLeft(candidates) { (acc, i) =>
       acc.withColumn(s"__c$i", colOf(i, col(keyCol), w))
     }
-    val long = hashed.select(groupCols.map(col) :+ col(keyCol) :+
+    val long = hashed.select(keep.map(col) :+
       explode(array((0 until d).map(i =>
         struct(lit(i).as("row"), col(s"__c$i").as("col"))): _*)).as("rc"): _*)
-      .select(groupCols.map(col) :+ col(keyCol) :+
+      .select(keep.map(col) :+
         col("rc.row").as("row") :+ col("rc.col").as("col"): _*)
     long.join(registers, groupCols :+ "row" :+ "col", "left")
       .na.fill(0L, Seq("n"))
-      .groupBy((groupCols :+ keyCol).map(col): _*)
+      .groupBy(keep.map(col): _*)
       .agg(min(col("n")).as("n_est"))
   }
 

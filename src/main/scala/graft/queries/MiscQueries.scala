@@ -533,9 +533,11 @@ object MiscQueries extends graft.QueryModule {
       .orderBy(col("n_exact").desc, col("user_id"))
     val cand = exact.withColumn("rk", row_number().over(rkW).cast("long"))
       .filter(col("rk") <= 5)
-    Cms.estimate(regs, cand.select(col("event_type"), col("user_id")),
-        Seq("event_type"), "user_id", d = 4, w = 256)
-      .join(cand, Seq("event_type", "user_id"))
+    // rk/n_exact CARRY THROUGH the estimate (they are functions of
+    // the key) so the candidate lineage — a full corpus scan — runs
+    // exactly once; joining cand back afterwards would re-run it
+    Cms.estimate(regs, cand, Seq("event_type"), "user_id",
+        d = 4, w = 256, carryCols = Seq("rk", "n_exact"))
       .select(col("event_type"), col("rk"), col("user_id"),
         col("n_exact"), col("n_est"))
       .orderBy(col("event_type"), col("rk"))
