@@ -13,8 +13,11 @@ import graft.report.Overlap
   * payload multiplication with seeded shuffle (U2) — plus the
   * general-analytics operators a reference user reaches for next:
   * as-of join, column profiling, RANGE-frame rolling windows, pivot,
-  * apply-changes merge, sliding event-time windows, and exact
-  * per-group quantiles. Every entry is DuckDB-oracle-checked.
+  * apply-changes merge, sliding event-time windows, exact per-group
+  * quantiles plus their bounded-histogram scale path, the
+  * oracle-replayable sketches (HyperLogLog distinct, Count-Min
+  * frequency), and gzipped-JSONL shard ingest. Every entry is
+  * DuckDB-oracle-checked.
   */
 object MiscQueries extends graft.QueryModule {
 
