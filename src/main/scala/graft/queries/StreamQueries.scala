@@ -370,9 +370,39 @@ object StreamQueries extends graft.QueryModule {
            "CAST(user_id AS VARCHAR)", 8)})
        |ORDER BY event_type""".stripMargin
 
+  /** Streaming Count-Min: the CMS counters as a continuous
+    * Update-mode aggregate — per (group, row, col) counts, state
+    * bounded at d·w rows per group forever (sums merge), the
+    * streaming frequency twin of [[qHllStream]]. The drained
+    * register log compacts last-update-wins, then the SAME top-5
+    * probe as the batch entry runs against it, so the oracle is the
+    * batch CMS SQL verbatim. */
+  def qCmsStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tmp = scratch(s, "cms")
+    val regsStream = graft.ops.Cms.registers(
+      EventStream.read(s, dir).select(col("event_type"), col("user_id")),
+      Seq("event_type"), "user_id", d = 4, w = 256)
+    val regs = EventStream.runUpdateToParquet(s, regsStream,
+      s"$tmp/out", s"$tmp/ckpt", keyCols = Seq("event_type", "row", "col"))
+    val exact = Tables.events(s, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n_exact"))
+    val rkW = Window.partitionBy(col("event_type"))
+      .orderBy(col("n_exact").desc, col("user_id"))
+    val cand = exact.withColumn("rk", row_number().over(rkW).cast("long"))
+      .filter(col("rk") <= 5)
+    graft.ops.Cms.estimate(regs, cand, Seq("event_type"), "user_id",
+        d = 4, w = 256, carryCols = Seq("rk", "n_exact"))
+      .select(col("event_type"), col("rk"), col("user_id"),
+        col("n_exact"), col("n_est"))
+      .orderBy(col("event_type"), col("rk"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_join" -> (qStreamJoin _),
     "q_hll_stream" -> (qHllStream _),
+    "q_cms_stream" -> (qCmsStream _),
     "q_stream_window" -> (qStreamWindow _),
     "q_sessionize" -> (qSessionize _),
     "q_sessionize_stream" -> (qSessionizeStream _),
@@ -385,6 +415,7 @@ object StreamQueries extends graft.QueryModule {
   def oracleSql: Map[String, String] = Map(
     "q_stream_join" -> qStreamJoinSql,
     "q_hll_stream" -> qHllStreamSql,
+    "q_cms_stream" -> graft.queries.MiscQueries.qCmsTopkSql,
     "q_stream_window" -> qStreamWindowSql,
     "q_sessionize" -> qSessionizeSql,
     "q_sessionize_stream" -> qSessionizeSql,

@@ -57,6 +57,16 @@ class StreamJoinSpec extends SparkSpec {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("streaming CMS probe equals the batch CMS probe") {
+    val got = graft.queries.StreamQueries.qCmsStream(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val want = graft.queries.MiscQueries.qCmsTopk(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty && got.toSeq === want.toSeq)
+  }
+
   test("streaming HLL register state is bounded by m per group") {
     // the drained register log, compacted last-update-wins, can never
     // exceed 2^p rows per group no matter how many rows streamed in
