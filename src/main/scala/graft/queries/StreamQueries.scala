@@ -325,8 +325,11 @@ object StreamQueries extends graft.QueryModule {
     * commit log. Oracle: the identical batch theta join. */
   def qStreamJoin(s: SparkSession, dir: String): DataFrame = {
     val tmp = scratch(s, "sjoin")
-    val joined = EventStream.attributionJoin(
-      EventStream.read(s, dir), EventStream.read(s, dir),
+    // streaming SELF-join from one source: Spark plans two branches
+    // over the same FileStreamSource, halving source/probe overhead
+    // vs two independent readStream instances
+    val ev = EventStream.read(s, dir)
+    val joined = EventStream.attributionJoin(ev, ev,
       windowUs = 7200000000L)
     EventStream.runAppendToParquet(s, joined, s"$tmp/out", s"$tmp/ckpt")
       .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
