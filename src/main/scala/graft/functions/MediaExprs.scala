@@ -86,23 +86,33 @@ object ImagePackedDims {
   /** JPEG: SOI then a marker-segment walk to the first SOF marker
     * (0xC0-0xCF minus DHT 0xC4, JPG 0xC8, DAC 0xCC); frame header
     * carries lines (height) then samples-per-line (width), T.81
-    * B.2.2. Stops cleanly at EOI, scan data, or truncation. */
+    * B.2.2. Markers may be padded with runs of 0xFF fill bytes
+    * (B.1.1.2) — skip them before classifying; TEM (0x01) and RSTn
+    * (0xD0-0xD7) are standalone markers with no length field. Stops
+    * cleanly at EOI, scan data, or truncation. */
   private def jpegDims(b: Array[Byte]): Long = {
     if (b.length < 4 || u8(b, 0) != 0xff || u8(b, 1) != 0xd8) return -1L
     var p = 2
-    while (p + 4 <= b.length) {
+    while (p + 2 <= b.length) {
       if (u8(b, p) != 0xff) return -1L
+      // consume 0xFF fill bytes: the marker code is the first non-FF
+      while (p + 1 < b.length && u8(b, p + 1) == 0xff) p += 1
+      if (p + 2 > b.length) return -1L
       val m = u8(b, p + 1)
       if (m == 0xd9 || m == 0xda) return -1L // EOI / SOS before any SOF
-      if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+      if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
+        p += 2 // standalone marker, no length field
+      } else if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
         if (p + 9 > b.length) return -1L
         val h = be16(b, p + 5).toLong
         val w = be16(b, p + 7).toLong
         return if (w <= 0L || h <= 0L) -1L else (w << 32) | h
+      } else {
+        if (p + 4 > b.length) return -1L
+        val segLen = be16(b, p + 2)
+        if (segLen < 2) return -1L
+        p += 2 + segLen
       }
-      val segLen = be16(b, p + 2)
-      if (segLen < 2) return -1L
-      p += 2 + segLen
     }
     -1L
   }

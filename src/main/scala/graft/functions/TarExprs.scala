@@ -82,6 +82,15 @@ object TarEntries {
       if (size < 0) {
         return if (first) null else new GenericArrayData(out.toArray)
       }
+      // The 12-byte octal field admits sizes up to 8^11-1 (~8.5 GB); a
+      // checksum-valid header whose size exceeds the bytes actually
+      // remaining is corruption (or a hostile shard) — salvage the
+      // members already parsed instead of walking past the end. Keep
+      // the advance in Long: Int arithmetic here can round a ~2^32
+      // size to a zero advance (infinite loop) or a negative pos.
+      if (size > b.length.toLong - pos - 512L) {
+        return if (first) null else new GenericArrayData(out.toArray)
+      }
       first = false
       val typeflag = b(pos + 156)
       if (typeflag == '0' || typeflag == 0) {
@@ -89,7 +98,12 @@ object TarEntries {
         out += InternalRow(UTF8String.fromString(name),
           (pos + 512).toLong, size)
       }
-      pos += 512 + (((size + 511) / 512) * 512).toInt
+      val next = pos.toLong + 512L + ((size + 511L) / 512L) * 512L
+      if (next > b.length.toLong) {
+        // member data runs to end-of-shard without its final padding
+        return new GenericArrayData(out.toArray)
+      }
+      pos = next.toInt
     }
     if (first) null else new GenericArrayData(out.toArray)
   }

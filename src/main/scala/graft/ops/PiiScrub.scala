@@ -34,36 +34,53 @@ object PiiScrub {
 
   /** Optional +country prefix, then 3-3-4 digit groups with
     * space/dot/dash separators — the separated-group shape; a bare
-    * digit run inside prose stays untouched. The left edge is
-    * anchored per alternative (`\+country`, `(`, or `\b` before the
-    * bare digit group) so the match can never start mid-digit-run —
-    * without it a longer serial like `1234-567-8901` would match from
-    * its second digit, inflating `n_phones` and stranding the leading
-    * digit next to the redaction. Lookaround-free, so Java regex
-    * (Spark) and RE2 (DuckDB) agree. */
+    * digit run inside prose stays untouched. EVERY alternative is
+    * left-anchored so the match can never start mid-digit-run: the
+    * bare shape behind `\b`, the +country behind the literal `+`,
+    * and the paren shape behind `(^|[^0-9])` — a serial like
+    * `1(234) 567-8901` no longer matches from its paren (the last
+    * residual of this defect class). The paren-shape prefix char is
+    * CAPTURED (the pattern's only group) and restored by the
+    * replacement (`$1` under Java, `\1` under RE2; an unmatched
+    * group substitutes '' in both engines). The paren shape requires
+    * its close paren, so the bare `\b` alternative cannot swallow a
+    * stray `)` via an optional-paren suffix. Lookaround-free, so
+    * Java regex (Spark) and RE2 (DuckDB) agree. */
   val PhoneRe: String =
-    "(?:\\+[0-9]{1,3}[ .-]\\(?|\\(|\\b)[0-9]{3}\\)?[ .-][0-9]{3}[ .-][0-9]{4}\\b"
+    "(?:(^|[^0-9])\\([0-9]{3}\\)|\\+[0-9]{1,3}[ .-]\\(?[0-9]{3}\\)?|\\b[0-9]{3})" +
+      "[ .-][0-9]{3}[ .-][0-9]{4}\\b"
 
-  /** The ordered (pattern, placeholder, count column) stages. */
-  val Stages: Seq[(String, String, String)] = Seq(
-    (EmailRe, "<EMAIL>", "n_emails"),
-    (Ipv4Re, "<IP>", "n_ips"),
-    (SsnRe, "<ID>", "n_ids"),
-    (PhoneRe, "<PHONE>", "n_phones"))
+  /** One detector stage: pattern, redaction token, count column, and
+    * whether the pattern captures a one-char left-context prefix the
+    * replacement must restore. */
+  final case class Stage(re: String, placeholder: String, countCol: String,
+      prefixGroup: Boolean = false) {
+    /** Replacement for Spark's `regexp_replace` (Java regex). */
+    def sparkRepl: String = if (prefixGroup) "$1" + placeholder else placeholder
+    /** Replacement for DuckDB's `regexp_replace` (RE2). */
+    def duckRepl: String = if (prefixGroup) "\\1" + placeholder else placeholder
+  }
+
+  /** The ordered detector stages. */
+  val Stages: Seq[Stage] = Seq(
+    Stage(EmailRe, "<EMAIL>", "n_emails"),
+    Stage(Ipv4Re, "<IP>", "n_ips"),
+    Stage(SsnRe, "<ID>", "n_ids"),
+    Stage(PhoneRe, "<PHONE>", "n_phones", prefixGroup = true))
 
   /** Per-document PII report: the four counts, the total, the
     * redacted text, and `has_pii`. Null text scrubs as ''. */
   def report(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     var t: Column = coalesce(col(textCol), lit(""))
-    val counts = Stages.map { case (re, placeholder, name) =>
-      val n = regexp_count(t, lit(re)).cast("long").as(name)
-      t = regexp_replace(t, re, placeholder)
+    val counts = Stages.map { st =>
+      val n = regexp_count(t, lit(st.re)).cast("long").as(st.countCol)
+      t = regexp_replace(t, st.re, st.sparkRepl)
       n
     }
     df.select(
         (col(idCol).as("id") +: counts) :+ t.as("clean_text"): _*)
       .withColumn("n_pii",
-        Stages.map { case (_, _, n) => col(n) }.reduce(_ + _))
+        Stages.map(st => col(st.countCol)).reduce(_ + _))
       .withColumn("has_pii", (col("n_pii") > 0L).cast("long"))
   }
 }

@@ -1626,14 +1626,14 @@ object CurationQueries extends graft.QueryModule {
 
   val qPiiScrubSql: String = {
     val stages = graft.ops.PiiScrub.Stages
-    val ctes = stages.zipWithIndex.map { case ((re, ph, name), i) =>
+    val ctes = stages.zipWithIndex.map { case (st, i) =>
       s"""t${i + 1} AS (SELECT doc_id,${
-        if (i > 0) " " + stages.take(i).map(_._3).mkString(", ") + "," else ""}
-         |  CAST(len(regexp_extract_all(t, '$re')) AS BIGINT) AS $name,
-         |  regexp_replace(t, '$re', '$ph', 'g') AS t
+        if (i > 0) " " + stages.take(i).map(_.countCol).mkString(", ") + "," else ""}
+         |  CAST(len(regexp_extract_all(t, '${st.re}')) AS BIGINT) AS ${st.countCol},
+         |  regexp_replace(t, '${st.re}', '${st.duckRepl}', 'g') AS t
          |FROM t$i)""".stripMargin
     }.mkString(",\n")
-    val names = stages.map(_._3)
+    val names = stages.map(_.countCol)
     s"""WITH t0 AS (SELECT doc_id, COALESCE(text, '') ||
        |    CASE WHEN doc_id % 7 = 0 THEN '$PiiInjectA'
        |         WHEN doc_id % 7 = 3 THEN '$PiiInjectB'

@@ -93,7 +93,11 @@ object Overlap {
         s"[overlap] no spans to derive a bin width from - using ${FallbackBinUs}us")
       return FallbackBinUs
     }
-    val raw = math.max(q.head, 1.0)
+    // clamp BEFORE the power-of-two rounding: a p90 span past 2^62us
+    // would overflow `floorPow << 1` to Long.MIN_VALUE and resolve the
+    // clamp to MinBinUs — the worst-direction width for exactly the
+    // giant-interval degenerate case the clamp exists for
+    val raw = math.min(math.max(q.head, 1.0), MaxBinUs.toDouble)
     val floorPow = java.lang.Long.highestOneBit(math.max(raw.toLong, 1L))
     val pow2 = if (floorPow.toDouble >= raw) floorPow else floorPow << 1
     val derived = math.min(math.max(pow2, MinBinUs), MaxBinUs)

@@ -38,6 +38,28 @@ class MediaSpec extends SparkSpec {
     assert(dims(withDht) === Some((10L, 20L)))
   }
 
+  test("JPEG fill bytes and standalone markers are walked, not misread") {
+    // T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
+    // fill bytes — common in real-world files. A naive walk reads the
+    // byte after the first FF pair as a length field (ADVICE r11).
+    val sof = MediaCorpus.jpegBytes(10, 20, 0)
+    val fills = Array(0xff, 0xff, 0xff).map(_.toByte)
+    val withFill = sof.slice(0, 2) ++ fills ++ sof.drop(2)
+    assert(dims(withFill) === Some((10L, 20L)))
+    // standalone markers (TEM 0x01, RSTn 0xD0-0xD7) carry NO length
+    // field; treating their payload bytes as a length desyncs the walk
+    val tem = Array(0xff, 0x01).map(_.toByte)
+    val rst = Array(0xff, 0xd3).map(_.toByte)
+    assert(dims(sof.slice(0, 2) ++ tem ++ rst ++ sof.drop(2)) ===
+      Some((10L, 20L)))
+    // fill bytes immediately before the SOF marker itself
+    val parts = sof.drop(2) // first marker segment onward
+    assert(dims(sof.slice(0, 2) ++ Array(0xff.toByte) ++ parts) ===
+      Some((10L, 20L)))
+    // trailing fill bytes at end-of-buffer must not index past it
+    assert(dims(Array(0xff, 0xd8, 0xff, 0xff, 0xff).map(_.toByte)) === None)
+  }
+
   test("malformed bytes yield NULL, never an exception") {
     assert(dims(Array.emptyByteArray) === None)
     assert(dims("not an image at all".getBytes) === None)

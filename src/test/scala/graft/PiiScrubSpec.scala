@@ -84,12 +84,24 @@ class PiiScrubSpec extends SparkSpec {
     // digit; an unanchored pattern would count it and strand the '1'
     val r = scrub(Seq(
       1L -> "serial 1234-567-8901 is hardware, not a phone",
-      2L -> "genuine: 555-867-5309 and (212) 555-0144 and +1 555.123.4567"))
+      2L -> "genuine: 555-867-5309 and (212) 555-0144 and +1 555.123.4567",
+      // paren alternative is anchored too: a digit immediately before
+      // the '(' means mid-serial, not a phone (ADVICE r11) — and the
+      // bare alternative cannot salvage "234) 567-8901" because the
+      // close paren is no longer an optional suffix of the bare shape
+      3L -> "serial 1(234) 567-8901 is hardware, not a phone",
+      // at string start the paren shape still fires via the ^ branch
+      4L -> "(212) 555-0144 is the front desk"))
     assert(r(1L).getAs[Long]("n_phones") === 0L)
     assert(r(1L).getAs[String]("clean_text").contains("1234-567-8901"))
     assert(r(2L).getAs[Long]("n_phones") === 3L)
     assert(r(2L).getAs[String]("clean_text") ===
       "genuine: <PHONE> and <PHONE> and <PHONE>")
+    assert(r(3L).getAs[Long]("n_phones") === 0L)
+    assert(r(3L).getAs[String]("clean_text").contains("1(234) 567-8901"))
+    assert(r(4L).getAs[Long]("n_phones") === 1L)
+    assert(r(4L).getAs[String]("clean_text") ===
+      "<PHONE> is the front desk")
   }
 
   test("the corpus entry injects deterministic PII the oracle replays (nonzero signal)") {

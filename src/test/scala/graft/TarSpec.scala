@@ -63,6 +63,27 @@ class TarSpec extends SparkSpec {
     assert(parse(corrupt).get.length === 2)
   }
 
+  test("hostile size field can neither loop nor index negatively") {
+    // the 12-byte octal size field admits values up to 8^11-1; a
+    // checksum-valid header claiming 2^32-512 bytes has a padded
+    // advance of exactly 2^32, which Int arithmetic would round to a
+    // ZERO advance (infinite loop in the scan task) — and other giant
+    // values would drive pos negative (AIOOBE). The walk must salvage
+    // and terminate instead (ADVICE r11, medium).
+    val loop = TarShards.headerBlock("evil.bin", (1L << 32) - 512L) ++
+      new Array[Byte](1024)
+    assert(parse(loop) === None) // no salvageable member; terminates
+    // a 3 GiB claim AFTER a good member: the good prefix survives,
+    // the hostile member is not emitted (its offset+size would send
+    // the downstream slicer out of bounds)
+    val good = TarShards.headerBlock("ok.bin", 4L) ++
+      "abcd".getBytes("US-ASCII") ++ new Array[Byte](508)
+    val hostile = good ++
+      TarShards.headerBlock("evil.bin", 3L * 1024 * 1024 * 1024) ++
+      new Array[Byte](1024)
+    assert(parse(hostile).get === Seq(("ok.bin", 512L, 4L)))
+  }
+
   test("octal field tolerates the space-padded rendering") {
     val b = TarShards.headerBlock("f.bin", 7L)
     // rewrite size as space-padded octal with space terminator
