@@ -355,22 +355,33 @@ object CurationQueries extends graft.QueryModule {
     * checksum). The checksum `sum(token_id * (cpos + 1))` gates
     * chunk CONTENT and ORDER, not just counts; the oracle replays
     * all three stages plus the id recursion in one statement, so
-    * drift in any stage moves some chunk's checksum. */
+    * drift in any stage moves some chunk's checksum.
+    *
+    * Scan shape (restructured r12 — was 6 distinct documents scans):
+    * ONE base pass computes the dedup rank and the ref/corpus role,
+    * so the md5 window's exchange is the branch point every consumer
+    * re-reads (one parquet scan + one shuffle at runtime; the
+    * remaining static scan nodes share that exchange). The
+    * perplexity gate filters the corpus IN PLACE
+    * ([[LangModel.keepByPerplexity]]) instead of producing an id
+    * list that is joined back — the join-back re-derived the whole
+    * corpus lineage, which was the second extra scan. Scoring
+    * dedup-survivors only (vs. scoring everything and intersecting)
+    * is equivalent — the verdict is per-doc — and does strictly less
+    * bigram work. */
   def qRagIndex(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(s, dir)
-    val keepx = docs
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"),
+        (pmod(col("doc_id"), lit(41)) === 0).as("is_ref"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
-      .filter(col("rn") === 1).select(col("doc_id"))
-    val corpus = docs.filter(pmod(col("doc_id"), lit(41)) =!= 0)
-    val ref = docs.filter(pmod(col("doc_id"), lit(41)) === 0)
-    val kept = LangModel.perplexityReport(corpus, ref,
-        textCol = "text", idCol = "doc_id", keepAtMeanCost = PerplexityKeepAt)
-      .filter(col("keep") === 1L)
-      .select(col("id").as("doc_id"))
-      .join(keepx, Seq("doc_id"))
-    Chunk.tokenIdChunks(docs.join(kept, Seq("doc_id")),
+    val ref = base.filter(col("is_ref"))
+    val candidates = base.filter(!col("is_ref") && col("rn") === 1)
+      .select(col("doc_id"), col("text"))
+    val kept = LangModel.keepByPerplexity(candidates, ref,
+      textCol = "text", idCol = "doc_id", keepAtMeanCost = PerplexityKeepAt)
+    Chunk.tokenIdChunks(kept,
         textCol = "text", idCol = "doc_id",
         chunkSize = 32, stride = 24, merges = Bpe.fixtureMergesByteLevel)
       .groupBy(col("doc_id"), col("chunk_id"))

@@ -296,9 +296,14 @@ object TrainingQueries extends graft.QueryModule {
     val sh = Dedup.cappedIndex(
       Dedup.wordShingles(Tables.documents(s, dir), "text", "doc_id"), 1000L)
     val sig = Dedup.minhashSignatures(sh, 64).scopedCache()
-    val cands = Dedup.minhashCandidates(Dedup.lshBands(sig, 64, 4)).scopedCache()
-    val counts = cands.select(col("id1").as("id"))
-      .union(cands.select(col("id2").as("id")))
+    // each candidate pair charges BOTH endpoints: explode the pair
+    // into its two ids in ONE pass (a union of two projections would
+    // read the candidate frame twice, which forced a second cache
+    // whose captured plan re-derived the whole signature pipeline
+    // from parquet — the r11 6-scan reading; with the explode, the
+    // only cache is `sig` and every branch reads it)
+    val counts = Dedup.minhashCandidates(Dedup.lshBands(sig, 64, 4))
+      .select(explode(array(col("id1"), col("id2"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("n_candidates"))
     sig.select(col("id").as("doc_id"), col("h0"))
       .join(counts.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
