@@ -22,7 +22,14 @@ object Explain {
       .filter(q => wanted.contains(q._1))
       .foreach { case (name, fn) =>
         println(s"\n========== $name ==========")
-        try fn(spark, sfDir).explain("formatted")
+        // per-entry cache scope, as in Verify: without it, an earlier
+        // entry's still-registered cache (whose CAPTURED plan carries
+        // its own parquet lineage) substitutes into later entries'
+        // plans and inflates their scan counts — the sweep must show
+        // each entry's OWN plan (PLANS.md pinned-method caveat)
+        try graft.core.CacheScope.withScope {
+          fn(spark, sfDir).explain("formatted")
+        }
         catch { case e: Throwable => println(s"explain failed: $e") }
       }
     spark.stop()

@@ -7,16 +7,23 @@ import graft.functions.HashParity
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata.
   *
-  * The decode step is a clearly-marked STUB (no media libraries in
-  * this container): [[decodeBatch]] derives deterministic fake
-  * dimensions from a hash of the bytes. Everything around it — the
-  * schema, the `Dataset[MediaRecord]` batch shape, partition-wise
-  * batched processing (the Scala analog of `mapInPandas`), and the
+  * The decode step tries a REAL container parse first
+  * ([[graft.functions.ImagePackedDims]] — PNG IHDR / JPEG marker
+  * walk over the actual blob bytes; the image modality carries real
+  * PNG files from the pixel corpus, so this path fires on real
+  * data). Blobs no JVM-native parser recognizes (the audio/video
+  * modalities — this container has no codec) fall back to a
+  * clearly-marked STUB that derives deterministic dimensions from
+  * the blob's md5. Everything around the decode — the schema, the
+  * `Dataset[MediaRecord]` batch shape, partition-wise batched
+  * processing (the Scala analog of `mapInPandas`), and the
   * frame-sample explode — is real Spark plumbing and tested.
   *
   * `mapPartitions` is used deliberately (SURVEY preference (d)):
   * opaque binary decode is genuinely imperative per-record work that
-  * no Catalyst expression can express.
+  * no Catalyst expression can express (the pixel-plane twin,
+  * [[graft.functions.MediaExprs.pngRgb]], covers the expressible
+  * single-format case).
   */
 object Multimodal {
 
@@ -26,20 +33,54 @@ object Multimodal {
       doc_id: Long, media_type: String, byte_len: Long,
       width: Int, height: Int, n_frames: Int)
 
-  /** Synthesize a media table from documents: utf-8 bytes as the
-    * opaque blob, modality assigned round-robin. */
-  def mediaFromDocuments(docs: DataFrame): DataFrame =
+  /** Synthesize a media table from documents: modality assigned
+    * round-robin; IMAGE rows carry a real PNG from the pixel corpus
+    * (broadcast-joined on `doc_id % NumPixelPng` — the blob is a
+    * pure function of doc_id, so the oracle replays its length and
+    * dims from the corpus formulas), audio/video rows carry the
+    * utf-8 text bytes (no codec in this container — stub path). */
+  def mediaFromDocuments(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    // the blobs ride along in-memory (broadcast), but the oracle
+    // re-reads the same bytes from disk — keep the corpus materialized
+    graft.sources.MediaCorpus.ensurePixels()
+    val pngs = (0 until graft.sources.MediaCorpus.NumPixelPng)
+      .map(k => (k.toLong, graft.sources.MediaCorpus.pngPixelBytes(k)))
+      .toDF("px_k", "png")
     graft.core.Par.widen(docs)
       .select(
-      col("doc_id"),
-      col("text").cast("binary").as("media"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"))
+        col("doc_id"),
+        col("text").cast("binary").as("text_bytes"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
+        pmod(col("doc_id"),
+          lit(graft.sources.MediaCorpus.NumPixelPng.toLong)).as("px_k"))
+      .join(broadcast(pngs), Seq("px_k"), "left")
+      .select(
+        col("doc_id"),
+        when(col("media_type") === "image", col("png"))
+          .otherwise(col("text_bytes")).as("media"),
+        col("media_type"))
+  }
 
-  /** STUB decode of one media blob.
-    * A real build decodes image/audio here (javax.imageio / ffmpeg
-    * bindings); this container has neither, so dimensions are a
-    * deterministic function of the bytes: three 28-bit slices of the
+  /** REAL decode attempt: parse the blob's container bytes (PNG /
+    * JPEG). None when no JVM-native parser recognizes the bytes. */
+  private def decodeReal(r: MediaRecord): Option[MediaFeatures] = {
+    val p = graft.functions.ImagePackedDims.packed(r.media)
+    if (p < 0L) None
+    else Some(MediaFeatures(
+      doc_id = r.doc_id,
+      media_type = r.media_type,
+      byte_len = r.media.length.toLong,
+      width = (p >>> 32).toInt,
+      height = (p & 0xffffffffL).toInt,
+      n_frames = 1))
+  }
+
+  /** STUB decode of one media blob — the fallback for modalities with
+    * no decoder in this container (audio/video): dimensions are a
+    * deterministic function of the bytes, three 28-bit slices of the
     * blob's md5 ([[graft.functions.HashParity]]) — replayable as pure
     * SQL (`md5(text)` substring arithmetic), so even the stub path is
     * oracle-checked. The signature — bytes in, typed features out —
@@ -58,11 +99,14 @@ object Multimodal {
 
   /** Partition-wise batched decode: records are processed in batches
     * of `batchSize` (the Arrow-batch shape a Python `mapInPandas`
-    * would see), one partition per task, no driver involvement. */
+    * would see), one partition per task, no driver involvement.
+    * Real parse first, stub fallback. */
   def decodeBatch(ds: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch => batch.map(decodeStub) }
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map(r => decodeReal(r).getOrElse(decodeStub(r)))
+      }
     }
   }
 

@@ -402,7 +402,40 @@ object StreamQueries extends graft.QueryModule {
       .orderBy(col("event_type"), col("rk"))
   }
 
+  /** Continuous report refresh ([[graft.streaming.ReportStream]]):
+    * the landing-dir stream feeds the reference's grouped report
+    * section (A1-A5 over run records — the same prepared projection
+    * and `Groups.section` as `q_report_groups`), re-deriving ONLY the
+    * groups each micro-batch touches (partition-pruned runs store +
+    * dynamic partition overwrite upsert). The oracle is the BATCH
+    * report SQL over the drained landing dir — incremental refresh
+    * must land exactly the report a full rebuild would. */
+  def qReportStream(s: SparkSession, dir: String): DataFrame = {
+    val tmp = scratch(s, "report")
+    val prepare: DataFrame => DataFrame = b =>
+      graft.report.RunRecords.warmupFilter(
+          graft.report.RunRecords.invalidatorFilter(
+            b.withColumn("value_c", Num.cents(col("value"))),
+            Map("event_type" -> "error")),
+          "event_id", 100)
+        .select(col("event_type"), col("value_c"),
+          col("value_c").as("value_sum_c"), col("user_id"))
+    graft.streaming.ReportStream.runRefresh(s, EventStream.read(s, dir),
+        graft.report.Groups.GroupConfig(
+          category = "event_type",
+          showAsSum = Set("value_sum_c"),
+          showAsList = Set("user_id")),
+        prepare, s"$tmp/runs", s"$tmp/report", s"$tmp/ckpt")
+      .select(col("event_type"), col("uses"), col("avg_value_c"),
+        col("sum_value_sum_c"), col("user_id_list"))
+      .orderBy(col("event_type"))
+  }
+
+  /** The batch report statement verbatim — the refresh must equal it. */
+  val qReportStreamSql: String = ReportQueries.qReportGroupsSql
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_report_stream" -> (qReportStream _),
     "q_stream_join" -> (qStreamJoin _),
     "q_hll_stream" -> (qHllStream _),
     "q_cms_stream" -> (qCmsStream _),
@@ -416,6 +449,7 @@ object StreamQueries extends graft.QueryModule {
     "q_ann_stream" -> (qAnnStream _))
 
   def oracleSql: Map[String, String] = Map(
+    "q_report_stream" -> qReportStreamSql,
     "q_stream_join" -> qStreamJoinSql,
     "q_hll_stream" -> qHllStreamSql,
     "q_cms_stream" -> graft.queries.MiscQueries.qCmsTopkSql,

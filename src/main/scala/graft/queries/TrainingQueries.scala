@@ -1333,27 +1333,46 @@ object TrainingQueries extends graft.QueryModule {
         sum(col("n_frames")).as("sum_frames"))
       .orderBy(col("media_type"))
 
-  /** DuckDB replay of [[qMultimodal]]: the media blob is the utf-8
-    * text, so `md5(text)` / `strlen(text)` reproduce the stub decode
-    * byte-for-byte (strlen = BYTE length, matching `media.length`). */
-  val qMultimodalSql: String =
-    """WITH m AS (SELECT doc_id,
+  /** DuckDB replay of [[qMultimodal]]: IMAGE rows are replayed from
+    * the pixel corpus's REAL file bytes (length + IHDR dims of
+    * `px_{doc_id % NumPixelPng}.png` via read_blob — the same bytes
+    * the engine broadcast-joined in); audio/video rows carry the
+    * utf-8 text, so `md5(text)` / `strlen(text)` reproduce the stub
+    * fallback byte-for-byte (strlen = BYTE length, matching
+    * `media.length`). */
+  val qMultimodalSql: String = {
+    val n = graft.sources.MediaCorpus.NumPixelPng
+    val dir = graft.sources.MediaCorpus.PixelDir
+    s"""WITH px AS (SELECT
+      |  CAST(regexp_extract(filename, 'px_(\\d+)\\.png', 1) AS BIGINT) AS k,
+      |  CAST(octet_length(content) AS BIGINT) AS blen,
+      |  CAST('0x' || substr(hex(content), 33, 8) AS BIGINT) AS pw,
+      |  CAST('0x' || substr(hex(content), 41, 8) AS BIGINT) AS ph
+      |  FROM read_blob('$dir/*.png')),
+      |m AS (SELECT doc_id,
       |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
       |    WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-      |  strlen(text) AS byte_len, md5(text) AS hx FROM documents),
-      |f AS (SELECT doc_id, media_type, byte_len,
-      |  CAST('0x' || substr(hx, 1, 7) AS BIGINT) % 1920 + 1 AS width,
-      |  CAST('0x' || substr(hx, 8, 7) AS BIGINT) % 1080 + 1 AS height,
+      |  strlen(text) AS tlen, md5(text) AS hx,
+      |  doc_id % $n AS k FROM documents),
+      |f AS (SELECT doc_id, media_type,
+      |  CASE WHEN media_type = 'image' THEN px.blen ELSE tlen END AS byte_len,
+      |  CASE WHEN media_type = 'image' THEN px.pw
+      |    ELSE CAST('0x' || substr(hx, 1, 7) AS BIGINT) % 1920 + 1
+      |    END AS width,
+      |  CASE WHEN media_type = 'image' THEN px.ph
+      |    ELSE CAST('0x' || substr(hx, 8, 7) AS BIGINT) % 1080 + 1
+      |    END AS height,
       |  CASE WHEN media_type = 'video'
       |    THEN CAST('0x' || substr(hx, 15, 7) AS BIGINT) % 240 + 1
       |    ELSE 1 END AS n_frames
-      |  FROM m)
+      |  FROM m JOIN px ON px.k = m.k)
       |SELECT media_type, count(*) AS n_docs,
       |  CAST(sum(byte_len) AS BIGINT) AS sum_bytes,
       |  CAST(min(width) AS BIGINT) AS min_width,
       |  CAST(max(height) AS BIGINT) AS max_height,
       |  CAST(sum(n_frames) AS BIGINT) AS sum_frames
       |FROM f GROUP BY media_type ORDER BY media_type""".stripMargin
+  }
 
   /** The video arm end-to-end: stub decode -> aspect-preserving
     * resize plan (336x336, integer cross-multiply — the production
@@ -1487,6 +1506,128 @@ object TrainingQueries extends graft.QueryModule {
        |      THEN greatest(1, height * 336 // width)
        |    ELSE 336 END AS BIGINT) AS out_h
        |FROM dims ORDER BY file_name""".stripMargin
+  }
+
+  /** REAL pixel decode + vision preprocessing: the pixel corpus
+    * ([[graft.sources.MediaCorpus.ensurePixels]] — 8-bit truecolor
+    * PNGs with stored-deflate IDAT and a per-file-varying tEXt chunk
+    * so the IDAT offset moves) is decoded by the native
+    * [[graft.functions.MediaExprs.pngRgb]] expression (chunk walk →
+    * Inflater → scanline unfilter), then center-cropped to a square,
+    * nearest-neighbor-resized to 16x16, and reduced to integer
+    * channel statistics ([[graft.functions.RgbExprs]]) — crop /
+    * resize / normalize on REAL pixel values, all inside the scan
+    * stage's codegen span (no UDF, no per-pixel row explosion). The
+    * "normalize" column is the channel mean in ppm (integer division
+    * of integer sums). The DuckDB oracle re-derives every pixel from
+    * the same file bytes: the stored-deflate block leaves scanlines
+    * verbatim in the file, so after a chunk walk to IDAT the oracle
+    * reads pixels by offset arithmetic and replays crop, resize,
+    * sums, and the luminance histogram exactly. */
+  def qMediaPixels(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{MediaExprs, RgbExprs}
+    val pxDir = graft.sources.MediaCorpus.ensurePixels()
+    val base = s.read.format("binaryFile").load(pxDir)
+      .select(
+        regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"),
+        MediaExprs.imageDims(col("content")).as("packed"),
+        MediaExprs.pngRgb(col("content")).as("rgb"))
+      .withColumn("width", MediaExprs.width(col("packed")))
+      .withColumn("height", MediaExprs.height(col("packed")))
+      .withColumn("side", least(col("width"), col("height")))
+      .withColumn("crop",
+        RgbExprs.rgbCenterCrop(col("rgb"), col("width"), col("height")))
+      .withColumn("r16",
+        RgbExprs.rgbResize(col("crop"), col("side"), col("side"), 16, 16))
+      .withColumn("ost", RgbExprs.rgbStats(col("rgb")))
+      .withColumn("rst", RgbExprs.rgbStats(col("r16")))
+    base.select(
+        col("file_name"), col("width"), col("height"),
+        element_at(col("ost"), 1).as("sum_r"),
+        element_at(col("ost"), 2).as("sum_g"),
+        element_at(col("ost"), 3).as("sum_b"),
+        expr("element_at(ost, 1) * 1000000 DIV (width * height)").as("mean_r_ppm"),
+        expr("element_at(ost, 2) * 1000000 DIV (width * height)").as("mean_g_ppm"),
+        expr("element_at(ost, 3) * 1000000 DIV (width * height)").as("mean_b_ppm"),
+        element_at(col("rst"), 1).as("r16_sum_r"),
+        element_at(col("rst"), 2).as("r16_sum_g"),
+        element_at(col("rst"), 3).as("r16_sum_b"),
+        element_at(col("rst"), 5).as("lum_b0"),
+        element_at(col("rst"), 6).as("lum_b1"),
+        element_at(col("rst"), 7).as("lum_b2"),
+        element_at(col("rst"), 8).as("lum_b3"))
+      .orderBy(col("file_name"))
+  }
+
+  /** DuckDB replay of [[qMediaPixels]] from the file bytes alone:
+    * recursive chunk walk to the IDAT offset (the varying tEXt chunk
+    * rules out fixed offsets), scanlines read verbatim out of the
+    * stored deflate block (zlib header 2 bytes + stored-block header
+    * 5 bytes), pixel (x, y, c) at byte `p0 + y*(1+3w) + 1 + 3x + c`,
+    * then the identical integer crop/resize/mean/histogram
+    * arithmetic. */
+  val qMediaPixelsSql: String = {
+    val dir = graft.sources.MediaCorpus.PixelDir
+    def byte(off: String) =
+      s"CAST('0x' || substr(hx, 2*($off)+1, 2) AS BIGINT)"
+    val px = (c: Int) => byte(s"p0 + y*(1+3*w) + 1 + 3*x + $c")
+    val rpx = (c: Int) => byte(s"p0 + sy*(1+3*w) + 1 + 3*sx + $c")
+    s"""WITH RECURSIVE f AS (
+       |  SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name,
+       |    hex(content) AS hx
+       |  FROM read_blob('$dir/*.png')),
+       |walk(file_name, pos, ioff) AS (
+       |  SELECT file_name, 8, CAST(NULL AS BIGINT) FROM f
+       |  UNION ALL
+       |  SELECT w.file_name,
+       |    w.pos + 12 + CAST('0x' || substr(f.hx, 2*w.pos+1, 8) AS BIGINT),
+       |    CASE WHEN substr(f.hx, 2*w.pos+9, 8) = '49444154'
+       |      THEN w.pos + 8 END
+       |  FROM walk w JOIN f ON f.file_name = w.file_name
+       |  WHERE w.ioff IS NULL AND 2*(w.pos+8) <= len(f.hx)),
+       |meta AS (
+       |  SELECT f.file_name, f.hx, wk.ioff + 7 AS p0,
+       |    CAST('0x' || substr(f.hx, 33, 8) AS BIGINT) AS w,
+       |    CAST('0x' || substr(f.hx, 41, 8) AS BIGINT) AS h
+       |  FROM f JOIN walk wk ON wk.file_name = f.file_name
+       |  WHERE wk.ioff IS NOT NULL),
+       |osum AS (
+       |  SELECT file_name,
+       |    CAST(sum(${px(0)}) AS BIGINT) AS sum_r,
+       |    CAST(sum(${px(1)}) AS BIGINT) AS sum_g,
+       |    CAST(sum(${px(2)}) AS BIGINT) AS sum_b
+       |  FROM meta, UNNEST(generate_series(0, h-1)) AS u(y),
+       |    UNNEST(generate_series(0, w-1)) AS v(x)
+       |  GROUP BY file_name),
+       |rpix AS (
+       |  SELECT file_name,
+       |    ${rpx(0)} AS r, ${rpx(1)} AS g, ${rpx(2)} AS b
+       |  FROM (
+       |    SELECT file_name, hx, p0, w,
+       |      (w - least(w, h)) // 2 + (v.ox * least(w, h)) // 16 AS sx,
+       |      (h - least(w, h)) // 2 + (u.oy * least(w, h)) // 16 AS sy
+       |    FROM meta, UNNEST(generate_series(0, 15)) AS u(oy),
+       |      UNNEST(generate_series(0, 15)) AS v(ox))),
+       |rsum AS (
+       |  SELECT file_name,
+       |    CAST(sum(r) AS BIGINT) AS r16_sum_r,
+       |    CAST(sum(g) AS BIGINT) AS r16_sum_g,
+       |    CAST(sum(b) AS BIGINT) AS r16_sum_b,
+       |    CAST(sum(CASE WHEN (299*r+587*g+114*b)//1000//64 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS lum_b0,
+       |    CAST(sum(CASE WHEN (299*r+587*g+114*b)//1000//64 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS lum_b1,
+       |    CAST(sum(CASE WHEN (299*r+587*g+114*b)//1000//64 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS lum_b2,
+       |    CAST(sum(CASE WHEN (299*r+587*g+114*b)//1000//64 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS lum_b3
+       |  FROM rpix GROUP BY file_name)
+       |SELECT m.file_name, m.w AS width, m.h AS height,
+       |  o.sum_r, o.sum_g, o.sum_b,
+       |  o.sum_r * 1000000 // (m.w * m.h) AS mean_r_ppm,
+       |  o.sum_g * 1000000 // (m.w * m.h) AS mean_g_ppm,
+       |  o.sum_b * 1000000 // (m.w * m.h) AS mean_b_ppm,
+       |  r.r16_sum_r, r.r16_sum_g, r.r16_sum_b,
+       |  r.lum_b0, r.lum_b1, r.lum_b2, r.lum_b3
+       |FROM meta m JOIN osum o USING (file_name)
+       |  JOIN rsum r USING (file_name)
+       |ORDER BY m.file_name""".stripMargin
   }
 
   /** Tar-shard (WebDataset-layout) multimodal ingest: a directory of
@@ -1708,11 +1849,15 @@ object TrainingQueries extends graft.QueryModule {
       .lshTopKMultiProbe(emb, queryMaxId = 10L, k = 5, nBits = 6,
         probeHamming = 1)
       .select(col("q_id"), col("neighbor_id"))
-    val hits = truth.join(approx, Seq("q_id", "neighbor_id"))
-      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
-    truth.groupBy(col("q_id")).agg(count(lit(1)).as("n_truth"))
-      .join(hits, Seq("q_id"), "left")
-      .na.fill(0L, Seq("n_hits"))
+    // ONE pass over the truth arm: left-mark each true neighbor as
+    // hit/miss, then a single aggregate derives both counts — joining
+    // a separate hits aggregate back would re-derive the whole brute
+    // lineage (two more embeddings scans, r12 inventory)
+    truth.join(approx.withColumn("hit", lit(1L)),
+        Seq("q_id", "neighbor_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
       .withColumn("recall_ppm", expr("n_hits * 1000000 DIV n_truth"))
       .orderBy(col("q_id"))
   }
@@ -1844,6 +1989,7 @@ object TrainingQueries extends graft.QueryModule {
     "q_multimodal" -> (qMultimodal _),
     "q_media_frames" -> (qMediaFrames _),
     "q_media_meta" -> (qMediaMeta _),
+    "q_media_pixels" -> (qMediaPixels _),
     "q_tar_shards" -> (qTarShards _))
 
   def oracleSql: Map[String, String] = Map(
@@ -1882,6 +2028,7 @@ object TrainingQueries extends graft.QueryModule {
     "q_multimodal" -> qMultimodalSql,
     "q_media_frames" -> qMediaFramesSql,
     "q_media_meta" -> qMediaMetaSql,
+    "q_media_pixels" -> qMediaPixelsSql,
     "q_tar_shards" -> qTarShardsSql) ++
     ivfOracle ++ pqOracle ++ semdedupOracle ++ qcOracle
 }

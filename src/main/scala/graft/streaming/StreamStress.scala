@@ -1,0 +1,126 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+/** Rate stress for the stateful stream entries (PLANS.md r12): drives
+  * the landing dir through MULTIPLE micro-batches via
+  * `maxFilesPerTrigger` and records, per batch, the state-store row
+  * count, input rows, and wall time — the measured evidence for the
+  * two state-bound claims the entries make on paper:
+  *
+  *   - stream-stream join: state is bounded by the WATERMARK HORIZON
+  *     (rows whose event time falls behind the watermark evict), so
+  *     state tracks the horizon's row density, not rows ingested;
+  *   - sketch aggregates (HLL / CMS): state is bounded by SKETCH
+  *     WIDTH (2^p resp. d*w rows per group) FOREVER, regardless of
+  *     ingest volume.
+  *
+  * Run: `sbt "runMain graft.streaming.StreamStress [sfDir] [filesPerTrigger]"`
+  * (defaults /tmp/sf1, 4). Emits one JSON line per (study, batch) and
+  * a summary line per study. NOTE the multi-batch join drain is also
+  * the honest place to see LATE-ARRIVAL drops: landing files are not
+  * globally time-ordered, so once the watermark advances past a later
+  * file's early rows those rows are dropped — the summary reports
+  * output rows vs the batch join's count to keep that trade visible
+  * (the oracle entry q_stream_join drains in ONE batch, where no row
+  * can be late).
+  */
+object StreamStress {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/tmp/sf1")
+    val perTrigger = if (args.length > 1) args(1) else "4"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft_stress").toString
+    val opts = Map("maxFilesPerTrigger" -> perTrigger)
+
+    // ---- stream-stream attribution join (state ~ horizon) ----------
+    run(spark, "join", s"$scratch/join", OutputMode.Append) {
+      val ev = EventStream.read(spark, sfDir, opts)
+      EventStream.attributionJoin(ev, ev, windowUs = 7200000000L)
+    }
+    val got = spark.read.parquet(s"$scratch/join/out").count()
+    val evB = graft.core.Tables.events(spark, sfDir)
+    val want = evB.alias("v").filter(col("v.event_type") === "view")
+      .join(evB.alias("p"),
+        col("v.user_id") === col("p.user_id") &&
+        col("p.event_type") === "purchase" &&
+        col("p.ts_us") >= col("v.ts_us") &&
+        col("p.ts_us") <= col("v.ts_us") + 7200000000L)
+      .count()
+    println(s"""{"study":"join","rows_out":$got,"rows_batch_join":$want,""" +
+      s""""late_dropped":${want - got}}""")
+
+    // ---- streaming HLL registers (state ~ 2^p per group) ------------
+    run(spark, "hll", s"$scratch/hll", OutputMode.Update) {
+      graft.ops.Hll.registers(
+        EventStream.read(spark, sfDir, opts)
+          .select(col("event_type"), col("user_id")),
+        Seq("event_type"), "user_id", p = 8)
+    }
+
+    // ---- streaming CMS counters (state ~ d*w per group) -------------
+    run(spark, "cms", s"$scratch/cms", OutputMode.Update) {
+      graft.ops.Cms.registers(
+        EventStream.read(spark, sfDir, opts)
+          .select(col("event_type"), col("user_id")),
+        Seq("event_type"), "user_id", d = 4, w = 256)
+    }
+
+    spark.stop()
+  }
+
+  /** Run `stream` with AvailableNow (which honors maxFilesPerTrigger,
+    * unlike Trigger.Once) and print one JSON line per micro-batch
+    * from the progress log, plus a summary. Append mode lands rows in
+    * a parquet sink (the join study counts them); Update mode goes to
+    * the noop sink — the study reads state metrics, not rows (the
+    * oracle entries use the foreachBatch register log instead, which
+    * is where Update-mode parquet persistence lives). */
+  private def run(spark: SparkSession, study: String, dir: String,
+      mode: OutputMode)(stream: => DataFrame): Unit = {
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "200")
+    val base = stream.writeStream
+      .outputMode(mode)
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+    val q = (if (mode == OutputMode.Append)
+        base.format("parquet").option("path", s"$dir/out")
+      else base.format("noop"))
+      .start()
+    q.awaitTermination()
+    var maxState = 0L
+    var lastState = 0L
+    var batches = 0
+    var totalIn = 0L
+    q.recentProgress.foreach { p =>
+      val state = Option(p.stateOperators).toSeq.flatten
+        .map(_.numRowsTotal).sum
+      val durMs = Option(p.durationMs.get("triggerExecution"))
+        .map(_.longValue).getOrElse(-1L)
+      if (p.numInputRows > 0 || state > 0) {
+        println(s"""{"study":"$study","batch":${p.batchId},""" +
+          s""""input_rows":${p.numInputRows},"state_rows":$state,""" +
+          s""""trigger_ms":$durMs,"watermark":"${p.eventTime.get("watermark")}"}""")
+        maxState = math.max(maxState, state)
+        lastState = state
+        batches += 1
+        totalIn += p.numInputRows
+      }
+    }
+    println(s"""{"study":"$study","summary":true,"batches":$batches,""" +
+      s""""rows_ingested":$totalIn,"max_state_rows":$maxState,""" +
+      s""""final_state_rows":$lastState}""")
+  }
+}

@@ -357,6 +357,15 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.toSeq === f2.toSeq)
     assert(f1.length === docs.count())
     assert(f1.forall(r => r.getInt(3) > 0 && r.getInt(4) > 0 && r.getInt(5) > 0))
+    // the image modality is REAL-decoded: dims come from the PNG
+    // bytes' IHDR, not the md5 stub (the stub's range is 1..1920)
+    f1.filter(_.getString(1) == "image").foreach { r =>
+      val k = (r.getLong(0) % graft.sources.MediaCorpus.NumPixelPng).toInt
+      val (w, h) = graft.sources.MediaCorpus.pixelDims(k)
+      assert(r.getInt(3) === w && r.getInt(4) === h, s"doc ${r.getLong(0)}")
+      assert(r.getLong(2) ===
+        graft.sources.MediaCorpus.pngPixelBytes(k).length.toLong)
+    }
   }
   test("frame sampling explodes only videos, carrying feature columns") {
     val f = Multimodal.features(spark, Tables.documents(spark, sf))

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import graft.report.Groups
+import graft.streaming.ReportStream
+
+/** Incremental report refresh (streaming/ReportStream): multi-batch
+  * drain equals the batch section, and a batch touching one group
+  * re-derives ONLY that group's partition. */
+class ReportStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("event_type", StringType), StructField("value_c", LongType),
+    StructField("value_sum_c", LongType), StructField("user_id", LongType)))
+
+  private val cfg = Groups.GroupConfig(
+    category = "event_type",
+    showAsSum = Set("value_sum_c"),
+    showAsList = Set("user_id"))
+
+  test("multi-batch refresh equals the batch section; untouched groups keep their files") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_repstream").toString
+    // batch 0 touches groups A and B; batch 1 only B
+    val b0 = Seq(("A", 100L, 100L, 1L), ("A", 300L, 300L, 2L), ("B", 50L, 50L, 1L))
+    val b1 = Seq(("B", 150L, 150L, 3L), ("B", 250L, 250L, 1L))
+    Seq(b0, b1).zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("event_type", "value_c", "value_sum_c", "user_id")
+        .coalesce(1).write.parquet(s"$tmp/in/b$i.parquet")
+    }
+    graft.streaming.EventStream.orderLanding(
+      spark, s"$tmp/in/*.parquet", byName = true)
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/in/*.parquet")
+    val got = ReportStream.runRefresh(spark, src, cfg, identity,
+        s"$tmp/runs", s"$tmp/report", s"$tmp/ckpt")
+      .select("event_type", "uses", "avg_value_c", "sum_value_sum_c",
+        "user_id_list")
+      .orderBy("event_type").collect().toSeq
+    val want = Groups.section(
+        (b0 ++ b1).toDF("event_type", "value_c", "value_sum_c", "user_id"),
+        cfg)
+      .select("event_type", "uses", "avg_value_c", "sum_value_sum_c",
+        "user_id_list")
+      .orderBy("event_type").collect().toSeq
+    assert(got === want)
+    assert(got.map(_.getString(0)) === Seq("A", "B"))
+    // the runs store is per-batch idempotent and category-partitioned:
+    // batch 1 landed ONLY its own group's partition
+    val b1parts = new java.io.File(s"$tmp/runs/batch=1")
+      .listFiles().filter(_.isDirectory).map(_.getName).toSeq
+    assert(b1parts === Seq("event_type=B"))
+    // incrementality: batch 1 did not rewrite group A's section files —
+    // A's newest report file predates B's (B was re-derived in batch 1)
+    def newest(cat: String): Long = new java.io.File(s"$tmp/report/event_type=$cat")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(_.lastModified()).max
+    assert(newest("A") < newest("B"))
+  }
+
+  test("retried batch overwrites its own runs dir, not append-duplicates") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_repretry").toString
+    val rows = Seq(("A", 100L, 100L, 1L))
+      .toDF("event_type", "value_c", "value_sum_c", "user_id")
+    // simulate a retry: the same batch id lands twice (as after a
+    // foreachBatch failure before checkpoint commit)
+    rows.write.mode("overwrite").partitionBy("event_type")
+      .parquet(s"$tmp/runs/batch=7")
+    rows.write.mode("overwrite").partitionBy("event_type")
+      .parquet(s"$tmp/runs/batch=7")
+    val n = spark.read.option("basePath", s"$tmp/runs")
+      .parquet(s"$tmp/runs/batch=*").count()
+    assert(n === 1L)
+  }
+
+  test("q_report_stream equals q_report_groups on the same corpus") {
+    val cols = Seq("event_type", "uses", "avg_value_c",
+      "sum_value_sum_c", "user_id_list")
+    val got = graft.queries.StreamQueries.qReportStream(spark, sf)
+      .select(cols.map(col): _*).collect().toSeq
+    val want = graft.queries.ReportQueries.qReportGroups(spark, sf)
+      .select(cols.map(col): _*).orderBy("event_type").collect().toSeq
+    assert(got.map(_.toSeq) === want.map(_.toSeq))
+    assert(got.nonEmpty)
+  }
+}
