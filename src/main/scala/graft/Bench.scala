@@ -36,6 +36,12 @@ import org.apache.spark.sql.SparkSession
   * this also keeps sf0.001 smoke runs from re-running half the sweep
   * against sf0.1 floors). SPARK_GRAFT_ADJUDICATE=off opts out.
   *
+  * `--reset=q_a,q_b` (with named filters): drop ONLY the named
+  * entries' floors for this scale factor before the run — for
+  * entries whose SEMANTICS changed, where the old minimum measures
+  * work the entry no longer does. This run's readings re-seed them;
+  * every other floor is untouched.
+  *
   * `--rebaseline`: floors are all-time minima across heterogeneous
   * load windows, so over months they drift unreachably tight and the
   * adjudicator starts crying wolf on every fixed-cost entry. The
@@ -113,14 +119,34 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val (flags, filters) = args.partition(_.startsWith("--"))
-    val unknownFlags = flags.filterNot(Set("--rebaseline"))
+    val unknownFlags = flags
+      .filterNot(f => f == "--rebaseline" || f.startsWith("--reset="))
     require(unknownFlags.isEmpty,
       s"unknown flag(s): ${unknownFlags.mkString(", ")} — " +
-        "supported: --rebaseline")
+        "supported: --rebaseline, --reset=q_a,q_b")
     val rebaseline = flags.contains("--rebaseline")
     require(!rebaseline || filters.isEmpty,
       "--rebaseline runs the FULL suite: a filtered rebaseline would " +
         "silently drop every unnamed query's floor")
+    // --reset=q_a,q_b: drop ONLY the named entries' floors for this
+    // scale factor before the run, so this run's readings re-seed
+    // them. For entries whose SEMANTICS changed (they now do strictly
+    // more — or less — work), the all-time minimum of the old
+    // semantics is not a valid floor; a full --rebaseline would
+    // needlessly soften every other entry's record. The named entries
+    // must be part of this run's sweep, or their floor would vanish
+    // without a reading to replace it.
+    val resetNames: Set[String] = flags.find(_.startsWith("--reset="))
+      .map(_.stripPrefix("--reset=").split(",").map(_.trim)
+        .filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+    require(resetNames.isEmpty || !rebaseline,
+      "--reset is redundant under --rebaseline (which replaces the map)")
+    require(resetNames.isEmpty || filters.nonEmpty,
+      "--reset requires naming the swept queries explicitly")
+    require(resetNames.subsetOf(filters.toSet),
+      s"--reset names not in this sweep: ${
+        (resetNames -- filters.toSet).mkString(", ")}")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val nRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt)
@@ -151,7 +177,12 @@ object Bench {
       if (java.nio.file.Files.exists(floorsPath))
         parseFloors(java.nio.file.Files.readString(floorsPath))
       else Map.empty
-    val floorsForSf: Option[Map[String, Double]] = allFloors.get(sfKey)
+    if (resetNames.nonEmpty)
+      System.err.println(s"[bench] floor reset for '$sfKey': " +
+        resetNames.toSeq.sorted.mkString(", ") +
+        " (semantics changed; this run's readings re-seed)")
+    val floorsForSf: Option[Map[String, Double]] =
+      allFloors.get(sfKey).map(_ -- resetNames)
     def floorOf(name: String): Double =
       floorsForSf.fold(DefaultFloor)(
         _.getOrElse(name, DefaultFloor)) * floorScale
@@ -260,7 +291,8 @@ object Bench {
             }
           allFloors.updated(sfKey, clean ++ retained)
         } else allFloors.updated(sfKey,
-          mergeFloors(allFloors.getOrElse(sfKey, Map.empty), clean))
+          mergeFloors(allFloors.getOrElse(sfKey, Map.empty) -- resetNames,
+            clean))
       java.nio.file.Files.writeString(floorsPath, renderFloors(next))
     } catch {
       case e: Exception =>

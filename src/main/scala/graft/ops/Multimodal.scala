@@ -7,14 +7,14 @@ import graft.functions.HashParity
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata.
   *
-  * The decode step tries a REAL container parse first
-  * ([[graft.functions.ImagePackedDims]] — PNG IHDR / JPEG marker
-  * walk over the actual blob bytes; the image modality carries real
-  * PNG files from the pixel corpus, so this path fires on real
-  * data). Blobs no JVM-native parser recognizes (the audio/video
-  * modalities — this container has no codec) fall back to a
-  * clearly-marked STUB that derives deterministic dimensions from
-  * the blob's md5. Everything around the decode — the schema, the
+  * The decode step tries a REAL container parse first — PNG/JPEG
+  * dims ([[graft.functions.ImagePackedDims]]), RIFF/WAV PCM
+  * ([[graft.functions.WavInfo]]), RIFF/AVI ([[graft.functions
+  * .AviWalk]]) — and every modality's corpus rows carry real
+  * container bytes, so the real path fires across the board. Blobs
+  * no JVM-native parser recognizes fall back to a clearly-marked
+  * STUB that derives deterministic dimensions from the blob's md5
+  * (unit-tested directly). Everything around the decode — the schema, the
   * `Dataset[MediaRecord]` batch shape, partition-wise batched
   * processing (the Scala analog of `mapInPandas`), and the
   * frame-sample explode — is real Spark plumbing and tested.
@@ -34,48 +34,75 @@ object Multimodal {
       width: Int, height: Int, n_frames: Int)
 
   /** Synthesize a media table from documents: modality assigned
-    * round-robin; IMAGE rows carry a real PNG from the pixel corpus
-    * (broadcast-joined on `doc_id % NumPixelPng` — the blob is a
-    * pure function of doc_id, so the oracle replays its length and
-    * dims from the corpus formulas), audio/video rows carry the
-    * utf-8 text bytes (no codec in this container — stub path). */
+    * round-robin, EVERY modality carrying real container bytes —
+    * IMAGE rows a real PNG from the pixel corpus, AUDIO rows a real
+    * WAV, VIDEO rows a real MJPG AVI (broadcast-joined on a doc_id
+    * modulus — each blob is a pure function of doc_id, so the oracle
+    * replays length and dims from the same corpus files via
+    * read_blob). */
   def mediaFromDocuments(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     // the blobs ride along in-memory (broadcast), but the oracle
-    // re-reads the same bytes from disk — keep the corpus materialized
+    // re-reads the same bytes from disk — keep the corpora materialized
     graft.sources.MediaCorpus.ensurePixels()
+    graft.sources.MediaCorpus.ensureWavs()
+    graft.sources.MediaCorpus.ensureAvis()
     val pngs = (0 until graft.sources.MediaCorpus.NumPixelPng)
       .map(k => (k.toLong, graft.sources.MediaCorpus.pngPixelBytes(k)))
       .toDF("px_k", "png")
+    val wavs = (0 until graft.sources.MediaCorpus.NumWav)
+      .map(k => (k.toLong, graft.sources.MediaCorpus.wavBytes(k)))
+      .toDF("wv_k", "wav")
+    val avis = (0 until graft.sources.MediaCorpus.NumAvi)
+      .map(k => (k.toLong, graft.sources.MediaCorpus.aviBytes(k)))
+      .toDF("av_k", "avi")
     graft.core.Par.widen(docs)
       .select(
         col("doc_id"),
-        col("text").cast("binary").as("text_bytes"),
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
         pmod(col("doc_id"),
-          lit(graft.sources.MediaCorpus.NumPixelPng.toLong)).as("px_k"))
+          lit(graft.sources.MediaCorpus.NumPixelPng.toLong)).as("px_k"),
+        pmod(col("doc_id"),
+          lit(graft.sources.MediaCorpus.NumWav.toLong)).as("wv_k"),
+        pmod(col("doc_id"),
+          lit(graft.sources.MediaCorpus.NumAvi.toLong)).as("av_k"))
       .join(broadcast(pngs), Seq("px_k"), "left")
+      .join(broadcast(wavs), Seq("wv_k"), "left")
+      .join(broadcast(avis), Seq("av_k"), "left")
       .select(
         col("doc_id"),
         when(col("media_type") === "image", col("png"))
-          .otherwise(col("text_bytes")).as("media"),
+          .when(col("media_type") === "audio", col("wav"))
+          .otherwise(col("avi")).as("media"),
         col("media_type"))
   }
 
-  /** REAL decode attempt: parse the blob's container bytes (PNG /
-    * JPEG). None when no JVM-native parser recognizes the bytes. */
+  /** REAL decode attempt: parse the blob's container bytes — PNG/JPEG
+    * dims; else RIFF/WAV (feature triple = (sample rate, channels,
+    * PCM frames per channel)); else RIFF/AVI (dims + total frames
+    * from the headers). None when no JVM-native parser recognizes
+    * the bytes. */
   private def decodeReal(r: MediaRecord): Option[MediaFeatures] = {
-    val p = graft.functions.ImagePackedDims.packed(r.media)
-    if (p < 0L) None
-    else Some(MediaFeatures(
-      doc_id = r.doc_id,
-      media_type = r.media_type,
+    def feat(w: Int, h: Int, n: Int) = MediaFeatures(
+      doc_id = r.doc_id, media_type = r.media_type,
       byte_len = r.media.length.toLong,
-      width = (p >>> 32).toInt,
-      height = (p & 0xffffffffL).toInt,
-      n_frames = 1))
+      width = w, height = h, n_frames = n)
+    val p = graft.functions.ImagePackedDims.packed(r.media)
+    if (p >= 0L)
+      return Some(feat((p >>> 32).toInt, (p & 0xffffffffL).toInt, 1))
+    val w = graft.functions.WavInfo.parse(r.media)
+    if (w != null) {
+      val a = w.toLongArray()
+      return Some(feat(a(0).toInt, a(1).toInt, a(3).toInt))
+    }
+    val v = graft.functions.AviWalk.meta(r.media)
+    if (v == null) None
+    else {
+      val a = v.toLongArray()
+      Some(feat(a(0).toInt, a(1).toInt, a(2).toInt))
+    }
   }
 
   /** STUB decode of one media blob — the fallback for modalities with

@@ -1318,10 +1318,11 @@ object TrainingQueries extends graft.QueryModule {
 
   // ---- multimodal --------------------------------------------------------
 
-  /** Binary-column pipeline: blob -> batched stub decode -> per-type
-    * rollup. The decode stub derives dimensions from the blob's md5,
-    * so the whole pipeline — including the mapPartitions decode —
-    * replays as DuckDB SQL. */
+  /** Binary-column pipeline: blob -> batched REAL container decode
+    * (PNG / WAV / AVI per modality; the md5 stub remains only as the
+    * unrecognized-bytes fallback, unit-tested) -> per-type rollup.
+    * Every decoded value replays from the corpus files' own bytes in
+    * DuckDB. */
   def qMultimodal(s: SparkSession, dir: String): DataFrame =
     Multimodal.features(s, Tables.documents(s, dir))
       .groupBy(col("media_type"))
@@ -1333,39 +1334,88 @@ object TrainingQueries extends graft.QueryModule {
         sum(col("n_frames")).as("sum_frames"))
       .orderBy(col("media_type"))
 
-  /** DuckDB replay of [[qMultimodal]]: IMAGE rows are replayed from
-    * the pixel corpus's REAL file bytes (length + IHDR dims of
-    * `px_{doc_id % NumPixelPng}.png` via read_blob — the same bytes
-    * the engine broadcast-joined in); audio/video rows carry the
-    * utf-8 text, so `md5(text)` / `strlen(text)` reproduce the stub
-    * fallback byte-for-byte (strlen = BYTE length, matching
-    * `media.length`). */
+  /** DuckDB replay of [[qMultimodal]] — every modality from its
+    * corpus's REAL file bytes: IMAGE rows from length + IHDR dims of
+    * `px_{doc_id % NumPixelPng}.png` via read_blob, AUDIO rows from
+    * the WAV bytes (fmt fields at their canonical fmt-first offsets,
+    * frames via a recursive RIFF walk to the data chunk — the
+    * varying LIST chunk moves it per file), VIDEO rows from the AVI
+    * bytes (avih fields at their fixed pre-JUNK offsets). */
   val qMultimodalSql: String = {
     val n = graft.sources.MediaCorpus.NumPixelPng
+    val nw = graft.sources.MediaCorpus.NumWav
+    val na = graft.sources.MediaCorpus.NumAvi
     val dir = graft.sources.MediaCorpus.PixelDir
-    s"""WITH px AS (SELECT
+    val wdir = graft.sources.MediaCorpus.WavDir
+    val adir = graft.sources.MediaCorpus.AviDir
+    s"""WITH RECURSIVE px AS (SELECT
       |  CAST(regexp_extract(filename, 'px_(\\d+)\\.png', 1) AS BIGINT) AS k,
       |  CAST(octet_length(content) AS BIGINT) AS blen,
       |  CAST('0x' || substr(hex(content), 33, 8) AS BIGINT) AS pw,
       |  CAST('0x' || substr(hex(content), 41, 8) AS BIGINT) AS ph
       |  FROM read_blob('$dir/*.png')),
+      |wf AS (SELECT
+      |  CAST(regexp_extract(filename, 'au_(\\d+)\\.wav', 1) AS BIGINT) AS k,
+      |  CAST(octet_length(content) AS BIGINT) AS blen,
+      |  hex(content) AS hx
+      |  FROM read_blob('$wdir/*.wav')),
+      |wwalk(k, pos, dlen) AS (
+      |  SELECT k, 12, CAST(NULL AS BIGINT) FROM wf
+      |  UNION ALL
+      |  SELECT k, pos + 8 + sz + (sz % 2),
+      |    CASE WHEN cc = '64617461' THEN sz END
+      |  FROM (
+      |    SELECT w.k, w.pos,
+      |      CAST('0x' || substr(hx, 2*(w.pos+4)+7, 2)
+      |        || substr(hx, 2*(w.pos+4)+5, 2)
+      |        || substr(hx, 2*(w.pos+4)+3, 2)
+      |        || substr(hx, 2*(w.pos+4)+1, 2) AS BIGINT) AS sz,
+      |      substr(hx, 2*w.pos+1, 8) AS cc
+      |    FROM wwalk w JOIN wf ON wf.k = w.k
+      |    WHERE w.dlen IS NULL AND 2*(w.pos+8) <= len(wf.hx))),
+      |wv AS (
+      |  SELECT wf.k, wf.blen,
+      |    CAST('0x' || substr(hx, 2*24+7, 2) || substr(hx, 2*24+5, 2)
+      |      || substr(hx, 2*24+3, 2) || substr(hx, 2*24+1, 2) AS BIGINT)
+      |      AS rate,
+      |    CAST('0x' || substr(hx, 2*22+3, 2) || substr(hx, 2*22+1, 2)
+      |      AS BIGINT) AS ch,
+      |    wk.dlen AS dlen
+      |  FROM wf JOIN wwalk wk ON wk.k = wf.k
+      |  WHERE wk.dlen IS NOT NULL),
+      |av AS (SELECT
+      |  CAST(regexp_extract(filename, 'vid_(\\d+)\\.avi', 1) AS BIGINT) AS k,
+      |  CAST(octet_length(content) AS BIGINT) AS blen,
+      |  CAST('0x' || substr(hex(content), 135, 2)
+      |    || substr(hex(content), 133, 2) || substr(hex(content), 131, 2)
+      |    || substr(hex(content), 129, 2) AS BIGINT) AS vw,
+      |  CAST('0x' || substr(hex(content), 143, 2)
+      |    || substr(hex(content), 141, 2) || substr(hex(content), 139, 2)
+      |    || substr(hex(content), 137, 2) AS BIGINT) AS vh,
+      |  CAST('0x' || substr(hex(content), 103, 2)
+      |    || substr(hex(content), 101, 2) || substr(hex(content), 99, 2)
+      |    || substr(hex(content), 97, 2) AS BIGINT) AS vn
+      |  FROM read_blob('$adir/*.avi')),
       |m AS (SELECT doc_id,
       |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
       |    WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-      |  strlen(text) AS tlen, md5(text) AS hx,
-      |  doc_id % $n AS k FROM documents),
+      |  doc_id % $n AS k, doc_id % $nw AS wk, doc_id % $na AS ak
+      |  FROM documents),
       |f AS (SELECT doc_id, media_type,
-      |  CASE WHEN media_type = 'image' THEN px.blen ELSE tlen END AS byte_len,
+      |  CASE WHEN media_type = 'image' THEN px.blen
+      |    WHEN media_type = 'audio' THEN wv.blen
+      |    ELSE av.blen END AS byte_len,
       |  CASE WHEN media_type = 'image' THEN px.pw
-      |    ELSE CAST('0x' || substr(hx, 1, 7) AS BIGINT) % 1920 + 1
-      |    END AS width,
+      |    WHEN media_type = 'audio' THEN wv.rate
+      |    ELSE av.vw END AS width,
       |  CASE WHEN media_type = 'image' THEN px.ph
-      |    ELSE CAST('0x' || substr(hx, 8, 7) AS BIGINT) % 1080 + 1
-      |    END AS height,
-      |  CASE WHEN media_type = 'video'
-      |    THEN CAST('0x' || substr(hx, 15, 7) AS BIGINT) % 240 + 1
+      |    WHEN media_type = 'audio' THEN wv.ch
+      |    ELSE av.vh END AS height,
+      |  CASE WHEN media_type = 'video' THEN av.vn
+      |    WHEN media_type = 'audio' THEN wv.dlen // (wv.ch * 2)
       |    ELSE 1 END AS n_frames
-      |  FROM m JOIN px ON px.k = m.k)
+      |  FROM m JOIN px ON px.k = m.k JOIN wv ON wv.k = m.wk
+      |    JOIN av ON av.k = m.ak)
       |SELECT media_type, count(*) AS n_docs,
       |  CAST(sum(byte_len) AS BIGINT) AS sum_bytes,
       |  CAST(min(width) AS BIGINT) AS min_width,
@@ -1374,18 +1424,18 @@ object TrainingQueries extends graft.QueryModule {
       |FROM f GROUP BY media_type ORDER BY media_type""".stripMargin
   }
 
-  /** The video arm end-to-end: stub decode -> aspect-preserving
-    * resize plan (336x336, integer cross-multiply — the production
-    * arithmetic, only pixels are stubbed) -> every-24th frame
-    * sampling fan-out. One row per (video doc, sampled frame) with
-    * the planned output dims — the work list a frame-extraction
-    * cluster job consumes. */
+  /** The video arm end-to-end: REAL AVI header decode (dims + total
+    * frames from the container the video rows carry) -> aspect-
+    * preserving resize plan (336x336, integer cross-multiply) ->
+    * every-2nd frame sampling fan-out (the clips are 3-6 frames).
+    * One row per (video doc, sampled frame) with the planned output
+    * dims — the work list a frame-extraction cluster job consumes. */
   def qMediaFrames(s: SparkSession, dir: String): DataFrame =
     Multimodal.frameSample(
         Multimodal.resizePlan(
           Multimodal.features(s, Tables.documents(s, dir)),
           maxW = 336, maxH = 336),
-        everyN = 24)
+        everyN = 2)
       .select(col("doc_id"), col("frame_idx"),
         col("width").cast("long").as("width"),
         col("height").cast("long").as("height"),
@@ -1393,17 +1443,28 @@ object TrainingQueries extends graft.QueryModule {
         col("out_h").cast("long").as("out_h"))
       .orderBy(col("doc_id"), col("frame_idx"))
 
-  /** DuckDB replay of [[qMediaFrames]]: same md5 stub decode as
-    * [[qMultimodalSql]], the integer resize cross-multiply, and a
-    * correlated generate_series for the frame fan-out. */
-  val qMediaFramesSql: String =
-    """WITH m AS (SELECT doc_id, md5(text) AS hx FROM documents
+  /** DuckDB replay of [[qMediaFrames]]: video dims and frame counts
+    * re-read from the AVI corpus files' real bytes (avih fields at
+    * their fixed pre-JUNK offsets: the hdrl layout is constant, only
+    * the later JUNK chunk varies), the integer resize
+    * cross-multiply, and a correlated generate_series for the frame
+    * fan-out. */
+  val qMediaFramesSql: String = {
+    val nAvi = graft.sources.MediaCorpus.NumAvi
+    val dir = graft.sources.MediaCorpus.AviDir
+    def le32(off: Int) =
+      s"CAST('0x' || substr(hx, ${2 * off + 7}, 2) || substr(hx, ${2 * off + 5}, 2)" +
+        s" || substr(hx, ${2 * off + 3}, 2) || substr(hx, ${2 * off + 1}, 2) AS BIGINT)"
+    s"""WITH av AS (SELECT
+      |  CAST(regexp_extract(filename, 'vid_(\\d+)\\.avi', 1) AS BIGINT) AS k,
+      |  ${le32(64)} AS width,
+      |  ${le32(68)} AS height,
+      |  ${le32(48)} AS n_frames
+      |  FROM (SELECT filename, hex(content) AS hx
+      |        FROM read_blob('$dir/*.avi'))),
+      |f AS (SELECT doc_id, width, height, n_frames
+      |  FROM documents d JOIN av ON av.k = d.doc_id % $nAvi
       |  WHERE CAST(doc_id % 3 AS INT) = 2),
-      |f AS (SELECT doc_id,
-      |  CAST('0x' || substr(hx, 1, 7) AS BIGINT) % 1920 + 1 AS width,
-      |  CAST('0x' || substr(hx, 8, 7) AS BIGINT) % 1080 + 1 AS height,
-      |  CAST('0x' || substr(hx, 15, 7) AS BIGINT) % 240 + 1 AS n_frames
-      |  FROM m),
       |r AS (SELECT doc_id, width, height, n_frames,
       |  CASE WHEN width <= 336 AND height <= 336 THEN width
       |    WHEN width * 336 >= height * 336 THEN 336
@@ -1414,11 +1475,12 @@ object TrainingQueries extends graft.QueryModule {
       |    ELSE 336 END AS out_h
       |  FROM f)
       |SELECT doc_id,
-      |  CAST(unnest(generate_series(0, n_frames - 1, 24)) AS BIGINT)
+      |  CAST(unnest(generate_series(0, n_frames - 1, 2)) AS BIGINT)
       |    AS frame_idx,
       |  width, height, out_w, out_h
       |FROM r
       |ORDER BY doc_id, frame_idx""".stripMargin
+  }
 
   /** REAL-BYTES media ingest: a deterministic on-disk PNG/JPEG corpus
     * ([[graft.sources.MediaCorpus]]) read through Spark's `binaryFile`
@@ -1628,6 +1690,236 @@ object TrainingQueries extends graft.QueryModule {
        |FROM meta m JOIN osum o USING (file_name)
        |  JOIN rsum r USING (file_name)
        |ORDER BY m.file_name""".stripMargin
+  }
+
+  /** REAL audio ingest — the WAV twin of [[qMediaPixels]]: a
+    * deterministic RIFF/WAV corpus (PCM s16le, varying rate/channels/
+    * length, a varying LIST chunk so the data offset moves) parsed by
+    * the native [[graft.functions.WavExprs.wavInfo]] expression (real
+    * RIFF chunk walk + one pass over the interleaved frames), then
+    * the audio screens a training ingest runs before decode-heavy
+    * work: duration, 25ms/10ms framing count (the speech-feature
+    * window arithmetic), full-scale loudness ppm, clipping count.
+    * All integer-derived; the DuckDB oracle re-walks the chunks and
+    * re-reads every little-endian sample from the same bytes. */
+  def qWavAudio(s: SparkSession, dir: String): DataFrame = {
+    val wavDir = graft.sources.MediaCorpus.ensureWavs()
+    s.read.format("binaryFile").load(wavDir)
+      .select(
+        regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"),
+        graft.functions.WavExprs.wavInfo(col("content")).as("w"))
+      .select(
+        col("file_name"),
+        element_at(col("w"), 1).as("sample_rate"),
+        element_at(col("w"), 2).as("channels"),
+        element_at(col("w"), 4).as("n_samples"),
+        element_at(col("w"), 5).as("sum_abs"),
+        element_at(col("w"), 6).as("max_abs"),
+        element_at(col("w"), 7).as("n_clipped"))
+      .withColumn("duration_ms",
+        expr("n_samples * 1000 DIV sample_rate"))
+      .withColumn("n_win25", expr(
+        """CASE WHEN n_samples >= sample_rate * 25 DIV 1000
+          |THEN 1 + (n_samples - sample_rate * 25 DIV 1000)
+          |         DIV (sample_rate * 10 DIV 1000)
+          |ELSE 0 END""".stripMargin))
+      .withColumn("loud_ppm",
+        expr("sum_abs * 1000000 DIV (n_samples * channels * 32768)"))
+      .orderBy(col("file_name"))
+  }
+
+  /** DuckDB replay of [[qWavAudio]] from the file bytes alone: a
+    * recursive RIFF chunk walk to the `data` offset (little-endian
+    * sizes, odd-chunk padding honored; the varying LIST chunk rules
+    * out fixed offsets), fmt fields at their canonical fmt-first
+    * offsets, every s16le sample re-read from hex with the sign
+    * fold, then the identical integer duration/framing/loudness
+    * arithmetic. */
+  val qWavAudioSql: String = {
+    val dir = graft.sources.MediaCorpus.WavDir
+    // little-endian u32 at byte offset `off` (0-based) of hex string hx
+    def le32(off: String) =
+      s"CAST('0x' || substr(hx, 2*($off)+7, 2) || substr(hx, 2*($off)+5, 2)" +
+        s" || substr(hx, 2*($off)+3, 2) || substr(hx, 2*($off)+1, 2) AS BIGINT)"
+    def le16(off: String) =
+      s"CAST('0x' || substr(hx, 2*($off)+3, 2) || substr(hx, 2*($off)+1, 2) AS BIGINT)"
+    s"""WITH RECURSIVE f AS (
+       |  SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name,
+       |    hex(content) AS hx
+       |  FROM read_blob('$dir/*.wav')),
+       |walk(file_name, pos, doff, dlen) AS (
+       |  SELECT file_name, 12, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+       |  FROM f
+       |  UNION ALL
+       |  SELECT file_name, pos + 8 + sz + (sz % 2),
+       |    CASE WHEN cc = '64617461' THEN pos + 8 END,
+       |    CASE WHEN cc = '64617461' THEN sz END
+       |  FROM (
+       |    SELECT w.file_name, w.pos, ${le32("w.pos + 4")} AS sz,
+       |      substr(hx, 2*w.pos+1, 8) AS cc
+       |    FROM walk w JOIN f ON f.file_name = w.file_name
+       |    WHERE w.doff IS NULL AND 2*(w.pos+8) <= len(f.hx))),
+       |meta AS (
+       |  SELECT f.file_name, f.hx, wk.doff,
+       |    ${le32("24")} AS sample_rate,
+       |    ${le16("22")} AS channels,
+       |    wk.dlen // (${le16("22")} * 2) AS n_samples
+       |  FROM f JOIN walk wk ON wk.file_name = f.file_name
+       |  WHERE wk.doff IS NOT NULL),
+       |smp AS (
+       |  SELECT file_name, sample_rate, channels, n_samples,
+       |    CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s
+       |  FROM (
+       |    SELECT m.file_name, m.sample_rate, m.channels, m.n_samples,
+       |      ${le16("m.doff + 2*u.k")} AS v
+       |    FROM meta m,
+       |      UNNEST(generate_series(0, m.n_samples * m.channels - 1)) AS u(k))),
+       |st AS (
+       |  SELECT file_name, sample_rate, channels, n_samples,
+       |    CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+       |    CAST(max(abs(s)) AS BIGINT) AS max_abs,
+       |    CAST(sum(CASE WHEN abs(s) >= 32000 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_clipped
+       |  FROM smp GROUP BY 1, 2, 3, 4)
+       |SELECT file_name, sample_rate, channels, n_samples,
+       |  sum_abs, max_abs, n_clipped,
+       |  n_samples * 1000 // sample_rate AS duration_ms,
+       |  CASE WHEN n_samples >= sample_rate * 25 // 1000
+       |    THEN 1 + (n_samples - sample_rate * 25 // 1000)
+       |             // (sample_rate * 10 // 1000)
+       |    ELSE 0 END AS n_win25,
+       |  sum_abs * 1000000 // (n_samples * channels * 32768) AS loud_ppm
+       |FROM st ORDER BY file_name""".stripMargin
+  }
+
+  /** REAL video-container ingest — the AVI member of the real-bytes
+    * family: a deterministic RIFF/AVI corpus (MJPG: every frame a
+    * complete JPEG with per-frame-varying COM padding; a varying
+    * JUNK chunk moves the movi list) parsed by the native
+    * [[graft.functions.AviExprs]] walk (LIST-descending chunk walk →
+    * avih/strh timing+dims, movi frame extents), frames sliced with
+    * a binary substring (the tar-shard pattern) and each SAMPLED
+    * frame (every 2nd — the frame-sample fan-out on real bytes)
+    * re-parsed by the SAME JPEG marker walk the flat corpus uses,
+    * plus an md5-over-hex content gate. The DuckDB oracle re-walks
+    * the container AND every sampled frame's markers from the same
+    * bytes. */
+  def qAviVideo(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{AviExprs, MediaExprs}
+    val aviDir = graft.sources.MediaCorpus.ensureAvis()
+    s.read.format("binaryFile").load(aviDir)
+      .select(
+        regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"),
+        AviExprs.aviMeta(col("content")).as("m"),
+        explode(AviExprs.aviFrames(col("content"))).as("f"),
+        col("content"))
+      .filter(pmod(col("f.idx"), lit(2)) === 0) // sample every 2nd frame
+      .select(
+        col("file_name"),
+        element_at(col("m"), 1).as("width"),
+        element_at(col("m"), 2).as("height"),
+        element_at(col("m"), 3).as("n_frames"),
+        expr("element_at(m, 4) DIV element_at(m, 5)").as("fps"),
+        expr("element_at(m, 3) * 1000 * element_at(m, 5) DIV element_at(m, 4)")
+          .as("duration_ms"),
+        col("f.idx").as("frame_idx"),
+        col("f.size").as("frame_bytes"),
+        expr("substring(content, CAST(f.offset + 1 AS INT), CAST(f.size AS INT))")
+          .as("fb"))
+      .withColumn("p", MediaExprs.imageDims(col("fb")))
+      .select(col("file_name"), col("width"), col("height"),
+        col("n_frames"), col("fps"), col("duration_ms"),
+        col("frame_idx"), col("frame_bytes"),
+        MediaExprs.width(col("p")).as("frame_w"),
+        MediaExprs.height(col("p")).as("frame_h"),
+        md5(hex(col("fb"))).as("frame_md5"))
+      .orderBy(col("file_name"), col("frame_idx"))
+  }
+
+  /** DuckDB replay of [[qAviVideo]] from the file bytes alone: a
+    * recursive LIST-descending RIFF chunk walk (little-endian sizes,
+    * odd-chunk padding), avih/strh fields re-read per spec offsets
+    * inside their chunks, per-frame JPEG marker walk for the sampled
+    * frames' dims, and md5 over the identical uppercase hex of the
+    * sliced frame bytes. */
+  val qAviVideoSql: String = {
+    val dir = graft.sources.MediaCorpus.AviDir
+    def le32(off: String) =
+      s"CAST('0x' || substr(hx, 2*($off)+7, 2) || substr(hx, 2*($off)+5, 2)" +
+        s" || substr(hx, 2*($off)+3, 2) || substr(hx, 2*($off)+1, 2) AS BIGINT)"
+    s"""WITH RECURSIVE f AS (
+       |  SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name,
+       |    hex(content) AS hx
+       |  FROM read_blob('$dir/*.avi')),
+       |walk(file_name, pos, cc, off, sz) AS (
+       |  SELECT file_name, 12, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       |    CAST(NULL AS BIGINT) FROM f
+       |  UNION ALL
+       |  SELECT file_name,
+       |    CASE WHEN c = '4C495354' THEN pos + 12
+       |      ELSE pos + 8 + s + (s % 2) END,
+       |    c, pos + 8, s
+       |  FROM (
+       |    SELECT w.file_name, w.pos, substr(hx, 2*w.pos+1, 8) AS c,
+       |      ${le32("w.pos + 4")} AS s
+       |    FROM walk w JOIN f ON f.file_name = w.file_name
+       |    WHERE 2*(w.pos+8) <= len(f.hx))),
+       |avih AS (
+       |  SELECT wk.file_name,
+       |    ${le32("wk.off + 32")} AS width,
+       |    ${le32("wk.off + 36")} AS height,
+       |    ${le32("wk.off + 16")} AS n_frames
+       |  FROM walk wk JOIN f ON f.file_name = wk.file_name
+       |  WHERE wk.cc = '61766968'),
+       |strh AS (
+       |  SELECT wk.file_name,
+       |    ${le32("wk.off + 24")} AS rate,
+       |    ${le32("wk.off + 20")} AS scale
+       |  FROM walk wk JOIN f ON f.file_name = wk.file_name
+       |  WHERE wk.cc = '73747268'
+       |    AND substr(f.hx, 2*wk.off+1, 8) = '76696473'),
+       |fr AS (
+       |  SELECT file_name, off, sz,
+       |    row_number() OVER (PARTITION BY file_name ORDER BY off) - 1
+       |      AS frame_idx
+       |  FROM walk WHERE cc IN ('30306463', '30306462')),
+       |sampled AS (SELECT * FROM fr WHERE frame_idx % 2 = 0),
+       |jwalk(file_name, frame_idx, fin, pos, w, h) AS (
+       |  SELECT s.file_name, s.frame_idx, s.off + s.sz, s.off + 2,
+       |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+       |  FROM sampled s
+       |  UNION ALL
+       |  SELECT file_name, frame_idx, fin,
+       |    CASE WHEN sof THEN CAST(-1 AS BIGINT)
+       |      ELSE pos + 2 + CAST('0x' || substr(hx, 2*pos+5, 4) AS BIGINT)
+       |      END,
+       |    CASE WHEN sof
+       |      THEN CAST('0x' || substr(hx, 2*pos+15, 4) AS BIGINT) END,
+       |    CASE WHEN sof
+       |      THEN CAST('0x' || substr(hx, 2*pos+11, 4) AS BIGINT) END
+       |  FROM (
+       |    SELECT j.file_name, j.frame_idx, j.fin, j.pos, f.hx,
+       |      substr(f.hx, 2*j.pos+1, 2) = 'FF'
+       |      AND substr(f.hx, 2*j.pos+3, 2) BETWEEN 'C0' AND 'CF'
+       |      AND substr(f.hx, 2*j.pos+3, 2) NOT IN ('C4', 'C8', 'CC') AS sof
+       |    FROM jwalk j JOIN f ON f.file_name = j.file_name
+       |    WHERE j.pos >= 0 AND j.pos + 4 <= j.fin)),
+       |fdims AS (
+       |  SELECT file_name, frame_idx, w AS frame_w, h AS frame_h
+       |  FROM jwalk WHERE w IS NOT NULL)
+       |SELECT s.file_name, a.width, a.height, a.n_frames,
+       |  h.rate // h.scale AS fps,
+       |  a.n_frames * 1000 * h.scale // h.rate AS duration_ms,
+       |  CAST(s.frame_idx AS BIGINT) AS frame_idx,
+       |  s.sz AS frame_bytes, d.frame_w, d.frame_h,
+       |  md5(substr(f.hx, 2*s.off+1, CAST(2*s.sz AS INT))) AS frame_md5
+       |FROM sampled s
+       |  JOIN f ON f.file_name = s.file_name
+       |  JOIN avih a ON a.file_name = s.file_name
+       |  JOIN strh h ON h.file_name = s.file_name
+       |  JOIN fdims d ON d.file_name = s.file_name
+       |    AND d.frame_idx = s.frame_idx
+       |ORDER BY s.file_name, frame_idx""".stripMargin
   }
 
   /** Tar-shard (WebDataset-layout) multimodal ingest: a directory of
@@ -1990,6 +2282,8 @@ object TrainingQueries extends graft.QueryModule {
     "q_media_frames" -> (qMediaFrames _),
     "q_media_meta" -> (qMediaMeta _),
     "q_media_pixels" -> (qMediaPixels _),
+    "q_wav_audio" -> (qWavAudio _),
+    "q_avi_video" -> (qAviVideo _),
     "q_tar_shards" -> (qTarShards _))
 
   def oracleSql: Map[String, String] = Map(
@@ -2029,6 +2323,8 @@ object TrainingQueries extends graft.QueryModule {
     "q_media_frames" -> qMediaFramesSql,
     "q_media_meta" -> qMediaMetaSql,
     "q_media_pixels" -> qMediaPixelsSql,
+    "q_wav_audio" -> qWavAudioSql,
+    "q_avi_video" -> qAviVideoSql,
     "q_tar_shards" -> qTarShardsSql) ++
     ivfOracle ++ pqOracle ++ semdedupOracle ++ qcOracle
 }

@@ -44,6 +44,15 @@ class BenchSpec extends AnyFunSuite {
     assert(merged === Map("q_a" -> 1.1, "q_b" -> 0.9, "q_new" -> 0.7))
   }
 
+  test("a floor reset drops only the named entry before the min-merge") {
+    // --reset semantics: the reset name's old minimum must NOT cap
+    // this run's (higher) reading; every other floor min-merges
+    val old = Map("q_changed" -> 0.4, "q_other" -> 1.0)
+    val merged = Bench.mergeFloors(old -- Set("q_changed"),
+      Map("q_changed" -> 0.9, "q_other" -> 1.2))
+    assert(merged === Map("q_changed" -> 0.9, "q_other" -> 1.0))
+  }
+
   test("floors JSON round-trips") {
     val floors = Map(
       "sf0.1" -> Map("q_a" -> 1.6, "q_b" -> 0.95),

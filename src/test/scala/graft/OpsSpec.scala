@@ -366,6 +366,35 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getLong(2) ===
         graft.sources.MediaCorpus.pngPixelBytes(k).length.toLong)
     }
+    // the audio modality is REAL-decoded too: (width, height,
+    // n_frames) = (sample rate, channels, PCM frames) from the WAV
+    f1.filter(_.getString(1) == "audio").foreach { r =>
+      val k = (r.getLong(0) % graft.sources.MediaCorpus.NumWav).toInt
+      assert(r.getInt(3) === graft.sources.MediaCorpus.wavRate(k))
+      assert(r.getInt(4) === graft.sources.MediaCorpus.wavChannels(k))
+      assert(r.getInt(5) === graft.sources.MediaCorpus.wavSamples(k))
+    }
+    // and the video modality: dims + total frames from the AVI headers
+    f1.filter(_.getString(1) == "video").foreach { r =>
+      val k = (r.getLong(0) % graft.sources.MediaCorpus.NumAvi).toInt
+      val (w, h) = graft.sources.MediaCorpus.aviDims(k)
+      assert(r.getInt(3) === w && r.getInt(4) === h)
+      assert(r.getInt(5) === graft.sources.MediaCorpus.aviFrameCount(k))
+    }
+  }
+
+  test("unrecognized bytes fall back to the documented md5 stub") {
+    import spark.implicits._
+    val blob = "no container recognizes this".getBytes
+    val ds = Seq(Multimodal.MediaRecord(9L, blob, "audio")).toDS()
+    val f = Multimodal.decodeBatch(ds).collect().head
+    // stub ranges: width 1..1920, height 1..1080; deterministic
+    assert(f.width >= 1 && f.width <= 1920)
+    assert(f.height >= 1 && f.height <= 1080)
+    assert(f.n_frames === 1)
+    assert(f.byte_len === blob.length.toLong)
+    val again = Multimodal.decodeBatch(ds).collect().head
+    assert(f === again)
   }
   test("frame sampling explodes only videos, carrying feature columns") {
     val f = Multimodal.features(spark, Tables.documents(spark, sf))

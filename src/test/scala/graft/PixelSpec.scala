@@ -25,66 +25,9 @@ class PixelSpec extends SparkSpec {
     }
   }
 
-  /** Build a real PNG with Deflater-compressed IDAT and the given
-    * per-row filter types, filtering the raw pixels per RFC 2083 —
-    * proves the decoder handles generic zlib streams and all five
-    * filters, not just the corpus's stored/filter-0 shape. */
   private def filteredPng(w: Int, h: Int, pixels: Array[Byte],
-      filters: Seq[Int]): Array[Byte] = {
-    require(filters.length == h && pixels.length == w * h * 3)
-    val bpp = 3
-    val rowLen = 3 * w
-    val raw = new Array[Byte](h * (1 + rowLen))
-    for (y <- 0 until h) {
-      val ft = filters(y)
-      raw(y * (1 + rowLen)) = ft.toByte
-      for (i <- 0 until rowLen) {
-        val cur = pixels(y * rowLen + i) & 0xff
-        val left = if (i >= bpp) pixels(y * rowLen + i - bpp) & 0xff else 0
-        val up = if (y > 0) pixels((y - 1) * rowLen + i) & 0xff else 0
-        val ul = if (y > 0 && i >= bpp) pixels((y - 1) * rowLen + i - bpp) & 0xff else 0
-        val enc = ft match {
-          case 0 => cur
-          case 1 => cur - left
-          case 2 => cur - up
-          case 3 => cur - ((left + up) >> 1)
-          case 4 =>
-            val p = left + up - ul
-            val pa = math.abs(p - left); val pb = math.abs(p - up)
-            val pc = math.abs(p - ul)
-            val pred = if (pa <= pb && pa <= pc) left
-              else if (pb <= pc) up else ul
-            cur - pred
-        }
-        raw(y * (1 + rowLen) + 1 + i) = enc.toByte
-      }
-    }
-    val out = new java.io.ByteArrayOutputStream()
-    val d = new java.io.DataOutputStream(out)
-    d.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
-    def chunk(typ: String, payload: Array[Byte]): Unit = {
-      d.writeInt(payload.length)
-      val body = typ.getBytes("US-ASCII") ++ payload
-      d.write(body)
-      val crc = new java.util.zip.CRC32(); crc.update(body)
-      d.writeInt(crc.getValue.toInt)
-    }
-    val ihdr = new java.io.ByteArrayOutputStream()
-    val hd = new java.io.DataOutputStream(ihdr)
-    hd.writeInt(w); hd.writeInt(h)
-    hd.write(8); hd.write(2); hd.write(0); hd.write(0); hd.write(0)
-    chunk("IHDR", ihdr.toByteArray)
-    val defl = new java.util.zip.Deflater()
-    defl.setInput(raw); defl.finish()
-    val buf = new Array[Byte](raw.length + 64)
-    val n = defl.deflate(buf); defl.end()
-    // split the stream across TWO IDAT chunks: decoders must
-    // concatenate payloads before inflating (RFC 2083 §4.1.3)
-    chunk("IDAT", buf.slice(0, n / 2))
-    chunk("IDAT", buf.slice(n / 2, n))
-    chunk("IEND", Array.emptyByteArray)
-    out.toByteArray
-  }
+      filters: Seq[Int]): Array[Byte] =
+    PngTestVectors.filteredPng(w, h, pixels, filters)
 
   test("all five scanline filters + multi-IDAT Deflater stream round-trip") {
     val w = 5; val h = 5
@@ -182,5 +125,71 @@ class PixelSpec extends SparkSpec {
       val (w, h) = MediaCorpus.pixelDims(i); w.toLong * h * 3
     }.sum
     assert(n === want)
+  }
+}
+
+/** Test-side PNG encoder: real Deflater IDAT with per-row filter
+  * types encoded per RFC 2083 — lets specs and property suites prove
+  * the decoder on generic zlib streams and all five filters, not
+  * just the corpus's stored/filter-0 shape. */
+object PngTestVectors {
+
+  def filteredPng(w: Int, h: Int, pixels: Array[Byte],
+      filters: Seq[Int], nIdat: Int = 2): Array[Byte] = {
+    require(filters.length == h && pixels.length == w * h * 3)
+    val bpp = 3
+    val rowLen = 3 * w
+    val raw = new Array[Byte](h * (1 + rowLen))
+    for (y <- 0 until h) {
+      val ft = filters(y)
+      raw(y * (1 + rowLen)) = ft.toByte
+      for (i <- 0 until rowLen) {
+        val cur = pixels(y * rowLen + i) & 0xff
+        val left = if (i >= bpp) pixels(y * rowLen + i - bpp) & 0xff else 0
+        val up = if (y > 0) pixels((y - 1) * rowLen + i) & 0xff else 0
+        val ul = if (y > 0 && i >= bpp) pixels((y - 1) * rowLen + i - bpp) & 0xff else 0
+        val enc = ft match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - ((left + up) >> 1)
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            val pred = if (pa <= pb && pa <= pc) left
+              else if (pb <= pc) up else ul
+            cur - pred
+        }
+        raw(y * (1 + rowLen) + 1 + i) = enc.toByte
+      }
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(out)
+    d.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    def chunk(typ: String, payload: Array[Byte]): Unit = {
+      d.writeInt(payload.length)
+      val body = typ.getBytes("US-ASCII") ++ payload
+      d.write(body)
+      val crc = new java.util.zip.CRC32(); crc.update(body)
+      d.writeInt(crc.getValue.toInt)
+    }
+    val ihdr = new java.io.ByteArrayOutputStream()
+    val hd = new java.io.DataOutputStream(ihdr)
+    hd.writeInt(w); hd.writeInt(h)
+    hd.write(8); hd.write(2); hd.write(0); hd.write(0); hd.write(0)
+    chunk("IHDR", ihdr.toByteArray)
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val n = defl.deflate(buf); defl.end()
+    // split the stream across several IDAT chunks: decoders must
+    // concatenate payloads before inflating (RFC 2083 §4.1.3)
+    val cuts = (0 to nIdat).map(j => j * n / nIdat)
+    cuts.sliding(2).foreach { case Seq(a, b) =>
+      chunk("IDAT", buf.slice(a, b))
+    }
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
   }
 }

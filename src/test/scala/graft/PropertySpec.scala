@@ -504,3 +504,92 @@ object BudgetProps extends SparkProperties("budget") {
       got == want
     }
 }
+
+object MediaBytesProps extends SparkProperties("mediabytes") {
+  // pure-JVM properties (no Spark jobs), so samples are cheap —
+  // raise the count above the Spark-backed suites' 8
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(40)
+
+  private val genPng = for {
+    w <- Gen.choose(1, 12)
+    h <- Gen.choose(1, 10)
+    pixels <- Gen.containerOfN[Array, Byte](w * h * 3,
+      Gen.choose(Byte.MinValue, Byte.MaxValue))
+    filters <- Gen.listOfN(h, Gen.choose(0, 4))
+    nIdat <- Gen.choose(1, 4)
+  } yield (w, h, pixels, filters, nIdat)
+
+  property("PNG decode inverts ANY filtered Deflater encoding") =
+    Prop.forAll(genPng) { case (w, h, pixels, filters, nIdat) =>
+      val png = PngTestVectors.filteredPng(w, h, pixels, filters, nIdat)
+      val got = graft.functions.PngRgb.decode(png)
+      got != null && java.util.Arrays.equals(got, pixels)
+    }
+
+  property("resize to the same dims is the identity; square crop is the identity") =
+    Prop.forAll(Gen.choose(1, 9), Gen.choose(1, 9)) { (w, h) =>
+      val b = Array.tabulate(w * h * 3)(i => ((i * 41 + 3) % 256).toByte)
+      val same = graft.functions.RgbOps.resize(b, w, h, w, h)
+      val sq = Array.tabulate(w * w * 3)(i => ((i * 17 + 5) % 256).toByte)
+      java.util.Arrays.equals(same, b) &&
+        java.util.Arrays.equals(
+          graft.functions.RgbOps.centerCrop(sq, w, w), sq)
+    }
+
+  property("rgb stats equal the brute-force fold") =
+    Prop.forAll(Gen.choose(1, 60)) { n =>
+      val b = Array.tabulate(n * 3)(i => ((i * i * 7 + 13) % 256).toByte)
+      val st = graft.functions.RgbOps.stats(b).toLongArray()
+      val px = b.grouped(3).map(p =>
+        (p(0) & 0xff, p(1) & 0xff, p(2) & 0xff)).toSeq
+      val lums = px.map { case (r, g, bl) => (299 * r + 587 * g + 114 * bl) / 1000 }
+      st(0) == px.map(_._1.toLong).sum &&
+        st(1) == px.map(_._2.toLong).sum &&
+        st(2) == px.map(_._3.toLong).sum &&
+        st(3) == n.toLong &&
+        (0 to 3).forall(k => st(4 + k) == lums.count(_ / 64 == k).toLong)
+    }
+
+  private val genWav = for {
+    rate <- Gen.oneOf(8000, 16000, 22050, 44100)
+    ch <- Gen.choose(1, 3)
+    n <- Gen.choose(1, 400)
+    samples <- Gen.containerOfN[Array, Short](n * ch,
+      Gen.choose(Short.MinValue, Short.MaxValue))
+    junk <- Gen.choose(0, 10)
+  } yield (rate, ch, n, samples, junk)
+
+  /** Generic test-side WAV writer (arbitrary samples, `junk` extra
+    * even-sized chunks before data). */
+  private def wav(rate: Int, ch: Int, samples: Array[Short],
+      junkChunks: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def u32(v: Int): Unit = { u16(v & 0xffff); u16((v >>> 16) & 0xffff) }
+    def cc(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    val dataLen = samples.length * 2
+    val junkLen = junkChunks * (8 + 6)
+    cc("RIFF"); u32(4 + 24 + junkLen + 8 + dataLen); cc("WAVE")
+    cc("fmt "); u32(16); u16(1); u16(ch); u32(rate)
+    u32(rate * ch * 2); u16(ch * 2); u16(16)
+    (0 until junkChunks).foreach { _ =>
+      cc("JUNK"); u32(6); cc("filler")
+    }
+    cc("data"); u32(dataLen)
+    samples.foreach(s => u16(s & 0xffff))
+    out.toByteArray
+  }
+
+  property("WAV parse recovers exact PCM statistics for ANY sample content") =
+    Prop.forAll(genWav) { case (rate, ch, n, samples, junk) =>
+      val got = graft.functions.WavInfo.parse(wav(rate, ch, samples, junk))
+      val abs = samples.map(s => math.abs(s.toInt).toLong)
+      got != null && {
+        val a = got.toLongArray()
+        a(0) == rate.toLong && a(1) == ch.toLong && a(2) == 16L &&
+          a(3) == n.toLong && a(4) == abs.sum && a(5) == abs.max &&
+          a(6) == abs.count(_ >= 32000).toLong
+      }
+    }
+}
