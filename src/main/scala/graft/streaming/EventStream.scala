@@ -675,6 +675,74 @@ object EventStream {
     sessionizeStateful(s, stream, gapUs, assumeSorted = true, evictAfter)
   }
 
+  case class BufferedSessionState(
+      pending: Seq[Ev], sessionIdx: Long, lastTsUs: Long)
+
+  /** LATE-TOLERANT sessionizer — the correcting variant for the
+    * ordering-contract boundary `SessionOrderSpec` pins: per-key
+    * events BUFFER in state until the event-time watermark passes
+    * them (no earlier event can still arrive within the declared
+    * `delay`), then drain in exact (ts_us, event_id) order through
+    * the gap logic. Cross-batch disorder up to `delay` — including
+    * interleaved per-key file time ranges, which defeat any
+    * file-level ordering — now yields the batch-twin answer; only
+    * disorder BEYOND the declared tolerance degrades, and still
+    * one-sided: the operator's late-input filter DROPS rows at or
+    * below the current watermark before this function sees them
+    * (the same drop the stream-stream join documents), so a
+    * too-late event vanishes rather than corrupting sessions
+    * already emitted.
+    *
+    * Costs vs [[sessionizeStatefulSorted]]: state holds up to one
+    * watermark-horizon of events per key (bounded by `delay` x
+    * arrival rate — the price of reordering), emission lags the
+    * watermark, and a drain's tail past the final watermark stays
+    * buffered until a later arrival advances it (continuous
+    * pipelines always have one; bounded replays append a flush
+    * record, as the spec does). The sorted variant remains the right
+    * plan when arrival order is trusted. */
+  def sessionizeBuffered(
+      s: SparkSession, stream: DataFrame, gapUs: Long,
+      delay: String): DataFrame = {
+    import s.implicits._
+    val delayMs = intervalMs(delay)
+    stream.withWatermark("tsT", delay)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("tsT"))
+      .groupBy(col("user_id")).as[Long, Ev]
+      .flatMapGroupsWithState[BufferedSessionState, SessionAssign](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[BufferedSessionState]) =>
+          val st0 = state.getOption
+            .getOrElse(BufferedSessionState(Nil, 0L, Long.MinValue))
+          val pending = st0.pending ++ evs
+          // ready = at or before the watermark: nothing earlier can
+          // still arrive (within the declared tolerance)
+          val wmUs = state.getCurrentWatermarkMs * 1000L
+          val (ready, hold) = pending.partition(_.ts_us <= wmUs)
+          var idx = st0.sessionIdx
+          var last = st0.lastTsUs
+          val out = ready.sortBy(e => (e.ts_us, e.event_id)).map { e =>
+            if (last != Long.MinValue && e.ts_us - last > gapUs) idx += 1
+            last = e.ts_us
+            SessionAssign(uid, e.event_id, e.ts_us, idx)
+          }
+          if (hold.isEmpty && state.hasTimedOut && out.isEmpty) {
+            state.remove() // idle past the horizon with nothing held
+            Iterator.empty
+          } else {
+            state.update(BufferedSessionState(hold, idx, last))
+            // wake when the watermark passes the earliest held event;
+            // idle keys get a horizon-spaced cleanup heartbeat
+            val nextMs =
+              if (hold.nonEmpty) hold.map(_.ts_us).min / 1000L
+              else state.getCurrentWatermarkMs + delayMs
+            state.setTimeoutTimestamp(
+              math.max(nextMs, state.getCurrentWatermarkMs + 1))
+            out.iterator
+          }
+      }.toDF()
+  }
+
   /** Batch-declarative equivalent of the sessionizer: break flags via
     * `lag`, session index via running sum — one window, no state
     * store. This is the plan to prefer when the input is at rest. */

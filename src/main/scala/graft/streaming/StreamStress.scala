@@ -32,6 +32,11 @@ object StreamStress {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/tmp/sf1")
     val perTrigger = if (args.length > 1) args(1) else "4"
+    // "ordered": rank the landing files by footer-min event time
+    // (EventStream.orderLanding byTime) before the drain — measures
+    // how much metadata-only file ordering cuts the late-drop rate
+    // vs the raw listing (PLANS.md r12). Mutates mtimes under sfDir.
+    val ordered = args.length > 2 && args(2) == "ordered"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -44,6 +49,12 @@ object StreamStress {
     val scratch = java.nio.file.Files
       .createTempDirectory("graft_stress").toString
     val opts = Map("maxFilesPerTrigger" -> perTrigger)
+
+    if (ordered)
+      // rank the PART FILES (the drain's discovery unit) by footer-min
+      // event time; ranking the directory entry would reorder nothing
+      EventStream.orderLanding(spark, s"$sfDir/events.parquet/part-*",
+        byName = false)
 
     // ---- stream-stream attribution join (state ~ horizon) ----------
     run(spark, "join", s"$scratch/join", OutputMode.Append) {

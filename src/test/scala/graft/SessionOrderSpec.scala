@@ -81,6 +81,45 @@ class SessionOrderSpec extends SparkSpec {
     assert(got === Map(1L -> 0L, 2L -> 2L, 3L -> 1L))
   }
 
+  test("the buffered sessionizer CORRECTS the adversarial case within its delay") {
+    // same interleaved landing dir, no orderLanding — plus two flush
+    // files for a sentinel user whose far-future events advance the
+    // global watermark past u1's buffered events (timeouts fire
+    // alongside a subsequent batch; a bounded replay needs that final
+    // arrival, a continuous pipeline always has one)
+    // timestamps sit ABOVE the initial watermark (0): the stateful
+    // operator's late-input filter drops rows at or below the current
+    // watermark before the function sees them — which is also the
+    // beyond-tolerance degradation mode (too-late events drop, they
+    // do not corrupt state)
+    val base = 1000000L
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ooo3").toString
+    Seq(
+      Seq((1L, 1L, base), (1L, 2L, base + 1000L)),
+      Seq((1L, 3L, base + 500L)),
+      Seq((99L, 90L, base + 10000000L)),
+      Seq((99L, 91L, base + 20000000L))).zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("user_id", "event_id", "ts_us")
+        .coalesce(1).sortWithinPartitions("ts_us", "event_id")
+        .write.parquet(s"$tmp/in/b$i.parquet")
+    }
+    EventStream.orderLanding(spark, s"$tmp/in/*.parquet", byName = true)
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/in/*.parquet")
+      .withColumn("tsT", org.apache.spark.sql.functions
+        .timestamp_micros(org.apache.spark.sql.functions.col("ts_us")))
+    val got = EventStream.runToMemory(spark,
+      EventStream.sessionizeBuffered(spark, src, gapUs = gap,
+        delay = "1 second"),
+      "t_ooo_buf", org.apache.spark.sql.streaming.OutputMode.Append)
+      .filter("user_id = 1")
+      .select("event_id", "session_idx").as[(Long, Long)].collect().toMap
+    // the buffered variant lands the WHOLE-HISTORY truth on the very
+    // input where file-level ordering provably cannot
+    assert(got === Map(1L -> 0L, 2L -> 2L, 3L -> 1L))
+  }
+
   test("non-interleaved per-key ranges are exactly the case orderLanding fixes") {
     // same events, but the late file's range does NOT overlap: u1 at
     // 0, 40 in b0; 1000 in b1 — footer-ordered drain equals batch
