@@ -136,10 +136,9 @@ object Bench {
     // needlessly soften every other entry's record. The named entries
     // must be part of this run's sweep, or their floor would vanish
     // without a reading to replace it.
-    val resetNames: Set[String] = flags.find(_.startsWith("--reset="))
-      .map(_.stripPrefix("--reset=").split(",").map(_.trim)
-        .filter(_.nonEmpty).toSet)
-      .getOrElse(Set.empty)
+    val resetNames: Set[String] = flags.filter(_.startsWith("--reset="))
+      .flatMap(_.stripPrefix("--reset=").split(",").map(_.trim)
+        .filter(_.nonEmpty)).toSet
     require(resetNames.isEmpty || !rebaseline,
       "--reset is redundant under --rebaseline (which replaces the map)")
     require(resetNames.isEmpty || filters.nonEmpty,

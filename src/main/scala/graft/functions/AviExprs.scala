@@ -148,11 +148,7 @@ object AviWalk {
     true
   }
 
-  private def be32(b: Array[Byte], i: Int): Int =
-    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
-      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+  private def be32(b: Array[Byte], i: Int): Int = ByteReads.be32(b, i)
 
-  private def le32(b: Array[Byte], i: Int): Int =
-    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
-      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+  private def le32(b: Array[Byte], i: Int): Int = ByteReads.le32(b, i)
 }

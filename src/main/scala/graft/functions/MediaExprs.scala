@@ -83,13 +83,17 @@ object PngRgb {
     // cap decoded size: pixel work at this layer is for small/medium
     // images; a multi-GB claim is corruption or abuse
     if (w.toLong * h * 3 > MaxPixelBytes) return null
-    // chunk walk: concatenate IDAT payloads in order
+    // chunk walk: concatenate IDAT payloads in order. The bounds
+    // check (and therefore the advance) is Long-guarded: a hostile
+    // ~2^31 length field would wrap the Int sum past the guard and
+    // drive pos negative (the TarEntries lesson — ByteReads.fits is
+    // the shared fix)
     val idat = new java.io.ByteArrayOutputStream()
     var pos = 8
     var ended = false
     while (!ended && pos + 8 <= b.length) {
       val len = be32(b, pos)
-      if (len < 0 || pos + 12 + len > b.length) return null
+      if (!ByteReads.fits(b, pos, 12, len)) return null
       if (typeAt(b, pos + 4, "IDAT")) idat.write(b, pos + 8, len)
       if (typeAt(b, pos + 4, "IEND")) ended = true
       pos += 12 + len
@@ -172,12 +176,9 @@ object PngRgb {
   }
 
   private def typeAt(b: Array[Byte], off: Int, t: String): Boolean =
-    (b(off) & 0xff) == t.charAt(0) && (b(off + 1) & 0xff) == t.charAt(1) &&
-      (b(off + 2) & 0xff) == t.charAt(2) && (b(off + 3) & 0xff) == t.charAt(3)
+    ByteReads.fourccIs(b, off, t)
 
-  private def be32(b: Array[Byte], i: Int): Int =
-    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
-      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+  private def be32(b: Array[Byte], i: Int): Int = ByteReads.be32(b, i)
 }
 
 case class ImagePackedDims(child: Expression)
@@ -212,8 +213,8 @@ object ImagePackedDims {
     if (png >= 0L) png else jpegDims(b)
   }
 
-  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
-  private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+  private def u8(b: Array[Byte], i: Int): Int = ByteReads.u8(b, i)
+  private def be16(b: Array[Byte], i: Int): Int = ByteReads.be16(b, i)
   private def be32(b: Array[Byte], i: Int): Long =
     (be16(b, i).toLong << 16) | be16(b, i + 2).toLong
 

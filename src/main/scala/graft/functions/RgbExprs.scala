@@ -69,7 +69,8 @@ case class RgbCenterCrop(first: Expression, second: Expression,
 case class RgbResize(first: Expression, second: Expression,
     third: Expression, outW: Int, outH: Int) extends TernaryExpression {
 
-  require(outW > 0 && outH > 0, s"resize target must be positive: ${outW}x$outH")
+  require(outW > 0 && outH > 0 && outW.toLong * outH * 3 <= Int.MaxValue,
+    s"resize target out of range: ${outW}x$outH")
 
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
@@ -112,11 +113,17 @@ case class RgbStats(child: Expression)
 
 object RgbOps {
 
+  /** Per-side cap: keeps `3*w*h` inside Int range (the plane-length
+    * guard would otherwise wrap for hostile column values and let an
+    * out-of-bounds copy throw instead of returning NULL). */
+  val MaxSide = 1 << 20
+
   /** Centered `side x side` crop, side = min(w, h); null when the
     * plane length does not match `w*h*3` (dims and plane must come
     * from the same decode). */
   def centerCrop(b: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    if (w <= 0 || h <= 0 || b.length != 3 * w * h) return null
+    if (w <= 0 || h <= 0 || w > MaxSide || h > MaxSide ||
+      b.length.toLong != 3L * w * h) return null
     val side = math.min(w, h)
     val x0 = (w - side) / 2
     val y0 = (h - side) / 2
@@ -132,7 +139,8 @@ object RgbOps {
   /** Nearest-neighbor resize with floor index mapping:
     * `srcX = dstX * w DIV outW` (and likewise for rows). */
   def resize(b: Array[Byte], w: Int, h: Int, outW: Int, outH: Int): Array[Byte] = {
-    if (w <= 0 || h <= 0 || b.length != 3 * w * h) return null
+    if (w <= 0 || h <= 0 || w > MaxSide || h > MaxSide ||
+      b.length.toLong != 3L * w * h) return null
     val out = new Array[Byte](outW * outH * 3)
     var y = 0
     while (y < outH) {

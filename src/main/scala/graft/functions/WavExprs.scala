@@ -108,12 +108,9 @@ object WavInfo {
   }
 
   private def fourcc(b: Array[Byte], off: Int, t: String): Boolean =
-    (b(off) & 0xff) == t.charAt(0) && (b(off + 1) & 0xff) == t.charAt(1) &&
-      (b(off + 2) & 0xff) == t.charAt(2) && (b(off + 3) & 0xff) == t.charAt(3)
+    ByteReads.fourccIs(b, off, t)
 
-  private def le16(b: Array[Byte], i: Int): Int =
-    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def le16(b: Array[Byte], i: Int): Int = ByteReads.le16(b, i)
 
-  private def le32(b: Array[Byte], i: Int): Int =
-    le16(b, i) | (le16(b, i + 2) << 16)
+  private def le32(b: Array[Byte], i: Int): Int = ByteReads.le32(b, i)
 }

@@ -54,9 +54,16 @@ object ReportStream {
         if (affected.nonEmpty) {
           rows.write.mode("overwrite").partitionBy(category)
             .parquet(s"$runsDir/batch=$batchId")
+          // NULL is a group too (the batch oracle's GROUP BY keeps
+          // it), and `isin` never matches null — filter it explicitly
+          val nonNull = affected.filter(_ != null).toSeq
+          val catMatch =
+            if (nonNull.length == affected.length)
+              col(category).isin(nonNull: _*)
+            else col(category).isin(nonNull: _*) || col(category).isNull
           val changedRuns = s.read.option("basePath", runsDir)
             .parquet(s"$runsDir/batch=*")
-            .filter(col(category).isin(affected.toSeq: _*))
+            .filter(catMatch)
             .drop("batch")
           Groups.section(changedRuns, cfg)
             .write.mode("overwrite")

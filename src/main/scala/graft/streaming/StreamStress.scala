@@ -61,7 +61,11 @@ object StreamStress {
       val ev = EventStream.read(spark, sfDir, opts)
       EventStream.attributionJoin(ev, ev, windowUs = 7200000000L)
     }
-    val got = spark.read.parquet(s"$scratch/join/out").count()
+    // an empty landing dir commits no output files — report 0, don't
+    // crash before the remaining studies and the summary
+    val got =
+      try spark.read.parquet(s"$scratch/join/out").count()
+      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
     val evB = graft.core.Tables.events(spark, sfDir)
     val want = evB.alias("v").filter(col("v.event_type") === "view")
       .join(evB.alias("p"),
@@ -101,7 +105,10 @@ object StreamStress {
     * is where Update-mode parquet persistence lives). */
   private def run(spark: SparkSession, study: String, dir: String,
       mode: OutputMode)(stream: => DataFrame): Unit = {
-    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "200")
+    // a measurement tool must not silently truncate its own record:
+    // size the progress buffer far above any plausible batch count
+    // and flag if a run still hits it
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
     val base = stream.writeStream
       .outputMode(mode)
       .option("checkpointLocation", s"$dir/ckpt")
@@ -132,6 +139,7 @@ object StreamStress {
     }
     println(s"""{"study":"$study","summary":true,"batches":$batches,""" +
       s""""rows_ingested":$totalIn,"max_state_rows":$maxState,""" +
-      s""""final_state_rows":$lastState}""")
+      s""""final_state_rows":$lastState,""" +
+      s""""progress_truncated":${q.recentProgress.length >= 10000}}""")
   }
 }

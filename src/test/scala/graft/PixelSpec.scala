@@ -52,10 +52,21 @@ class PixelSpec extends SparkSpec {
     assert(PngRgb.decode(deep) === null)
     val inter = good.clone(); inter(28) = 1
     assert(PngRgb.decode(inter) === null)
-    // a hostile chunk length cannot index out of bounds
+    // a hostile chunk length cannot index out of bounds — including
+    // the ~2^31 class whose Int sum wraps NEGATIVE past a naive
+    // bounds check (code-review r12; the TarEntries overflow class)
     val evil = good.clone()
     evil(8) = 0x7f; evil(9) = 0x7f.toByte
     assert(PngRgb.decode(evil) === null)
+    val evil2 = good.clone()
+    evil2(8) = 0x7f; evil2(9) = -1; evil2(10) = -1; evil2(11) = -1
+    assert(PngRgb.decode(evil2) === null)
+    // RgbOps guards: hostile dims whose 3*w*h wraps mod 2^32 must
+    // yield NULL, not an out-of-bounds copy
+    assert(graft.functions.RgbOps.centerCrop(
+      Array.emptyByteArray, 1073741824, 4) === null)
+    assert(graft.functions.RgbOps.resize(
+      Array.emptyByteArray, 1073741824, 4, 4, 4) === null)
   }
 
   test("center crop and nearest resize do exact integer index math") {
