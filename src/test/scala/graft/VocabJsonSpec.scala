@@ -34,7 +34,7 @@ class VocabJsonSpec extends AnyFunSuite {
     // one appended special accepted, everything else id-exact
     assert(Bpe.crossCheckVocab(parsed, merges) === 1)
     // the escaping survives hostile pieces
-    val hostile = Seq("a\"b" -> 0, "c\\d" -> 1, "ef" -> 2)
+    val hostile = Seq("a\"b" -> 0, "c\\d" -> 1, "e\u0001f" -> 2)
     assert(Bpe.parseVocabJson(Bpe.renderVocabJson(hostile)) ===
       hostile.toMap)
   }
