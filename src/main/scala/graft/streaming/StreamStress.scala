@@ -37,6 +37,11 @@ object StreamStress {
     // how much metadata-only file ordering cuts the late-drop rate
     // vs the raw listing (PLANS.md r12). Mutates mtimes under sfDir.
     val ordered = args.length > 2 && args(2) == "ordered"
+    // optional 4th arg: the join's watermark delay (default the
+    // entry's production "2 hours") — raising it toward the true
+    // disorder bound buys completeness at horizon-state cost; the
+    // stress run MEASURES both sides of that trade
+    val joinDelay = if (args.length > 3) args(3) else "2 hours"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -59,7 +64,8 @@ object StreamStress {
     // ---- stream-stream attribution join (state ~ horizon) ----------
     run(spark, "join", s"$scratch/join", OutputMode.Append) {
       val ev = EventStream.read(spark, sfDir, opts)
-      EventStream.attributionJoin(ev, ev, windowUs = 7200000000L)
+      EventStream.attributionJoin(ev, ev, windowUs = 7200000000L,
+        delay = joinDelay)
     }
     // an empty landing dir commits no output files — report 0, don't
     // crash before the remaining studies and the summary
