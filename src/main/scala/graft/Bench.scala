@@ -289,9 +289,20 @@ object Bench {
               }
             }
           allFloors.updated(sfKey, clean ++ retained)
-        } else allFloors.updated(sfKey,
-          mergeFloors(allFloors.getOrElse(sfKey, Map.empty) -- resetNames,
-            clean))
+        } else {
+          // a --reset name that ERRORED this run has no clean reading
+          // to re-seed with — dropping its old floor anyway would make
+          // the floor silently vanish from the map; retain it and warn
+          val resettable = resetNames.filter { q =>
+            val ok = clean.contains(q)
+            if (!ok) System.err.println(
+              s"[bench] reset $q: errored this run - previous floor retained")
+            ok
+          }
+          allFloors.updated(sfKey,
+            mergeFloors(allFloors.getOrElse(sfKey, Map.empty) -- resettable,
+              clean))
+        }
       java.nio.file.Files.writeString(floorsPath, renderFloors(next))
     } catch {
       case e: Exception =>

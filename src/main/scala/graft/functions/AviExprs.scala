@@ -93,8 +93,10 @@ object AviWalk {
         n = le32(b, off + 16) & 0xffffffffL
         w = le32(b, off + 32) & 0xffffffffL
         h = le32(b, off + 36) & 0xffffffffL
-      } else if (cc == 0x73747268 /* 'strh' */ && size >= 32 &&
+      } else if (cc == 0x73747268 /* 'strh' */ && size >= 32 && rate < 0 &&
         le32(b, off) == 0x73646976 /* 'vids' LE read of fourcc */ ) {
+        // rate < 0 guard: only the FIRST vids strh records timing (the
+        // documented contract); later video streams must not overwrite.
         scale = le32(b, off + 20) & 0xffffffffL
         rate = le32(b, off + 24) & 0xffffffffL
       }

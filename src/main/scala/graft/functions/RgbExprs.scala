@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.graftbridge.{Bridge, ExpectsBinaryInput}
+import org.apache.spark.sql.graftbridge.{Bridge, ExpectsBinaryInput, ExpectsBinaryLongLongInput}
 import org.apache.spark.sql.types._
 
 /** Pixel-plane operators over decoded RGB byte planes
@@ -45,7 +45,8 @@ object RgbExprs {
 }
 
 case class RgbCenterCrop(first: Expression, second: Expression,
-    third: Expression) extends TernaryExpression {
+    third: Expression)
+    extends TernaryExpression with ExpectsBinaryLongLongInput {
 
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
@@ -67,7 +68,8 @@ case class RgbCenterCrop(first: Expression, second: Expression,
 }
 
 case class RgbResize(first: Expression, second: Expression,
-    third: Expression, outW: Int, outH: Int) extends TernaryExpression {
+    third: Expression, outW: Int, outH: Int)
+    extends TernaryExpression with ExpectsBinaryLongLongInput {
 
   require(outW > 0 && outH > 0 && outW.toLong * outH * 3 <= Int.MaxValue,
     s"resize target out of range: ${outW}x$outH")

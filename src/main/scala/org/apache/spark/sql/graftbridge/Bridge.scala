@@ -76,3 +76,16 @@ trait ExpectsBinaryInput
   override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
     Seq(org.apache.spark.sql.types.BinaryType)
 }
+
+/** Ternary `(binary, long, long)` contract with implicit coercion:
+  * int-typed dimension columns are cast to long at analysis time
+  * instead of hitting `asInstanceOf[Long]` at runtime — preserving
+  * the byte-walk family's degrade-to-NULL-never-throw contract for
+  * any integral dims input. */
+trait ExpectsBinaryLongLongInput
+    extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    Seq(org.apache.spark.sql.types.BinaryType,
+      org.apache.spark.sql.types.LongType,
+      org.apache.spark.sql.types.LongType)
+}

@@ -25,20 +25,28 @@ class ReportStreamSpec extends SparkSpec {
     // batch 0 touches groups A and B; batch 1 only B
     val b0 = Seq(("A", 100L, 100L, 1L), ("A", 300L, 300L, 2L), ("B", 50L, 50L, 1L))
     val b1 = Seq(("B", 150L, 150L, 3L), ("B", 250L, 250L, 1L))
-    Seq(b0, b1).zipWithIndex.foreach { case (rows, i) =>
+    def land(rows: Seq[(String, Long, Long, Long)], i: Int): Unit =
       rows.toDF("event_type", "value_c", "value_sum_c", "user_id")
         .coalesce(1).write.parquet(s"$tmp/in/b$i.parquet")
-    }
-    graft.streaming.EventStream.orderLanding(
-      spark, s"$tmp/in/*.parquet", byName = true)
-    val src = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(s"$tmp/in/*.parquet")
-    val got = ReportStream.runRefresh(spark, src, cfg, identity,
-        s"$tmp/runs", s"$tmp/report", s"$tmp/ckpt")
+    def drain() = ReportStream.runRefresh(spark,
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in/*.parquet"),
+        cfg, identity, s"$tmp/runs", s"$tmp/report", s"$tmp/ckpt")
       .select("event_type", "uses", "avg_value_c", "sum_value_sum_c",
         "user_id_list")
       .orderBy("event_type").collect().toSeq
+    // two drains over one checkpoint — a real between-batch capture
+    // point (file names + sizes, not mtimes, which are granularity-
+    // flaky on a fast two-batch drain)
+    land(b0, 0)
+    drain()
+    def aFiles(): Seq[(String, Long)] =
+      new java.io.File(s"$tmp/report/event_type=A")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.length()).toSeq.sorted
+    val aAfterB0 = aFiles()
+    land(b1, 1)
+    val got = drain()
     val want = Groups.section(
         (b0 ++ b1).toDF("event_type", "value_c", "value_sum_c", "user_id"),
         cfg)
@@ -53,11 +61,8 @@ class ReportStreamSpec extends SparkSpec {
       .listFiles().filter(_.isDirectory).map(_.getName).toSeq
     assert(b1parts === Seq("event_type=B"))
     // incrementality: batch 1 did not rewrite group A's section files —
-    // A's newest report file predates B's (B was re-derived in batch 1)
-    def newest(cat: String): Long = new java.io.File(s"$tmp/report/event_type=$cat")
-      .listFiles().filter(_.getName.endsWith(".parquet"))
-      .map(_.lastModified()).max
-    assert(newest("A") < newest("B"))
+    // A's exact file set (names AND sizes) is unchanged by the drain
+    assert(aFiles() === aAfterB0)
   }
 
   test("retried batch overwrites its own runs dir, not append-duplicates") {
