@@ -133,6 +133,75 @@ object StreamQueries extends graft.QueryModule {
       .orderBy(col("user_id"), col("session_idx"))
   }
 
+  /** The LATE-TOLERANT buffered sessionizer as an oracle-checked
+    * entry (promotes `SessionOrderSpec`'s result to the hard
+    * correctness signal): the events table lands ADVERSARIALLY
+    * interleaved — split round-robin on event_id into three landing
+    * partitions, so every file spans the whole time range and per-key
+    * ranges interleave maximally, the shape `SessionOrderSpec` proves
+    * NO file-level ordering can fix — then drains one file per
+    * micro-batch through [[EventStream.sessionizeBuffered]] with a
+    * delay covering the full disorder. A second drain over the same
+    * checkpoint appends two far-future flush sentinels (user_id −1):
+    * the first advances the stream's max event time, the second runs
+    * a batch under the advanced watermark so every buffered event
+    * drains through its timeout (a continuous pipeline always has
+    * that later arrival; a bounded replay appends it). The entry
+    * REQUIRES ≥ 2 real-input micro-batches from the checkpoint's
+    * commit log — the multi-batch claim is enforced by the
+    * correctness gate itself. Oracle: the batch sessionization SQL
+    * verbatim — whole-history truth on input no sorted drain gets
+    * right. */
+  def qSessionizeLate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val tmp = scratch(s, "sesslate")
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+    // one corpus scan: round-robin file split via a partition column
+    ev.withColumn("f", pmod(col("event_id"), lit(3L)))
+      .write.partitionBy("f").parquet(s"$tmp/in")
+    // bounded collect (one row): the time range fixes the tolerance —
+    // delay > range means no real event is ever late-dropped, however
+    // the files interleave
+    val r = ev.agg(min("ts_us"), max("ts_us")).head()
+    val (minTs, maxTs) = (r.getLong(0), r.getLong(1))
+    val hourUs = 3600000000L
+    val delayUs = (maxTs - minTs) + hourUs
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_id", LongType),
+      StructField("ts_us", LongType)))
+    def drain(): DataFrame = EventStream.runAppendToParquet(s,
+      EventStream.sessionizeBuffered(s,
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$tmp/in/f=*/*.parquet")
+          .withColumn("tsT", timestamp_micros(col("ts_us"))),
+        gapUs = 1800000000L, delay = s"$delayUs microseconds"),
+      s"$tmp/out", s"$tmp/ckpt")
+    drain() // all real events buffer; none can be late
+    val realBatches = new java.io.File(s"$tmp/ckpt/commits")
+      .listFiles().count(_.getName.forall(_.isDigit))
+    require(realBatches >= 2,
+      s"late-sessionize drain must be multi-batch, saw $realBatches")
+    import s.implicits._
+    // two sentinel FILES → two batches: the first lifts max event
+    // time, the second evaluates under the advanced watermark
+    Seq((-1L, -1L, maxTs + delayUs + hourUs),
+        (-1L, -2L, maxTs + delayUs + 2 * hourUs)).foreach { row =>
+      Seq(row).toDF("user_id", "event_id", "ts_us")
+        .withColumn("f", lit(9L)).coalesce(1)
+        .write.mode("append").partitionBy("f").parquet(s"$tmp/in")
+    }
+    drain()
+      .filter(col("user_id") >= 0) // sentinels stay buffered anyway
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("session_start_us"),
+        max(col("ts_us")).as("session_end_us"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
   /** The continuous-ingest filter funnel
     * ([[graft.streaming.FunnelStream]]) driven as a real stream over
     * the documents table (one AvailableNow batch here; the per-batch
@@ -442,6 +511,7 @@ object StreamQueries extends graft.QueryModule {
     "q_stream_window" -> (qStreamWindow _),
     "q_sessionize" -> (qSessionize _),
     "q_sessionize_stream" -> (qSessionizeStream _),
+    "q_sessionize_late" -> (qSessionizeLate _),
     "q_funnel_stream" -> (qFunnelStream _),
     "q_curate_stream" -> (qCurateStream _),
     "q_curate_decon_stream" -> (qCurateDeconStream _),
@@ -456,6 +526,7 @@ object StreamQueries extends graft.QueryModule {
     "q_stream_window" -> qStreamWindowSql,
     "q_sessionize" -> qSessionizeSql,
     "q_sessionize_stream" -> qSessionizeSql,
+    "q_sessionize_late" -> qSessionizeSql,
     "q_funnel_stream" -> qFunnelStreamSql,
     "q_curate_stream" -> qCurateStreamSql,
     "q_curate_decon_stream" -> qCurateDeconStreamSql,

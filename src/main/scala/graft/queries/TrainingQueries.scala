@@ -700,11 +700,22 @@ object TrainingQueries extends graft.QueryModule {
     * for query docs 0-4 — the BM25 arm uses each query doc's own
     * text (self excluded), the semantic arm is exact cosine over the
     * aligned embeddings, and reciprocal-rank fusion combines the two
-    * with rank-only integer arithmetic. */
+    * with rank-only integer arithmetic.
+    *
+    * The query-doc frame is bounded BY CONSTRUCTION (five ids) and
+    * consumed twice inside the BM25 arm's broadcasts, so it is pulled
+    * to the driver once (a pushed-down point lookup) and re-planned
+    * as a local relation: the plan's documents reads drop to the two
+    * full passes the scoring genuinely needs (lengths, tokens). The
+    * embeddings query side stays lazy — it is consumed once, already
+    * a pushed point lookup, so localizing it would only trade a
+    * row-group-skipped scan for an extra driver job. */
   def qHybridRrf(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val q = docs.filter(col("doc_id") < 5)
+    val qLookup = docs.filter(col("doc_id") < 5)
       .select(col("doc_id").as("q_id"), col("text").as("qtext"))
+    val q = s.createDataFrame(
+      java.util.Arrays.asList(qLookup.collect(): _*), qLookup.schema)
     val lex = Bm25.search(docs, "text", "doc_id", q, k = 20,
       excludeSelf = true)
       .select(col("q_id"), col("doc_id"), col("rank").as("lex_rank"))

@@ -83,6 +83,29 @@ object IndexCompaction {
     true
   }
 
+  /** Partition-preserving variant of [[compactTable]] for stores whose
+    * batch partitions are THEMSELVES hive-partitioned (ReportStream's
+    * category-partitioned runs store): the compacted `batch=cutoff`
+    * keeps the inner `partitionBy(partitionCols)` layout, so the
+    * refresh's category partition-pruning survives compaction instead
+    * of degrading to row-group stats. Same staging/swap/recover
+    * protocol as [[compactTable]]. */
+  def compactTablePartitioned(s: SparkSession, fs: FileSystem, dir: Path,
+      cutoff: Long, partitionCols: Seq[String]): Boolean = {
+    recover(fs, dir)
+    val parts = batchIds(fs, dir).filter(_ <= cutoff)
+    if (parts.size < 2) return false // already compact (or empty)
+    val stage = stagePath(dir, cutoff)
+    fs.delete(stage, true)
+    s.read.option("basePath", dir.toString).parquet(dir.toString)
+      .filter(col("batch") <= cutoff)
+      .drop("batch")
+      .write.partitionBy(partitionCols: _*)
+      .parquet(stage.toString) // committer writes _SUCCESS last
+    completeSwap(fs, dir, cutoff)
+    true
+  }
+
   /** The swap half: drop source partitions, rename the stage in.
     * Idempotent — every step checks before acting. */
   private def completeSwap(fs: FileSystem, dir: Path, cutoff: Long): Unit = {

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -42,7 +43,11 @@ object ReportStream {
   def runRefresh(
       s: SparkSession, stream: DataFrame, cfg: Groups.GroupConfig,
       prepare: DataFrame => DataFrame,
-      runsDir: String, reportDir: String, checkpointDir: String): DataFrame = {
+      runsDir: String, reportDir: String, checkpointDir: String,
+      afterRunsWrite: Long => Unit = _ => (),
+      compactEvery: Option[Int] = None, keepRecent: Int = 1): DataFrame = {
+    require(keepRecent >= 1,
+      "keepRecent < 1 would fold a batch the checkpoint may replay")
     val category = cfg.category
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -54,6 +59,11 @@ object ReportStream {
         if (affected.nonEmpty) {
           rows.write.mode("overwrite").partitionBy(category)
             .parquet(s"$runsDir/batch=$batchId")
+          // failure-injection point for recovery specs: a crash HERE
+          // leaves the runs store ahead of both the report and the
+          // checkpoint — the worst inconsistency the two-write batch
+          // can reach; replay must repair it
+          afterRunsWrite(batchId)
           // NULL is a group too (the batch oracle's GROUP BY keeps
           // it), and `isin` never matches null — filter it explicitly
           val nonNull = affected.filter(_ != null).toSeq
@@ -61,6 +71,12 @@ object ReportStream {
             if (nonNull.length == affected.length)
               col(category).isin(nonNull: _*)
             else col(category).isin(nonNull: _*) || col(category).isNull
+          // a crashed compaction swap may have deleted source batch
+          // dirs without renaming the stage in — roll it forward (or
+          // discard an uncommitted stage) before the standing read
+          val runsPath = new Path(runsDir)
+          val fs = runsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+          IndexCompaction.recover(fs, runsPath)
           val changedRuns = s.read.option("basePath", runsDir)
             .parquet(s"$runsDir/batch=*")
             .filter(catMatch)
@@ -70,6 +86,19 @@ object ReportStream {
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(category)
             .parquet(reportDir)
+          // bound the store's batch-prefix count: fold every batch at
+          // least keepRecent behind the newest committed one into a
+          // single compacted partition (keepRecent >= 1 keeps the
+          // replay window out of the fold — an uncommitted batch only
+          // ever overwrites its OWN prefix on restart). Listing cost
+          // per refresh is then O(keepRecent + 1), not O(drain age).
+          compactEvery.filter(n => (batchId + 1) % n == 0).foreach { _ =>
+            IndexCompaction.batchIds(fs, runsPath)
+              .filter(b => fs.exists(new Path(runsPath, s"batch=$b/_SUCCESS")))
+              .reduceOption(_ max _).map(_ - keepRecent).filter(_ > 0)
+              .foreach(cutoff => IndexCompaction.compactTablePartitioned(
+                s, fs, runsPath, cutoff, Seq(category)))
+          }
         }
         ()
       }

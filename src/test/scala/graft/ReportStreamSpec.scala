@@ -65,6 +65,50 @@ class ReportStreamSpec extends SparkSpec {
     assert(aFiles() === aAfterB0)
   }
 
+  test("runs-store compaction bounds the batch-prefix count; refresh result unchanged") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_repcompact").toString
+    // 6 single-file batches over 3 groups
+    val batches = (0 until 6).map { i =>
+      Seq((s"G${i % 3}", 100L * (i + 1), 100L * (i + 1), i.toLong))
+    }
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("event_type", "value_c", "value_sum_c", "user_id")
+        .coalesce(1).write.parquet(s"$tmp/in/b$i.parquet")
+    }
+    graft.streaming.EventStream.orderLanding(
+      spark, s"$tmp/in/*.parquet", byName = true)
+    val got = ReportStream.runRefresh(spark,
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in/*.parquet"),
+        cfg, identity, s"$tmp/runs", s"$tmp/report", s"$tmp/ckpt",
+        compactEvery = Some(2), keepRecent = 1)
+      .select("event_type", "uses", "avg_value_c", "sum_value_sum_c",
+        "user_id_list")
+      .orderBy("event_type").collect().toSeq
+    val want = Groups.section(
+        batches.flatten.toDF("event_type", "value_c", "value_sum_c", "user_id"),
+        cfg)
+      .select("event_type", "uses", "avg_value_c", "sum_value_sum_c",
+        "user_id_list")
+      .orderBy("event_type").collect().toSeq
+    assert(got === want)
+    // 6 batches drained, but the store's prefix count is bounded:
+    // one compacted fold + at most keepRecent+1 recent prefixes
+    val prefixes = new java.io.File(s"$tmp/runs").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .map(_.getName.stripPrefix("batch=").toLong).toSeq.sorted
+    assert(prefixes.size <= 3, s"store not compacted: $prefixes")
+    // nothing lost in the folds: the store still holds every input row
+    val n = spark.read.option("basePath", s"$tmp/runs")
+      .parquet(s"$tmp/runs/batch=*").count()
+    assert(n === batches.flatten.length.toLong)
+    // the compacted fold kept the category partitioning (pruning
+    // survives compaction)
+    val compacted = new java.io.File(s"$tmp/runs/batch=${prefixes.head}")
+    assert(compacted.listFiles().exists(f =>
+      f.isDirectory && f.getName.startsWith("event_type=")))
+  }
+
   test("retried batch overwrites its own runs dir, not append-duplicates") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_repretry").toString
     val rows = Seq(("A", 100L, 100L, 1L))
