@@ -42,6 +42,15 @@ object RgbExprs {
     * 4-bin luminance histogram (`(299r+587g+114b) DIV 1000 DIV 64`). */
   def rgbStats(rgb: Column): Column =
     Bridge.column(RgbStats(Bridge.expression(rgb)))
+
+  /** Classic uncompressed-DIB frame (BOTTOM-UP BGR rows padded to
+    * 4-byte boundaries — BITMAPINFOHEADER with positive biHeight,
+    * biCompression BI_RGB) to the family's top-down `w*h*3` RGB
+    * plane; NULL when the byte length disagrees with the stride
+    * layout. The raw-video twin of [[MediaExprs.pngRgb]]. */
+  def dibRgb(dib: Column, w: Column, h: Column): Column =
+    Bridge.column(DibRgb(Bridge.expression(dib),
+      Bridge.expression(w), Bridge.expression(h)))
 }
 
 case class RgbCenterCrop(first: Expression, second: Expression,
@@ -85,6 +94,29 @@ case class RgbResize(first: Expression, second: Expression,
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (b, w, h) => s"""
       ${ev.value} = graft.functions.RgbOps.resize($b, (int) $w, (int) $h, $outW, $outH);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+case class DibRgb(first: Expression, second: Expression,
+    third: Expression)
+    extends TernaryExpression with ExpectsBinaryLongLongInput {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "dib_rgb"
+
+  override def nullSafeEval(dib: Any, w: Any, h: Any): Any =
+    RgbOps.dibToRgb(dib.asInstanceOf[Array[Byte]],
+      w.asInstanceOf[Long].toInt, h.asInstanceOf[Long].toInt)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, w, h) => s"""
+      ${ev.value} = graft.functions.RgbOps.dibToRgb($b, (int) $w, (int) $h);
       if (${ev.value} == null) { ${ev.isNull} = true; }
     """)
 
@@ -153,6 +185,30 @@ object RgbOps {
         val src = (sy * w + sx) * 3
         val dst = (y * outW + x) * 3
         out(dst) = b(src); out(dst + 1) = b(src + 1); out(dst + 2) = b(src + 2)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Bottom-up padded-stride BGR → top-down packed RGB: row `y` of
+    * the output reads storage row `h-1-y`, channels swap B↔R, the
+    * per-row padding (stride − 3w bytes) drops. Null when the buffer
+    * is not exactly `stride*h` bytes for `stride = 4*ceil(3w/4)`. */
+  def dibToRgb(b: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    if (w <= 0 || h <= 0 || w > MaxSide || h > MaxSide) return null
+    val stride = (3 * w + 3) / 4 * 4
+    if (b.length.toLong != stride.toLong * h) return null
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val src = (h - 1 - y) * stride
+      var x = 0
+      while (x < w) {
+        val sp = src + 3 * x
+        val dp = (y * w + x) * 3
+        out(dp) = b(sp + 2); out(dp + 1) = b(sp + 1); out(dp + 2) = b(sp)
         x += 1
       }
       y += 1

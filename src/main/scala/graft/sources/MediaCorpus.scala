@@ -289,15 +289,25 @@ object MediaCorpus {
     * to the `movi` fourcc). Little-endian throughout. */
   def aviBytes(i: Int): Array[Byte] = {
     val (w, h) = aviDims(i)
-    val fps = aviFps(i); val nFrames = aviFrameCount(i)
-    val frames = (0 until nFrames).map(f => aviFrameBytes(i, f))
+    aviContainer(w, h, aviFps(i), aviJunkLen(i),
+      (0 until aviFrameCount(i)).map(f => aviFrameBytes(i, f)),
+      chunkId = "00dc", handler = "MJPG", dibCompression = false)
+  }
+
+  /** Shared RIFF/AVI writer for the MJPG ([[aviBytes]]) and
+    * uncompressed-DIB ([[aviDibBytes]]) corpora — identical layout,
+    * differing only in the frame chunk id (00dc/00db), the stream
+    * handler fourcc, and strf biCompression (fourcc vs BI_RGB 0). */
+  private def aviContainer(w: Int, h: Int, fps: Int, junk: Int,
+      frames: Seq[Array[Byte]], chunkId: String, handler: String,
+      dibCompression: Boolean): Array[Byte] = {
+    val nFrames = frames.length
     val out = new ByteArrayOutputStream()
     def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
     def u32(v: Int): Unit = { u16(v & 0xffff); u16((v >>> 16) & 0xffff) }
     def fourcc(s: String): Unit = out.write(s.getBytes("US-ASCII"))
     def pad(n: Int): Int = n & 1
 
-    val junk = aviJunkLen(i)
     val moviPayload = 4 + frames.map(fr => 8 + fr.length + pad(fr.length)).sum
     val idx1Payload = 16 * nFrames
     val hdrlPayload = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
@@ -315,7 +325,7 @@ object MediaCorpus {
     u32(0); u32(0); u32(0); u32(0)
     fourcc("LIST"); u32(4 + (8 + 56) + (8 + 40)); fourcc("strl")
     fourcc("strh"); u32(56)
-    fourcc("vids"); fourcc("MJPG")
+    fourcc("vids"); fourcc(handler)
     u32(0); u16(0); u16(0); u32(0)
     u32(1); u32(fps)              // dwScale, dwRate: fps = rate/scale
     u32(0); u32(nFrames)          // start, length (frames)
@@ -323,7 +333,9 @@ object MediaCorpus {
     u16(0); u16(0); u16(w); u16(h) // rcFrame
     fourcc("strf"); u32(40)
     u32(40); u32(w); u32(h)
-    u16(1); u16(24); fourcc("MJPG")
+    u16(1); u16(24)
+    if (dibCompression) u32(0)    // biCompression = BI_RGB
+    else fourcc(handler)
     u32(w * h * 3); u32(0); u32(0); u32(0); u32(0)
     fourcc("JUNK"); u32(junk)
     (0 until junk).foreach(j => out.write('j' + j % 16))
@@ -332,14 +344,70 @@ object MediaCorpus {
     val frameOffsets = scala.collection.mutable.ArrayBuffer.empty[Int]
     frames.foreach { fr =>
       frameOffsets += out.size - moviFourccPos // rel. to 'movi' fourcc
-      fourcc("00dc"); u32(fr.length); out.write(fr)
+      fourcc(chunkId); u32(fr.length); out.write(fr)
       if (pad(fr.length) == 1) out.write(0)
     }
     fourcc("idx1"); u32(idx1Payload)
     frames.zip(frameOffsets).foreach { case (fr, off) =>
-      fourcc("00dc"); u32(0x10); u32(off); u32(fr.length)
+      fourcc(chunkId); u32(0x10); u32(off); u32(fr.length)
     }
     out.toByteArray
+  }
+
+  /** Uncompressed-DIB video corpus: raw BOTTOM-UP BGR frames (`00db`
+    * chunks, positive biHeight, rows padded to 4-byte boundaries —
+    * the classic BITMAPINFOHEADER layout), so [[graft.functions
+    * .RgbExprs]] can run on REAL video-frame pixels with a byte-exact
+    * oracle (no codec between the container and the pixels). Widths
+    * alternate between zero and nonzero row padding. */
+  val DibDir = "/tmp/graft_media_dib"
+  val NumDib = 6
+  def dibDims(i: Int): (Int, Int) = (24 + 2 * i, 16 + 2 * i)
+  def dibFps(i: Int): Int = 10 + (i % 8)
+  def dibFrameCount(i: Int): Int = 2 + (i % 3)
+  def dibJunkLen(i: Int): Int = 4 + 2 * ((i * 5) % 13)
+  /** DIB row stride: pixel rows pad to 4-byte boundaries. */
+  def dibStride(w: Int): Int = (3 * w + 3) / 4 * 4
+  /** Deterministic BGR byte at storage position (x, y bottom-up, c
+    * in B=0,G=1,R=2). */
+  def dibPix(i: Int, f: Int, x: Int, y: Int, c: Int): Int =
+    (i * 37 + f * 11 + x * 7 + y * 13 + c * 29) % 256
+
+  def dibFrameBytes(i: Int, f: Int): Array[Byte] = {
+    val (w, h) = dibDims(i)
+    val stride = dibStride(w)
+    val a = new Array[Byte](stride * h) // padding bytes stay zero
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < 3) {
+          a(y * stride + 3 * x + c) = dibPix(i, f, x, y, c).toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    a
+  }
+
+  def aviDibBytes(i: Int): Array[Byte] = {
+    val (w, h) = dibDims(i)
+    aviContainer(w, h, dibFps(i), dibJunkLen(i),
+      (0 until dibFrameCount(i)).map(f => dibFrameBytes(i, f)),
+      chunkId = "00db", handler = "DIB ", dibCompression = true)
+  }
+
+  /** Idempotently materialize the DIB video corpus. */
+  def ensureDibAvis(dir: String = DibDir): String = {
+    val root = Paths.get(dir)
+    Files.createDirectories(root)
+    (0 until NumDib).foreach { i =>
+      put(root, f"dib_$i%03d.avi", aviDibBytes(i))
+    }
+    dir
   }
 
   /** Minimal well-formed JPEG/JFIF header stream: SOI, APP0 (JFIF

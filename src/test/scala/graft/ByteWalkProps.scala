@@ -38,6 +38,7 @@ object ByteWalkProps extends Properties("bytewalk") {
       MediaCorpus.jpegBytes(jw, jh, MediaCorpus.jpegComLen(2)),
       MediaCorpus.wavBytes(1),
       MediaCorpus.aviBytes(1),
+      MediaCorpus.aviDibBytes(1),
       TarShards.shardBytes(0))
   }
 
@@ -157,6 +158,8 @@ object ByteWalkProps extends Properties("bytewalk") {
       WavInfo.parse(fixtures(3)) != null &&
       AviWalk.meta(fixtures(4)) != null &&
       AviWalk.frames(fixtures(4)).numElements() > 0 &&
-      TarEntries.entries(fixtures(5)).numElements() > 0
+      AviWalk.meta(fixtures(5)) != null &&
+      AviWalk.frames(fixtures(5)).numElements() > 0 &&
+      TarEntries.entries(fixtures(6)).numElements() > 0
   }
 }

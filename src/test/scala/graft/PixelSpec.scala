@@ -137,6 +137,25 @@ class PixelSpec extends SparkSpec {
     }.sum
     assert(n === want)
   }
+
+  test("dibToRgb: bottom-up padded BGR converts to the writer's exact RGB plane") {
+    val i = 1; val f = 0
+    val (w, h) = MediaCorpus.dibDims(i)
+    assert(MediaCorpus.dibStride(w) > 3 * w, "fixture must exercise row padding")
+    val rgb = RgbOps.dibToRgb(MediaCorpus.dibFrameBytes(i, f), w, h)
+    assert(rgb != null && rgb.length === w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      val sy = h - 1 - y // converted row y reads storage row h-1-y
+      assert((rgb(o) & 0xff) === MediaCorpus.dibPix(i, f, x, sy, 2), s"R($x,$y)")
+      assert((rgb(o + 1) & 0xff) === MediaCorpus.dibPix(i, f, x, sy, 1), s"G($x,$y)")
+      assert((rgb(o + 2) & 0xff) === MediaCorpus.dibPix(i, f, x, sy, 0), s"B($x,$y)")
+    }
+    // wrong-length buffers (no padding / truncated) degrade to null
+    assert(RgbOps.dibToRgb(new Array[Byte](3 * w * h), w, h) === null)
+    assert(RgbOps.dibToRgb(MediaCorpus.dibFrameBytes(i, f).drop(1), w, h) === null)
+    assert(RgbOps.dibToRgb(MediaCorpus.dibFrameBytes(i, f), -w, h) === null)
+  }
 }
 
 /** Test-side PNG encoder: real Deflater IDAT with per-row filter
