@@ -83,6 +83,27 @@ object StreamStress {
     println(s"""{"study":"join","rows_out":$got,"rows_batch_join":$want,""" +
       s""""late_dropped":${want - got}}""")
 
+    // ---- late-tolerant buffered sessionizer (state ~ delay x rate) --
+    // the r13 oracle entry (q_sessionize_late) runs the delay=range
+    // extreme (state = whole corpus); this study measures the
+    // PRODUCTION point: delay = the join's knob (default 2 h), state
+    // = one horizon of buffered events, emission lagging the
+    // watermark, beyond-tolerance rows dropping via the operator's
+    // late-input filter — the same trade the join study quantifies,
+    // read per batch off the state operator.
+    run(spark, "buffered_sessionize", s"$scratch/bsess", OutputMode.Append) {
+      EventStream.sessionizeBuffered(spark,
+        EventStream.read(spark, sfDir, opts), gapUs = 1800000000L,
+        delay = joinDelay)
+    }
+    val sessGot =
+      try spark.read.parquet(s"$scratch/bsess/out").count()
+      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+    val sessAll = graft.core.Tables.events(spark, sfDir).count()
+    println(s"""{"study":"buffered_sessionize","rows_out":$sessGot,""" +
+      s""""rows_ingested":$sessAll,""" +
+      s""""held_or_dropped":${sessAll - sessGot}}""")
+
     // ---- streaming HLL registers (state ~ 2^p per group) ------------
     run(spark, "hll", s"$scratch/hll", OutputMode.Update) {
       graft.ops.Hll.registers(

@@ -138,6 +138,27 @@ class PixelSpec extends SparkSpec {
     assert(n === want)
   }
 
+  test("int-typed dims columns coerce at analysis time (no runtime cast crash)") {
+    // regression (r12 ADVICE #1): crop/resize declared no input types,
+    // so an IntegerType dims column hit asInstanceOf[Long] at runtime
+    val (w, h) = MediaCorpus.pixelDims(2)
+    val rgb = PngRgb.decode(MediaCorpus.pngPixelBytes(2))
+    val df = Seq((rgb, w, h)).toDF("rgb", "w", "h") // w, h are INTs
+    val out = df.select(
+        graft.functions.RgbExprs.rgbCenterCrop(col("rgb"), col("w"), col("h"))
+          .as("crop"),
+        graft.functions.RgbExprs.rgbResize(col("rgb"), col("w"), col("h"),
+          4, 4).as("r4"),
+        graft.functions.RgbExprs.dibRgb(col("rgb"), col("w"), col("h"))
+          .as("bad"))
+      .select(length(col("crop")), length(col("r4")), col("bad"))
+      .collect().head
+    val side = math.min(w, h)
+    assert(out.getInt(0) === side * side * 3)
+    assert(out.getInt(1) === 4 * 4 * 3)
+    assert(out.isNullAt(2)) // PNG plane is not a DIB layout -> NULL, no throw
+  }
+
   test("dibToRgb: bottom-up padded BGR converts to the writer's exact RGB plane") {
     val i = 1; val f = 0
     val (w, h) = MediaCorpus.dibDims(i)
