@@ -109,6 +109,51 @@ class ReportStreamSpec extends SparkSpec {
       f.isDirectory && f.getName.startsWith("event_type=")))
   }
 
+  test("a compaction crash mid-swap rolls forward before the next refresh reads") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_repswap").toString
+    val b0 = Seq(("A", 100L, 100L, 1L), ("B", 50L, 50L, 2L))
+    val b1 = Seq(("B", 150L, 150L, 3L))
+    def land(rows: Seq[(String, Long, Long, Long)], i: Int): Unit =
+      rows.toDF("event_type", "value_c", "value_sum_c", "user_id")
+        .coalesce(1).write.parquet(s"$tmp/in/b$i.parquet")
+    def drain() = ReportStream.runRefresh(spark,
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in/*.parquet"),
+      cfg, identity, s"$tmp/runs", s"$tmp/report", s"$tmp/ckpt")
+    land(b0, 0)
+    drain()
+    // hand-build the worst crashed swap state: the compacted stage is
+    // complete (_SUCCESS written), the source batch=0 was DELETED,
+    // but the rename-in never happened — a naive glob read here
+    // would see an EMPTY store and silently lose group A forever
+    val runs = new org.apache.hadoop.fs.Path(s"$tmp/runs")
+    val fs = runs.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.option("basePath", s"$tmp/runs").parquet(s"$tmp/runs/batch=0")
+      .drop("batch")
+      .write.partitionBy("event_type").parquet(s"$tmp/runs/.compact_0")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$tmp/runs/batch=0"), true)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/runs/batch=0")))
+    // next refresh must roll the swap forward BEFORE reading
+    land(b1, 1)
+    val got = drain()
+      .select("event_type", "uses", "avg_value_c", "sum_value_sum_c",
+        "user_id_list")
+      .orderBy("event_type").collect().toSeq
+    val want = Groups.section(
+        (b0 ++ b1).toDF("event_type", "value_c", "value_sum_c", "user_id"),
+        cfg)
+      .select("event_type", "uses", "avg_value_c", "sum_value_sum_c",
+        "user_id_list")
+      .orderBy("event_type").collect().toSeq
+    assert(got === want)
+    // the swap completed: stage renamed in, no dot-dir left behind
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/runs/batch=0")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/runs/.compact_0")))
+    val n = spark.read.option("basePath", s"$tmp/runs")
+      .parquet(s"$tmp/runs/batch=*").count()
+    assert(n === (b0 ++ b1).length.toLong)
+  }
+
   test("retried batch overwrites its own runs dir, not append-duplicates") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_repretry").toString
     val rows = Seq(("A", 100L, 100L, 1L))
