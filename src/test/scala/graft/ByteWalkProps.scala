@@ -151,6 +151,29 @@ object ByteWalkProps extends Properties("bytewalk") {
   property("truncated valid fixtures: null or salvaged prefix, never throw") =
     Prop.forAll(genTruncated)(walkAll)
 
+  private val genPlane: Gen[(Array[Byte], Int, Int)] =
+    for {
+      n <- Gen.choose(0, 4096)
+      w <- Gen.choose(-4, 64)
+      h <- Gen.choose(-4, 64)
+    } yield { val a = new Array[Byte](n); rnd.nextBytes(a); (a, w, h) }
+
+  property("plane ops (dims-taking): exact-size output or null, never throw") =
+    Prop.forAll(genPlane) { case (b, w, h) =>
+      import graft.functions.RgbOps
+      val crop = RgbOps.centerCrop(b, w, h)
+      val side = math.min(w, h)
+      val cropOk = crop == null || crop.length == side * side * 3
+      val rz = RgbOps.resize(b, w, h, 4, 4)
+      val rzOk = rz == null || rz.length == 4 * 4 * 3
+      val dib = RgbOps.dibToRgb(b, w, h)
+      val dibOk = dib == null || dib.length == w * h * 3
+      val st = RgbOps.stats(b)
+      val stOk = st == null || st.numElements() == 8
+      (Prop(cropOk) :| "crop size") && (Prop(rzOk) :| "resize size") &&
+        (Prop(dibOk) :| "dib size") && (Prop(stOk) :| "stats arity")
+    }
+
   property("unmutated fixtures parse in their own modality") = Prop {
     val (pw, ph) = MediaCorpus.pngDims(1)
     ImagePackedDims.packed(fixtures(0)) == ((pw.toLong << 32) | ph.toLong) &&

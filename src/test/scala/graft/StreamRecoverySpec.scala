@@ -103,6 +103,28 @@ class StreamRecoverySpec extends SparkSpec {
     assert(runs.count() === (b0 ++ b1).length.toLong)
   }
 
+  test("ReportStream: dropped commit replays the whole batch; both writes are idempotent") {
+    // the OTHER crash point: after the section upsert but before the
+    // checkpoint commit — the full foreachBatch body re-runs on
+    // restart; the runs overwrite and the dynamic-partition upsert
+    // must both land on their own prior output without duplication
+    val tmp = java.nio.file.Files.createTempDirectory("graft_recov_rs2").toString
+    val b0 = Seq(("A", 100L, 100L, 1L), ("B", 50L, 50L, 2L))
+    land(tmp, b0, 0)
+    def run() = ReportStream.runRefresh(spark, src(tmp), cfg, identity,
+        s"$tmp/runs", s"$tmp/report", s"$tmp/ckpt")
+      .select("event_type", "uses", "avg_value_c", "sum_value_sum_c",
+        "user_id_list")
+      .orderBy("event_type").collect().toSeq
+    val first = run()
+    assert(dropNewestCommit(s"$tmp/ckpt") === 0L)
+    val second = run()
+    assert(second === first)
+    val runs = spark.read.option("basePath", s"$tmp/runs")
+      .parquet(s"$tmp/runs/batch=*")
+    assert(runs.count() === b0.length.toLong)
+  }
+
   test("runUpdateToParquet: dropped commit replays the batch; latestPerKey collapses the duplicate append") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_recov_upd").toString
     val b0 = Seq(("A", 1L, 1L, 1L), ("B", 2L, 2L, 2L), ("A", 3L, 3L, 3L))
