@@ -43,13 +43,23 @@ object StreamStress {
     // stress run MEASURES both sides of that trade
     val joinDelay = if (args.length > 3) args(3) else "2 hours"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_STATESTORE=rocksdb flips every stateful operator in
+    // the run to the RocksDB provider — state off the JVM heap, the
+    // 100 TB posture where a watermark horizon of buffered rows must
+    // not compete with execution memory. Default stays the in-heap
+    // HDFS-backed store (right for test scale).
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val store = sys.env.getOrElse("SPARK_GRAFT_STATESTORE", "hdfs")
+    if (store == "rocksdb")
+      builder.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val spark = builder.getOrCreate()
+    System.err.println(s"[stress] state store provider: $store")
     spark.sparkContext.setLogLevel("WARN")
     val scratch = java.nio.file.Files
       .createTempDirectory("graft_stress").toString
