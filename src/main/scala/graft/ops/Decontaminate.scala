@@ -152,15 +152,18 @@ object Decontaminate {
       textCol: String, idCol: String, evalIdCol: String,
       suiteCol: String, n: Int = 3, flagAt: Double = 0.2): DataFrame = {
     val shC = Dedup.wordShingles(corpus, textCol, idCol, n)
+    // eval_ng carries through the broadcast side (same carryCols move
+    // as bestOverlapShingled) — a separate sizes aggregate would
+    // re-derive the eval shingle lineage, one more corpus scan
     val shE = evalShingles(evalSet, textCol, evalIdCol, n)
+      .withColumn("eval_ng",
+        count(lit(1)).over(Window.partitionBy(col("eval_id"))))
     val suites = evalSet
       .select(col(evalIdCol).as("eval_id"), col(suiteCol).as("suite"))
       .distinct()
-    val sizes = shE.groupBy(col("eval_id")).agg(count(lit(1)).as("eval_ng"))
     shC.join(broadcast(shE), Seq("g"))
       .groupBy(col("id"), col("eval_id"))
-      .agg(count(lit(1)).as("shared"))
-      .join(broadcast(sizes), Seq("eval_id"))
+      .agg(count(lit(1)).as("shared"), min(col("eval_ng")).as("eval_ng"))
       .join(broadcast(suites), Seq("eval_id"))
       .withColumn("ratio", col("shared") / col("eval_ng"))
       .withColumn("rn", row_number().over(
@@ -180,13 +183,16 @@ object Decontaminate {
       evalShingles(evalSet, textCol, evalIdCol, n))
 
   private def bestOverlapShingled(shC: DataFrame, shE: DataFrame): DataFrame = {
-    val evalSizes = shE.groupBy(col("eval_id"))
-      .agg(count(lit(1)).as("eval_ng"))
-    val shared = shC.join(broadcast(shE), Seq("g"))
+    // eval_ng CARRIES through the broadcast side instead of a second
+    // aggregate over shE (the Cms.estimate carryCols lesson): a
+    // separate evalSizes frame re-derives the whole eval shingle
+    // lineage — one more corpus scan per entry — where a window over
+    // the already-broadcast-small eval side costs one local sort
+    val shEw = shE.withColumn("eval_ng",
+      count(lit(1)).over(Window.partitionBy(col("eval_id"))))
+    shC.join(broadcast(shEw), Seq("g"))
       .groupBy(col("id"), col("eval_id"))
-      .agg(count(lit(1)).as("shared"))
-    shared
-      .join(broadcast(evalSizes), Seq("eval_id"))
+      .agg(count(lit(1)).as("shared"), min(col("eval_ng")).as("eval_ng"))
       .withColumn("ratio", col("shared") / col("eval_ng"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("id"))
