@@ -138,8 +138,12 @@ object AsofJoin {
 
     // pass 3: strictly-earlier-bucket carry at every left bucket slot
     // (slots order BEFORE tails within a bucket, so a slot's running
-    // last never sees its own bucket's tail)
-    val slots = inBucket.select(col("_k"), col("_b")).distinct()
+    // last never sees its own bucket's tail). Slots are exactly the
+    // LEFT side's (key, bucket) pairs — derive them from shapedL
+    // directly, not from inBucket, whose lineage would re-run the
+    // pass-1 union + window just to be projected away.
+    val slots = shapedL.withColumn("_b", bCol)
+      .select(col("_k"), col("_b")).distinct()
       .withColumn("_o", lit(0))
       .withColumn("_tail", lit(null).cast(rType))
     val wCarry = Window.partitionBy(col("_k"))
