@@ -43,6 +43,16 @@ object StreamQueries extends graft.QueryModule {
           .toString
     }
 
+  /** Count of committed micro-batches in a checkpoint, via the Hadoop
+    * FileSystem API — [[scratch]] supports any Hadoop-reachable scheme
+    * (a `java.io.File` listing NPEs on a non-local root). */
+  private def committedBatches(s: SparkSession, ckpt: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(ckpt, "commits")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).count(_.getPath.getName.forall(_.isDigit))
+  }
+
   /** Real Structured-Streaming execution (file source -> watermarked
     * windowed agg -> Update-mode foreachBatch parquet upsert), result
     * read back from the file sink. The scale-safe path: each
@@ -179,8 +189,7 @@ object StreamQueries extends graft.QueryModule {
         gapUs = 1800000000L, delay = s"$delayUs microseconds"),
       s"$tmp/out", s"$tmp/ckpt")
     drain() // all real events buffer; none can be late
-    val realBatches = new java.io.File(s"$tmp/ckpt/commits")
-      .listFiles().count(_.getName.forall(_.isDigit))
+    val realBatches = committedBatches(s, s"$tmp/ckpt")
     require(realBatches >= 2,
       s"late-sessionize drain must be multi-batch, saw $realBatches")
     import s.implicits._

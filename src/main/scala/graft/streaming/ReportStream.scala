@@ -48,6 +48,8 @@ object ReportStream {
       compactEvery: Option[Int] = None, keepRecent: Int = 1): DataFrame = {
     require(keepRecent >= 1,
       "keepRecent < 1 would fold a batch the checkpoint may replay")
+    require(compactEvery.forall(_ >= 1),
+      "compactEvery < 1 is meaningless (0 divides-by-zero mid-drain)")
     val category = cfg.category
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)

@@ -102,12 +102,21 @@ object ReportStress {
           s""""store_prefixes":${prefixes.getOrElse(b, -1)}}""")
       }
       val times = trigMs.toSeq.sortBy(_._1).map(_._2.toDouble)
+      // a drain that captured no input-bearing progress events is a
+      // broken study, not a fast one — fail loudly rather than print
+      // NaN/Infinity quartiles
+      require(times.nonEmpty,
+        s"study $study captured no input-bearing batches — nothing to time")
+      if (times.length < 4)
+        println(s"""{"study":"$study","warn":"only ${times.length} """ +
+          """batches; head/tail quartiles compare single samples"}""")
       val quartile = math.max(1, times.length / 4)
       val head = times.take(quartile).sum / quartile
       val tail = times.takeRight(quartile).sum / quartile
+      val ratio = if (head > 0) (tail / head).toString else "null"
       println(s"""{"study":"$study","summary":true,"batches":${times.length},""" +
         s""""wall_sec":$wallSec,"head_q_ms":$head,"tail_q_ms":$tail,""" +
-        s""""tail_over_head":${tail / head},""" +
+        s""""tail_over_head":$ratio,""" +
         s""""final_prefixes":${countPrefixes()},"sum_uses":$sumUses}""")
       sumUses
     }
