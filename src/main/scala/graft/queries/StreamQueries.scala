@@ -211,6 +211,74 @@ object StreamQueries extends graft.QueryModule {
       .orderBy(col("user_id"), col("session_idx"))
   }
 
+  /** The buffered sessionizer at its PRODUCTION posture, under the
+    * same hard oracle gate: a BOUNDED 2-hour late tolerance over a
+    * time-ordered drain — the configuration a deployment actually
+    * runs, where the landing zone delivers files in rough event-time
+    * order and the tolerance absorbs the residual jitter. The events
+    * table lands range-partitioned into 8 strictly time-ordered
+    * buckets (one file each, via a single `repartition(f)` write) and
+    * [[EventStream.orderLanding]] pins arrival = bucket order, so the
+    * watermark — always one batch behind — can never pass an
+    * unarrived event: the bounded tolerance drops NOTHING, and state
+    * holds at most one watermark-horizon of events per key instead of
+    * the whole corpus ([[qSessionizeLate]]'s delay=range extreme).
+    * Flush and the ≥2-real-batch requirement follow the late entry's
+    * pattern; the oracle is the batch sessionization SQL verbatim. */
+  def qSessionizeBounded(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val tmp = scratch(s, "sessbnd")
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+    // bounded collect (one row): the range fixes the bucket width
+    val r = ev.agg(min("ts_us"), max("ts_us")).head()
+    val (minTs, maxTs) = (r.getLong(0), r.getLong(1))
+    val widthUs = (maxTs - minTs) / 8 + 1
+    // one corpus scan: 8 range buckets, each exactly one file (the
+    // repartition puts every bucket's rows in one task), so arrival
+    // order IS event-time order at file granularity
+    val bucketed = ev.withColumn("f", (col("ts_us") - lit(minTs)) / lit(widthUs))
+      .withColumn("f", col("f").cast("long"))
+    bucketed.repartition(col("f"))
+      .write.partitionBy("f").parquet(s"$tmp/in")
+    EventStream.orderLanding(s, s"$tmp/in/f=*", byName = true)
+    val hourUs = 3600000000L
+    val delayUs = 2 * hourUs // the production knob: bounded, not range
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_id", LongType),
+      StructField("ts_us", LongType)))
+    def drain(): DataFrame = EventStream.runAppendToParquet(s,
+      EventStream.sessionizeBuffered(s,
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$tmp/in/f=*/*.parquet")
+          .withColumn("tsT", timestamp_micros(col("ts_us"))),
+        gapUs = 1800000000L, delay = s"$delayUs microseconds"),
+      s"$tmp/out", s"$tmp/ckpt")
+    drain() // ordered arrival: the bounded tolerance drops nothing
+    val realBatches = committedBatches(s, s"$tmp/ckpt")
+    require(realBatches >= 2,
+      s"bounded-sessionize drain must be multi-batch, saw $realBatches")
+    import s.implicits._
+    // two sentinel FILES → two batches: lift max event time, then
+    // evaluate under the advanced watermark (the tail flush a
+    // continuous pipeline gets from its next arrival)
+    Seq((-1L, -1L, maxTs + delayUs + hourUs),
+        (-1L, -2L, maxTs + delayUs + 2 * hourUs)).foreach { row =>
+      Seq(row).toDF("user_id", "event_id", "ts_us")
+        .withColumn("f", lit(99L)).coalesce(1)
+        .write.mode("append").partitionBy("f").parquet(s"$tmp/in")
+    }
+    drain()
+      .filter(col("user_id") >= 0) // sentinels stay buffered anyway
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("session_start_us"),
+        max(col("ts_us")).as("session_end_us"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
   /** The continuous-ingest filter funnel
     * ([[graft.streaming.FunnelStream]]) driven as a real stream over
     * the documents table (one AvailableNow batch here; the per-batch
@@ -521,6 +589,7 @@ object StreamQueries extends graft.QueryModule {
     "q_sessionize" -> (qSessionize _),
     "q_sessionize_stream" -> (qSessionizeStream _),
     "q_sessionize_late" -> (qSessionizeLate _),
+    "q_sessionize_bounded" -> (qSessionizeBounded _),
     "q_funnel_stream" -> (qFunnelStream _),
     "q_curate_stream" -> (qCurateStream _),
     "q_curate_decon_stream" -> (qCurateDeconStream _),
@@ -536,6 +605,7 @@ object StreamQueries extends graft.QueryModule {
     "q_sessionize" -> qSessionizeSql,
     "q_sessionize_stream" -> qSessionizeSql,
     "q_sessionize_late" -> qSessionizeSql,
+    "q_sessionize_bounded" -> qSessionizeSql,
     "q_funnel_stream" -> qFunnelStreamSql,
     "q_curate_stream" -> qCurateStreamSql,
     "q_curate_decon_stream" -> qCurateDeconStreamSql,
