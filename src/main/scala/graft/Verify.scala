@@ -11,13 +11,19 @@ object Verify {
     val wanted: Set[String] =
       if (args.length > 2) args.drop(2).toSet else SparkEntry.queries.keySet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // SPARK_GRAFT_STATESTORE=rocksdb re-gates the stateful entries
+    // under the off-heap provider (the 100 TB posture) — the oracle
+    // compare must be provider-independent, same toggle as StreamStress
+    if (sys.env.getOrElse("SPARK_GRAFT_STATESTORE", "hdfs") == "rocksdb")
+      builder.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // self-evidencing run metadata: a genuine re-run is
