@@ -46,13 +46,18 @@ object Importance {
         explode(TextAnalysis.tokens(col(textCol))).as("t"))
       .select(col("id"), pmod(HashParity.h28(col("t")), lit(nBuckets.toLong)).as("b"))
 
-  /** Per-bucket integer ppm of a bucket-row frame: (b, ppm). The
-    * 1-row total rides along as a broadcast, the bucket histogram is
-    * map-side combined. */
+  /** Per-bucket integer ppm of a bucket-row frame: (b, ppm). ONE
+    * pass over `rows`: the total is the sum of the histogram's own
+    * counts (an unpartitioned window over <= nBuckets rows), not a
+    * second aggregate of the input — a separate total would re-run
+    * the frame's whole lineage when it isn't cached (the
+    * q_importance target side read the corpus twice for exactly this
+    * reason). */
   def bucketPpm(rows: DataFrame): DataFrame = {
-    val tot = rows.agg(count(lit(1)).as("tot"))
+    val all = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
     rows.groupBy(col("b")).agg(count(lit(1)).as("n"))
-      .crossJoin(broadcast(tot))
+      .withColumn("tot", sum(col("n")).over(all))
       .select(col("b"), expr("n * 1000000 DIV tot").as("ppm"))
   }
 
