@@ -1280,31 +1280,45 @@ object TrainingQueries extends graft.QueryModule {
     * guard demonstrably fires on real data at every test SF. */
   private val SemdedupAuditCap = 32L
 
-  /** Observability for [[SemDedup.report]]'s documented trade: which
-    * clusters the pair join sub-split, into how many cells, and at
-    * most how many pairs that can miss — the stderr warning as
-    * auditable data. Same training parameters as [[qSemdedup]], so
-    * both entries derive one shared model whichever runs first. */
+  /** The oversized-cluster repair's sketch parameters (both the
+    * audit entry and its oracle interpolate THESE, so the two cannot
+    * drift). */
+  private val SemdedupRepairBits = 8
+  private val SemdedupRepairProbe = 1
+
+  /** Observability for [[SemDedup.report]]'s sub-split trade AND its
+    * LSH repair: which clusters the pair join sub-split, into how
+    * many cells, at most how many cross-cell pairs the split alone
+    * would drop, and how many verified duplicates among them the
+    * repair RECOVERS — the stderr warning as auditable data. Same
+    * training parameters as [[qSemdedup]], so both entries derive one
+    * shared model whichever runs first. */
   def qSemdedupOversized(s: SparkSession, dir: String): DataFrame =
     SemDedup.oversizedAudit(Tables.embeddings(s, dir), eps = 0.4,
-      nClusters = 8, iters = 1, maxClusterSize = SemdedupAuditCap)
+      nClusters = 8, iters = 1, maxClusterSize = SemdedupAuditCap,
+      repairBits = SemdedupRepairBits, repairProbe = SemdedupRepairProbe)
 
   /** DuckDB replay of [[qSemdedupOversized]]: same centroid-literal
     * assignment argmax as [[semdedupOracleSql]], then cluster sizes,
-    * ceil-division cell counts, and the balanced-cells convexity
-    * bound in integer arithmetic. */
+    * ceil-division cell counts, the balanced-cells convexity bound in
+    * integer arithmetic, and the repair replay — the same sign-plane
+    * sketches ([[Similarity.bucketSql]]), the same XOR probe masks,
+    * exact cosine verification, counted per cluster. */
   private def semdedupOversizedSql(m: SemDedup.Model): String = {
     val values = m.centroids.zipWithIndex.map { case (c, j) =>
       val half = c.map(x => x * x).sum / 2.0
       s"($j, ${c.mkString("[", ",", "]")}::DOUBLE[], $half)"
     }.mkString(", ")
     val cap = SemdedupAuditCap
+    val masks = graft.ops.Similarity.probeMasksSql(
+      SemdedupRepairBits, SemdedupRepairProbe)
+    val bucket = graft.ops.Similarity.bucketSql(SemdedupRepairBits)
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |c(j, cv, half) AS (SELECT * FROM (VALUES $values)),
-       |scored AS (SELECT e.vec_id, c.j,
+       |scored AS (SELECT e.vec_id, e.v, c.j,
        |             list_dot_product(e.v, c.cv) - c.half AS s
        |           FROM e CROSS JOIN c),
-       |assign AS (SELECT vec_id, j AS cluster FROM (
+       |assign AS (SELECT vec_id, v, j AS cluster FROM (
        |             SELECT *, row_number() OVER (PARTITION BY vec_id
        |               ORDER BY s DESC, j DESC) AS rn FROM scored)
        |           WHERE rn = 1),
@@ -1314,12 +1328,24 @@ object TrainingQueries extends graft.QueryModule {
        |o AS (SELECT cluster, size,
        |        (size + $cap - 1) // $cap AS n_cells
        |      FROM sz WHERE size > $cap),
+       |oa AS (SELECT a.vec_id, a.v, o.cluster, o.n_cells,
+       |         a.vec_id % o.n_cells AS cell, $bucket AS bucket
+       |       FROM assign a JOIN o ON CAST(a.cluster AS BIGINT) = o.cluster),
+       |rec AS (SELECT a.cluster,
+       |          CAST(count(*) AS BIGINT) AS recovered_pairs
+       |        FROM oa a JOIN oa b ON a.cluster = b.cluster
+       |          AND b.vec_id < a.vec_id AND b.cell <> a.cell
+       |          AND list_contains($masks, xor(a.bucket, b.bucket))
+       |        WHERE list_cosine_similarity(a.v, b.v) >= ${m.eps}
+       |        GROUP BY a.cluster),
        |x AS (SELECT *, size // n_cells AS q, size % n_cells AS r FROM o)
-       |SELECT cluster, size, CAST(n_cells AS BIGINT) AS n_cells,
-       |  CAST(size * (size - 1) // 2 - (r * (q + 1) * q // 2
-       |    + (n_cells - r) * q * (q - 1) // 2) AS BIGINT)
-       |    AS pairs_missed_max
-       |FROM x ORDER BY cluster""".stripMargin
+       |SELECT x.cluster, x.size, CAST(x.n_cells AS BIGINT) AS n_cells,
+       |  CAST(x.size * (x.size - 1) // 2 - (x.r * (x.q + 1) * x.q // 2
+       |    + (x.n_cells - x.r) * x.q * (x.q - 1) // 2) AS BIGINT)
+       |    AS pairs_exposed_max,
+       |  COALESCE(rec.recovered_pairs, 0) AS recovered_pairs
+       |FROM x LEFT JOIN rec ON rec.cluster = x.cluster
+       |ORDER BY x.cluster""".stripMargin
   }
 
   private def semdedupOracle: Map[String, String] =
