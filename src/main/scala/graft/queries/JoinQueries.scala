@@ -96,13 +96,69 @@ object JoinQueries extends graft.QueryModule {
        |JOIN nation ON s_nationkey = n_nationkey
        |GROUP BY p_brand, n_name ORDER BY p_brand, supp_nation""".stripMargin
 
+  /** CO-LOCATED bucketed join — the other shuffle-elimination class a
+    * 100 TB star lives by (runtime partition pruning being
+    * `q_partition_prune`): both fact tables land `bucketBy(8, key)` +
+    * `sortBy(key)` once, and every subsequent equi-join on that key
+    * consumes the bucketed layout with ZERO exchange on either side —
+    * the one-time write cost is amortized across every downstream
+    * join, exactly how a nightly-joined fact pair should be stored.
+    * The entry REQUIRES the shuffle-free shape in its own physical
+    * plan (an equi-join present, no ShuffleExchange anywhere beneath
+    * it), so a co-location regression fails the correctness gate.
+    * Tables register in the session's in-memory catalog with an
+    * explicit external path under the scratch root — no warehouse
+    * directory is touched, repeated runs drop and re-create. */
+  def qBucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = StreamQueries.scratch(s, "bkt")
+    s.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+    s.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
+    Tables.orders(s, dir).select($"o_orderkey", $"o_orderpriority")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$tmp/orders").saveAsTable("graft_bkt_orders")
+    Tables.lineitem(s, dir).select($"l_orderkey",
+        Num.cents($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev_c"))
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$tmp/lineitem").saveAsTable("graft_bkt_lineitem")
+    // MERGE hint: at fixture scale Catalyst would broadcast instead
+    // (hiding the layout question entirely); production fact-fact
+    // joins are exactly the ones too big to broadcast, and the hint
+    // pins that shape so the bucket co-location is what's under test
+    val out = s.table("graft_bkt_orders").hint("merge")
+      .join(s.table("graft_bkt_lineitem"), $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"), sum($"rev_c").as("revenue_c"))
+      .orderBy($"o_orderpriority")
+    val joins = out.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    require(joins.nonEmpty, "expected a shuffle-class equi-join in the plan")
+    val shuffled = joins.exists(_.collectFirst {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }.isDefined)
+    require(!shuffled,
+      "bucketed join still shuffles an input — co-location regressed")
+    out
+  }
+
+  val qBucketedJoinSql: String =
+    s"""SELECT o_orderpriority, count(*) AS n_lines,
+       |  ${Num.sumSql(Num.centsSql("l_extendedprice*(1.0-l_discount)"))}
+       |    AS revenue_c
+       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_star" -> (qJoinStar _),
     "q_join_semi_anti" -> (qJoinSemiAnti _),
-    "q_parts_supplier" -> (qPartsSupplier _))
+    "q_parts_supplier" -> (qPartsSupplier _),
+    "q_bucketed_join" -> (qBucketedJoin _))
 
   def oracleSql: Map[String, String] = Map(
     "q_join_star" -> qJoinStarSql,
     "q_join_semi_anti" -> qJoinSemiAntiSql,
-    "q_parts_supplier" -> qPartsSupplierSql)
+    "q_parts_supplier" -> qPartsSupplierSql,
+    "q_bucketed_join" -> qBucketedJoinSql)
 }
