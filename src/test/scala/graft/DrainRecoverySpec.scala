@@ -90,6 +90,49 @@ class DrainRecoverySpec extends SparkSpec {
     assert(standing.toMap === twin)
   }
 
+  test("VectorIndexStream: crash mid-compaction + dropped commit; replay rolls the swap forward and search serves the whole index") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_recov_vcc").toString
+    val batches = Seq(
+      (0L to 3L).map(i => (i, vec(i.toInt, 0))),
+      (4L to 7L).map(i => (i, vec(i.toInt, 1))),
+      (8L to 9L).map(i => (i, vec(i.toInt, i.toInt % 2))))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("vec_id", "embedding").coalesce(1)
+        .write.parquet(s"$tmp/in/b$i.parquet")
+    }
+    EventStream.orderLanding(spark, s"$tmp/in/*.parquet", byName = true)
+    val all = batches.flatten
+    val centroids = Ivf.train(
+      Similarity.prepared(all.toDF("vec_id", "embedding")), k = 2, iters = 2)
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    def run() = VectorIndexStream.runIngest(spark,
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in/*.parquet"),
+      centroids, s"$tmp/index", s"$tmp/manifest", s"$tmp/ckpt")
+    run()
+    assert(dropNewestCommit(s"$tmp/ckpt") === 2L)
+    // the crash also caught a compaction of the index mid-swap:
+    // batches 0+1 staged complete, sources gone, rename undone
+    val fs = new org.apache.hadoop.fs.Path(s"$tmp/index")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(s"$tmp/index/batch=0", s"$tmp/index/batch=1")
+      .write.parquet(s"$tmp/index/.compact_1")
+    Seq(0, 1).foreach(b =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tmp/index/batch=$b"), true))
+    run() // replay: ingestBatch's recovery runs BEFORE its marker gate
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/index/.compact_1")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/index/batch=1")))
+    // the standing search sees every vector exactly once
+    val seen = VectorIndexStream.searchStanding(spark, s"$tmp/index",
+        s"$tmp/manifest",
+        Seq((99L, vec(3, 0))).toDF("vec_id", "embedding"),
+        centroids, k = 10, nProbe = 2)
+      .collect().map(_.getAs[Long]("neighbor_id"))
+    assert(seen.length === seen.distinct.length)
+    assert(seen.toSet === all.map(_._1).toSet)
+  }
+
   // ---- dedup admission ------------------------------------------------------
 
   test("DedupStream: dropped commit replays the batch; decisions and index equal the sequential twin") {
