@@ -593,3 +593,53 @@ object MediaBytesProps extends SparkProperties("mediabytes") {
       }
     }
 }
+
+object SemDedupProps extends SparkProperties("semdedup") {
+  import spark.implicits._
+
+  // groups of EXACT duplicates on orthogonal axes: within-group sims
+  // are exactly 1, cross-group sims exactly 0 — so the duplicate-pair
+  // set is fully determined by the grouping, identical vectors always
+  // share a sign-sketch bucket (the repair's reachability is certain),
+  // and random ids exercise arbitrary cell assignments
+  private val genCorpus: Gen[(List[(Long, Seq[Float])], Long, Int)] =
+    for {
+      nGroups <- Gen.choose(1, 4)
+      sizes <- Gen.listOfN(nGroups, Gen.choose(1, 6))
+      ids <- Gen.pick(sizes.sum, 0L until 40L)
+      cap <- Gen.choose(1L, 5L)
+      k <- Gen.oneOf(1, 2)
+    } yield {
+      val vecs = sizes.zipWithIndex.flatMap { case (s, g) =>
+        Seq.fill(s)(Seq.tabulate(4)(d => if (d == g) 1.0f else 0.0f))
+      }
+      (ids.toList.zip(vecs), cap, k)
+    }
+
+  private def runReport(rows: List[(Long, Seq[Float])], cap: Long, k: Int,
+      bits: Int): Map[Long, (Long, Long)] =
+    graft.core.CacheScope.withScope {
+      graft.ops.SemDedup.report(rows.toDF("vec_id", "embedding"),
+          eps = 0.9, nClusters = k, iters = 1, maxClusterSize = cap,
+          repairBits = bits)
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getAs[Long]("dup_of"), r.getAs[Long]("keep"))).toMap
+    }
+
+  property("repaired sub-split == unsplit on exact-duplicate corpora, any cap") =
+    Prop.forAll(genCorpus) { case (rows, cap, k) =>
+      val unsplit = runReport(rows, cap = 1L << 16, k, bits = 8)
+      val repaired = runReport(rows, cap, k, bits = 8)
+      repaired == unsplit
+    }
+
+  property("repair-off degradation is ONE-SIDED: every cheap dup is a true dup") =
+    Prop.forAll(genCorpus) { case (rows, cap, k) =>
+      val unsplit = runReport(rows, cap = 1L << 16, k, bits = 8)
+      val cheap = runReport(rows, cap, k, bits = 0)
+      cheap.forall { case (id, (dupOf, keep)) =>
+        keep == 1L || (unsplit(id)._2 == 0L && dupOf >= unsplit(id)._1)
+      }
+    }
+}
