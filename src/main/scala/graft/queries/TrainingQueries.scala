@@ -288,6 +288,44 @@ object TrainingQueries extends graft.QueryModule {
       |JOIN sizes s2 ON s2.id = id2
       |ORDER BY jaccard DESC, id1, id2 LIMIT 100""".stripMargin
 
+  /** Winnowing fingerprint near-dup pairs ([[graft.ops.Winnow]] —
+    * Schleimer et al. 2003, the MOSS scheme): the POSITION-AWARE
+    * third fingerprint family beside MinHash and SimHash, with the
+    * paper's guarantee that any shared run of k + w − 1 tokens
+    * yields a shared fingerprint. The per-window argmin (rightmost
+    * tie) is one integer `min` over a packed `h·2²¹ + (mask − pos)`
+    * key, so the whole selection replays in the oracle with the same
+    * window frame. */
+  def qWinnowPairs(s: SparkSession, dir: String): DataFrame =
+    Winnow.pairs(Tables.documents(s, dir), "text", "doc_id",
+        k = 3, w = 4, minShared = 2L)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val qWinnowPairsSql: String =
+    """WITH t AS (SELECT doc_id AS id, str_split(text, ' ') AS wd FROM documents),
+      |g AS (SELECT id, i - 1 AS p,
+      |        CAST('0x' || substr(md5(wd[i] || ' ' || wd[i+1] || ' ' || wd[i+2]),
+      |          1, 7) AS BIGINT) * 2097152 + (1048575 - (i - 1)) AS key
+      |      FROM t, UNNEST(generate_series(1, len(wd) - 2)) AS u(i)
+      |      WHERE len(wd) >= 3 AND i - 1 < 1048576),
+      |m AS (SELECT id, p,
+      |        min(key) OVER (PARTITION BY id ORDER BY p
+      |          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk,
+      |        count(*) OVER (PARTITION BY id) AS n_g
+      |      FROM g),
+      |fp AS (SELECT DISTINCT id, mk // 2097152 AS fp
+      |       FROM m WHERE p <= greatest(n_g - 4, 0)),
+      |c AS (SELECT id, CAST(count(*) AS BIGINT) AS nfp FROM fp GROUP BY id),
+      |s AS (SELECT a.id AS id_a, b.id AS id_b,
+      |        CAST(count(*) AS BIGINT) AS shared_fp
+      |      FROM fp a JOIN fp b ON a.fp = b.fp AND a.id < b.id
+      |      GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT s.id_a, s.id_b, s.shared_fp, ca.nfp AS nfp_a, cb.nfp AS nfp_b,
+      |  CAST(s.shared_fp * 1000000 // least(ca.nfp, cb.nfp) AS BIGINT)
+      |    AS overlap_ppm
+      |FROM s JOIN c ca ON ca.id = s.id_a JOIN c cb ON cb.id = s.id_b
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** MinHash+LSH: per-document signature head + candidate count.
     * md5-parity hashing throughout ([[graft.functions.HashParity]]),
     * so the whole pipeline — shingle hash, 64 affine slots, band
@@ -2422,6 +2460,7 @@ object TrainingQueries extends graft.QueryModule {
     "q_substring_dedup" -> (qSubstringDedup _),
     "q_substring_scrub" -> (qSubstringScrub _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_winnow_pairs" -> (qWinnowPairs _),
     "q_minhash_dedup" -> (qMinhashDedup _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_admit" -> (qDedupAdmit _),
@@ -2472,6 +2511,7 @@ object TrainingQueries extends graft.QueryModule {
     "q_substring_dedup" -> qSubstringDedupSql,
     "q_substring_scrub" -> qSubstringScrubSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
+    "q_winnow_pairs" -> qWinnowPairsSql,
     "q_minhash_dedup" -> qMinhashDedupSql,
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_dedup_admit" -> qDedupAdmitSql,
