@@ -326,6 +326,47 @@ object TrainingQueries extends graft.QueryModule {
       |FROM s JOIN c ca ON ca.id = s.id_a JOIN c cb ON cb.id = s.id_b
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Content-defined chunking ([[graft.ops.Cdc]] — Muthitacharoen et
+    * al. 2001, LBFS): content-derived chunk boundaries
+    * (`h28(token) % 16 == 0`), chunk identity = md5 of the chunk
+    * tokens, and the per-doc STORAGE-dedup signal — how many of a
+    * doc's chunks recur in other documents. The granularity
+    * doc-level fingerprints and line dedup both miss: re-crawled /
+    * lightly-edited documents share most chunks. Divisor 8 here (not
+    * the operator's 16 default): the synthetic corpus draws from a
+    * 31-token vocabulary whose md5 values happen to contain no
+    * multiple of 16 — at 8 the boundary rate is 0.135 (avg chunk
+    * ~7 tokens), a live gate instead of one whole-doc chunk. */
+  def qCdcChunks(s: SparkSession, dir: String): DataFrame =
+    Cdc.report(Tables.documents(s, dir), "text", "doc_id", divisor = 8)
+      .orderBy(col("doc_id"))
+
+  val qCdcChunksSql: String =
+    """WITH t AS (SELECT doc_id AS id, str_split(text, ' ') AS wd FROM documents),
+      |tok AS (SELECT id, i - 1 AS p, wd[i] AS tk
+      |        FROM t, UNNEST(generate_series(1, len(wd))) AS u(i)),
+      |f AS (SELECT id, p, tk,
+      |        CAST(CAST('0x' || substr(md5(tk), 1, 7) AS BIGINT) % 8 = 0
+      |          AS BIGINT) AS flag
+      |      FROM tok),
+      |cx AS (SELECT id, p, tk,
+      |         COALESCE(CAST(sum(flag) OVER (PARTITION BY id ORDER BY p
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |           AS BIGINT), 0) AS chunk_idx
+      |       FROM f),
+      |ch AS (SELECT id, chunk_idx,
+      |         md5(array_to_string(list(tk ORDER BY p), ' ')) AS h
+      |       FROM cx GROUP BY id, chunk_idx),
+      |cd AS (SELECT h, CAST(count(DISTINCT id) AS BIGINT) AS n_docs
+      |       FROM ch GROUP BY h)
+      |SELECT ch.id AS doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+      |  CAST(sum(CAST(cd.n_docs > 1 AS BIGINT)) AS BIGINT)
+      |    AS n_shared_chunks,
+      |  CAST(sum(CAST(cd.n_docs > 1 AS BIGINT)) * 1000000 // count(*)
+      |    AS BIGINT) AS shared_ppm
+      |FROM ch JOIN cd USING (h)
+      |GROUP BY ch.id ORDER BY doc_id""".stripMargin
+
   /** MinHash+LSH: per-document signature head + candidate count.
     * md5-parity hashing throughout ([[graft.functions.HashParity]]),
     * so the whole pipeline — shingle hash, 64 affine slots, band
@@ -2461,6 +2502,7 @@ object TrainingQueries extends graft.QueryModule {
     "q_substring_scrub" -> (qSubstringScrub _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_winnow_pairs" -> (qWinnowPairs _),
+    "q_cdc_chunks" -> (qCdcChunks _),
     "q_minhash_dedup" -> (qMinhashDedup _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_admit" -> (qDedupAdmit _),
@@ -2512,6 +2554,7 @@ object TrainingQueries extends graft.QueryModule {
     "q_substring_scrub" -> qSubstringScrubSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_winnow_pairs" -> qWinnowPairsSql,
+    "q_cdc_chunks" -> qCdcChunksSql,
     "q_minhash_dedup" -> qMinhashDedupSql,
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_dedup_admit" -> qDedupAdmitSql,
