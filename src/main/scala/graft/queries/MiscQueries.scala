@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{Num, Tables}
-import graft.ops.{AsofJoin, Cms, Curriculum, Hll, Profile, Upsert}
+import graft.ops.{AsofJoin, Cms, Curriculum, Hll, PageRank, Profile, Upsert}
 import graft.report.Overlap
 
 /** Remaining SURVEY §2 surface — snapshot delta metrics (P20/P21),
@@ -1090,7 +1090,54 @@ object MiscQueries extends graft.QueryModule {
        |FROM f WHERE d % 7 = 2
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** PageRank iterations to run — interpolated into BOTH the Spark
+    * entry and the generated oracle so the two cannot drift. */
+  private val PageRankIters = 5
+
+  /** Integer-ppm PageRank ([[graft.ops.PageRank]]) over the
+    * co-purchase graph: parts sharing an order link both ways (a
+    * symmetric edge list — no dangling mass), rank flows for
+    * [[PageRankIters]] rounds. The iterative-graph class no other
+    * entry exercises; every round's arithmetic is exact integers, so
+    * the unrolled chained-CTE oracle replays it bit-for-bit. */
+  def qPagerank(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val edges = li.select(col("ok"), col("pk").as("src"))
+      .join(li.select(col("ok"), col("pk").as("dst")), Seq("ok"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+    PageRank.ranks(edges, iters = PageRankIters)
+      .select(col("node").as("part"), col("rank_ppm"))
+      .orderBy(col("part"))
+  }
+
+  val qPagerankSql: String = {
+    val rounds = (1 to PageRankIters).map { k =>
+      s"""r$k AS (SELECT n.node,
+         |  CAST(150000 + 850000 * COALESCE(m.mass, 0) // 1000000 AS BIGINT)
+         |    AS r
+         |FROM n LEFT JOIN (
+         |  SELECT e.dst AS node, CAST(sum(p.r // d.odeg) AS BIGINT) AS mass
+         |  FROM e JOIN r${k - 1} p ON p.node = e.src
+         |  JOIN d ON d.src = e.src
+         |  GROUP BY e.dst) m ON m.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |            FROM lineitem),
+       |e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+       |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+       |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |d AS (SELECT src, CAST(count(*) AS BIGINT) AS odeg FROM e GROUP BY src),
+       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n),
+       |$rounds
+       |SELECT node AS part, r AS rank_ppm FROM r$PageRankIters
+       |ORDER BY part""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pagerank" -> (qPagerank _),
     "q_partition_prune" -> (qPartitionPrune _),
     "q_quality" -> (qQuality _),
     "q_delta_metrics" -> (qDeltaMetrics _),
@@ -1121,6 +1168,7 @@ object MiscQueries extends graft.QueryModule {
     "q_scd2" -> (qScd2 _))
 
   def oracleSql: Map[String, String] = Map(
+    "q_pagerank" -> qPagerankSql,
     "q_partition_prune" -> qPartitionPruneSql,
     "q_quality" -> qQualitySql,
     "q_delta_metrics" -> qDeltaMetricsSql,
