@@ -643,3 +643,70 @@ object SemDedupProps extends SparkProperties("semdedup") {
       }
     }
 }
+
+object WinnowProps extends SparkProperties("winnow") {
+  import spark.implicits._
+
+  // two docs over disjoint alphabets with a planted shared run of
+  // EXACTLY k + w - 1 tokens from a third alphabet — the boundary
+  // case of the paper's guarantee, at random positions and lengths
+  private val genDocs: Gen[(String, String)] =
+    for {
+      n1 <- Gen.choose(0, 12)
+      n2 <- Gen.choose(0, 12)
+      m1 <- Gen.choose(0, 12)
+      m2 <- Gen.choose(0, 12)
+      runSeed <- Gen.choose(0, 1000)
+    } yield {
+      val run = (0 until 6).map(i => s"run${runSeed}x$i") // k+w-1 = 6
+      val d1 = ((1 to n1).map(i => s"a$i") ++ run ++
+        (1 to m1).map(i => s"b$i")).mkString(" ")
+      val d2 = ((1 to n2).map(i => s"c$i") ++ run ++
+        (1 to m2).map(i => s"d$i")).mkString(" ")
+      (d1, d2)
+    }
+
+  property("a shared k+w-1-token run ALWAYS yields a shared fingerprint") =
+    Prop.forAll(genDocs) { case (d1, d2) =>
+      val fp = graft.ops.Winnow.fingerprints(
+          Seq((1L, d1), (2L, d2)).toDF("doc_id", "text"),
+          "text", "doc_id", k = 3, w = 4)
+        .collect().groupBy(_.getLong(0))
+        .map { case (id, rs) => id -> rs.map(_.getLong(1)).toSet }
+      (fp(1L) intersect fp(2L)).nonEmpty
+    }
+}
+
+object CdcProps extends SparkProperties("cdc") {
+  import spark.implicits._
+
+  private val genDoc: Gen[List[String]] =
+    Gen.choose(1, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0, 30).map(i => s"t$i")))
+
+  property("chunks PARTITION the token stream: counts sum, indices dense") =
+    Prop.forAll(genDoc) { toks =>
+      val ch = graft.ops.Cdc.chunks(
+          Seq((1L, toks.mkString(" "))).toDF("doc_id", "text"),
+          "text", "doc_id", divisor = 4)
+        .collect()
+      ch.map(_.getLong(3)).sum == toks.length.toLong &&
+        ch.map(_.getLong(1)).sorted.toSeq == (0L until ch.length).toSeq
+    }
+
+  property("insertion locality: all chunks off the edit neighborhood survive") =
+    Prop.forAll(genDoc, Gen.choose(0, 59)) { (toks, at0) =>
+      val at = math.min(at0, toks.length)
+      val edited = toks.take(at) ++ List("INSERTED") ++ toks.drop(at)
+      def hashes(id: Long, ts: List[String]) = graft.ops.Cdc.chunks(
+          Seq((id, ts.mkString(" "))).toDF("doc_id", "text"),
+          "text", "doc_id", divisor = 4)
+        .collect().map(_.getString(2)).toSet
+      val a = hashes(1L, toks)
+      val b = hashes(2L, edited)
+      // only the chunk containing the insertion point can change:
+      // at most 2 hashes differ per side (the edited chunk, plus one
+      // when INSERTED is itself a boundary and splits it)
+      (a diff b).size <= 2 && (b diff a).size <= 2
+    }
+}
