@@ -146,6 +146,40 @@ class StreamRecoverySpec extends SparkSpec {
     assert(second.map(_.getString(0)) === Seq("A", "B"))
   }
 
+  test("dropped-commit replay holds under RocksDBStateStoreProvider (failure x provider composition)") {
+    // the stateful-agg recovery scenario re-run with state OFF-HEAP:
+    // the replayed batch must restore its state from RocksDB
+    // snapshots/changelogs and still produce the identical upsert
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_recov_rdb").toString
+      val b0 = Seq(("A", 1L, 1L, 1L), ("B", 2L, 2L, 2L), ("A", 3L, 3L, 3L))
+      land(tmp, b0, 0)
+      def agg = src(tmp).groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("value_c").as("v"))
+      def run() = EventStream.runUpdateToParquet(spark, agg,
+        s"$tmp/out", s"$tmp/ckpt", Seq("event_type"))
+      val first = run().orderBy("event_type").collect().toSeq
+      assert(dropNewestCommit(s"$tmp/ckpt") === 0L)
+      val second = run().orderBy("event_type").collect().toSeq
+      assert(second === first)
+      val raw = spark.read.parquet(s"$tmp/out")
+      assert(raw.count() === 2L * first.length,
+        "replayed batch should have appended a second copy")
+      // the checkpoint really used RocksDB (its working dirs exist)
+      val sst = new java.io.File(s"$tmp/ckpt/state/0/0")
+      assert(sst.exists() && sst.listFiles().nonEmpty)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("runAppendToParquet: dropped commit replays the batch; the file sink skips it") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_recov_app").toString
     val b0 = Seq(("A", 1L, 1L, 1L), ("B", 2L, 2L, 2L))
