@@ -1090,6 +1090,55 @@ object MiscQueries extends graft.QueryModule {
        |FROM f WHERE d % 7 = 2
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** SCHEMA EVOLUTION over a landed corpus — the operational reality
+    * every long-lived 100 TB landing zone hits: early batches were
+    * written BEFORE a column existed, later batches carry it, and the
+    * union must read as one table. Two scratch batches derive
+    * deterministically from events (the "old" batch drops `value_c`;
+    * the "new" batch carries it), and the merged read
+    * (`mergeSchema=true` — schema reconciliation by NAME across
+    * files, absent columns null-filled) feeds one aggregate whose
+    * null-vs-zero distinction proves the fill really happened. The
+    * entry REQUIRES the merged schema to contain the evolved column
+    * even though the old files lack it. Oracle: the same split
+    * reconstructed from raw events with the old half's values
+    * nulled. */
+  def qSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val tmp = StreamQueries.scratch(s, "evo")
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        Num.cents(col("value")).as("value_c"))
+      .withColumn("is_new", pmod(col("event_id"), lit(2L)) === 0L)
+    // two column-pruned scans, one per schema epoch: the split lands
+    // as two file batches with DIFFERENT schemas (the old one
+    // predates value_c) — the shape a real landing zone accretes
+    ev.filter(!col("is_new")).select(col("event_id"), col("event_type"))
+      .write.parquet(s"$tmp/in/batch_old")
+    ev.filter(col("is_new"))
+      .select(col("event_id"), col("event_type"), col("value_c"))
+      .write.parquet(s"$tmp/in/batch_new")
+    val merged = s.read.option("mergeSchema", "true")
+      .parquet(s"$tmp/in/batch_old", s"$tmp/in/batch_new")
+    require(merged.columns.contains("value_c"),
+      "mergeSchema lost the evolved column")
+    merged.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("value_c")).as("n_with_value"),
+        sum(col("value_c")).as("sum_c"))
+      .orderBy(col("event_type"))
+  }
+
+  val qSchemaEvolutionSql: String =
+    s"""WITH ev AS (SELECT event_id, event_type,
+       |    CASE WHEN event_id % 2 = 0
+       |      THEN ${Num.centsSql("value")} END AS value_c
+       |  FROM events)
+       |SELECT event_type, count(*) AS n,
+       |  CAST(count(value_c) AS BIGINT) AS n_with_value,
+       |  ${Num.sumSql("value_c")} AS sum_c
+       |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** PageRank iterations to run — interpolated into BOTH the Spark
     * entry and the generated oracle so the two cannot drift. */
   private val PageRankIters = 5
@@ -1138,6 +1187,7 @@ object MiscQueries extends graft.QueryModule {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> (qPagerank _),
+    "q_schema_evolution" -> (qSchemaEvolution _),
     "q_partition_prune" -> (qPartitionPrune _),
     "q_quality" -> (qQuality _),
     "q_delta_metrics" -> (qDeltaMetrics _),
@@ -1169,6 +1219,7 @@ object MiscQueries extends graft.QueryModule {
 
   def oracleSql: Map[String, String] = Map(
     "q_pagerank" -> qPagerankSql,
+    "q_schema_evolution" -> qSchemaEvolutionSql,
     "q_partition_prune" -> qPartitionPruneSql,
     "q_quality" -> qQualitySql,
     "q_delta_metrics" -> qDeltaMetricsSql,
