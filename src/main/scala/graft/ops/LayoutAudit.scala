@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** METADATA-ONLY corpus layout audit: per parquet file, the row count
+  * and a column's min/max read from FOOTER STATISTICS alone — no data
+  * page is fetched anywhere. At 100 TB this is the observability tool
+  * behind every data-skipping decision: whether a corpus's files are
+  * range-clustered tight enough to prune (footer min/max spans) is
+  * answerable for petabytes in seconds, because the probe cost is one
+  * footer read per file, distributed over the executors.
+  *
+  * The probe doubles as a FOOTER-INTEGRITY gate when its output is
+  * compared against the same statistics derived from the data (the
+  * oracle's job in `q_layout_audit`): a footer whose stats disagree
+  * with its rows would silently corrupt every pruning decision made
+  * from it — here it hash-mismatches instead.
+  */
+object LayoutAudit {
+
+  /** One row per data file under `glob`: (file, n_rows, n_row_groups,
+    * col_min, col_max) with min/max of long column `column` taken
+    * from row-group statistics only. Files whose footer lacks usable
+    * stats for the column surface as nulls, never as fabricated
+    * bounds. */
+  def audit(s: SparkSession, glob: String, column: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val p = new Path(glob)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val files = fs.globStatus(p).toSeq.map(_.getPath)
+      .filter(f => f.getName.endsWith(".parquet"))
+      .map(_.toUri.toString).sorted
+    require(files.nonEmpty, s"no parquet files match $glob")
+    val sconf = new org.apache.spark.util.SerializableConfiguration(
+      s.sparkContext.hadoopConfiguration)
+    val nParts = math.max(1,
+      math.min(files.size, s.sparkContext.defaultParallelism))
+    val rows = s.sparkContext.parallelize(files, nParts).map { pStr =>
+      import org.apache.parquet.format.converter.ParquetMetadataConverter
+      import org.apache.parquet.hadoop.ParquetFileReader
+      val footer = ParquetFileReader.readFooter(
+        sconf.value, new Path(new java.net.URI(pStr)),
+        ParquetMetadataConverter.NO_FILTER)
+      val blocks = footer.getBlocks.asScala.toSeq
+      val stats = blocks.flatMap { blk =>
+        blk.getColumns.asScala
+          .find(_.getPath.toDotString == column)
+          .map(_.getStatistics)
+          .filter(st => st != null && st.hasNonNullValue)
+          .map(st => (st.genericGetMin, st.genericGetMax))
+          .collect { case (mn: java.lang.Long, mx: java.lang.Long) =>
+            (mn.longValue, mx.longValue)
+          }
+      }
+      val (mn, mx) =
+        if (stats.size == blocks.size && stats.nonEmpty)
+          (Some(stats.map(_._1).min), Some(stats.map(_._2).max))
+        else (None, None) // incomplete stats: null, never a wrong bound
+      (pStr.split('/').last, blocks.map(_.getRowCount).sum,
+        blocks.size.toLong, mn, mx)
+    }.collect() // bounded: one slim tuple per FILE, not per row
+    import s.implicits._
+    rows.toSeq.toDF("file", "n_rows", "n_row_groups", "col_min", "col_max")
+  }
+}

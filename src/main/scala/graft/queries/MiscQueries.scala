@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{Num, Tables}
-import graft.ops.{AsofJoin, Cms, Curriculum, Hll, PageRank, Profile, Upsert}
+import graft.ops.{AsofJoin, Cms, Curriculum, Hll, LayoutAudit, PageRank, Profile, Upsert}
 import graft.report.Overlap
 
 /** Remaining SURVEY §2 surface — snapshot delta metrics (P20/P21),
@@ -1139,6 +1139,43 @@ object MiscQueries extends graft.QueryModule {
        |  ${Num.sumSql("value_c")} AS sum_c
        |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** METADATA-ONLY layout audit ([[graft.ops.LayoutAudit]]): lineitem
+    * lands range-bucketed on its key (one file per bucket), then the
+    * per-file row counts and key min/max are read from parquet FOOTER
+    * STATISTICS alone — no data page fetched — and gated against the
+    * same statistics derived from the data by the oracle. The
+    * data-skipping observability loop at 100 TB: whether files are
+    * clustered tight enough to prune is answerable from footers in
+    * seconds, and a footer whose stats disagree with its rows (which
+    * would silently corrupt every pruning decision) hash-mismatches
+    * here instead. The bucket id re-derives from the footer MIN
+    * itself, so a fabricated bound cannot hide. */
+  def qLayoutAudit(s: SparkSession, dir: String): DataFrame = {
+    val tmp = StreamQueries.scratch(s, "layout")
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"))
+    // both engines derive the width the same way: max DIV 8 + 1
+    val width = li.agg(max("l_orderkey")).head().getLong(0) / 8 + 1
+    li.withColumn("f", expr(s"l_orderkey DIV $width"))
+      .repartition(col("f"))
+      .write.partitionBy("f").parquet(s"$tmp/by_k")
+    LayoutAudit.audit(s, s"$tmp/by_k/f=*/*.parquet", "l_orderkey")
+      .select(
+        expr(s"col_min DIV $width").as("f"),
+        col("n_rows"),
+        col("col_min").as("min_key"),
+        col("col_max").as("max_key"))
+      .orderBy(col("f"))
+  }
+
+  val qLayoutAuditSql: String =
+    """WITH w AS (SELECT max(l_orderkey) // 8 + 1 AS width FROM lineitem),
+      |b AS (SELECT l_orderkey,
+      |        l_orderkey // (SELECT width FROM w) AS f
+      |      FROM lineitem)
+      |SELECT f, CAST(count(*) AS BIGINT) AS n_rows,
+      |  min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
+      |FROM b GROUP BY f ORDER BY f""".stripMargin
+
   /** PageRank iterations to run — interpolated into BOTH the Spark
     * entry and the generated oracle so the two cannot drift. */
   private val PageRankIters = 5
@@ -1188,6 +1225,7 @@ object MiscQueries extends graft.QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> (qPagerank _),
     "q_schema_evolution" -> (qSchemaEvolution _),
+    "q_layout_audit" -> (qLayoutAudit _),
     "q_partition_prune" -> (qPartitionPrune _),
     "q_quality" -> (qQuality _),
     "q_delta_metrics" -> (qDeltaMetrics _),
@@ -1220,6 +1258,7 @@ object MiscQueries extends graft.QueryModule {
   def oracleSql: Map[String, String] = Map(
     "q_pagerank" -> qPagerankSql,
     "q_schema_evolution" -> qSchemaEvolutionSql,
+    "q_layout_audit" -> qLayoutAuditSql,
     "q_partition_prune" -> qPartitionPruneSql,
     "q_quality" -> qQualitySql,
     "q_delta_metrics" -> qDeltaMetricsSql,
