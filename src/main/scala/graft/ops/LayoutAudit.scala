@@ -36,7 +36,11 @@ object LayoutAudit {
       s.sparkContext.hadoopConfiguration)
     val nParts = math.max(1,
       math.min(files.size, s.sparkContext.defaultParallelism))
-    val rows = s.sparkContext.parallelize(files, nParts).map { pStr =>
+    import s.implicits._
+    // stays an RDD->DataFrame end to end: one slim row per FILE,
+    // never through the driver — a 100 TB corpus has millions of
+    // files, and a collect here would pile them all up driver-side
+    s.sparkContext.parallelize(files, nParts).map { pStr =>
       import org.apache.parquet.format.converter.ParquetMetadataConverter
       import org.apache.parquet.hadoop.ParquetFileReader
       val footer = ParquetFileReader.readFooter(
@@ -59,8 +63,6 @@ object LayoutAudit {
         else (None, None) // incomplete stats: null, never a wrong bound
       (pStr.split('/').last, blocks.map(_.getRowCount).sum,
         blocks.size.toLong, mn, mx)
-    }.collect() // bounded: one slim tuple per FILE, not per row
-    import s.implicits._
-    rows.toSeq.toDF("file", "n_rows", "n_row_groups", "col_min", "col_max")
+    }.toDF("file", "n_rows", "n_row_groups", "col_min", "col_max")
   }
 }
