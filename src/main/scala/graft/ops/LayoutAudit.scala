@@ -61,7 +61,11 @@ object LayoutAudit {
         if (stats.size == blocks.size && stats.nonEmpty)
           (Some(stats.map(_._1).min), Some(stats.map(_._2).max))
         else (None, None) // incomplete stats: null, never a wrong bound
-      (pStr.split('/').last, blocks.map(_.getRowCount).sum,
+      // keep the partition dir in the key: with partitionBy, file
+      // NAMES repeat across partition dirs (same task id + job uuid),
+      // so the bare name is not unique within one write job
+      (pStr.split('/').takeRight(2).mkString("/"),
+        blocks.map(_.getRowCount).sum,
         blocks.size.toLong, mn, mx)
     }.toDF("file", "n_rows", "n_row_groups", "col_min", "col_max")
   }

@@ -1176,6 +1176,216 @@ object MiscQueries extends graft.QueryModule {
       |  min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
       |FROM b GROUP BY f ORDER BY f""".stripMargin
 
+  /** Z-order bucket bits per dimension (64 buckets each) and the
+    * z-range a file owns — interpolated into BOTH engines so the
+    * derivations cannot drift. */
+  private val ZBits = 6
+  private val ZFileWidth = 256L
+
+  /** [[graft.functions.ZOrder.interleave]] restricted to [[ZBits]]-bit
+    * inputs, spelled in portable integer arithmetic for the oracle:
+    * bit i of a lands at position 2i, bit i of b at 2i+1. */
+  private def zInterleaveSql(a: String, b: String): String =
+    (0 until ZBits).map { i =>
+      s"(($a // ${1L << i}) % 2) * ${1L << (2 * i)} + " +
+        s"(($b // ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+
+  /** Z-ORDER CLUSTERED LAYOUT under the oracle: lineitem lands
+    * clustered by the Morton interleave of its (orderkey, partkey)
+    * buckets ([[graft.functions.InterleaveBits]], the codegen'd
+    * expression `ZOrderSpec` pins against the driver function), each
+    * file owning one contiguous z-range — then per z-range row counts
+    * and BOTH dimensions' min/max are read back from parquet FOOTER
+    * STATISTICS ONLY ([[graft.ops.LayoutAudit]]) and gated against
+    * the oracle deriving the same numbers from the data.
+    *
+    * What the hash gate therefore proves: the interleave arithmetic
+    * (replayed bit-term by bit-term in SQL), the z-range→file
+    * assignment, and the footer integrity of every written file in
+    * both dimensions at once. The returned min/max spans ARE the
+    * multi-dimensional clustering property — at 100 TB they are what
+    * lets a range predicate on EITHER column skip files without
+    * touching a data page, where a linear sort serves only its
+    * leading column (`ZOrderSpec` measures that pruning consequence;
+    * this entry gates the layout's arithmetic end to end). */
+  def qZorder(s: SparkSession, dir: String): DataFrame = {
+    val tmp = StreamQueries.scratch(s, "zorder")
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+    // both engines derive the bucket widths the same way: max DIV 64 + 1
+    val r = li.agg(max("l_orderkey"), max("l_partkey")).head()
+    val (ow, pw) = (r.getLong(0) / (1L << ZBits) + 1,
+      r.getLong(1) / (1L << ZBits) + 1)
+    li.withColumn("zk", graft.functions.ZOrderExprs.interleaveBits(
+        expr(s"l_orderkey DIV $ow"), expr(s"l_partkey DIV $pw")))
+      .withColumn("f", expr(s"zk DIV $ZFileWidth"))
+      .repartition(col("f"))
+      .sortWithinPartitions(col("zk"))
+      .write.partitionBy("f").parquet(s"$tmp/z")
+    val glob = s"$tmp/z/f=*/*.parquet"
+    // three footer probes per file (zk recovers the z-range id from
+    // the footer MIN itself, so a fabricated bound cannot hide); all
+    // metadata-only, joined per file, aggregated per z-range
+    val az = LayoutAudit.audit(s, glob, "zk")
+      .select(col("file"), expr(s"col_min DIV $ZFileWidth").as("f"),
+        col("n_rows"))
+    val ao = LayoutAudit.audit(s, glob, "l_orderkey")
+      .select(col("file"), col("col_min").as("omn"), col("col_max").as("omx"))
+    val ap = LayoutAudit.audit(s, glob, "l_partkey")
+      .select(col("file"), col("col_min").as("pmn"), col("col_max").as("pmx"))
+    az.join(ao, Seq("file")).join(ap, Seq("file"))
+      .groupBy(col("f"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        min(col("omn")).as("o_min"), max(col("omx")).as("o_max"),
+        min(col("pmn")).as("p_min"), max(col("pmx")).as("p_max"))
+      .orderBy(col("f"))
+  }
+
+  val qZorderSql: String =
+    s"""WITH w AS (SELECT max(l_orderkey) // ${1L << ZBits} + 1 AS ow,
+       |             max(l_partkey) // ${1L << ZBits} + 1 AS pw
+       |           FROM lineitem),
+       |b AS (SELECT l_orderkey, l_partkey,
+       |        l_orderkey // (SELECT ow FROM w) AS zo,
+       |        l_partkey // (SELECT pw FROM w) AS zp
+       |      FROM lineitem),
+       |z AS (SELECT l_orderkey, l_partkey,
+       |        ${zInterleaveSql("zo", "zp")} AS zk
+       |      FROM b)
+       |SELECT zk // $ZFileWidth AS f, CAST(count(*) AS BIGINT) AS n_rows,
+       |  min(l_orderkey) AS o_min, max(l_orderkey) AS o_max,
+       |  min(l_partkey) AS p_min, max(l_partkey) AS p_max
+       |FROM z GROUP BY f ORDER BY f""".stripMargin
+
+  /** IDEMPOTENT PARTITION BACKFILL under the oracle: events land
+    * date-partitioned, then a correction window (days with
+    * `d % 4 = 1`: values were under-reported 2×) is recomputed and
+    * written back with `partitionOverwriteMode=dynamic` — the
+    * overwrite replaces ONLY the partitions the corrected frame
+    * carries, runs TWICE (a re-run of the same backfill job must be a
+    * content no-op), and the entry REQUIRES every out-of-window
+    * partition's file set to be byte-identical before/after (the
+    * static-overwrite failure mode — dropping the whole table to
+    * rewrite one window — surfaces here as a require, not a silent
+    * 100×-write at scale). Oracle: the corrected full recompute.
+    *
+    * This is the nightly-warehouse primitive at 100 TB: a backfill
+    * touches the window's bytes and nothing else, and re-running a
+    * crashed job converges instead of compounding. */
+  def qBackfill(s: SparkSession, dir: String): DataFrame = {
+    val tmp = StreamQueries.scratch(s, "backfill")
+    val dayUs = 86400L * 1000000L
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        Num.cents(col("value")).as("value_c"),
+        expr(s"ts_us DIV $dayUs").as("d"))
+    // initial load: one task per day before the partitioned write
+    // (the qPartitionPrune lesson — O(tasks × days) files otherwise)
+    ev.repartition(col("d")).write.partitionBy("d").parquet(s"$tmp/wh")
+    def fileSets(): Map[String, Set[String]] = {
+      val p = new org.apache.hadoop.fs.Path(s"$tmp/wh/d=*/*.parquet")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.globStatus(p).toSeq.map(_.getPath)
+        .groupBy(_.getParent.getName)
+        .map { case (part, ps) => part -> ps.map(_.getName).toSet }
+    }
+    val before = fileSets()
+    val corrected = ev.filter(expr("d % 4 = 1"))
+      .withColumn("value_c", col("value_c") * 2L)
+    (1 to 2).foreach { _ =>
+      corrected.repartition(col("d"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("d").parquet(s"$tmp/wh")
+    }
+    val after = fileSets()
+    require(after.keySet == before.keySet,
+      "backfill changed the partition set")
+    before.keys.filter(_.stripPrefix("d=").toLong % 4 != 1).foreach { k =>
+      require(after(k) == before(k),
+        s"backfill rewrote partition $k outside its window")
+    }
+    s.read.parquet(s"$tmp/wh")
+      .groupBy(col("d").cast("long").as("d"))
+      .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_c"))
+      .orderBy(col("d"))
+  }
+
+  val qBackfillSql: String =
+    s"""WITH ev AS (SELECT epoch_us(ts) // ${86400L * 1000000L} AS d,
+       |    ${Num.centsSql("value")} AS value_c
+       |  FROM events),
+       |c AS (SELECT d,
+       |    CASE WHEN d % 4 = 1 THEN value_c * 2 ELSE value_c END AS value_c
+       |  FROM ev)
+       |SELECT d, count(*) AS n, ${Num.sumSql("value_c")} AS sum_c
+       |FROM c GROUP BY d ORDER BY d""".stripMargin
+
+  /** SMALL-FILE COMPACTION under the oracle: events land as a
+    * deliberately FRAGMENTED warehouse (every shuffle task writes
+    * into every day's directory — the streaming-landing symptom),
+    * then the compactor rewrites it clustered (one task per day) with
+    * a scale-adaptive records-per-file target
+    * (`greatest(1000, total DIV 64)` — derived identically by both
+    * engines, so the target grows with the corpus instead of
+    * re-fragmenting large days). The per-day FILE COUNT is part of
+    * the oracle-gated output: one writer task per day splitting at
+    * exactly maxRecordsPerFile records means
+    * `n_files = ceil(n / target)` — the bin-packing arithmetic
+    * replays in SQL, so a compactor that silently splits a day across
+    * writers or overshoots the target hash-mismatches. Content
+    * preservation (counts + exact sums) rides the same gate, and the
+    * entry REQUIRES the total file count to actually drop.
+    *
+    * At 100 TB the small-file problem is a metadata DDoS: a listing
+    * of 10M 1 MB files costs more than the scan; this is the
+    * compaction loop that fixes it, with its invariants as data. */
+  def qCompactFiles(s: SparkSession, dir: String): DataFrame = {
+    val tmp = StreamQueries.scratch(s, "compact")
+    val dayUs = 86400L * 1000000L
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"),
+        Num.cents(col("value")).as("value_c"),
+        expr(s"ts_us DIV $dayUs").as("d"))
+    // fragmented landing: 8 tasks × every day they carry rows for
+    ev.repartition(8, col("event_id"))
+      .write.partitionBy("d").parquet(s"$tmp/frag")
+    def nFiles(root: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(s"$root/d=*/*.parquet")
+      p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .globStatus(p).length.toLong
+    }
+    val fragFiles = nFiles(s"$tmp/frag")
+    val frag = s.read.parquet(s"$tmp/frag")
+    val target = math.max(1000L, frag.count() / 64L)
+    frag.repartition(col("d"))
+      .write.option("maxRecordsPerFile", target)
+      .partitionBy("d").parquet(s"$tmp/compact")
+    val compactFiles = nFiles(s"$tmp/compact")
+    require(compactFiles < fragFiles,
+      s"compaction did not reduce files: $fragFiles -> $compactFiles")
+    s.read.parquet(s"$tmp/compact")
+      // project first: input_file_name is nondeterministic, so it
+      // must bind in a Project, not inside the aggregate itself
+      .withColumn("fn", input_file_name())
+      .groupBy(col("d").cast("long").as("d"))
+      .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_c"),
+        count_distinct(col("fn")).as("n_files"))
+      .orderBy(col("d"))
+  }
+
+  val qCompactFilesSql: String =
+    s"""WITH ev AS (SELECT epoch_us(ts) // ${86400L * 1000000L} AS d,
+       |    ${Num.centsSql("value")} AS value_c
+       |  FROM events),
+       |t AS (SELECT greatest(1000, count(*) // 64) AS target FROM ev),
+       |g AS (SELECT d, count(*) AS n,
+       |        ${Num.sumSql("value_c")} AS sum_c
+       |      FROM ev GROUP BY d)
+       |SELECT d, n, sum_c,
+       |  (n + (SELECT target FROM t) - 1) // (SELECT target FROM t) AS n_files
+       |FROM g ORDER BY d""".stripMargin
+
   /** PageRank iterations to run — interpolated into BOTH the Spark
     * entry and the generated oracle so the two cannot drift. */
   private val PageRankIters = 5
@@ -1226,6 +1436,9 @@ object MiscQueries extends graft.QueryModule {
     "q_pagerank" -> (qPagerank _),
     "q_schema_evolution" -> (qSchemaEvolution _),
     "q_layout_audit" -> (qLayoutAudit _),
+    "q_zorder" -> (qZorder _),
+    "q_backfill" -> (qBackfill _),
+    "q_compact_files" -> (qCompactFiles _),
     "q_partition_prune" -> (qPartitionPrune _),
     "q_quality" -> (qQuality _),
     "q_delta_metrics" -> (qDeltaMetrics _),
@@ -1259,6 +1472,9 @@ object MiscQueries extends graft.QueryModule {
     "q_pagerank" -> qPagerankSql,
     "q_schema_evolution" -> qSchemaEvolutionSql,
     "q_layout_audit" -> qLayoutAuditSql,
+    "q_zorder" -> qZorderSql,
+    "q_backfill" -> qBackfillSql,
+    "q_compact_files" -> qCompactFilesSql,
     "q_partition_prune" -> qPartitionPruneSql,
     "q_quality" -> qQualitySql,
     "q_delta_metrics" -> qDeltaMetricsSql,
