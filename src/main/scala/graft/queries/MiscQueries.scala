@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{Num, Tables}
-import graft.ops.{AsofJoin, Cms, Curriculum, Hll, LayoutAudit, PageRank, Profile, Upsert}
+import graft.ops.{AsofJoin, Cms, Curriculum, Hll, LayoutAudit, PageRank, Profile, SnapTable, Upsert}
 import graft.report.Overlap
 
 /** Remaining SURVEY §2 surface — snapshot delta metrics (P20/P21),
@@ -1386,6 +1386,119 @@ object MiscQueries extends graft.QueryModule {
        |  (n + (SELECT target FROM t) - 1) // (SELECT target FROM t) AS n_files
        |FROM g ORDER BY d""".stripMargin
 
+  /** TIME TRAVEL over a snapshot-versioned table
+    * ([[graft.ops.SnapTable]]): a per-day aggregate is published as
+    * v1 (overwrite: first half of the timeline), v2 (APPEND: the
+    * second half — the manifest carries v1's files, no data copied),
+    * and v3 (overwrite: a corrected republish with doubled sums).
+    * The entry then reads ALL THREE versions back — history stays
+    * readable after later commits — and plants a TORN commit (a
+    * staged data directory with no manifest) that the reads must not
+    * see; both invariants are `require`d, and the per-version
+    * (n_days, total) pairs are hash-gated against the oracle
+    * reconstructing each snapshot's state from raw events.
+    *
+    * The 100 TB story: publish/backfill/correct cycles become atomic
+    * versioned snapshots — a reader mid-query keeps its version, a
+    * crashed publisher leaves nothing visible, and an audit can
+    * re-read exactly what any past consumer saw. */
+  def qTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val tmp = StreamQueries.scratch(s, "snap")
+    val tbl = s"$tmp/tbl"
+    val dayUs = 86400L * 1000000L
+    val ev = Tables.events(s, dir)
+      .select(expr(s"ts_us DIV $dayUs").as("d"),
+        Num.cents(col("value")).as("value_c"))
+    // both engines derive the split the same way: (min+max) DIV 2
+    val mm = ev.agg(min("d"), max("d")).head()
+    val dmid = (mm.getLong(0) + mm.getLong(1)) / 2
+    val perDay = ev.groupBy(col("d"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("value_c")).as("sum_c"))
+    SnapTable.commit(s, perDay.filter(col("d") < dmid), tbl, "overwrite")
+    SnapTable.commit(s, perDay.filter(col("d") >= dmid), tbl, "append")
+    SnapTable.commit(s,
+      perDay.withColumn("sum_c", col("sum_c") * 2L), tbl, "overwrite")
+    // torn commit: staged data, no manifest — must stay invisible
+    perDay.limit(5).write.parquet(s"$tbl/data/b99")
+    val nDays = perDay.count()
+    require(SnapTable.versions(s, tbl) == Seq(1, 2, 3),
+      "torn staging directory leaked into the version list")
+    require(SnapTable.read(s, tbl, Some(3)).count() == nDays,
+      "torn staging directory leaked into a snapshot read")
+    (1 to 3).map { v =>
+      SnapTable.read(s, tbl, Some(v))
+        .agg(count(lit(1)).as("n_days"), sum(col("sum_c")).as("total"))
+        .select(lit(v.toLong).as("version"), col("n_days"), col("total"))
+    }.reduce(_.union(_)).orderBy(col("version"))
+  }
+
+  val qTimeTravelSql: String =
+    s"""WITH ev AS (SELECT epoch_us(ts) // ${86400L * 1000000L} AS d,
+       |    ${Num.centsSql("value")} AS value_c
+       |  FROM events),
+       |m AS (SELECT (min(d) + max(d)) // 2 AS dmid FROM ev),
+       |pd AS (SELECT d, ${Num.sumSql("value_c")} AS sum_c
+       |       FROM ev GROUP BY d)
+       |SELECT CAST(1 AS BIGINT) AS version,
+       |  CAST(count(*) AS BIGINT) AS n_days,
+       |  ${Num.sumSql("sum_c")} AS total
+       |FROM pd WHERE d < (SELECT dmid FROM m)
+       |UNION ALL
+       |SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+       |  ${Num.sumSql("sum_c")} FROM pd
+       |UNION ALL
+       |SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+       |  ${Num.sumSql("2 * sum_c")} FROM pd
+       |ORDER BY version""".stripMargin
+
+  /** CHANGE DATA FEED between two snapshot states
+    * ([[SnapTable.diff]]): per-user totals for the timeline's first
+    * half (v1) and second half (v2) are committed as successive
+    * overwrite snapshots of one table, then diffed by key — users
+    * only in v2 emit I, only in v1 emit D, present in both with a
+    * moved total emit U; unchanged keys are suppressed. One
+    * full-outer shuffle join; the oracle replays it as SQL FULL
+    * OUTER JOIN over the two reconstructed states. The downstream
+    * consumer at 100 TB reads this feed instead of re-scanning two
+    * full snapshots to find what moved. */
+  def qSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val tmp = StreamQueries.scratch(s, "cdf")
+    val tbl = s"$tmp/users"
+    val dayUs = 86400L * 1000000L
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), expr(s"ts_us DIV $dayUs").as("d"),
+        Num.cents(col("value")).as("value_c"))
+    val mm = ev.agg(min("d"), max("d")).head()
+    val dmid = (mm.getLong(0) + mm.getLong(1)) / 2
+    def totals(p: DataFrame) = p.groupBy(col("user_id"))
+      .agg(sum(col("value_c")).as("sum_c"))
+    SnapTable.commit(s, totals(ev.filter(col("d") < dmid)), tbl, "overwrite")
+    SnapTable.commit(s, totals(ev.filter(col("d") >= dmid)), tbl, "overwrite")
+    SnapTable.diff(
+        SnapTable.read(s, tbl, Some(1)), SnapTable.read(s, tbl, Some(2)),
+        key = "user_id", value = "sum_c")
+      .orderBy(col("user_id"))
+  }
+
+  val qSnapshotDiffSql: String =
+    s"""WITH ev AS (SELECT user_id, epoch_us(ts) // ${86400L * 1000000L} AS d,
+       |    ${Num.centsSql("value")} AS value_c
+       |  FROM events),
+       |m AS (SELECT (min(d) + max(d)) // 2 AS dmid FROM ev),
+       |a AS (SELECT user_id, ${Num.sumSql("value_c")} AS old_sum_c
+       |      FROM ev WHERE d < (SELECT dmid FROM m) GROUP BY user_id),
+       |b AS (SELECT user_id, ${Num.sumSql("value_c")} AS new_sum_c
+       |      FROM ev WHERE d >= (SELECT dmid FROM m) GROUP BY user_id)
+       |SELECT coalesce(a.user_id, b.user_id) AS user_id,
+       |  a.old_sum_c, b.new_sum_c,
+       |  CASE WHEN a.user_id IS NULL THEN 'I'
+       |       WHEN b.user_id IS NULL THEN 'D'
+       |       ELSE 'U' END AS op
+       |FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+       |WHERE a.user_id IS NULL OR b.user_id IS NULL
+       |   OR a.old_sum_c <> b.new_sum_c
+       |ORDER BY user_id""".stripMargin
+
   /** PageRank iterations to run — interpolated into BOTH the Spark
     * entry and the generated oracle so the two cannot drift. */
   private val PageRankIters = 5
@@ -1439,6 +1552,8 @@ object MiscQueries extends graft.QueryModule {
     "q_zorder" -> (qZorder _),
     "q_backfill" -> (qBackfill _),
     "q_compact_files" -> (qCompactFiles _),
+    "q_time_travel" -> (qTimeTravel _),
+    "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_partition_prune" -> (qPartitionPrune _),
     "q_quality" -> (qQuality _),
     "q_delta_metrics" -> (qDeltaMetrics _),
@@ -1475,6 +1590,8 @@ object MiscQueries extends graft.QueryModule {
     "q_zorder" -> qZorderSql,
     "q_backfill" -> qBackfillSql,
     "q_compact_files" -> qCompactFilesSql,
+    "q_time_travel" -> qTimeTravelSql,
+    "q_snapshot_diff" -> qSnapshotDiffSql,
     "q_partition_prune" -> qPartitionPruneSql,
     "q_quality" -> qQualitySql,
     "q_delta_metrics" -> qDeltaMetricsSql,
