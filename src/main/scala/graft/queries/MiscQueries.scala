@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{Num, Tables}
-import graft.ops.{AsofJoin, Cms, Curriculum, Hll, LayoutAudit, PageRank, Profile, SnapTable, Upsert}
+import graft.ops.{AsofJoin, Cms, Curriculum, Hll, LayoutAudit, Mv, PageRank, Profile, SnapTable, Upsert}
 import graft.report.Overlap
 
 /** Remaining SURVEY §2 surface — snapshot delta metrics (P20/P21),
@@ -1499,6 +1499,134 @@ object MiscQueries extends graft.QueryModule {
        |   OR a.old_sum_c <> b.new_sum_c
        |ORDER BY user_id""".stripMargin
 
+  /** INCREMENTAL MATERIALIZED-VIEW MAINTENANCE under the oracle
+    * ([[graft.ops.Mv.additiveMerge]]): the standing per-user MV
+    * (count + exact sum) is built from the timeline's first half and
+    * committed as snapshot v1; the second half arrives as a DELTA
+    * whose pre-aggregated contribution merges into the MV READ BACK
+    * FROM v1 — one key-bounded full-outer join, the first half's raw
+    * events never rescanned — and v2 publishes the refreshed MV on
+    * the same atomic snapshot protocol. The oracle recomputes the MV
+    * from ALL raw events in one pass: hash equality proves the
+    * incremental path is exactly the full recompute, which is the
+    * entire contract of MV maintenance at 100 TB (the refresh cost is
+    * the delta + the key space, not the history). */
+  def qIncrementalMv(s: SparkSession, dir: String): DataFrame = {
+    val tmp = StreamQueries.scratch(s, "mv")
+    val tbl = s"$tmp/mv"
+    val dayUs = 86400L * 1000000L
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), expr(s"ts_us DIV $dayUs").as("d"),
+        Num.cents(col("value")).as("value_c"))
+    val mm = ev.agg(min("d"), max("d")).head()
+    val dmid = (mm.getLong(0) + mm.getLong(1)) / 2
+    def agg(p: DataFrame) = p.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_c"))
+    SnapTable.commit(s, agg(ev.filter(col("d") < dmid)), tbl, "overwrite")
+    val delta = agg(ev.filter(col("d") >= dmid))
+    val refreshed = Mv.additiveMerge(
+      SnapTable.read(s, tbl, Some(1)), delta,
+      key = "user_id", cols = Seq("n", "sum_c"))
+    SnapTable.commit(s, refreshed, tbl, "overwrite")
+    SnapTable.read(s, tbl, Some(2)).orderBy(col("user_id"))
+  }
+
+  val qIncrementalMvSql: String =
+    s"""WITH ev AS (SELECT user_id,
+       |    ${Num.centsSql("value")} AS value_c
+       |  FROM events)
+       |SELECT user_id, count(*) AS n, ${Num.sumSql("value_c")} AS sum_c
+       |FROM ev GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** TARGETED DELETE (the right-to-be-forgotten loop) under the
+    * oracle: events land clustered into user-range buckets, then
+    * three users — derived identically by both engines from
+    * max(user_id) — are erased by rewriting ONLY the files whose
+    * parquet FOOTER min/max could contain them
+    * ([[graft.ops.LayoutAudit]] is the planner: the rewrite set is
+    * decided from metadata, no data page read during planning). The
+    * rewrite lands via dynamic partition overwrite; a bucket left
+    * EMPTY by the delete is removed explicitly (the dynamic-overwrite
+    * blind spot — an empty frame overwrites nothing, which would
+    * leave the deleted rows readable). The entry REQUIRES every
+    * unaffected bucket's file set byte-identical. Oracle: the
+    * post-delete state recomputed from raw events.
+    *
+    * At 100 TB this is the difference between rewriting ~3 files and
+    * rewriting the corpus: erasure cost scales with the subject's
+    * data locality, not the table size. */
+  def qTargetedDelete(s: SparkSession, dir: String): DataFrame = {
+    val tmp = StreamQueries.scratch(s, "erase")
+    val wh = s"$tmp/wh"
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), Num.cents(col("value")).as("value_c"))
+    // both engines derive buckets and the delete set the same way
+    val umax = ev.agg(max("user_id")).head().getLong(0)
+    val width = umax / 8 + 1
+    val dels = Seq(umax / 7, umax / 2, umax - 1).distinct
+    ev.withColumn("b", expr(s"user_id DIV $width"))
+      .repartition(col("b")).write.partitionBy("b").parquet(wh)
+    def fileSets(): Map[String, Set[String]] = {
+      val p = new org.apache.hadoop.fs.Path(s"$wh/b=*/*.parquet")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.globStatus(p).toSeq.map(_.getPath)
+        .groupBy(_.getParent.getName)
+        .map { case (part, ps) => part -> ps.map(_.getName).toSet }
+    }
+    val before = fileSets()
+    // PLAN FROM METADATA: candidate files = footer range intersects a
+    // delete key; rewrite set = their partition dirs (bounded, <= 3)
+    val audit = LayoutAudit.audit(s, s"$wh/b=*/*.parquet", "user_id")
+    val hit = audit.filter(
+        dels.map(u => col("col_min") <= u && col("col_max") >= u)
+          .reduce(_ || _))
+      .select(col("file")).collect()
+      .map(_.getString(0).split('/')(0)).distinct.toSeq.sorted
+    require(hit.nonEmpty && hit.size <= dels.size,
+      s"erasure plan should touch at most ${dels.size} buckets: $hit")
+    val remaining = s.read.option("basePath", wh)
+      .parquet(hit.map(h => s"$wh/$h"): _*)
+      .filter(!col("user_id").isin(dels: _*))
+    // surviving buckets BEFORE the rewrite: `remaining` is a lazy plan
+    // over the files the overwrite below replaces — evaluating it
+    // afterwards would read deleted files
+    val still = remaining.select(col("b").cast("string"))
+      .distinct().collect().map(r => s"b=${r.getString(0)}").toSet
+    remaining.repartition(col("b"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("b").parquet(wh)
+    // a bucket emptied by the delete never reaches the writer above —
+    // remove its directory explicitly or the old rows stay readable
+    val fsys = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    hit.filterNot(still).foreach { dead =>
+      fsys.delete(new org.apache.hadoop.fs.Path(wh, dead), true)
+    }
+    val after = fileSets()
+    before.keys.filterNot(hit.contains).foreach { k =>
+      require(after.get(k).contains(before(k)),
+        s"erasure rewrote unaffected bucket $k")
+    }
+    s.read.parquet(wh)
+      .groupBy(col("b").cast("long").as("b"))
+      .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_c"))
+      .orderBy(col("b"))
+  }
+
+  val qTargetedDeleteSql: String =
+    s"""WITH ev AS (SELECT user_id, ${Num.centsSql("value")} AS value_c
+       |  FROM events),
+       |m AS (SELECT max(user_id) AS um FROM ev),
+       |del AS (SELECT um // 7 AS u FROM m
+       |        UNION SELECT um // 2 FROM m
+       |        UNION SELECT um - 1 FROM m),
+       |kept AS (SELECT user_id // ((SELECT um FROM m) // 8 + 1) AS b,
+       |           value_c
+       |         FROM ev WHERE user_id NOT IN (SELECT u FROM del))
+       |SELECT b, count(*) AS n, ${Num.sumSql("value_c")} AS sum_c
+       |FROM kept GROUP BY b ORDER BY b""".stripMargin
+
   /** PageRank iterations to run — interpolated into BOTH the Spark
     * entry and the generated oracle so the two cannot drift. */
   private val PageRankIters = 5
@@ -1554,6 +1682,8 @@ object MiscQueries extends graft.QueryModule {
     "q_compact_files" -> (qCompactFiles _),
     "q_time_travel" -> (qTimeTravel _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
+    "q_incremental_mv" -> (qIncrementalMv _),
+    "q_targeted_delete" -> (qTargetedDelete _),
     "q_partition_prune" -> (qPartitionPrune _),
     "q_quality" -> (qQuality _),
     "q_delta_metrics" -> (qDeltaMetrics _),
@@ -1592,6 +1722,8 @@ object MiscQueries extends graft.QueryModule {
     "q_compact_files" -> qCompactFilesSql,
     "q_time_travel" -> qTimeTravelSql,
     "q_snapshot_diff" -> qSnapshotDiffSql,
+    "q_incremental_mv" -> qIncrementalMvSql,
+    "q_targeted_delete" -> qTargetedDeleteSql,
     "q_partition_prune" -> qPartitionPruneSql,
     "q_quality" -> qQualitySql,
     "q_delta_metrics" -> qDeltaMetricsSql,
