@@ -150,15 +150,74 @@ object JoinQueries extends graft.QueryModule {
        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** RUNTIME BLOOM-FILTER join pruning (the third shuffle-reduction
+    * class beside DPP and bucketing): a selective dimension filter
+    * (urgent orders, 1/5th of the table) makes Catalyst build a bloom
+    * filter over the surviving join keys and inject a
+    * `might_contain` probe into the FACT side BELOW its shuffle — at
+    * 100 TB that's ~80% of the fact rows dropped before they are
+    * hashed, serialized and shuffled, paid for with one xxhash probe
+    * per row inside the scan stage's codegen span. The entry REQUIRES
+    * the injected filter in its own physical plan (a regression fails
+    * the correctness gate) and materializes INSIDE the conf window so
+    * the gated result is produced by the asserted plan; broadcast is
+    * pinned off because fact-fact joins are exactly the ones too big
+    * to broadcast (the `q_bucketed_join` argument).
+    *
+    * Oracle: the plain filtered join — the bloom filter is a pure
+    * pass-through optimization (false positives only ever ADMIT rows
+    * the join then drops), so the result must be bit-identical. */
+  def qRuntimeFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = StreamQueries.scratch(s, "rbf")
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val li = Tables.lineitem(s, dir).select($"l_orderkey",
+        Num.cents($"l_quantity").as("qty_c"))
+      val ord = Tables.orders(s, dir)
+        .filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_orderkey", $"o_orderstatus")
+      val out = li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_lines"), sum($"qty_c").as("qty_sum_c"))
+      val plan = out.queryExecution.executedPlan.toString
+      require(plan.contains("bloom_filter_agg"),
+        "runtime bloom filter missing from the join plan")
+      // the conf window closes in finally — materialize the gated
+      // result now, so what the oracle checks IS the asserted plan's
+      // output (a later lazy execution would re-plan without confs)
+      out.coalesce(1).write.parquet(s"$tmp/out")
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+    s.read.parquet(s"$tmp/out").orderBy($"o_orderstatus")
+  }
+
+  val qRuntimeFilterSql: String =
+    s"""SELECT o_orderstatus, count(*) AS n_lines,
+       |  ${Num.sumSql(Num.centsSql("l_quantity"))} AS qty_sum_c
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE o_orderpriority = '1-URGENT'
+       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_star" -> (qJoinStar _),
     "q_join_semi_anti" -> (qJoinSemiAnti _),
     "q_parts_supplier" -> (qPartsSupplier _),
-    "q_bucketed_join" -> (qBucketedJoin _))
+    "q_bucketed_join" -> (qBucketedJoin _),
+    "q_runtime_filter" -> (qRuntimeFilter _))
 
   def oracleSql: Map[String, String] = Map(
     "q_join_star" -> qJoinStarSql,
     "q_join_semi_anti" -> qJoinSemiAntiSql,
     "q_parts_supplier" -> qPartsSupplierSql,
-    "q_bucketed_join" -> qBucketedJoinSql)
+    "q_bucketed_join" -> qBucketedJoinSql,
+    "q_runtime_filter" -> qRuntimeFilterSql)
 }
