@@ -82,14 +82,66 @@ object SnapTable {
       else Seq.empty
     val lines = carried ++ fresh
     require(lines.nonEmpty, "refusing to commit an empty snapshot")
-    // stage + atomic rename: the commit point is the rename itself
+    try claim(fs, table, v, lines)
+    catch { case e: java.io.IOException =>
+      // losing the race means this writer's snapshot derived from a
+      // stale head — its staged data is garbage; reclaim and rethrow
+      // for the caller to re-derive and retry
+      fs.delete(dataDir, true)
+      throw e
+    }
+    v
+  }
+
+  /** The commit point — OPTIMISTIC CONCURRENCY: refuse if another
+    * committer already claimed `v` (never silently overwrite a
+    * manifest), otherwise stage and atomically rename. A racer
+    * landing between the check and the rename still loses: rename
+    * does not replace an existing destination, so the `require`
+    * fails loudly rather than clobbering the winner. */
+  private[graft] def claim(fs: org.apache.hadoop.fs.FileSystem,
+      table: String, v: Int, lines: Seq[String]): Unit = {
+    if (fs.exists(manifest(table, v)))
+      throw new java.io.IOException(
+        s"concurrent commit: version $v was claimed by another writer")
     val tmp = new Path(table, s".manifest-v$v.txt.tmp")
     val out = fs.create(tmp, true)
     try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     require(fs.rename(tmp, manifest(table, v)),
       s"snapshot commit rename failed for version $v")
-    v
+  }
+
+  /** Retention GC: keep the LAST `keep` versions, delete every data
+    * file no kept manifest references, every older manifest, and any
+    * orphaned staging directory below the kept horizon. History
+    * beyond the horizon stops being readable BY DESIGN — that is the
+    * storage-cost contract of retention; the kept versions' reads are
+    * untouched (their files are never candidates). Returns the number
+    * of data files deleted. */
+  def vacuum(s: SparkSession, table: String, keep: Int): Int = {
+    require(keep >= 1, "vacuum must keep at least the latest version")
+    val vs = versions(s, table)
+    require(vs.nonEmpty, s"no committed snapshot under $table")
+    val (dropped, kept) = vs.splitAt(math.max(0, vs.size - keep))
+    val referenced = kept.flatMap(files(s, table, _)).toSet
+    val fs = fsOf(s, new Path(table))
+    val dataRoot = new Path(table, "data")
+    var removed = 0
+    if (fs.exists(dataRoot)) fs.listStatus(dataRoot).foreach { st =>
+      val batch = st.getPath.getName
+      val parquets = fs.listStatus(st.getPath).toSeq.map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+      val doomed = parquets.filter(p =>
+        !referenced.contains(s"data/$batch/${p.getName}"))
+      doomed.foreach { p => fs.delete(p, false); removed += 1 }
+      // a batch dir with no referenced data left disappears entirely
+      // (its _SUCCESS markers go with the dir, never counted above);
+      // this is also what reclaims orphaned torn-commit staging
+      if (doomed.size == parquets.size) fs.delete(st.getPath, true)
+    }
+    dropped.foreach(v => fs.delete(manifest(table, v), false))
+    removed
   }
 
   /** Read snapshot `version` (latest when None) — exactly the

@@ -311,6 +311,34 @@ object MiscQueries extends graft.QueryModule {
        |FROM ev GROUP BY user_id ORDER BY user_id""".stripMargin
   }
 
+  /** UNPIVOT (melt) — the inverse relational reshape of `q_pivot`,
+    * gated by the round-trip property itself: the wide per-user
+    * matrix (one `n_<type>` column per event type, absent combos
+    * zero-filled by the pivot) melts back to long form with Spark's
+    * native `unpivot`, the zero-fill rows drop (`n > 0` — a count is
+    * zero exactly when the combination never occurred), and the
+    * result must hash-equal the plain GROUP BY the pivot started
+    * from. Scale: unpivot is a per-row flatMap in the scan stage — no
+    * shuffle beyond the pivot's own aggregate. */
+  def qUnpivot(s: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", pivotTypes)
+      .agg(count(lit(1)).as("n"))
+      .na.fill(0L)
+    wide.unpivot(
+        Array(col("user_id")),
+        pivotTypes.map(t => col(t)).toArray,
+        "event_type", "n")
+      .filter(col("n") > 0L)
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val qUnpivotSql: String =
+    """SELECT user_id, event_type, count(*) AS n
+      |FROM events GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin
+
   /** Apply-changes merge ([[graft.ops.Upsert]]): a deterministic
     * carve of orders plays base snapshot (keys not divisible by 3)
     * and changes batch (even keys: re-priced + restatused upserts,
@@ -1451,6 +1479,65 @@ object MiscQueries extends graft.QueryModule {
        |  ${Num.sumSql("2 * sum_c")} FROM pd
        |ORDER BY version""".stripMargin
 
+  /** SNAPSHOT RETENTION GC ([[SnapTable.vacuum]]) under the oracle:
+    * three overwrite snapshots of the per-day aggregate plus a torn
+    * staging directory, then `vacuum(keep = 2)` — v1's manifest and
+    * its now-unreferenced batch go, the torn staging is reclaimed,
+    * and the kept versions' reads are REQUIRED untouched before
+    * being hash-gated against the oracle's per-state reconstruction.
+    * Retention is the storage-cost half of the time-travel contract:
+    * history is readable exactly as far back as the horizon, and
+    * nothing a kept manifest references is ever a deletion candidate
+    * (reference counting over manifests, not file ages — an
+    * age-based GC deletes files a long-lived snapshot still needs). */
+  def qSnapshotVacuum(s: SparkSession, dir: String): DataFrame = {
+    val tmp = StreamQueries.scratch(s, "vac")
+    val tbl = s"$tmp/tbl"
+    val dayUs = 86400L * 1000000L
+    val ev = Tables.events(s, dir)
+      .select(expr(s"ts_us DIV $dayUs").as("d"),
+        Num.cents(col("value")).as("value_c"))
+    val mm = ev.agg(min("d"), max("d")).head()
+    val dmid = (mm.getLong(0) + mm.getLong(1)) / 2
+    val perDay = ev.groupBy(col("d"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("value_c")).as("sum_c"))
+    SnapTable.commit(s, perDay.filter(col("d") < dmid), tbl, "overwrite")
+    SnapTable.commit(s, perDay, tbl, "overwrite")
+    SnapTable.commit(s,
+      perDay.withColumn("sum_c", col("sum_c") * 2L), tbl, "overwrite")
+    perDay.limit(3).write.parquet(s"$tbl/data/b99") // torn staging
+    val removed = SnapTable.vacuum(s, tbl, keep = 2)
+    require(removed > 0, "vacuum reclaimed nothing")
+    require(SnapTable.versions(s, tbl) == Seq(2, 3),
+      "vacuum did not retire exactly the pre-horizon version")
+    val fsys = new org.apache.hadoop.fs.Path(tbl)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq("data/b1", "data/b99").foreach { dead =>
+      require(!fsys.exists(new org.apache.hadoop.fs.Path(tbl, dead)),
+        s"vacuum left unreferenced data behind: $dead")
+    }
+    (2 to 3).map { v =>
+      SnapTable.read(s, tbl, Some(v))
+        .agg(count(lit(1)).as("n_days"), sum(col("sum_c")).as("total"))
+        .select(lit(v.toLong).as("version"), col("n_days"), col("total"))
+    }.reduce(_.union(_)).orderBy(col("version"))
+  }
+
+  val qSnapshotVacuumSql: String =
+    s"""WITH ev AS (SELECT epoch_us(ts) // ${86400L * 1000000L} AS d,
+       |    ${Num.centsSql("value")} AS value_c
+       |  FROM events),
+       |pd AS (SELECT d, ${Num.sumSql("value_c")} AS sum_c
+       |       FROM ev GROUP BY d)
+       |SELECT CAST(2 AS BIGINT) AS version,
+       |  CAST(count(*) AS BIGINT) AS n_days,
+       |  ${Num.sumSql("sum_c")} AS total
+       |FROM pd
+       |UNION ALL
+       |SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+       |  ${Num.sumSql("2 * sum_c")} FROM pd
+       |ORDER BY version""".stripMargin
+
   /** CHANGE DATA FEED between two snapshot states
     * ([[SnapTable.diff]]): per-user totals for the timeline's first
     * half (v1) and second half (v2) are committed as successive
@@ -1682,6 +1769,7 @@ object MiscQueries extends graft.QueryModule {
     "q_compact_files" -> (qCompactFiles _),
     "q_time_travel" -> (qTimeTravel _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
+    "q_snapshot_vacuum" -> (qSnapshotVacuum _),
     "q_incremental_mv" -> (qIncrementalMv _),
     "q_targeted_delete" -> (qTargetedDelete _),
     "q_partition_prune" -> (qPartitionPrune _),
@@ -1696,6 +1784,7 @@ object MiscQueries extends graft.QueryModule {
     "q_profile" -> (qProfile _),
     "q_rolling_window" -> (qRollingWindow _),
     "q_pivot" -> (qPivot _),
+    "q_unpivot" -> (qUnpivot _),
     "q_upsert" -> (qUpsert _),
     "q_sliding_window" -> (qSlidingWindow _),
     "q_quantiles" -> (qQuantiles _),
@@ -1722,6 +1811,7 @@ object MiscQueries extends graft.QueryModule {
     "q_compact_files" -> qCompactFilesSql,
     "q_time_travel" -> qTimeTravelSql,
     "q_snapshot_diff" -> qSnapshotDiffSql,
+    "q_snapshot_vacuum" -> qSnapshotVacuumSql,
     "q_incremental_mv" -> qIncrementalMvSql,
     "q_targeted_delete" -> qTargetedDeleteSql,
     "q_partition_prune" -> qPartitionPruneSql,
@@ -1736,6 +1826,7 @@ object MiscQueries extends graft.QueryModule {
     "q_profile" -> qProfileSql,
     "q_rolling_window" -> qRollingWindowSql,
     "q_pivot" -> qPivotSql,
+    "q_unpivot" -> qUnpivotSql,
     "q_upsert" -> qUpsertSql,
     "q_sliding_window" -> qSlidingWindowSql,
     "q_quantiles" -> qQuantilesSql,

@@ -45,6 +45,48 @@ class SnapTableSpec extends SparkSpec {
     assert(SnapTable.read(spark, tbl, Some(2)).count() === 2L)
   }
 
+  test("vacuum: reference counting over manifests, not file ages") {
+    val tbl = Files.createTempDirectory("graft_snap_vac").toString + "/t"
+    SnapTable.commit(spark, Seq((1L, 10L)).toDF("k", "v"), tbl, "overwrite")
+    SnapTable.commit(spark, Seq((2L, 20L)).toDF("k", "v"), tbl, "append")
+    SnapTable.commit(spark, Seq((3L, 30L)).toDF("k", "v"), tbl, "overwrite")
+    // keep=2 retires v1 — but v2 APPEND still references v1's batch,
+    // so an age-based GC would corrupt v2; reference counting must not
+    val removed = SnapTable.vacuum(spark, tbl, keep = 2)
+    assert(removed === 0, "vacuum deleted a file a kept manifest references")
+    assert(SnapTable.versions(spark, tbl) === Seq(2, 3))
+    assert(SnapTable.read(spark, tbl, Some(2)).count() === 2L)
+    // keep=1: only v3 survives, and b1/b2's files are now garbage
+    assert(SnapTable.vacuum(spark, tbl, keep = 1) > 0)
+    assert(SnapTable.versions(spark, tbl) === Seq(3))
+    assert(SnapTable.read(spark, tbl).agg(sum("v")).head().getLong(0) === 30L)
+    val fs = new org.apache.hadoop.fs.Path(tbl)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(tbl, "data/b1")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(tbl, "data/b2")))
+  }
+
+  test("concurrent commit: a second claimant of the same version fails loudly") {
+    val tbl = Files.createTempDirectory("graft_snap_cc").toString + "/t"
+    SnapTable.commit(spark, Seq((1L, 1L)).toDF("k", "v"), tbl, "overwrite")
+    val fs = new org.apache.hadoop.fs.Path(tbl)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the race window: both writers derived v=2 from the same head;
+    // the winner's manifest lands first...
+    SnapTable.claim(fs, tbl, 2, Seq("data/b2/winner.parquet"))
+    // ...so the loser's claim of the SAME version must refuse, never
+    // overwrite the winner's manifest
+    val ex = intercept[java.io.IOException] {
+      SnapTable.claim(fs, tbl, 2, Seq("data/b2/loser.parquet"))
+    }
+    assert(ex.getMessage.contains("concurrent commit"))
+    assert(SnapTable.files(spark, tbl, 2) === Seq("data/b2/winner.parquet"))
+    // and the public commit path, arriving after the winner, simply
+    // claims the NEXT version
+    assert(SnapTable.commit(spark,
+      Seq((3L, 3L)).toDF("k", "v"), tbl, "overwrite") === 3)
+  }
+
   test("diff: I/D/U emitted, unchanged suppressed") {
     val old = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
     val neu = Seq((2L, 20L), (3L, 31L), (4L, 40L)).toDF("k", "v")
