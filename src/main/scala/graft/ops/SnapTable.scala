@@ -126,6 +126,12 @@ object SnapTable {
     val (dropped, kept) = vs.splitAt(math.max(0, vs.size - keep))
     val referenced = kept.flatMap(files(s, table, _)).toSet
     val fs = fsOf(s, new Path(table))
+    // CRASH ORDER MATTERS: retire manifests FIRST, then data. A crash
+    // after manifest deletion leaves orphaned (unreferenced) files —
+    // garbage the next vacuum reclaims; the reverse order would leave
+    // a READABLE manifest naming already-deleted files, breaking a
+    // historical read that was promised to work
+    dropped.foreach(v => fs.delete(manifest(table, v), false))
     val dataRoot = new Path(table, "data")
     var removed = 0
     if (fs.exists(dataRoot)) fs.listStatus(dataRoot).foreach { st =>
@@ -140,7 +146,6 @@ object SnapTable {
       // this is also what reclaims orphaned torn-commit staging
       if (doomed.size == parquets.size) fs.delete(st.getPath, true)
     }
-    dropped.foreach(v => fs.delete(manifest(table, v), false))
     removed
   }
 

@@ -66,6 +66,27 @@ class SnapTableSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(tbl, "data/b2")))
   }
 
+  test("vacuum crash order: manifests retire before data, so a mid-crash never breaks a promised read") {
+    val tbl = Files.createTempDirectory("graft_snap_crash").toString + "/t"
+    SnapTable.commit(spark, Seq((1L, 10L)).toDF("k", "v"), tbl, "overwrite")
+    SnapTable.commit(spark, Seq((2L, 20L)).toDF("k", "v"), tbl, "overwrite")
+    SnapTable.commit(spark, Seq((3L, 30L)).toDF("k", "v"), tbl, "overwrite")
+    // simulate the crash window: the manifest-retirement half of
+    // vacuum(keep=2) ran, the file-deletion half did not
+    val fs = new org.apache.hadoop.fs.Path(tbl)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tbl, "manifest-v00001.txt"), false)
+    // every version the table still PROMISES is fully readable
+    assert(SnapTable.versions(spark, tbl) === Seq(2, 3))
+    assert(SnapTable.read(spark, tbl, Some(2)).count() === 1L)
+    assert(SnapTable.read(spark, tbl, Some(3)).count() === 1L)
+    // and the interrupted GC rolls forward: a re-run reclaims v1's
+    // now-orphaned batch
+    assert(SnapTable.vacuum(spark, tbl, keep = 2) > 0)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(tbl, "data/b1")))
+    assert(SnapTable.read(spark, tbl, Some(2)).count() === 1L)
+  }
+
   test("concurrent commit: a second claimant of the same version fails loudly") {
     val tbl = Files.createTempDirectory("graft_snap_cc").toString + "/t"
     SnapTable.commit(spark, Seq((1L, 1L)).toDF("k", "v"), tbl, "overwrite")
