@@ -1714,6 +1714,40 @@ object MiscQueries extends graft.QueryModule {
        |SELECT b, count(*) AS n, ${Num.sumSql("value_c")} AS sum_c
        |FROM kept GROUP BY b ORDER BY b""".stripMargin
 
+  /** ORC ROUND-TRIP with predicate pushdown: the second columnar
+    * format a Spark warehouse speaks (built-in `orc` datasource —
+    * ORC-resident corpora are a reality the engine must read, not
+    * convert). Events land as ORC, read back through the distributed
+    * scan, and the entry REQUIRES the dimension filter pushed into
+    * the ORC scan itself (`PushedFilters` on the scan node — ORC
+    * carries row-group statistics like parquet, and a filter that
+    * only runs post-scan would read every stripe at 100 TB). Oracle:
+    * the same aggregate from the raw parquet — format round-trip
+    * fidelity is exactly "the bytes that come back are the bytes
+    * that went in". */
+  def qOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = StreamQueries.scratch(s, "orc")
+    Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        Num.cents(col("value")).as("value_c"))
+      .write.format("orc").save(s"$tmp/ev")
+    val out = s.read.format("orc").load(s"$tmp/ev")
+      .filter(col("event_type") =!= "error")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_c"))
+      .orderBy(col("event_type"))
+    val plan = out.queryExecution.executedPlan.toString
+    require(plan.contains("PushedFilters: [IsNotNull(event_type), Not(EqualTo(event_type,error))]"),
+      s"event_type filter not pushed into the ORC scan:\n${plan.take(800)}")
+    out
+  }
+
+  val qOrcRoundtripSql: String =
+    s"""SELECT event_type, count(*) AS n,
+       |  ${Num.sumSql(Num.centsSql("value"))} AS sum_c
+       |FROM events WHERE event_type <> 'error'
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** PageRank iterations to run — interpolated into BOTH the Spark
     * entry and the generated oracle so the two cannot drift. */
   private val PageRankIters = 5
@@ -1785,6 +1819,7 @@ object MiscQueries extends graft.QueryModule {
     "q_rolling_window" -> (qRollingWindow _),
     "q_pivot" -> (qPivot _),
     "q_unpivot" -> (qUnpivot _),
+    "q_orc_roundtrip" -> (qOrcRoundtrip _),
     "q_upsert" -> (qUpsert _),
     "q_sliding_window" -> (qSlidingWindow _),
     "q_quantiles" -> (qQuantiles _),
@@ -1827,6 +1862,7 @@ object MiscQueries extends graft.QueryModule {
     "q_rolling_window" -> qRollingWindowSql,
     "q_pivot" -> qPivotSql,
     "q_unpivot" -> qUnpivotSql,
+    "q_orc_roundtrip" -> qOrcRoundtripSql,
     "q_upsert" -> qUpsertSql,
     "q_sliding_window" -> qSlidingWindowSql,
     "q_quantiles" -> qQuantilesSql,
