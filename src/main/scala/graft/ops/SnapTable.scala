@@ -46,8 +46,8 @@ object SnapTable {
       .map(_.stripPrefix("manifest-v").stripSuffix(".txt").toInt).sorted
   }
 
-  /** Relative data-file paths of snapshot `v`. */
-  def files(s: SparkSession, table: String, v: Int): Seq[String] = {
+  private def manifestLines(s: SparkSession, table: String,
+      v: Int): Seq[String] = {
     val fs = fsOf(s, new Path(table))
     val in = fs.open(manifest(table, v))
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
@@ -55,11 +55,37 @@ object SnapTable {
     finally in.close()
   }
 
+  /** Relative data-file paths of snapshot `v` ('#'-prefixed header
+    * lines — the commit tag — are metadata, not files). */
+  def files(s: SparkSession, table: String, v: Int): Seq[String] =
+    manifestLines(s, table, v).filterNot(_.startsWith("#"))
+
+  /** The version already committed under `tag`, if any. O(versions)
+    * small manifest reads — at a real deployment's version count the
+    * tag→version map would be a side index; the COMMIT contract
+    * (manifest header carries the tag atomically with the file list)
+    * is the part that matters. */
+  def taggedVersion(s: SparkSession, table: String,
+      tag: String): Option[Int] =
+    versions(s, table).find(v =>
+      manifestLines(s, table, v).headOption.contains(s"#tag:$tag"))
+
+  /** Idempotent tagged commit — the exactly-once primitive for
+    * streaming replay: if `tag` already committed, nothing is staged
+    * and the existing version returns; otherwise a normal [[commit]]
+    * whose manifest carries the tag atomically with its file list
+    * (a replayed micro-batch can never append its rows twice, because
+    * the tag and the files become visible in the same rename). */
+  def commitIfAbsent(s: SparkSession, df: DataFrame, table: String,
+      mode: String, tag: String): Int =
+    taggedVersion(s, table, tag).getOrElse(
+      commit(s, df, table, mode, Some(tag)))
+
   /** Commit `df` as the next snapshot of `table` and return its
     * version. `mode` is "overwrite" (snapshot = df) or "append"
     * (snapshot = previous snapshot's files + df's). */
   def commit(s: SparkSession, df: DataFrame, table: String,
-      mode: String): Int = {
+      mode: String, tag: Option[String] = None): Int = {
     require(mode == "overwrite" || mode == "append",
       s"unknown snapshot mode: $mode")
     val prev = versions(s, table)
@@ -80,8 +106,9 @@ object SnapTable {
       if (mode == "append")
         prev.lastOption.map(files(s, table, _)).getOrElse(Seq.empty)
       else Seq.empty
-    val lines = carried ++ fresh
-    require(lines.nonEmpty, "refusing to commit an empty snapshot")
+    require((carried ++ fresh).nonEmpty,
+      "refusing to commit an empty snapshot")
+    val lines = tag.map(t => s"#tag:$t").toSeq ++ carried ++ fresh
     try claim(fs, table, v, lines)
     catch { case e: java.io.IOException =>
       // losing the race means this writer's snapshot derived from a
