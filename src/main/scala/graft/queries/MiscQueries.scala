@@ -1748,6 +1748,55 @@ object MiscQueries extends graft.QueryModule {
        |FROM events WHERE event_type <> 'error'
        |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** OPTIMIZE under snapshot isolation (the Delta `OPTIMIZE` shape,
+    * composing [[SnapTable]] with the layout levers): v1 commits the
+    * fact slice in its natural fragmented arrival layout; the
+    * optimizer then reads v1 BY VERSION, rewrites it range-clustered
+    * and sorted on the key, and commits the rewrite as v2 — a pure
+    * LAYOUT transaction. The entry REQUIRES what optimize promises:
+    * fewer files, per-file key ranges pairwise DISJOINT (verified
+    * from parquet footers — the row-group-pruning property itself),
+    * and v1 still readable afterwards (a mid-optimize reader keeps
+    * its snapshot). The oracle gates the other half of the contract:
+    * both versions aggregate IDENTICALLY — optimize moved bytes, not
+    * data. */
+  def qSnapshotOptimize(s: SparkSession, dir: String): DataFrame = {
+    val tmp = StreamQueries.scratch(s, "opt")
+    val tbl = s"$tmp/tbl"
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), Num.cents(col("l_quantity")).as("qty_c"))
+    SnapTable.commit(s, li.repartition(8), tbl, "overwrite")
+    val optimized = SnapTable.read(s, tbl, Some(1))
+      .repartitionByRange(4, col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey"))
+    SnapTable.commit(s, optimized, tbl, "overwrite")
+    require(SnapTable.files(s, tbl, 2).size < SnapTable.files(s, tbl, 1).size,
+      "optimize did not reduce the file count")
+    // footer audit of v2: clustered = per-file key ranges disjoint
+    val spans = LayoutAudit.audit(s, s"$tbl/data/b2/*.parquet", "l_orderkey")
+      .select(col("col_min"), col("col_max")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    spans.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        require(hi < lo2, s"optimize left overlapping key ranges: $hi >= $lo2")
+      case _ =>
+    }
+    (1 to 2).map { v =>
+      SnapTable.read(s, tbl, Some(v))
+        .agg(count(lit(1)).as("n_rows"), sum(col("qty_c")).as("qty_sum_c"))
+        .select(lit(v.toLong).as("version"), col("n_rows"), col("qty_sum_c"))
+    }.reduce(_.union(_)).orderBy(col("version"))
+  }
+
+  val qSnapshotOptimizeSql: String =
+    s"""WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       |  ${Num.sumSql(Num.centsSql("l_quantity"))} AS qty_sum_c
+       |  FROM lineitem)
+       |SELECT CAST(1 AS BIGINT) AS version, n_rows, qty_sum_c FROM t
+       |UNION ALL
+       |SELECT CAST(2 AS BIGINT), n_rows, qty_sum_c FROM t
+       |ORDER BY version""".stripMargin
+
   /** PageRank iterations to run — interpolated into BOTH the Spark
     * entry and the generated oracle so the two cannot drift. */
   private val PageRankIters = 5
@@ -1804,6 +1853,7 @@ object MiscQueries extends graft.QueryModule {
     "q_time_travel" -> (qTimeTravel _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_snapshot_vacuum" -> (qSnapshotVacuum _),
+    "q_snapshot_optimize" -> (qSnapshotOptimize _),
     "q_incremental_mv" -> (qIncrementalMv _),
     "q_targeted_delete" -> (qTargetedDelete _),
     "q_partition_prune" -> (qPartitionPrune _),
@@ -1847,6 +1897,7 @@ object MiscQueries extends graft.QueryModule {
     "q_time_travel" -> qTimeTravelSql,
     "q_snapshot_diff" -> qSnapshotDiffSql,
     "q_snapshot_vacuum" -> qSnapshotVacuumSql,
+    "q_snapshot_optimize" -> qSnapshotOptimizeSql,
     "q_incremental_mv" -> qIncrementalMvSql,
     "q_targeted_delete" -> qTargetedDeleteSql,
     "q_partition_prune" -> qPartitionPruneSql,
