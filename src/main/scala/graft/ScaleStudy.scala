@@ -68,7 +68,12 @@ object ScaleStudy {
     "q_e2e_report", "q_tenancy", "q_overlap", "q_overlap_all",
     "q_sessionize", "q_sessionize_stream", "q_stream_window",
     "q_gap_fill", "q_scd2", "q_rolling_window", "q_outlier_events",
-    "q_rfm", "q_copurchase", "q_cohort_retention")
+    "q_rfm", "q_copurchase", "q_cohort_retention",
+    // round 14: the warehouse-maintenance wave (events/lineitem-backed)
+    "q_zorder", "q_backfill", "q_compact_files", "q_time_travel",
+    "q_snapshot_diff", "q_snapshot_vacuum", "q_snapshot_optimize",
+    "q_incremental_mv", "q_targeted_delete", "q_runtime_filter",
+    "q_unpivot", "q_orc_roundtrip", "q_stream_snapshot")
 
   /** The sales/TLQ family — the star-schema entries over
     * `lineitem`/`orders`/`customer` plus the verbatim-copied product
