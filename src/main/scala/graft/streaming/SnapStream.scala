@@ -17,7 +17,12 @@ import graft.ops.SnapTable
   * Scale: each batch's data files write distributed; the commit adds
   * one manifest (carrying the previous file list — O(files) text).
   * A long-lived drain composes with [[SnapTable.vacuum]] for
-  * retention, exactly like the runs-store compaction cycle.
+  * retention, exactly like the runs-store compaction cycle — with
+  * one contract: RETENTION MUST COVER THE REPLAY HORIZON. A tag is
+  * idempotent only while its manifest lives; vacuuming past a batch
+  * that Spark could still replay re-opens its tag (`SnapTableProps`
+  * pins this boundary). Keeping more versions than the checkpoint's
+  * uncommitted window is always sufficient.
   */
 object SnapStream {
 

