@@ -207,17 +207,62 @@ object JoinQueries extends graft.QueryModule {
        |WHERE o_orderpriority = '1-URGENT'
        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** SALTED JOIN under the oracle ([[graft.ops.Salting.saltedJoin]] —
+    * the explicit skew lever for the case AQE cannot re-plan): the
+    * fact side's 5-value event_type key is the textbook hot-key shape
+    * (every key is a monster key); the salt spreads each over 8
+    * reducers while the small side replicates once per salt. The
+    * oracle is the PLAIN join — salting is a pure pass-through
+    * rewrite, so the result must be bit-identical; the entry also
+    * REQUIRES the executed join to really key on the salt (no
+    * silent de-salting by the optimizer). */
+  def qSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"event_type", $"event_id", Num.cents($"value").as("value_c"))
+    // slim dim derived from the same corpus: per-type weight
+    val dim = ev.select($"event_type").distinct()
+      .withColumn("weight", length($"event_type").cast("long"))
+    val joined = graft.ops.Salting.saltedJoin(
+      ev, dim, "event_type", saltFrom = $"event_id", salts = 8)
+    val out = joined.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value_c" * $"weight").as("weighted_c"))
+      .orderBy($"event_type")
+    // sparkPlan, not executedPlan: AQE's adaptive wrapper hides the
+    // join from a naive collect until execution
+    val joins = out.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    require(joins.exists(_.leftKeys.size >= 2),
+      "salted join lost its salt key in the executed plan")
+    out
+  }
+
+  val qSaltedJoinSql: String =
+    s"""WITH d AS (SELECT DISTINCT event_type,
+       |             CAST(length(event_type) AS BIGINT) AS weight
+       |           FROM events),
+       |ev AS (SELECT event_type, ${Num.centsSql("value")} AS value_c
+       |       FROM events)
+       |SELECT ev.event_type, count(*) AS n,
+       |  ${Num.sumSql("value_c * weight")} AS weighted_c
+       |FROM ev JOIN d ON ev.event_type = d.event_type
+       |GROUP BY ev.event_type ORDER BY ev.event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_star" -> (qJoinStar _),
     "q_join_semi_anti" -> (qJoinSemiAnti _),
     "q_parts_supplier" -> (qPartsSupplier _),
     "q_bucketed_join" -> (qBucketedJoin _),
-    "q_runtime_filter" -> (qRuntimeFilter _))
+    "q_runtime_filter" -> (qRuntimeFilter _),
+    "q_salted_join" -> (qSaltedJoin _))
 
   def oracleSql: Map[String, String] = Map(
     "q_join_star" -> qJoinStarSql,
     "q_join_semi_anti" -> qJoinSemiAntiSql,
     "q_parts_supplier" -> qPartsSupplierSql,
     "q_bucketed_join" -> qBucketedJoinSql,
-    "q_runtime_filter" -> qRuntimeFilterSql)
+    "q_runtime_filter" -> qRuntimeFilterSql,
+    "q_salted_join" -> qSaltedJoinSql)
 }
