@@ -21,14 +21,22 @@ object Mv {
 
   /** Merge `delta` (same schema: key + additive long columns) into
     * `base`. Both sides must be unique per key (they are aggregate
-    * states). */
+    * states). A NULL state is preserved, not zero-coerced: sum-states
+    * are NULL exactly when every contributing input was NULL, and
+    * sum(A ∪ B) is NULL only if both halves are — so the merge
+    * coalesces to 0 only when at least one side carries a real value,
+    * keeping bit-identity with the full recompute for general states
+    * (a key absent from one side contributes nothing either way). */
   def additiveMerge(base: DataFrame, delta: DataFrame, key: String,
       cols: Seq[String]): DataFrame = {
     val b = base.select(col(key) +: cols.map(c => col(c).as(s"_b_$c")): _*)
     val d = delta.select(col(key) +: cols.map(c => col(c).as(s"_d_$c")): _*)
     b.join(d, Seq(key), "full_outer")
-      .select(col(key) +: cols.map(c =>
-        (coalesce(col(s"_b_$c"), lit(0L)) +
-          coalesce(col(s"_d_$c"), lit(0L))).as(c)): _*)
+      .select(col(key) +: cols.map { c =>
+        val (bv, dv) = (col(s"_b_$c"), col(s"_d_$c"))
+        when(bv.isNull && dv.isNull, lit(null).cast("long"))
+          .otherwise(coalesce(bv, lit(0L)) + coalesce(dv, lit(0L)))
+          .as(c)
+      }: _*)
   }
 }

@@ -1,31 +1,45 @@
 package graft.ops
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** A committer lost the optimistic-concurrency race: another writer
+  * claimed the same version first. The loser's staging is already
+  * reclaimed; callers re-derive from the new head and retry
+  * ([[SnapTable.commitRetry]] is that loop). */
+class ConcurrentCommitException(msg: String)
+  extends java.io.IOException(msg)
+
 /** Snapshot-versioned parquet table — the table-format kernel
-  * (Delta/Iceberg-style) reduced to its two load-bearing ideas:
+  * (Delta/Iceberg-style) reduced to its load-bearing ideas:
   *
   *  1. readers see only what a MANIFEST names. Data files land first
-  *     under `data/b<v>/`; the manifest (one relative path per line)
-  *     commits LAST by an atomic filesystem rename. A crash anywhere
-  *     before the rename leaves an orphaned staging directory no
-  *     reader ever lists — the same marker-last contract the
-  *     streaming drains use ([[graft.streaming.IndexCompaction]]),
-  *     here giving BATCH writers snapshot isolation.
-  *  2. a snapshot never rewrites history: `append` carries the
-  *     previous manifest's files plus the new ones (shared files,
-  *     no data copy); `overwrite` starts a fresh file list while the
-  *     old version's files stay readable — TIME TRAVEL is just
-  *     reading an older manifest.
+  *     under a staging directory UNIQUE to the committing attempt
+  *     (`data/b<v>-<nonce>/`); the manifest commits LAST by an atomic
+  *     filesystem rename. A crash anywhere before the rename leaves an
+  *     orphaned staging directory no reader ever lists — the same
+  *     marker-last contract the streaming drains use
+  *     ([[graft.streaming.IndexCompaction]]), here giving BATCH
+  *     writers snapshot isolation. The nonce means two writers racing
+  *     the same version NEVER share a staging path: the loser reclaims
+  *     exactly its own files, the winner's manifest references exactly
+  *     its own — no cross-deletion in either direction.
+  *  2. a snapshot never rewrites history: `append` writes a manifest
+  *     holding only its NEW files plus a `#base:<prev>` pointer (the
+  *     Iceberg manifest-list shape — commit cost is O(new files), not
+  *     O(total files), so a long-lived ingestion drain's manifests
+  *     don't grow with drain age); `overwrite` starts a fresh
+  *     self-contained list. Readers resolve the base chain; TIME
+  *     TRAVEL is just resolving an older manifest.
+  *  3. [[vacuum]] bounds both history and the chain: before retiring
+  *     pre-horizon manifests it materializes the oldest KEPT version's
+  *     full file list as a `checkpoint-v*.txt` sidecar (the Delta
+  *     checkpoint move), so no retained read ever chases a retired
+  *     manifest — and the tag scan / chain walk depth stays O(keep).
   *
-  * Scale: data files are written/read fully distributed; only the
-  * manifest — O(#files) text lines — touches the driver. At true
-  * 100 TB file counts the manifest itself would be chunked and
-  * snapshotted (Delta checkpoints / Iceberg manifest lists); one
-  * level is enough to carry the semantics here and the commit
-  * protocol is identical.
+  * Scale: data files are written/read fully distributed; only
+  * manifests — O(new files per commit) text lines — touch the driver.
   */
 object SnapTable {
 
@@ -35,6 +49,12 @@ object SnapTable {
   private def manifest(table: String, v: Int) =
     new Path(table, f"manifest-v$v%05d.txt")
 
+  private def checkpoint(table: String, v: Int) =
+    new Path(table, f"checkpoint-v$v%05d.txt")
+
+  private val ManifestName = """manifest-v(\d+)\.txt""".r
+  private val CheckpointName = """checkpoint-v(\d+)\.txt""".r
+
   /** Committed versions, ascending (manifest files are the source of
     * truth — staged data without a manifest is invisible). */
   def versions(s: SparkSession, table: String): Seq[Int] = {
@@ -42,78 +62,153 @@ object SnapTable {
     val fs = fsOf(s, dir)
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).toSeq.map(_.getPath.getName)
-      .filter(n => n.startsWith("manifest-v") && n.endsWith(".txt"))
-      .map(_.stripPrefix("manifest-v").stripSuffix(".txt").toInt).sorted
+      .collect { case ManifestName(v) => v.toInt }.sorted
   }
 
-  private def manifestLines(s: SparkSession, table: String,
-      v: Int): Seq[String] = {
-    val fs = fsOf(s, new Path(table))
-    val in = fs.open(manifest(table, v))
+  private def readSmall(fs: FileSystem, p: Path): Seq[String] = {
+    val in = fs.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
       .filter(_.nonEmpty).toList
     finally in.close()
   }
 
-  /** Relative data-file paths of snapshot `v` ('#'-prefixed header
-    * lines — the commit tag — are metadata, not files). */
-  def files(s: SparkSession, table: String, v: Int): Seq[String] =
-    manifestLines(s, table, v).filterNot(_.startsWith("#"))
+  /** First line only — enough to answer "what tag, if any, does this
+    * manifest carry" without reading its file list. */
+  private def headerLine(fs: FileSystem, p: Path): Option[String] = {
+    val in = fs.open(p)
+    try Option(new java.io.BufferedReader(
+      new java.io.InputStreamReader(in, "UTF-8")).readLine())
+    finally in.close()
+  }
 
-  /** The version already committed under `tag`, if any. O(versions)
-    * small manifest reads — at a real deployment's version count the
-    * tag→version map would be a side index; the COMMIT contract
-    * (manifest header carries the tag atomically with the file list)
-    * is the part that matters. */
+  /** Relative data-file paths of snapshot `v`, resolved through the
+    * `#base:` chain with checkpoint sidecars short-circuiting the
+    * walk. '#'-prefixed lines are headers, not files. */
+  def files(s: SparkSession, table: String, v: Int): Seq[String] = {
+    val fs = fsOf(s, new Path(table))
+    // walk the chain oldest-last, collecting each hop's fresh files;
+    // a checkpoint at any hop IS that hop's full resolved list
+    var hop = v
+    var acc = List.empty[Seq[String]]
+    var done = false
+    while (!done) {
+      val ck = checkpoint(table, hop)
+      if (fs.exists(ck)) {
+        acc ::= readSmall(fs, ck).filterNot(_.startsWith("#"))
+        done = true
+      } else {
+        val lines = readSmall(fs, manifest(table, hop))
+        acc ::= lines.filterNot(_.startsWith("#"))
+        lines.find(_.startsWith("#base:"))
+          .map(_.stripPrefix("#base:").toInt) match {
+          case Some(b) => hop = b
+          case None => done = true
+        }
+      }
+    }
+    acc.flatten
+  }
+
+  /** The version already committed under `tag`, if any. Newest-first
+    * HEADER-ONLY scan with early exit: a replayed tag is always near
+    * the head (the streaming replay window), so the hit path reads
+    * O(1) first lines; the miss path is bounded by the retention
+    * horizon once [[vacuum]] runs on the drain's cadence — the scan
+    * never touches a file list. */
   def taggedVersion(s: SparkSession, table: String,
-      tag: String): Option[Int] =
-    versions(s, table).find(v =>
-      manifestLines(s, table, v).headOption.contains(s"#tag:$tag"))
+      tag: String): Option[Int] = {
+    val fs = fsOf(s, new Path(table))
+    val want = s"#tag:$tag"
+    versions(s, table).reverseIterator.find(v =>
+      headerLine(fs, manifest(table, v)).contains(want))
+  }
 
   /** Idempotent tagged commit — the exactly-once primitive for
     * streaming replay: if `tag` already committed, nothing is staged
     * and the existing version returns; otherwise a normal [[commit]]
     * whose manifest carries the tag atomically with its file list
     * (a replayed micro-batch can never append its rows twice, because
-    * the tag and the files become visible in the same rename). */
+    * the tag and the files become visible in the same rename). Losing
+    * a commit race retries with a fresh head — and re-checks the tag
+    * each attempt, so a zombie writer landing the SAME tag between
+    * this writer's scan and its claim surfaces as "already committed",
+    * never as a double append ([[commit]] scans tags from the same
+    * listing that derives its claim version, and claim is atomic on
+    * that version). */
   def commitIfAbsent(s: SparkSession, df: DataFrame, table: String,
       mode: String, tag: String): Int =
-    taggedVersion(s, table, tag).getOrElse(
-      commit(s, df, table, mode, Some(tag)))
+    commitRetry(s, df, table, mode, Some(tag))
+
+  /** Bounded optimistic retry around [[commit]]: on losing a commit
+    * race, re-derive from the new head (the carried file pointer and
+    * the claim version are both re-read inside commit) and try again.
+    * This is commit liveness for CONCURRENT committers — both of two
+    * racing appends land, as consecutive versions, with no staging
+    * leaked (each attempt stages under its own nonce and reclaims it
+    * on loss). `df` re-executes per attempt; it must be deterministic
+    * or the caller accepts last-attempt semantics. */
+  def commitRetry(s: SparkSession, df: DataFrame, table: String,
+      mode: String, tag: Option[String] = None,
+      attempts: Int = 8): Int = {
+    require(attempts >= 1, "commitRetry needs at least one attempt")
+    var left = attempts
+    while (true) {
+      try return commit(s, df, table, mode, tag)
+      catch {
+        case e: ConcurrentCommitException =>
+          left -= 1
+          if (left == 0) throw e
+          // tiny deterministic-ish backoff: losers re-list immediately
+          // anyway; this just de-synchronizes tight loops
+          Thread.sleep(5L + scala.util.Random.nextInt(20))
+      }
+    }
+    -1 // unreachable
+  }
 
   /** Commit `df` as the next snapshot of `table` and return its
     * version. `mode` is "overwrite" (snapshot = df) or "append"
-    * (snapshot = previous snapshot's files + df's). */
+    * (snapshot = previous snapshot's files + df's — recorded as a
+    * `#base:` pointer, no list copying). If `tag` is given and already
+    * committed, returns the existing version WITHOUT staging (checked
+    * against the same listing that derives the claim version, so an
+    * interleaved same-tag commit can only make this writer's claim
+    * fail loudly, never double-append). */
   def commit(s: SparkSession, df: DataFrame, table: String,
       mode: String, tag: Option[String] = None): Int = {
     require(mode == "overwrite" || mode == "append",
       s"unknown snapshot mode: $mode")
-    val prev = versions(s, table)
-    val v = prev.lastOption.getOrElse(0) + 1
-    val dataDir = new Path(table, s"data/b$v")
-    // roll forward over a predecessor's crash: staging for version v
-    // with no manifest-v is garbage by the commit contract (the
-    // manifest IS the commit) — reclaim it instead of failing
-    val fs0 = fsOf(s, dataDir)
-    if (fs0.exists(dataDir) && !fs0.exists(manifest(table, v)))
-      fs0.delete(dataDir, true)
-    df.write.parquet(dataDir.toString)
     val fs = fsOf(s, new Path(table))
+    val prev = versions(s, table)
+    // the tag check and the claim version derive from ONE listing:
+    // a same-tag racer landing after this scan lands at `v`, which
+    // makes OUR claim refuse — the retry then finds the tag here
+    val already = tag.flatMap { t =>
+      val want = s"#tag:$t"
+      prev.reverseIterator.find(v =>
+        headerLine(fs, manifest(table, v)).contains(want))
+    }
+    if (already.isDefined) return already.get
+    val v = prev.lastOption.getOrElse(0) + 1
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    // staging is UNIQUE to this attempt: no predecessor roll-forward
+    // delete (nothing shares the path), and reclaiming on loss below
+    // can never touch a concurrent winner's files
+    val dataDir = new Path(table, s"data/b$v-$nonce")
+    df.write.parquet(dataDir.toString)
     val fresh = fs.listStatus(dataDir).toSeq.map(_.getPath.getName)
       .filter(_.endsWith(".parquet")).sorted
-      .map(n => s"data/b$v/$n")
-    val carried =
-      if (mode == "append")
-        prev.lastOption.map(files(s, table, _)).getOrElse(Seq.empty)
-      else Seq.empty
-    require((carried ++ fresh).nonEmpty,
+      .map(n => s"data/b$v-$nonce/$n")
+    val base = if (mode == "append") prev.lastOption else None
+    require(fresh.nonEmpty || base.nonEmpty,
       "refusing to commit an empty snapshot")
-    val lines = tag.map(t => s"#tag:$t").toSeq ++ carried ++ fresh
+    val lines = tag.map(t => s"#tag:$t").toSeq ++
+      base.map(b => f"#base:$b").toSeq ++ fresh
     try claim(fs, table, v, lines)
     catch { case e: java.io.IOException =>
       // losing the race means this writer's snapshot derived from a
-      // stale head — its staged data is garbage; reclaim and rethrow
-      // for the caller to re-derive and retry
+      // stale head — its staged data is garbage; reclaim OUR dir only
+      // and rethrow for the caller to re-derive and retry
       fs.delete(dataDir, true)
       throw e
     }
@@ -124,60 +219,112 @@ object SnapTable {
     * committer already claimed `v` (never silently overwrite a
     * manifest), otherwise stage and atomically rename. A racer
     * landing between the check and the rename still loses: rename
-    * does not replace an existing destination, so the `require`
+    * does not replace an existing destination, so the rename check
     * fails loudly rather than clobbering the winner. */
-  private[graft] def claim(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def claim(fs: FileSystem,
       table: String, v: Int, lines: Seq[String]): Unit = {
     if (fs.exists(manifest(table, v)))
-      throw new java.io.IOException(
+      throw new ConcurrentCommitException(
         s"concurrent commit: version $v was claimed by another writer")
-    val tmp = new Path(table, s".manifest-v$v.txt.tmp")
+    val tmp = new Path(table, s".manifest-v$v.txt.tmp-" +
+      java.util.UUID.randomUUID().toString.take(8))
     val out = fs.create(tmp, true)
     try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
-    require(fs.rename(tmp, manifest(table, v)),
-      s"snapshot commit rename failed for version $v")
+    if (!fs.rename(tmp, manifest(table, v))) {
+      fs.delete(tmp, false)
+      throw new ConcurrentCommitException(
+        s"concurrent commit: lost the manifest rename for version $v")
+    }
   }
 
   /** Retention GC: keep the LAST `keep` versions, delete every data
     * file no kept manifest references, every older manifest, and any
-    * orphaned staging directory below the kept horizon. History
-    * beyond the horizon stops being readable BY DESIGN — that is the
-    * storage-cost contract of retention; the kept versions' reads are
-    * untouched (their files are never candidates). Returns the number
-    * of data files deleted. */
+    * orphaned staging below the horizon. History beyond the horizon
+    * stops being readable BY DESIGN — that is the storage-cost
+    * contract of retention; the kept versions' reads are untouched
+    * (their files are never candidates, and the oldest kept version
+    * is CHECKPOINTED first if its `#base:` chain crosses the horizon,
+    * so no retained read ever needs a retired manifest).
+    *
+    * SAFE NEXT TO A LIVE COMMITTER: staging directories whose version
+    * is ABOVE the committed head are skipped — that is exactly where
+    * an in-flight commit (data written, manifest not yet renamed)
+    * lives, and deleting it would let the committer publish a
+    * manifest over vanished files. Garbage at or below the head is
+    * fair game: any writer still staging there lost its race by
+    * definition (versions only grow), so its claim will refuse
+    * regardless. Returns the number of data files deleted. */
   def vacuum(s: SparkSession, table: String, keep: Int): Int = {
     require(keep >= 1, "vacuum must keep at least the latest version")
+    val fs = fsOf(s, new Path(table))
     val vs = versions(s, table)
     require(vs.nonEmpty, s"no committed snapshot under $table")
     val (dropped, kept) = vs.splitAt(math.max(0, vs.size - keep))
+    val head = vs.last
+    // 1. CHECKPOINT the oldest kept version if its chain would cross
+    //    the horizon (pure addition — crash-safe at any point)
+    kept.headOption.foreach { k0 =>
+      val needsCkpt = !fs.exists(checkpoint(table, k0)) &&
+        readSmall(fs, manifest(table, k0)).exists(_.startsWith("#base:"))
+      if (needsCkpt) {
+        val full = files(s, table, k0)
+        val tmp = new Path(table, s".checkpoint-v$k0.txt.tmp")
+        val out = fs.create(tmp, true)
+        try out.write((full.mkString("\n") + "\n").getBytes("UTF-8"))
+        finally out.close()
+        require(fs.rename(tmp, checkpoint(table, k0)),
+          s"checkpoint rename failed for version $k0")
+      }
+    }
+    // 2. resolve what the kept versions reference (chains still whole:
+    //    nothing is deleted yet)
     val referenced = kept.flatMap(files(s, table, _)).toSet
-    val fs = fsOf(s, new Path(table))
-    // CRASH ORDER MATTERS: retire manifests FIRST, then data. A crash
-    // after manifest deletion leaves orphaned (unreferenced) files —
-    // garbage the next vacuum reclaims; the reverse order would leave
-    // a READABLE manifest naming already-deleted files, breaking a
-    // historical read that was promised to work
-    dropped.foreach(v => fs.delete(manifest(table, v), false))
+    // 3. CRASH ORDER MATTERS: retire manifests FIRST, then data. A
+    //    crash after manifest deletion leaves orphaned (unreferenced)
+    //    files — garbage the next vacuum reclaims; the reverse order
+    //    would leave a READABLE manifest naming already-deleted files,
+    //    breaking a historical read that was promised to work
+    dropped.foreach { v =>
+      fs.delete(manifest(table, v), false)
+      fs.delete(checkpoint(table, v), false)
+    }
+    // orphan checkpoint sweep (a prior crash between ckpt-write and
+    // manifest retirement, or a manifest deleted out-of-band)
+    val liveSet = kept.toSet
+    fs.listStatus(new Path(table)).map(_.getPath).foreach { p =>
+      p.getName match {
+        case CheckpointName(v) if !liveSet.contains(v.toInt) =>
+          fs.delete(p, false)
+        case _ => ()
+      }
+    }
+    // 4. data: refcount against kept manifests, protect in-flight
+    //    staging (version > head)
     val dataRoot = new Path(table, "data")
     var removed = 0
     if (fs.exists(dataRoot)) fs.listStatus(dataRoot).foreach { st =>
       val batch = st.getPath.getName
-      val parquets = fs.listStatus(st.getPath).toSeq.map(_.getPath)
-        .filter(_.getName.endsWith(".parquet"))
-      val doomed = parquets.filter(p =>
-        !referenced.contains(s"data/$batch/${p.getName}"))
-      doomed.foreach { p => fs.delete(p, false); removed += 1 }
-      // a batch dir with no referenced data left disappears entirely
-      // (its _SUCCESS markers go with the dir, never counted above);
-      // this is also what reclaims orphaned torn-commit staging
-      if (doomed.size == parquets.size) fs.delete(st.getPath, true)
+      val staged = batch.stripPrefix("b").takeWhile(_.isDigit)
+      val inFlight = batch.startsWith("b") && staged.nonEmpty &&
+        staged.toLong > head
+      if (!inFlight) {
+        val parquets = fs.listStatus(st.getPath).toSeq.map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+        val doomed = parquets.filter(p =>
+          !referenced.contains(s"data/$batch/${p.getName}"))
+        doomed.foreach { p => fs.delete(p, false); removed += 1 }
+        // a batch dir with no referenced data left disappears entirely
+        // (its _SUCCESS markers go with the dir, never counted above);
+        // this is also what reclaims orphaned torn-commit staging
+        if (doomed.size == parquets.size) fs.delete(st.getPath, true)
+      }
     }
     removed
   }
 
   /** Read snapshot `version` (latest when None) — exactly the
-    * manifest's files, distributed. */
+    * manifest's resolved files, distributed. */
   def read(s: SparkSession, table: String,
       version: Option[Int] = None): DataFrame = {
     val vs = versions(s, table)

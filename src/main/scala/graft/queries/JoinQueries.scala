@@ -218,25 +218,42 @@ object JoinQueries extends graft.QueryModule {
     * silent de-salting by the optimizer). */
   def qSaltedJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ev = Tables.events(s, dir)
-      .select($"event_type", $"event_id", Num.cents($"value").as("value_c"))
-    // slim dim derived from the same corpus: per-type weight
-    val dim = ev.select($"event_type").distinct()
-      .withColumn("weight", length($"event_type").cast("long"))
-    val joined = graft.ops.Salting.saltedJoin(
-      ev, dim, "event_type", saltFrom = $"event_id", salts = 8)
-    val out = joined.groupBy($"event_type")
-      .agg(count(lit(1)).as("n"),
-        sum($"value_c" * $"weight").as("weighted_c"))
-      .orderBy($"event_type")
-    // sparkPlan, not executedPlan: AQE's adaptive wrapper hides the
-    // join from a naive collect until execution
-    val joins = out.queryExecution.sparkPlan.collect {
-      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    val tmp = StreamQueries.scratch(s, "salt")
+    // broadcast pinned OFF for the whole build-and-materialize window:
+    // a broadcast hash join never shuffles the fact side on (key,
+    // salt), so the skew-spreading this entry documents would not
+    // actually execute — the salt must reach a SHUFFLE join's keys
+    val k = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = s.conf.getOption(k)
+    s.conf.set(k, "-1")
+    try {
+      val ev = Tables.events(s, dir)
+        .select($"event_type", $"event_id", Num.cents($"value").as("value_c"))
+      // slim dim derived from the same corpus: per-type weight
+      val dim = ev.select($"event_type").distinct()
+        .withColumn("weight", length($"event_type").cast("long"))
+      val joined = graft.ops.Salting.saltedJoin(
+        ev, dim, "event_type", saltFrom = $"event_id", salts = 8)
+      val out = joined.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"value_c" * $"weight").as("weighted_c"))
+        .orderBy($"event_type")
+      // sparkPlan, not executedPlan: AQE's adaptive wrapper hides the
+      // join from a naive collect until execution
+      val joins = out.queryExecution.sparkPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }
+      require(joins.exists(j => j.leftKeys.size >= 2 &&
+          !j.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+        "salted join must keep (key, salt) on a SHUFFLE-class join")
+      // materialize inside the conf window so the gated result is
+      // produced by the asserted (shuffled, salted) plan
+      out.coalesce(1).write.parquet(s"$tmp/out")
+    } finally saved match {
+      case Some(v) => s.conf.set(k, v)
+      case None => s.conf.unset(k)
     }
-    require(joins.exists(_.leftKeys.size >= 2),
-      "salted join lost its salt key in the executed plan")
-    out
+    s.read.parquet(s"$tmp/out").orderBy($"event_type")
   }
 
   val qSaltedJoinSql: String =

@@ -1481,15 +1481,22 @@ object MiscQueries extends graft.QueryModule {
 
   /** SNAPSHOT RETENTION GC ([[SnapTable.vacuum]]) under the oracle:
     * three overwrite snapshots of the per-day aggregate plus a torn
-    * staging directory, then `vacuum(keep = 2)` — v1's manifest and
-    * its now-unreferenced batch go, the torn staging is reclaimed,
-    * and the kept versions' reads are REQUIRED untouched before
-    * being hash-gated against the oracle's per-state reconstruction.
-    * Retention is the storage-cost half of the time-travel contract:
-    * history is readable exactly as far back as the horizon, and
-    * nothing a kept manifest references is ever a deletion candidate
-    * (reference counting over manifests, not file ages — an
-    * age-based GC deletes files a long-lived snapshot still needs). */
+    * staging directory at head+1 — exactly where a LIVE committer's
+    * in-flight data sits — then `vacuum(keep = 2)`. v1's manifest and
+    * its now-unreferenced batch go; the head+1 staging is REQUIRED to
+    * survive (the in-flight grace: vacuum deleting a mid-commit
+    * writer's staging would publish a manifest over vanished files —
+    * a committed-but-unreadable snapshot); the kept versions' reads
+    * are REQUIRED untouched. A fourth commit then moves the head past
+    * the (now provably abandoned) staging and a second vacuum is
+    * REQUIRED to reclaim it — garbage at or below the head lost its
+    * race by definition. All retained states hash-gate against the
+    * oracle's per-state reconstruction. Retention is the storage-cost
+    * half of the time-travel contract: history is readable exactly as
+    * far back as the horizon, and nothing a kept manifest references
+    * is ever a deletion candidate (reference counting over manifests,
+    * not file ages — an age-based GC deletes files a long-lived
+    * snapshot still needs). */
   def qSnapshotVacuum(s: SparkSession, dir: String): DataFrame = {
     val tmp = StreamQueries.scratch(s, "vac")
     val tbl = s"$tmp/tbl"
@@ -1505,18 +1512,29 @@ object MiscQueries extends graft.QueryModule {
     SnapTable.commit(s, perDay, tbl, "overwrite")
     SnapTable.commit(s,
       perDay.withColumn("sum_c", col("sum_c") * 2L), tbl, "overwrite")
-    perDay.limit(3).write.parquet(s"$tbl/data/b99") // torn staging
+    val v1Files = SnapTable.files(s, tbl, 1)
+    // torn/in-flight staging at head+1: data written, manifest not yet
+    val inFlight = "data/b4-inflight0"
+    perDay.limit(3).write.parquet(s"$tbl/$inFlight")
     val removed = SnapTable.vacuum(s, tbl, keep = 2)
     require(removed > 0, "vacuum reclaimed nothing")
     require(SnapTable.versions(s, tbl) == Seq(2, 3),
       "vacuum did not retire exactly the pre-horizon version")
     val fsys = new org.apache.hadoop.fs.Path(tbl)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    Seq("data/b1", "data/b99").foreach { dead =>
+    v1Files.foreach { dead =>
       require(!fsys.exists(new org.apache.hadoop.fs.Path(tbl, dead)),
         s"vacuum left unreferenced data behind: $dead")
     }
-    (2 to 3).map { v =>
+    require(fsys.exists(new org.apache.hadoop.fs.Path(tbl, inFlight)),
+      "vacuum deleted head+1 staging a live committer could still claim")
+    // the head passes the abandoned staging; now it is reclaimable
+    SnapTable.commit(s, perDay, tbl, "overwrite")
+    require(SnapTable.vacuum(s, tbl, keep = 3) > 0,
+      "second vacuum reclaimed nothing")
+    require(!fsys.exists(new org.apache.hadoop.fs.Path(tbl, inFlight)),
+      "abandoned staging below the head was never reclaimed")
+    (2 to 4).map { v =>
       SnapTable.read(s, tbl, Some(v))
         .agg(count(lit(1)).as("n_days"), sum(col("sum_c")).as("total"))
         .select(lit(v.toLong).as("version"), col("n_days"), col("total"))
@@ -1536,6 +1554,9 @@ object MiscQueries extends graft.QueryModule {
        |UNION ALL
        |SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
        |  ${Num.sumSql("2 * sum_c")} FROM pd
+       |UNION ALL
+       |SELECT CAST(4 AS BIGINT), CAST(count(*) AS BIGINT),
+       |  ${Num.sumSql("sum_c")} FROM pd
        |ORDER BY version""".stripMargin
 
   /** CHANGE DATA FEED between two snapshot states
@@ -1773,7 +1794,12 @@ object MiscQueries extends graft.QueryModule {
     require(SnapTable.files(s, tbl, 2).size < SnapTable.files(s, tbl, 1).size,
       "optimize did not reduce the file count")
     // footer audit of v2: clustered = per-file key ranges disjoint
-    val spans = LayoutAudit.audit(s, s"$tbl/data/b2/*.parquet", "l_orderkey")
+    // (v2's data dir is derived from its manifest — staging dirs are
+    // attempt-unique, never a guessable literal path)
+    val v2Dir = SnapTable.files(s, tbl, 2)
+      .map(rel => rel.split('/').dropRight(1).mkString("/"))
+      .distinct match { case Seq(one) => one }
+    val spans = LayoutAudit.audit(s, s"$tbl/$v2Dir/*.parquet", "l_orderkey")
       .select(col("col_min"), col("col_max")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     spans.sliding(2).foreach {

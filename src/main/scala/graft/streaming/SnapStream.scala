@@ -9,37 +9,54 @@ import graft.ops.SnapTable
   * snapshot committed idempotently under its batch id
   * ([[SnapTable.commitIfAbsent]]). Exactly-once falls out of the
   * manifest protocol alone: a crash before the manifest rename leaves
-  * invisible staged files the retried commit reclaims; a Spark replay
-  * of an already-committed batch finds its tag and appends nothing.
+  * invisible staged files no reader lists; a Spark replay of an
+  * already-committed batch finds its tag and appends nothing.
   * Readers meanwhile get snapshot isolation and time travel over the
   * live feed — a mid-drain reader keeps the version it opened.
   *
   * Scale: each batch's data files write distributed; the commit adds
-  * one manifest (carrying the previous file list — O(files) text).
-  * A long-lived drain composes with [[SnapTable.vacuum]] for
-  * retention, exactly like the runs-store compaction cycle — with
-  * one contract: RETENTION MUST COVER THE REPLAY HORIZON. A tag is
-  * idempotent only while its manifest lives; vacuuming past a batch
-  * that Spark could still replay re-opens its tag (`SnapTableProps`
-  * pins this boundary). Keeping more versions than the checkpoint's
-  * uncommitted window is always sufficient.
+  * one manifest of O(batch's files) lines plus a `#base:` pointer —
+  * drain-age-INDEPENDENT commit bytes. The remaining age-linear costs
+  * (the tag scan's miss path and the reader's chain walk) are bounded
+  * by composing [[SnapTable.vacuum]] INTO the drain via
+  * `vacuumEvery`/`keep`: every `vacuumEvery` batches the pre-horizon
+  * manifests retire behind a checkpoint, holding version count — and
+  * with it per-batch commit cost — flat (measured: [[SnapStress]]).
+  * The one contract is RETENTION MUST COVER THE REPLAY HORIZON: a tag
+  * is idempotent only while its manifest lives; vacuuming past a
+  * batch that Spark could still replay re-opens its tag
+  * (`SnapTableProps` pins this boundary). Keeping more versions than
+  * the checkpoint's uncommitted window is always sufficient — Spark's
+  * AvailableNow/foreachBatch replay window is the NEWEST batch, so
+  * any `keep >= 2` holds it with margin. The vacuum runs INSIDE the
+  * sequential foreachBatch loop (never concurrent with this drain's
+  * own committer), and [[SnapTable.vacuum]]'s head+1 grace keeps it
+  * safe even next to an out-of-band writer.
   */
 object SnapStream {
 
   /** Drain everything available from `stream` into `table` as
     * tagged append snapshots, one per micro-batch (empty batches are
     * skipped — deterministically, so a replayed empty batch skips
-    * again). */
+    * again). `vacuumEvery > 0` composes retention GC into the drain:
+    * after every `vacuumEvery`-th commit, keep the last `keep`
+    * versions. */
   def runIngest(s: SparkSession, stream: DataFrame, table: String,
-      ckpt: String): Unit = {
+      ckpt: String, vacuumEvery: Int = 0, keep: Int = 0): Unit = {
+    require(vacuumEvery == 0 || keep >= 2,
+      "in-drain vacuum must keep at least 2 versions " +
+        "(retention must cover the streaming replay horizon)")
     val q = stream.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty)
-          SnapTable.commitIfAbsent(s, batch, table, "append",
+        if (!batch.isEmpty) {
+          val v = SnapTable.commitIfAbsent(s, batch, table, "append",
             s"batch-$batchId")
+          if (vacuumEvery > 0 && v % vacuumEvery == 0)
+            SnapTable.vacuum(s, table, keep)
+        }
         ()
       }
       .start()

@@ -20,6 +20,24 @@ class MvSpec extends SparkSpec {
     assert(got === Array((1L, 2L, 10L), (2L, 4L, 12L), (9L, 1L, 1L)))
   }
 
+  test("additiveMerge: NULL aggregate states survive, matching the full recompute") {
+    // a sum-state is NULL when every contributing input was NULL;
+    // merging it with an absent key (or another NULL state) must stay
+    // NULL — zero-coercion would diverge from a full recompute
+    val base = Seq((1L, Some(10L)), (2L, None), (3L, None))
+      .toDF("k", "s")
+    val delta = Seq((2L, None: Option[Long]), (3L, Some(7L)), (4L, None))
+      .toDF("k", "s")
+    val got = Mv.additiveMerge(base, delta, "k", Seq("s"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    assert(got === Array(
+      (1L, Some(10L)),  // key absent from delta: passes through
+      (2L, None),       // NULL ⊕ NULL = NULL (all inputs were NULL)
+      (3L, Some(7L)),   // NULL ⊕ 7 = 7 (sum semantics, not +)
+      (4L, None)))      // new key with NULL state stays NULL
+  }
+
   test("incremental MV equals the full recompute on real events") {
     val inc = MiscQueries.qIncrementalMv(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -23,6 +23,14 @@ object SnapTableProps extends SparkProperties("snaptable") {
       tag: Option[String]) extends Op
   private case class Vacuum(keep: Int) extends Op
   private case class Torn(rows: Seq[(Long, Long)]) extends Op
+  /** The zombie-writer transition (retry semantics): a first writer
+    * commits `tag`; a second writer — the original driver, retrying
+    * after a crash or a lost race — issues commitRetry with the SAME
+    * tag but different rows. The retry must converge on the zombie's
+    * version and append NOTHING (the model records only the first
+    * commit). */
+  private case class ZombieTag(rows: Seq[(Long, Long)],
+      other: Seq[(Long, Long)], tag: String, append: Boolean) extends Op
 
   private val genRows: Gen[Seq[(Long, Long)]] = for {
     n <- Gen.choose(1, 4)
@@ -36,7 +44,13 @@ object SnapTableProps extends SparkProperties("snaptable") {
       tag <- Gen.option(Gen.choose(0, 3).map(i => s"t$i"))
     } yield Commit(rows, append, tag)),
     2 -> Gen.choose(1, 3).map(Vacuum(_)),
-    2 -> genRows.map(Torn(_)))
+    2 -> genRows.map(Torn(_)),
+    2 -> (for {
+      rows <- genRows
+      other <- genRows
+      tag <- Gen.choose(4, 6).map(i => s"z$i")
+      append <- Gen.oneOf(true, false)
+    } yield ZombieTag(rows, other, tag, append)))
 
   property("random op programs agree with the model after every step") =
     Prop.forAll(Gen.choose(0, 1), Gen.listOfN(7, genOp)) { (salt, ops) =>
@@ -81,6 +95,21 @@ object SnapTableProps extends SparkProperties("snaptable") {
           staged += 1
           rows.toDF("k", "v").write.mode("overwrite")
             .parquet(s"$tbl/data/torn$staged")
+        case ZombieTag(rows, other, tag, append) =>
+          val prev = model.lastOption.filter(_ => append)
+            .map(_._2).getOrElse(Seq.empty)
+          val zv = SnapTable.commitIfAbsent(
+            spark, rows.toDF("k", "v"), tbl, mode(append), tag)
+          if (!tags.contains(tag)) {
+            tags += tag -> zv
+            model :+= (zv -> (prev ++ rows)); live += zv
+          } else assert(zv == tags(tag), s"tag $tag re-minted $zv")
+          // the retrying original writer, same tag, different rows:
+          // must converge on the committed version, append nothing
+          val rv = SnapTable.commitRetry(
+            spark, other.toDF("k", "v"), tbl, mode(append), Some(tag))
+          assert(rv == tags(tag),
+            s"commitRetry under a zombie tag minted $rv != ${tags(tag)}")
       }
       // final agreement: version list and every live version's content
       val vs = SnapTable.versions(spark, tbl)

@@ -28,7 +28,7 @@ class SnapTableSpec extends SparkSpec {
     // append carried v1's files verbatim — no data was copied
     val f1 = SnapTable.files(spark, tbl, 1).toSet
     val f2 = SnapTable.files(spark, tbl, 2).toSet
-    assert(f1.subsetOf(f2) && (f2 -- f1).forall(_.startsWith("data/b2/")))
+    assert(f1.subsetOf(f2) && (f2 -- f1).forall(_.startsWith("data/b2-")))
   }
 
   test("torn commit: staged data without a manifest is invisible") {
@@ -50,20 +50,157 @@ class SnapTableSpec extends SparkSpec {
     SnapTable.commit(spark, Seq((1L, 10L)).toDF("k", "v"), tbl, "overwrite")
     SnapTable.commit(spark, Seq((2L, 20L)).toDF("k", "v"), tbl, "append")
     SnapTable.commit(spark, Seq((3L, 30L)).toDF("k", "v"), tbl, "overwrite")
+    val doomed = (SnapTable.files(spark, tbl, 1) ++
+      SnapTable.files(spark, tbl, 2)).toSet
     // keep=2 retires v1 — but v2 APPEND still references v1's batch,
     // so an age-based GC would corrupt v2; reference counting must not
     val removed = SnapTable.vacuum(spark, tbl, keep = 2)
     assert(removed === 0, "vacuum deleted a file a kept manifest references")
     assert(SnapTable.versions(spark, tbl) === Seq(2, 3))
     assert(SnapTable.read(spark, tbl, Some(2)).count() === 2L)
-    // keep=1: only v3 survives, and b1/b2's files are now garbage
+    // keep=1: only v3 survives, and v1/v2's files are now garbage
     assert(SnapTable.vacuum(spark, tbl, keep = 1) > 0)
     assert(SnapTable.versions(spark, tbl) === Seq(3))
     assert(SnapTable.read(spark, tbl).agg(sum("v")).head().getLong(0) === 30L)
     val fs = new org.apache.hadoop.fs.Path(tbl)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(tbl, "data/b1")))
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(tbl, "data/b2")))
+    doomed.foreach { rel =>
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(tbl, rel)),
+        s"vacuum left unreferenced data behind: $rel")
+    }
+  }
+
+  test("vacuum checkpoints the oldest kept version before retiring its base chain") {
+    val tbl = Files.createTempDirectory("graft_snap_ckpt").toString + "/t"
+    SnapTable.commit(spark, Seq((1L, 10L)).toDF("k", "v"), tbl, "overwrite")
+    SnapTable.commit(spark, Seq((2L, 20L)).toDF("k", "v"), tbl, "append")
+    SnapTable.commit(spark, Seq((3L, 30L)).toDF("k", "v"), tbl, "append")
+    val f2 = SnapTable.files(spark, tbl, 2)
+    // keep=2: v1's manifest retires, but v2 (an append) resolved
+    // THROUGH v1 — the checkpoint must carry v2's full list so the
+    // retained read never chases the retired manifest
+    assert(SnapTable.vacuum(spark, tbl, keep = 2) === 0)
+    val fs = new org.apache.hadoop.fs.Path(tbl)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(tbl, "checkpoint-v00002.txt")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(tbl, "manifest-v00001.txt")))
+    assert(SnapTable.files(spark, tbl, 2) === f2)
+    assert(SnapTable.read(spark, tbl, Some(2))
+      .agg(sum("v")).head().getLong(0) === 30L)
+    assert(SnapTable.read(spark, tbl, Some(3))
+      .agg(sum("v")).head().getLong(0) === 60L)
+    // and the checkpointed version vacuums away cleanly later: an
+    // overwrite orphans the whole chain, keep=1 reclaims it and the
+    // retired version's checkpoint sidecar goes with its manifest
+    SnapTable.commit(spark, Seq((9L, 90L)).toDF("k", "v"), tbl, "overwrite")
+    assert(SnapTable.vacuum(spark, tbl, keep = 1) > 0)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(tbl, "checkpoint-v00002.txt")),
+      "retired version's checkpoint sidecar leaked")
+    assert(SnapTable.read(spark, tbl).count() === 1L)
+  }
+
+  test("append manifests are O(new files): no cumulative list copying") {
+    val tbl = Files.createTempDirectory("graft_snap_o1").toString + "/t"
+    SnapTable.commit(spark,
+      Seq((1L, 1L), (2L, 2L)).toDF("k", "v").repartition(4), tbl, "overwrite")
+    (2 to 6).foreach { i =>
+      SnapTable.commit(spark,
+        Seq((i.toLong, i.toLong)).toDF("k", "v").coalesce(1), tbl, "append")
+    }
+    val fs = new org.apache.hadoop.fs.Path(tbl)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // every append manifest names exactly ITS files plus one #base
+    // pointer — drain-age-independent commit cost
+    (2 to 6).foreach { v =>
+      val lines = scala.io.Source.fromInputStream(
+        fs.open(new org.apache.hadoop.fs.Path(tbl, f"manifest-v$v%05d.txt")),
+        "UTF-8").getLines().filter(_.nonEmpty).toList
+      assert(lines.count(_.startsWith("#base:")) === 1)
+      assert(lines.count(!_.startsWith("#")) === 1,
+        s"append manifest v$v copied carried files: $lines")
+    }
+    // while resolution still sees the whole accumulated table
+    assert(SnapTable.read(spark, tbl).count() === 7L)
+  }
+
+  test("vacuum never touches staging above the committed head (in-flight protection)") {
+    val tbl = Files.createTempDirectory("graft_snap_flight").toString + "/t"
+    SnapTable.commit(spark, Seq((1L, 10L)).toDF("k", "v"), tbl, "overwrite")
+    SnapTable.commit(spark, Seq((2L, 20L)).toDF("k", "v"), tbl, "overwrite")
+    // a LIVE committer mid-flight: version head+1 staged, manifest not
+    // yet renamed — vacuum running concurrently must leave it alone,
+    // or the committer would publish a manifest over vanished files
+    val inFlight = s"$tbl/data/b3-aaaa1111"
+    Seq((9L, 90L)).toDF("k", "v").write.parquet(inFlight)
+    SnapTable.vacuum(spark, tbl, keep = 1)
+    val fs = new org.apache.hadoop.fs.Path(tbl)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(inFlight)),
+      "vacuum deleted an in-flight commit's staging")
+    // once the head passes it, abandoned staging at <= head is garbage
+    SnapTable.commit(spark, Seq((3L, 30L)).toDF("k", "v"), tbl, "overwrite")
+    assert(SnapTable.vacuum(spark, tbl, keep = 1) > 0)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(inFlight)),
+      "abandoned staging below the head never reclaimed")
+  }
+
+  test("two REAL committer threads race appends: both land, versions linearize, no staging leaks") {
+    val tbl = Files.createTempDirectory("graft_snap_race").toString + "/t"
+    SnapTable.commit(spark, Seq((0L, 0L)).toDF("k", "v"), tbl, "overwrite")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val gate = new java.util.concurrent.CountDownLatch(2)
+    def racer(rows: Seq[(Long, Long)]) =
+      pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = {
+          val df = rows.toDF("k", "v")
+          gate.countDown(); gate.await() // maximize overlap
+          SnapTable.commitRetry(spark, df, tbl, "append")
+        }
+      })
+    val (fa, fb) = (racer(Seq((1L, 10L))), racer(Seq((2L, 20L))))
+    val (va, vb) = (fa.get(), fb.get())
+    pool.shutdown()
+    // linearized: the two commits took exactly versions 2 and 3
+    assert(Set(va, vb) === Set(2, 3), s"got versions ($va, $vb)")
+    assert(SnapTable.versions(spark, tbl) === Seq(1, 2, 3))
+    // BOTH rows landed exactly once (append chains compose)
+    assert(SnapTable.read(spark, tbl).orderBy("k")
+      .as[(Long, Long)].collect().toSeq ===
+      Seq((0L, 0L), (1L, 10L), (2L, 20L)))
+    // no staging leaked: every data dir belongs to a referenced file
+    val referenced = SnapTable.files(spark, tbl, 3)
+      .map(_.split('/')(1)).toSet
+    val fs = new org.apache.hadoop.fs.Path(tbl)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(tbl, "data"))
+      .map(_.getPath.getName).toSet
+    assert(dirs === referenced, s"staging leaked: ${dirs -- referenced}")
+  }
+
+  test("tag replay works across a vacuum at the horizon boundary") {
+    val tbl = Files.createTempDirectory("graft_snap_tagvac").toString + "/t"
+    (0 to 4).foreach { i =>
+      SnapTable.commitIfAbsent(spark,
+        Seq((i.toLong, i.toLong)).toDF("k", "v"), tbl, "append", s"batch-$i")
+    }
+    // retention covers the replay horizon (the SnapStream contract):
+    // keep=3 retains batches 2..4 — exactly the window Spark could
+    // still replay — and their tags stay idempotent across the vacuum
+    SnapTable.vacuum(spark, tbl, keep = 3)
+    assert(SnapTable.versions(spark, tbl) === Seq(3, 4, 5))
+    (2 to 4).foreach { i =>
+      val v = SnapTable.commitIfAbsent(spark,
+        Seq((99L, 99L)).toDF("k", "v"), tbl, "append", s"batch-$i")
+      assert(v === i + 1, s"replayed tag batch-$i re-minted version $v")
+    }
+    assert(SnapTable.read(spark, tbl).count() === 5L,
+      "a replayed tag inside the horizon appended rows")
+    // a tag BEYOND the horizon is forgotten by design — recommitting
+    // it mints a new version (why retention must cover the replay
+    // window, pinned here as the failure mode)
+    val re = SnapTable.commitIfAbsent(spark,
+      Seq((0L, 0L)).toDF("k", "v"), tbl, "append", "batch-0")
+    assert(re === 6)
   }
 
   test("vacuum crash order: manifests retire before data, so a mid-crash never breaks a promised read") {
@@ -73,6 +210,7 @@ class SnapTableSpec extends SparkSpec {
     SnapTable.commit(spark, Seq((3L, 30L)).toDF("k", "v"), tbl, "overwrite")
     // simulate the crash window: the manifest-retirement half of
     // vacuum(keep=2) ran, the file-deletion half did not
+    val f1 = SnapTable.files(spark, tbl, 1)
     val fs = new org.apache.hadoop.fs.Path(tbl)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(tbl, "manifest-v00001.txt"), false)
@@ -83,7 +221,10 @@ class SnapTableSpec extends SparkSpec {
     // and the interrupted GC rolls forward: a re-run reclaims v1's
     // now-orphaned batch
     assert(SnapTable.vacuum(spark, tbl, keep = 2) > 0)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(tbl, "data/b1")))
+    f1.foreach { rel =>
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(tbl, rel)),
+        s"interrupted GC re-run left orphan behind: $rel")
+    }
     assert(SnapTable.read(spark, tbl, Some(2)).count() === 1L)
   }
 
