@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{Num, Tables}
-import graft.ops.{AsofJoin, Cms, Curriculum, Hll, LayoutAudit, Mv, PageRank, Profile, SnapTable, Upsert}
+import graft.ops.{AsofJoin, Cms, Curriculum, Hll, LayoutAudit, Mv, Ols, PageRank, Profile, SnapTable, Upsert}
 import graft.report.Overlap
 
 /** Remaining SURVEY §2 surface — snapshot delta metrics (P20/P21),
@@ -1869,7 +1869,99 @@ object MiscQueries extends graft.QueryModule {
        |ORDER BY part""".stripMargin
   }
 
+  /** Shared feature frame for the OLS entries: integer-unit features
+    * (whole quantity, discount/tax in basis points) and the target in
+    * cents — the caller-side scaling contract that keeps
+    * [[graft.ops.Ols]]'s sufficient statistics and the replayed
+    * predictions exact. */
+  private val OlsFeatures = Seq("qty", "disc_bp", "tax_bp")
+  private def olsFrame(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select(
+      col("l_orderkey"),
+      col("l_linenumber").cast("long").as("l_linenumber"),
+      round(col("l_quantity"), 0).cast("long").as("qty"),
+      round(col("l_discount") * 100, 0).cast("long").as("disc_bp"),
+      round(col("l_tax") * 100, 0).cast("long").as("tax_bp"),
+      Num.cents(col("l_extendedprice")).as("y_c"),
+      col("l_returnflag"))
+
+  /** MULTIPLE-REGRESSION RUNTIME PREDICTION ([[graft.ops.Ols]]) —
+    * the reference's headline analytic (SAAF: OLS runtime estimation
+    * over CPU-accounting features, research.md:19) as an oracle-gated
+    * engine operator: fit price ~ quantity + discount + tax over the
+    * full lineitem frame in ONE map-side-combined sufficient-
+    * statistics aggregate (X'X, X'y — nothing row-shaped reaches the
+    * driver), solve the 4×4 normal equations at the driver, and score
+    * EVERY row in-plan with the ppm weights as literals — a pure long
+    * multiply-add inside whole-stage codegen, no join, no shuffle
+    * beyond the scan. The oracle replays each prediction with the
+    * trained weight vector inlined (the post-training contract), so
+    * the fit itself is regression-gated: a drifting weight
+    * hash-mismatches 60k predictions. */
+  def qRuntimePredict(s: SparkSession, dir: String): DataFrame = {
+    val df = olsFrame(s, dir)
+    val m = Ols.fit(df, OlsFeatures, "y_c")
+    df.select(col("l_orderkey"), col("l_linenumber"), col("y_c"),
+        Ols.predictPpm(m, OlsFeatures).as("pred_ppm"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Per-group prediction error AS DATA — the IC2E per-scenario MAPE
+    * table's shape (IC2E Data.csv:3-9: prediction groups × error):
+    * the fitted model's absolute percentage error aggregated by
+    * return-flag scenario in exact integer ppm
+    * (`|pred_ppm − y·10⁶| DIV y`, then `sum DIV n`), so the
+    * model-evaluation loop itself — not just the fit — is
+    * oracle-replayable end to end. */
+  def qPredictMape(s: SparkSession, dir: String): DataFrame = {
+    val df = olsFrame(s, dir)
+    val m = Ols.fit(df, OlsFeatures, "y_c")
+    Ols.mapeReport(df, m, OlsFeatures, "y_c", "l_returnflag")
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** DuckDB spelling of [[olsFrame]] — keep in lock-step. */
+  private val olsFrameSql: String =
+    s"""li AS (SELECT l_orderkey,
+       |  CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       |  CAST(round(l_quantity, 0) AS BIGINT) AS qty,
+       |  CAST(round(l_discount * 100, 0) AS BIGINT) AS disc_bp,
+       |  CAST(round(l_tax * 100, 0) AS BIGINT) AS tax_bp,
+       |  ${Num.centsSql("l_extendedprice")} AS y_c,
+       |  l_returnflag FROM lineitem)""".stripMargin
+
+  private def olsPredictSql(m: Ols.Model): String =
+    (s"${m.wPpm(0)}" +: OlsFeatures.zipWithIndex.map { case (f, i) =>
+      s"${m.wPpm(i + 1)} * $f" }).mkString(" + ")
+
+  /** Post-training oracles (the `Ivf.lastModel` contract): built
+    * AFTER the entries run, with the fitted ppm weights as literals. */
+  private def olsOracle: Map[String, String] =
+    Ols.lastModel.map { m =>
+      Map(
+        "q_runtime_predict" ->
+          s"""WITH $olsFrameSql
+             |SELECT l_orderkey, l_linenumber, y_c,
+             |  CAST(${olsPredictSql(m)} AS BIGINT) AS pred_ppm
+             |FROM li ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        "q_predict_mape" ->
+          s"""WITH $olsFrameSql,
+             |p AS (SELECT l_returnflag, y_c,
+             |        CAST(${olsPredictSql(m)} AS BIGINT) AS pred_ppm
+             |      FROM li),
+             |a AS (SELECT l_returnflag,
+             |        abs(pred_ppm - y_c * 1000000) // y_c AS ape_ppm
+             |      FROM p)
+             |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             |  ${Num.sumSql("ape_ppm")} AS sum_ape_ppm,
+             |  ${Num.sumSql("ape_ppm")} // count(*) AS mape_ppm
+             |FROM a GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)
+    }.getOrElse(Map.empty)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_runtime_predict" -> (qRuntimePredict _),
+    "q_predict_mape" -> (qPredictMape _),
     "q_pagerank" -> (qPagerank _),
     "q_schema_evolution" -> (qSchemaEvolution _),
     "q_layout_audit" -> (qLayoutAudit _),
@@ -1913,7 +2005,7 @@ object MiscQueries extends graft.QueryModule {
     "q_gap_fill" -> (qGapFill _),
     "q_scd2" -> (qScd2 _))
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = olsOracle ++ Map(
     "q_pagerank" -> qPagerankSql,
     "q_schema_evolution" -> qSchemaEvolutionSql,
     "q_layout_audit" -> qLayoutAuditSql,

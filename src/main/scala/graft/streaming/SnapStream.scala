@@ -42,7 +42,8 @@ object SnapStream {
     * after every `vacuumEvery`-th commit, keep the last `keep`
     * versions. */
   def runIngest(s: SparkSession, stream: DataFrame, table: String,
-      ckpt: String, vacuumEvery: Int = 0, keep: Int = 0): Unit = {
+      ckpt: String, vacuumEvery: Int = 0, keep: Int = 0,
+      afterCommit: Long => Unit = _ => ()): Unit = {
     require(vacuumEvery == 0 || keep >= 2,
       "in-drain vacuum must keep at least 2 versions " +
         "(retention must cover the streaming replay horizon)")
@@ -56,6 +57,7 @@ object SnapStream {
             s"batch-$batchId")
           if (vacuumEvery > 0 && v % vacuumEvery == 0)
             SnapTable.vacuum(s, table, keep)
+          afterCommit(batchId)
         }
         ()
       }
