@@ -215,6 +215,39 @@ object SnapTable {
     v
   }
 
+  /** Commit a REWRITE snapshot: the next version's file list is
+    * `carried` (untouched files of the current head, relative paths,
+    * byte-identical by construction — they are never read or moved)
+    * plus `df`'s freshly staged files. This is the file-level
+    * transaction under targeted-rewrite operations (RTBF erasure,
+    * compaction of a file subset): cost scales with the REWRITTEN
+    * subset, the manifest proves the rest untouched, and history
+    * keeps the pre-rewrite version readable until vacuum retires it.
+    * The manifest is self-contained (no `#base:` pointer — a rewrite
+    * redefines the list, it doesn't extend it). */
+  def commitRewrite(s: SparkSession, df: DataFrame, table: String,
+      carried: Seq[String], tag: Option[String] = None): Int = {
+    val fs = fsOf(s, new Path(table))
+    val prev = versions(s, table)
+    require(prev.nonEmpty, s"no committed snapshot under $table")
+    val v = prev.last + 1
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val dataDir = new Path(table, s"data/b$v-$nonce")
+    df.write.parquet(dataDir.toString)
+    val fresh = fs.listStatus(dataDir).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".parquet")).sorted
+      .map(n => s"data/b$v-$nonce/$n")
+    require(carried.nonEmpty || fresh.nonEmpty,
+      "refusing to commit an empty snapshot")
+    val lines = tag.map(t => s"#tag:$t").toSeq ++ carried ++ fresh
+    try claim(fs, table, v, lines)
+    catch { case e: java.io.IOException =>
+      fs.delete(dataDir, true)
+      throw e
+    }
+    v
+  }
+
   /** The commit point — OPTIMISTIC CONCURRENCY: refuse if another
     * committer already claimed `v` (never silently overwrite a
     * manifest), otherwise stage and atomically rename. A racer
@@ -339,12 +372,17 @@ object SnapTable {
     * on `key`, emitting only CHANGED rows — op I (inserted),
     * D (deleted), U (value moved); unchanged keys are suppressed.
     * Keys must be unique per side (they are snapshots of an
-    * aggregate/dimension state). Scale: one shuffle on the key, or
-    * zero with both snapshots bucketed on it. */
+    * aggregate/dimension state). `carry` columns ride along for the
+    * consumer (taken from the new side, falling back to the old side
+    * on deletes) — what a downstream MV folds by when the CDC key is
+    * finer than the MV grain. Scale: one shuffle on the key, or zero
+    * with both snapshots bucketed on it. */
   def diff(old: DataFrame, neu: DataFrame, key: String,
-      value: String): DataFrame = {
-    val o = old.select(col(key), col(value).as(s"old_$value"))
-    val n = neu.select(col(key), col(value).as(s"new_$value"))
+      value: String, carry: Seq[String] = Nil): DataFrame = {
+    val o = old.select(col(key) +: col(value).as(s"old_$value") +:
+      carry.map(c => col(c).as(s"_o_$c")): _*)
+    val n = neu.select(col(key) +: col(value).as(s"new_$value") +:
+      carry.map(c => col(c).as(s"_n_$c")): _*)
     o.join(n, Seq(key), "full_outer")
       .withColumn("op",
         when(col(s"old_$value").isNull, lit("I"))
@@ -352,5 +390,8 @@ object SnapTable {
           .otherwise(lit("U")))
       .filter(col(s"old_$value").isNull || col(s"new_$value").isNull ||
         col(s"old_$value") =!= col(s"new_$value"))
+      .select(col(key) +: col(s"old_$value") +: col(s"new_$value") +:
+        col("op") +:
+        carry.map(c => coalesce(col(s"_n_$c"), col(s"_o_$c")).as(c)): _*)
   }
 }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.{Num, Tables}
 import graft.ops.{AsofJoin, Cms, Curriculum, Hll, LayoutAudit, Mv, Ols, PageRank, Profile, SnapTable, Upsert}
 import graft.report.Overlap
+import graft.streaming.CdcStream
 
 /** Remaining SURVEY §2 surface — snapshot delta metrics (P20/P21),
   * histogram (A11), the multi-category report as GROUPING SETS
@@ -1646,6 +1647,165 @@ object MiscQueries extends graft.QueryModule {
        |SELECT user_id, count(*) AS n, ${Num.sumSql("value_c")} AS sum_c
        |FROM ev GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** MERGE INTO on the snapshot protocol (the Delta MERGE shape):
+    * read the latest version -> fold a changes frame of keyed upserts
+    * and delete tombstones ([[graft.ops.Upsert.applyChanges]], one
+    * full-outer equi-join) -> commit the result as version v+1, with
+    * TIME TRAVEL across the merge (the pre-merge state stays readable
+    * by version). The base is the per-(user, week) state of the
+    * timeline's first half; the changes are the post-boundary
+    * reality: cells touched by the second half arrive as wholesale
+    * row replacements (full recomputed totals), and every cell of the
+    * `user_id % 10 == 3` subjects arrives as a tombstone. The entry
+    * REQUIRES all three MERGE classes non-empty — inserts (cells born
+    * in the second half), updates (boundary-week cells present in the
+    * base), deletes (tombstoned cells present in the base) — and the
+    * pre-merge version bit-unchanged after the commit. Oracle: the
+    * merged state reconstructed relationally from raw events.
+    *
+    * At 100 TB the join shuffles on the merge key (or broadcasts a
+    * small changes side / runs exchange-free on bucketed layouts —
+    * `q_bucketed_join`), and the commit is O(result files) + one
+    * manifest: MERGE is a plan plus a rename, never an in-place
+    * mutation. */
+  def qSnapshotMerge(s: SparkSession, dir: String): DataFrame = {
+    val tmp = StreamQueries.scratch(s, "merge")
+    val tbl = s"$tmp/tbl"
+    val dayUs = 86400L * 1000000L
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), expr(s"ts_us DIV $dayUs").as("d"),
+        Num.cents(col("value")).as("value_c"))
+    val mm = ev.agg(min("d"), max("d")).head()
+    val dmid = (mm.getLong(0) + mm.getLong(1)) / 2
+    val wk = ev.withColumn("w", expr("d DIV 7"))
+    def cells(p: DataFrame) = p.groupBy(col("user_id"), col("w"))
+      .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_c"))
+      .select(concat_ws(":", col("user_id"), col("w")).as("uk"),
+        col("user_id"), col("w"), col("n"), col("sum_c"))
+    SnapTable.commit(s, cells(wk.filter(col("d") < dmid)), tbl, "overwrite")
+    val baseCount = SnapTable.read(s, tbl, Some(1)).count()
+    // changes: every cell the second half touched (wholesale
+    // replacement rows carrying FULL totals) plus tombstones for all
+    // cells of the erased subjects
+    val touched = wk.filter(col("d") >= dmid)
+      .select(concat_ws(":", col("user_id"), col("w")).as("uk")).distinct()
+    val changes = cells(wk)
+      .withColumn("del", pmod(col("user_id"), lit(10L)) === 3L)
+      .join(touched.withColumn("inc", lit(true)), Seq("uk"), "left")
+      .filter(col("del") || coalesce(col("inc"), lit(false)))
+      .drop("inc").withColumnRenamed("del", "deleted")
+    val baseKeys = SnapTable.read(s, tbl, Some(1)).select(col("uk"))
+    val ups = changes.filter(!col("deleted"))
+    val nI = ups.join(baseKeys, Seq("uk"), "left_anti").count()
+    val nU = ups.join(baseKeys, Seq("uk"), "left_semi").count()
+    val nD = changes.filter(col("deleted"))
+      .join(baseKeys, Seq("uk"), "left_semi").count()
+    require(nI > 0 && nU > 0 && nD > 0,
+      s"MERGE must exercise all three classes: I=$nI U=$nU D=$nD")
+    val merged = Upsert.applyChanges(
+      SnapTable.read(s, tbl, Some(1)), changes, "uk", "deleted")
+    SnapTable.commit(s, merged, tbl, "overwrite")
+    require(SnapTable.read(s, tbl, Some(1)).count() == baseCount,
+      "the merge mutated the pre-merge snapshot")
+    SnapTable.read(s, tbl, Some(2))
+      .select(col("uk"), col("n"), col("sum_c"))
+      .orderBy(col("uk"))
+  }
+
+  val qSnapshotMergeSql: String =
+    s"""WITH ev AS (SELECT user_id,
+       |    epoch_us(ts) // ${86400L * 1000000L} AS d,
+       |    ${Num.centsSql("value")} AS value_c
+       |  FROM events),
+       |m AS (SELECT (min(d) + max(d)) // 2 AS dmid FROM ev),
+       |wk AS (SELECT user_id, d // 7 AS w, d, value_c FROM ev),
+       |base AS (SELECT user_id, w, CAST(count(*) AS BIGINT) AS n,
+       |           ${Num.sumSql("value_c")} AS sum_c
+       |         FROM wk WHERE d < (SELECT dmid FROM m)
+       |         GROUP BY user_id, w),
+       |fullc AS (SELECT user_id, w, CAST(count(*) AS BIGINT) AS n,
+       |            ${Num.sumSql("value_c")} AS sum_c
+       |          FROM wk GROUP BY user_id, w),
+       |touched AS (SELECT DISTINCT user_id, w FROM wk
+       |            WHERE d >= (SELECT dmid FROM m)),
+       |merged AS (
+       |  SELECT f.user_id, f.w, f.n, f.sum_c
+       |  FROM fullc f JOIN touched t
+       |    ON f.user_id = t.user_id AND f.w = t.w
+       |  UNION ALL
+       |  SELECT b.user_id, b.w, b.n, b.sum_c FROM base b
+       |  WHERE NOT EXISTS (SELECT 1 FROM touched t
+       |                    WHERE t.user_id = b.user_id AND t.w = b.w))
+       |SELECT concat(user_id, ':', w) AS uk, n, sum_c
+       |FROM merged WHERE user_id % 10 <> 3
+       |ORDER BY uk""".stripMargin
+
+  /** CDC-FED CONTINUOUS MV MAINTENANCE
+    * ([[graft.streaming.CdcStream.runMaintain]]): the source table
+    * publishes four successive per-(user, day) states — two
+    * progressive-arrival waves, the complete corpus, then a
+    * data-quality RETRACTION dropping error events — and a consumer
+    * drain walks the version stream, diffing each state against its
+    * predecessor ([[SnapTable.diff]], I/U/D per cell), reducing each
+    * change set to the user grain, and folding it into a standing MV
+    * ([[Mv.additiveMerge]]) republished on the snapshot protocol
+    * tagged with the consumed source version — THE CURSOR IS THE TAG,
+    * so the entry REQUIRES a second drain pass to fold exactly zero
+    * versions (redelivery idempotence from the MV's own commit log)
+    * and all four folds to be real committed versions. The MV carries
+    * a live-cell count per user (inserts minus deletes telescoped), so
+    * fully-retracted users surface as n_cells = 0 and are tombstoned
+    * out of the published view. Oracle: the FULL recompute from raw
+    * events — four diff-folds must be bit-identical to one scan,
+    * which is the entire contract of incremental maintenance (cost =
+    * change sets + key space, never the re-read history). */
+  def qCdcMvStream(s: SparkSession, dir: String): DataFrame = {
+    val tmp = StreamQueries.scratch(s, "cdcmv")
+    val (src, mvt) = (s"$tmp/src", s"$tmp/mv")
+    val dayUs = 86400L * 1000000L
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr(s"ts_us DIV $dayUs").as("d"),
+        Num.cents(col("value")).as("value_c"))
+    def state(p: DataFrame) = p.groupBy(col("user_id"), col("d"))
+      .agg(sum(col("value_c")).as("sum_c"))
+      .withColumn("sk", concat_ws(":", col("user_id"), col("d")))
+    SnapTable.commit(s,
+      state(ev.filter(pmod(col("event_id"), lit(3L)) < 1)), src, "overwrite")
+    SnapTable.commit(s,
+      state(ev.filter(pmod(col("event_id"), lit(3L)) < 2)), src, "overwrite")
+    SnapTable.commit(s, state(ev), src, "overwrite")
+    SnapTable.commit(s,
+      state(ev.filter(col("event_type") =!= "error")), src, "overwrite")
+    val contrib: DataFrame => DataFrame = d => d.groupBy(col("user_id"))
+      .agg(
+        sum(when(col("op") === "I", 1L).when(col("op") === "D", -1L)
+          .otherwise(0L)).as("n_cells"),
+        sum(coalesce(col("new_sum_c"), lit(0L)) -
+          coalesce(col("old_sum_c"), lit(0L))).as("sum_c"))
+    def drain(): Int = CdcStream.runMaintain(s, src, mvt,
+      key = "sk", value = "sum_c", carry = Seq("user_id"),
+      contrib = contrib, mvKey = "user_id",
+      mvCols = Seq("n_cells", "sum_c"))
+    require(drain() == 4, "consumer did not fold all four source versions")
+    require(drain() == 0, "redelivered drain re-folded a consumed version")
+    require(SnapTable.versions(s, mvt).size == 4,
+      "each fold must republish the MV as one tagged snapshot")
+    SnapTable.read(s, mvt)
+      .filter(col("n_cells") > 0L)
+      .orderBy(col("user_id"))
+  }
+
+  val qCdcMvStreamSql: String =
+    s"""WITH ev AS (SELECT user_id,
+       |    epoch_us(ts) // ${86400L * 1000000L} AS d,
+       |    ${Num.centsSql("value")} AS value_c
+       |  FROM events WHERE event_type <> 'error')
+       |SELECT user_id,
+       |  CAST(count(DISTINCT d) AS BIGINT) AS n_cells,
+       |  ${Num.sumSql("value_c")} AS sum_c
+       |FROM ev GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** TARGETED DELETE (the right-to-be-forgotten loop) under the
     * oracle: events land clustered into user-range buckets, then
     * three users — derived identically by both engines from
@@ -1734,6 +1894,159 @@ object MiscQueries extends graft.QueryModule {
        |         FROM ev WHERE user_id NOT IN (SELECT u FROM del))
        |SELECT b, count(*) AS n, ${Num.sumSql("value_c")} AS sum_c
        |FROM kept GROUP BY b ORDER BY b""".stripMargin
+
+  /** COMMIT-RETRY LIVENESS under the oracle
+    * ([[SnapTable.commitRetry]]): two REAL committer threads race
+    * appends of disjoint halves of the per-user state into one empty
+    * snapshot table, released through a latch so both derive the same
+    * head. Optimistic concurrency guarantees ONE loses its claim; the
+    * retry loop re-derives (new head, new carried pointer, fresh
+    * staging) and lands it as the next version — the entry REQUIRES
+    * the two commits to take exactly versions {1, 2} (linearized, no
+    * version skipped or double-claimed) and the final snapshot is
+    * hash-gated against the full per-user recompute: BOTH halves
+    * landed exactly once, whichever writer won. The staging nonce is
+    * what makes this safe — the loser reclaims only its own attempt's
+    * files (`SnapTableSpec` asserts no leak on the same race). */
+  def qCommitRetry(s: SparkSession, dir: String): DataFrame = {
+    val tmp = StreamQueries.scratch(s, "race")
+    val tbl = s"$tmp/tbl"
+    val agg = Tables.events(s, dir)
+      .select(col("user_id"), Num.cents(col("value")).as("value_c"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_c"))
+    val even = agg.filter(pmod(col("user_id"), lit(2L)) === 0L)
+    val odd = agg.filter(pmod(col("user_id"), lit(2L)) === 1L)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val gate = new java.util.concurrent.CountDownLatch(2)
+    def racer(df: DataFrame) =
+      pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = {
+          gate.countDown(); gate.await()
+          SnapTable.commitRetry(s, df, tbl, "append")
+        }
+      })
+    val (fa, fb) = (racer(even), racer(odd))
+    val (va, vb) = (fa.get(), fb.get())
+    pool.shutdown()
+    require(Set(va, vb) == Set(1, 2),
+      s"racing commits did not linearize: got versions ($va, $vb)")
+    require(SnapTable.versions(s, tbl) == Seq(1, 2),
+      "commit race corrupted the version list")
+    SnapTable.read(s, tbl).orderBy(col("user_id"))
+  }
+
+  /** Same full recompute as the incremental-MV oracle: the racing
+    * appends must land exactly the per-user state, no row lost to the
+    * lost race, none doubled by the retry. */
+  val qCommitRetrySql: String = qIncrementalMvSql
+
+  /** TARGETED DELETE AS A SNAPSHOT TRANSACTION — the production RTBF
+    * loop ([[SnapTable.commitRewrite]] + [[SnapTable.vacuum]]): the
+    * subject's erasure must be (1) PLANNED from parquet footers alone
+    * (rewrite set = the few files whose min/max range covers a
+    * subject — erasure cost scales with data locality, not table
+    * size), (2) COMMITTED atomically as version v+1 carrying every
+    * untouched file by reference (the manifest itself proves the rest
+    * of the corpus byte-identical), and (3) PHYSICALLY completed by
+    * vacuum — until the horizon passes, TIME TRAVEL still serves the
+    * subject from v1, which is the retention-vs-erasure conflict
+    * every warehouse must schedule around, surfaced here AS DATA (the
+    * `v1_subject_pre_vacuum` row). The entry REQUIRES the rewrite set
+    * bounded by the subject count, the carried files present verbatim
+    * in v+1, the subject absent from EVERY retained version after
+    * vacuum, and the affected files' bytes actually gone from disk. */
+  def qSnapshotErase(s: SparkSession, dir: String): DataFrame = {
+    val tmp = StreamQueries.scratch(s, "snaperase")
+    val tbl = s"$tmp/tbl"
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), Num.cents(col("value")).as("value_c"))
+    val umax = ev.agg(max("user_id")).head().getLong(0)
+    val dels = Seq(umax / 7, umax / 2, umax - 1).distinct
+    SnapTable.commit(s,
+      ev.repartitionByRange(8, col("user_id"))
+        .sortWithinPartitions(col("user_id")),
+      tbl, "overwrite")
+    val v1Files = SnapTable.files(s, tbl, 1)
+    val v1Dir = v1Files.map(_.split('/').dropRight(1).mkString("/"))
+      .distinct match { case Seq(one) => one }
+    // PLAN FROM METADATA: candidates = files whose footer range covers
+    // a subject; the clustered layout makes that <= one file each
+    val audit = LayoutAudit.audit(s, s"$tbl/$v1Dir/*.parquet", "user_id")
+    val hit = audit.filter(
+        dels.map(u => col("col_min") <= u && col("col_max") >= u)
+          .reduce(_ || _))
+      .select(col("file")).collect()
+      .map(r => s"data/${r.getString(0)}").toSeq.sorted
+    require(hit.nonEmpty && hit.size <= dels.size,
+      s"erasure plan should touch at most ${dels.size} files: $hit")
+    val carried = v1Files.filterNot(hit.toSet)
+    require(carried.nonEmpty, "erasure should not rewrite the corpus")
+    val rewritten = s.read.parquet(hit.map(h => s"$tbl/$h"): _*)
+      .filter(!col("user_id").isin(dels: _*))
+      .repartitionByRange(math.max(1, hit.size), col("user_id"))
+      .sortWithinPartitions(col("user_id"))
+    SnapTable.commitRewrite(s, rewritten, tbl, carried)
+    val f2 = SnapTable.files(s, tbl, 2).toSet
+    require(carried.forall(f2.contains),
+      "rewrite dropped an untouched file from the new version")
+    // the conflict as data: history still serves the subject until
+    // the horizon passes — read it through v1's TIME TRAVEL now (one
+    // bounded row to the driver), because vacuum deletes those bytes
+    val subj = SnapTable.read(s, tbl, Some(1))
+      .filter(col("user_id").isin(dels: _*))
+      .agg(count(lit(1)), coalesce(sum(col("value_c")), lit(0L))).head()
+    require(subj.getLong(0) > 0,
+      "erasure subjects matched no rows — nothing under test")
+    import s.implicits._
+    val preVac = Seq(("v1_subject_pre_vacuum", subj.getLong(0),
+      subj.getLong(1))).toDF("phase", "n_rows", "sum_c")
+    SnapTable.vacuum(s, tbl, keep = 1)
+    require(SnapTable.versions(s, tbl) == Seq(2),
+      "vacuum did not retire the pre-erasure version")
+    val fsys = new org.apache.hadoop.fs.Path(tbl)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    hit.foreach { h =>
+      require(!fsys.exists(new org.apache.hadoop.fs.Path(tbl, h)),
+        s"subject bytes survived the vacuum: $h")
+    }
+    // subject absent from EVERY retained version
+    SnapTable.versions(s, tbl).foreach { v =>
+      require(SnapTable.read(s, tbl, Some(v))
+        .filter(col("user_id").isin(dels: _*)).isEmpty,
+        s"subject still readable in retained version $v")
+    }
+    val v2 = SnapTable.read(s, tbl)
+    preVac
+      .union(v2.filter(col("user_id").isin(dels: _*))
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("value_c")), lit(0L)).as("sum_c"))
+        .select(lit("v2_subject").as("phase"), col("n_rows"), col("sum_c")))
+      .union(v2
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("value_c")), lit(0L)).as("sum_c"))
+        .select(lit("v2_total").as("phase"), col("n_rows"), col("sum_c")))
+      .orderBy(col("phase"))
+  }
+
+  val qSnapshotEraseSql: String =
+    s"""WITH ev AS (SELECT user_id, ${Num.centsSql("value")} AS value_c
+       |  FROM events),
+       |m AS (SELECT max(user_id) AS um FROM ev),
+       |del AS (SELECT um // 7 AS u FROM m
+       |        UNION SELECT um // 2 FROM m
+       |        UNION SELECT um - 1 FROM m)
+       |SELECT 'v1_subject_pre_vacuum' AS phase,
+       |  CAST(count(*) AS BIGINT) AS n_rows,
+       |  COALESCE(${Num.sumSql("value_c")}, 0) AS sum_c
+       |FROM ev WHERE user_id IN (SELECT u FROM del)
+       |UNION ALL
+       |SELECT 'v2_subject', CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+       |UNION ALL
+       |SELECT 'v2_total', CAST(count(*) AS BIGINT),
+       |  COALESCE(${Num.sumSql("value_c")}, 0)
+       |FROM ev WHERE user_id NOT IN (SELECT u FROM del)
+       |ORDER BY phase""".stripMargin
 
   /** ORC ROUND-TRIP with predicate pushdown: the second columnar
     * format a Spark warehouse speaks (built-in `orc` datasource —
@@ -1973,6 +2286,10 @@ object MiscQueries extends graft.QueryModule {
     "q_snapshot_vacuum" -> (qSnapshotVacuum _),
     "q_snapshot_optimize" -> (qSnapshotOptimize _),
     "q_incremental_mv" -> (qIncrementalMv _),
+    "q_cdc_mv_stream" -> (qCdcMvStream _),
+    "q_snapshot_merge" -> (qSnapshotMerge _),
+    "q_snapshot_erase" -> (qSnapshotErase _),
+    "q_commit_retry" -> (qCommitRetry _),
     "q_targeted_delete" -> (qTargetedDelete _),
     "q_partition_prune" -> (qPartitionPrune _),
     "q_quality" -> (qQuality _),
@@ -2017,6 +2334,10 @@ object MiscQueries extends graft.QueryModule {
     "q_snapshot_vacuum" -> qSnapshotVacuumSql,
     "q_snapshot_optimize" -> qSnapshotOptimizeSql,
     "q_incremental_mv" -> qIncrementalMvSql,
+    "q_cdc_mv_stream" -> qCdcMvStreamSql,
+    "q_snapshot_merge" -> qSnapshotMergeSql,
+    "q_snapshot_erase" -> qSnapshotEraseSql,
+    "q_commit_retry" -> qCommitRetrySql,
     "q_targeted_delete" -> qTargetedDeleteSql,
     "q_partition_prune" -> qPartitionPruneSql,
     "q_quality" -> qQualitySql,
