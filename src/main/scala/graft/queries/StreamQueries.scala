@@ -591,12 +591,18 @@ object StreamQueries extends graft.QueryModule {
     * under its batch id — the manifest carries the tag atomically
     * with the file list, so a replayed batch appends nothing (the
     * crash axis is spec-driven through Spark's real dropped-commit
-    * replay in `SnapStreamSpec`). The entry REQUIRES ≥2 committed
-    * micro-batches AND ≥2 table versions — real multi-batch append
-    * history — then hash-gates the LATEST snapshot against the batch
-    * aggregate of the raw events: the streamed table holds every
-    * input row exactly once, with snapshot isolation and time travel
-    * over the live feed for free. */
+    * replay in `SnapStreamSpec`). The drain runs the PRODUCTION
+    * posture: in-drain vacuum on every commit with retention covering
+    * the replay horizon (keep = 2 ≥ the AvailableNow window), so the
+    * live version count — and with it the tag scan and chain walk —
+    * stays bounded at any drain age ([[graft.streaming.SnapStress]]
+    * measures the flatness at 240 batches). The entry REQUIRES ≥2
+    * committed micro-batches AND the retention bound to have actually
+    * engaged (exactly `keep` live versions at the end) — then
+    * hash-gates the LATEST snapshot against the batch aggregate of
+    * the raw events: the streamed table holds every input row exactly
+    * once, with snapshot isolation and bounded time travel over the
+    * live feed for free. */
   def qStreamSnapshot(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val tmp = scratch(s, "snapstream")
@@ -619,11 +625,11 @@ object StreamQueries extends graft.QueryModule {
       s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(s"$tmp/in/f=*/*.parquet"),
-      tbl, s"$tmp/ckpt")
+      tbl, s"$tmp/ckpt", vacuumEvery = 1, keep = 2)
     require(committedBatches(s, s"$tmp/ckpt") >= 2,
       "snapshot ingestion must be multi-batch")
-    require(graft.ops.SnapTable.versions(s, tbl).size >= 2,
-      "expected one append snapshot per micro-batch")
+    require(graft.ops.SnapTable.versions(s, tbl).size == 2,
+      "in-drain vacuum must bound live versions to exactly `keep`")
     graft.ops.SnapTable.read(s, tbl) // latest = everything, exactly once
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_c"))
