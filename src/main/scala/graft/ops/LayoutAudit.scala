@@ -25,13 +25,22 @@ object LayoutAudit {
     * stats for the column surface as nulls, never as fabricated
     * bounds. */
   def audit(s: SparkSession, glob: String, column: String): DataFrame = {
-    import scala.jdk.CollectionConverters._
     val p = new Path(glob)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val files = fs.globStatus(p).toSeq.map(_.getPath)
       .filter(f => f.getName.endsWith(".parquet"))
       .map(_.toUri.toString).sorted
     require(files.nonEmpty, s"no parquet files match $glob")
+    auditFiles(s, files, column)
+  }
+
+  /** [[audit]] over an EXPLICIT file list (URIs) — the shape a
+    * manifest-driven planner needs: a snapshot table's version names
+    * its files directly, no globbing ([[SnapTable.readRange]]). */
+  def auditFiles(s: SparkSession, files: Seq[String],
+      column: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    require(files.nonEmpty, "no files to audit")
     val sconf = new org.apache.spark.util.SerializableConfiguration(
       s.sparkContext.hadoopConfiguration)
     val nParts = math.max(1,

@@ -224,12 +224,28 @@ object SnapTable {
     * subset, the manifest proves the rest untouched, and history
     * keeps the pre-rewrite version readable until vacuum retires it.
     * The manifest is self-contained (no `#base:` pointer — a rewrite
-    * redefines the list, it doesn't extend it). */
+    * redefines the list, it doesn't extend it).
+    *
+    * CONFLICT DETECTION: a rewrite plan is derived FROM a head
+    * version (its carried list names that head's files), so a
+    * concurrent commit landing after the plan makes the plan STALE —
+    * blindly committing it would silently drop the concurrent
+    * writer's rows (the lost-update anomaly). Pass `expectedHead` to
+    * refuse when the head moved; the residual window between the
+    * check and the rename is closed by claim's per-version atomicity
+    * (a racer landing inside it takes expectedHead+1, which is
+    * exactly the version this rewrite then fails to claim). */
   def commitRewrite(s: SparkSession, df: DataFrame, table: String,
-      carried: Seq[String], tag: Option[String] = None): Int = {
+      carried: Seq[String], tag: Option[String] = None,
+      expectedHead: Option[Int] = None): Int = {
     val fs = fsOf(s, new Path(table))
     val prev = versions(s, table)
     require(prev.nonEmpty, s"no committed snapshot under $table")
+    expectedHead.filter(_ != prev.last).foreach { h =>
+      throw new ConcurrentCommitException(
+        s"table advanced to ${prev.last} past expected head $h — " +
+          "the rewrite plan is stale; re-derive and retry")
+    }
     val v = prev.last + 1
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val dataDir = new Path(table, s"data/b$v-$nonce")
@@ -246,6 +262,35 @@ object SnapTable {
       throw e
     }
     v
+  }
+
+  /** Optimistic retry for REWRITE transactions (OPTIMIZE, erasure,
+    * compaction) under concurrent writers: `plan` derives the rewrite
+    * FROM a head version — (df to stage, files to carry) — and the
+    * commit refuses if the head moved since (see [[commitRewrite]]'s
+    * conflict note); on refusal the plan RE-DERIVES from the new head
+    * so a concurrent append's rows are carried, never dropped. This
+    * is the Delta/Iceberg conflict-resolution loop: rewrites yield to
+    * appends and replay on top of them. */
+  def rewriteWithRetry(s: SparkSession, table: String,
+      plan: Int => (DataFrame, Seq[String]),
+      tag: Option[String] = None, attempts: Int = 8): Int = {
+    require(attempts >= 1, "rewriteWithRetry needs at least one attempt")
+    var left = attempts
+    while (true) {
+      val head = versions(s, table).lastOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"no committed snapshot under $table"))
+      val (df, carried) = plan(head)
+      try return commitRewrite(s, df, table, carried, tag, Some(head))
+      catch {
+        case e: ConcurrentCommitException =>
+          left -= 1
+          if (left == 0) throw e
+          Thread.sleep(5L + scala.util.Random.nextInt(20))
+      }
+    }
+    -1 // unreachable
   }
 
   /** The commit point — OPTIMISTIC CONCURRENCY: refuse if another
@@ -357,15 +402,54 @@ object SnapTable {
   }
 
   /** Read snapshot `version` (latest when None) — exactly the
-    * manifest's resolved files, distributed. */
+    * manifest's resolved files, distributed. `mergeSchema` reconciles
+    * files written under EVOLVED schemas by name (early files' absent
+    * columns read as null — a snapshot table accretes columns over
+    * its append history exactly like a landing zone does). */
   def read(s: SparkSession, table: String,
-      version: Option[Int] = None): DataFrame = {
+      version: Option[Int] = None,
+      mergeSchema: Boolean = false): DataFrame = {
     val vs = versions(s, table)
     require(vs.nonEmpty, s"no committed snapshot under $table")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"unknown snapshot version $v (have $vs)")
     val paths = files(s, table, v).map(rel => new Path(table, rel).toString)
-    s.read.parquet(paths: _*)
+    val rd = if (mergeSchema) s.read.option("mergeSchema", "true")
+             else s.read
+    rd.parquet(paths: _*)
+  }
+
+  /** FOOTER-PLANNED ranged read — Iceberg-style scan planning on the
+    * snapshot table: the manifest names the version's files, their
+    * parquet footers bound `column` per file
+    * ([[LayoutAudit.auditFiles]], one footer read per file,
+    * distributed), and only files whose [min, max] INTERSECTS
+    * [lo, hi] are opened at all; the residual predicate still applies
+    * in-scan (footer bounds admit, they never prove). On a clustered
+    * layout this is the difference between reading ~the matching
+    * files and reading the table — the planner's cost is metadata
+    * only, never a data page. Returns (selected files, frame) so
+    * callers can gate that pruning actually engaged. */
+  def readRange(s: SparkSession, table: String, version: Option[Int],
+      column: String, lo: Long, hi: Long): (Seq[String], DataFrame) = {
+    val vs = versions(s, table)
+    require(vs.nonEmpty, s"no committed snapshot under $table")
+    val v = version.getOrElse(vs.last)
+    val uris = files(s, table, v)
+      .map(rel => new Path(table, rel).toUri.toString)
+    // a file with NO usable footer stats cannot be proven out — it
+    // must be read (bounds admit, absence never excludes)
+    val chosen = LayoutAudit.auditFiles(s, uris, column)
+      .filter(coalesce(col("col_min") <= hi && col("col_max") >= lo,
+        lit(true)))
+      .select(col("file")).collect().map(_.getString(0)).toSet
+    val picked = uris.filter(u =>
+      chosen.contains(u.split('/').takeRight(2).mkString("/")))
+    val out =
+      if (picked.isEmpty) read(s, table, Some(v)).filter(lit(false))
+      else s.read.parquet(picked: _*)
+        .filter(col(column) >= lo && col(column) <= hi)
+    (picked, out)
   }
 
   /** Change-data-feed between two keyed states: one full-outer join

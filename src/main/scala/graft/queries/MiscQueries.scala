@@ -1941,6 +1941,166 @@ object MiscQueries extends graft.QueryModule {
     * lost race, none doubled by the retry. */
   val qCommitRetrySql: String = qIncrementalMvSql
 
+  /** FOOTER-PLANNED DATA SKIPPING on the snapshot table
+    * ([[SnapTable.readRange]] — Iceberg-style scan planning: manifest
+    * names the files, footers bound the key, only intersecting files
+    * open): the fact slice lands range-clustered as v1, then a
+    * selective key-range query (the middle ~quarter, derived
+    * identically by both engines from max) plans its file set from
+    * METADATA ONLY. The entry REQUIRES real pruning — strictly fewer
+    * files opened than the snapshot holds (the planner only admits
+    * intersecting footers, and a stat-less file is read rather than
+    * proven out — bounds admit, absence never excludes). Oracle: the plain
+    * range filter over raw data — skipping is pass-through or it is
+    * wrong. At 100 TB this read costs O(matching files) + one footer
+    * per file, the entire value of keeping layouts clustered. */
+  def qSnapshotPrune(s: SparkSession, dir: String): DataFrame = {
+    val tmp = StreamQueries.scratch(s, "snapprune")
+    val tbl = s"$tmp/tbl"
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), Num.cents(col("l_quantity")).as("qty_c"))
+    SnapTable.commit(s,
+      li.repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey")),
+      tbl, "overwrite")
+    val kmax = li.agg(max("l_orderkey")).head().getLong(0)
+    val (lo, hi) = (kmax / 4, kmax / 2)
+    val total = SnapTable.files(s, tbl, 1).size
+    val (picked, out) =
+      SnapTable.readRange(s, tbl, Some(1), "l_orderkey", lo, hi)
+    require(picked.nonEmpty && picked.size < total,
+      s"footer planning pruned nothing: ${picked.size} of $total files")
+    out.groupBy(pmod(col("l_orderkey"), lit(8L)).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("qty_c")).as("qty_sum_c"))
+      .orderBy(col("bucket"))
+  }
+
+  val qSnapshotPruneSql: String =
+    s"""WITH m AS (SELECT max(l_orderkey) AS km FROM lineitem)
+       |SELECT l_orderkey % 8 AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  ${Num.sumSql(Num.centsSql("l_quantity"))} AS qty_sum_c
+       |FROM lineitem
+       |WHERE l_orderkey >= (SELECT km // 4 FROM m)
+       |  AND l_orderkey <= (SELECT km // 2 FROM m)
+       |GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** SCHEMA EVOLUTION on the snapshot table: the table accretes a
+    * column mid-history — v1's files predate `value_c`, the v2 APPEND
+    * introduces it — and a by-name mergeSchema read serves the whole
+    * version as ONE frame with the old files' absent column
+    * null-filled (`SnapTable.read(mergeSchema)`), while TIME TRAVEL
+    * to v1 still reads the original narrow schema. The aggregate
+    * distinguishes null-filled from zero (count(value_c) vs count(*)),
+    * so a reader that zero-fills — or that silently takes one file's
+    * schema for all — hash-mismatches. The accreting-table reality at
+    * 100 TB: columns arrive with new batches; history is immutable. */
+  def qSnapshotSchemaEvo(s: SparkSession, dir: String): DataFrame = {
+    val tmp = StreamQueries.scratch(s, "snapevo")
+    val tbl = s"$tmp/tbl"
+    val dayUs = 86400L * 1000000L
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        expr(s"ts_us DIV $dayUs").as("d"),
+        Num.cents(col("value")).as("value_c"))
+    val mm = ev.agg(min("d"), max("d")).head()
+    val dmid = (mm.getLong(0) + mm.getLong(1)) / 2
+    // v1: the narrow era — value_c did not exist yet
+    SnapTable.commit(s,
+      ev.filter(col("d") < dmid).select(col("event_id"), col("event_type")),
+      tbl, "overwrite")
+    // v2: the column arrives with the new batch
+    SnapTable.commit(s,
+      ev.filter(col("d") >= dmid)
+        .select(col("event_id"), col("event_type"), col("value_c")),
+      tbl, "append")
+    require(SnapTable.read(s, tbl, Some(1)).columns.length == 2,
+      "time travel must serve v1's original narrow schema")
+    val merged = SnapTable.read(s, tbl, mergeSchema = true)
+    require(merged.columns.contains("value_c"),
+      "mergeSchema read lost the evolved column")
+    merged.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("value_c")).as("n_valued"),
+        sum(coalesce(col("value_c"), lit(0L))).as("sum_c"))
+      .orderBy(col("event_type"))
+  }
+
+  val qSnapshotSchemaEvoSql: String =
+    s"""WITH ev AS (SELECT event_type,
+       |    epoch_us(ts) // ${86400L * 1000000L} AS d,
+       |    ${Num.centsSql("value")} AS value_c
+       |  FROM events),
+       |m AS (SELECT (min(d) + max(d)) // 2 AS dmid FROM ev)
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(count(CASE WHEN d >= (SELECT dmid FROM m)
+       |                  THEN 1 END) AS BIGINT) AS n_valued,
+       |  ${Num.sumSql(
+             s"CASE WHEN d >= (SELECT dmid FROM m) THEN value_c ELSE 0 END")}
+       |    AS sum_c
+       |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** OPTIMIZE RACING AN APPEND under the oracle
+    * ([[SnapTable.rewriteWithRetry]] — the Delta/Iceberg
+    * conflict-resolution loop): a compactor's rewrite plan is derived
+    * FROM a head version, so a concurrent append landing before its
+    * commit makes the plan STALE — blindly publishing it would DROP
+    * the appended rows (the lost-update anomaly, the one conflict
+    * class optimistic concurrency alone does not catch because the
+    * loser here would win a FRESH version). `commitRewrite` refuses
+    * when the head moved past the plan's `expectedHead`; the retry
+    * loop re-derives from the new head and replays the compaction on
+    * top of the append. Two REAL threads race exactly that: the
+    * optimizer full-compacts whatever head it sees while the appender
+    * lands the other half of the corpus — the entry REQUIRES versions
+    * {2, 3} (both transactions landed, linearized) and hash-gates the
+    * final snapshot against the full recompute: rewrites yield to
+    * appends, and NOTHING is lost under either interleaving. */
+  def qOptimizeRace(s: SparkSession, dir: String): DataFrame = {
+    val tmp = StreamQueries.scratch(s, "optrace")
+    val tbl = s"$tmp/tbl"
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), Num.cents(col("l_quantity")).as("qty_c"))
+    SnapTable.commit(s,
+      li.filter(pmod(col("l_orderkey"), lit(2L)) === 0L).repartition(8),
+      tbl, "overwrite")
+    val appendDf = li.filter(pmod(col("l_orderkey"), lit(2L)) === 1L)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val gate = new java.util.concurrent.CountDownLatch(2)
+    val optimizer = pool.submit(new java.util.concurrent.Callable[Int] {
+      def call(): Int = {
+        gate.countDown(); gate.await()
+        SnapTable.rewriteWithRetry(s, tbl, h => {
+          val fs = SnapTable.files(s, tbl, h)
+          (s.read.parquet(fs.map(rel => s"$tbl/$rel"): _*)
+            .repartitionByRange(2, col("l_orderkey"))
+            .sortWithinPartitions(col("l_orderkey")),
+            Seq.empty)
+        })
+      }
+    })
+    val appender = pool.submit(new java.util.concurrent.Callable[Int] {
+      def call(): Int = {
+        gate.countDown(); gate.await()
+        SnapTable.commitRetry(s, appendDf, tbl, "append")
+      }
+    })
+    val (vo, va) = (optimizer.get(), appender.get())
+    pool.shutdown()
+    require(Set(vo, va) == Set(2, 3),
+      s"racing transactions did not linearize: got ($vo, $va)")
+    SnapTable.read(s, tbl)
+      .groupBy(pmod(col("l_orderkey"), lit(10L)).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("qty_c")).as("qty_sum_c"))
+      .orderBy(col("bucket"))
+  }
+
+  val qOptimizeRaceSql: String =
+    s"""SELECT l_orderkey % 10 AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  ${Num.sumSql(Num.centsSql("l_quantity"))} AS qty_sum_c
+       |FROM lineitem GROUP BY bucket ORDER BY bucket""".stripMargin
+
   /** TARGETED DELETE AS A SNAPSHOT TRANSACTION — the production RTBF
     * loop ([[SnapTable.commitRewrite]] + [[SnapTable.vacuum]]): the
     * subject's erasure must be (1) PLANNED from parquet footers alone
@@ -2233,6 +2393,65 @@ object MiscQueries extends graft.QueryModule {
       .orderBy(col("l_returnflag"))
   }
 
+  /** PREDICTOR COMPARISON AS DATA — the other half of the reference's
+    * IC2E table ("CPU-TA < baseline / <> / >", win-tie-loss per
+    * prediction group): the OLS model and the naive per-scenario
+    * baseline (group mean — what you predict with no features) score
+    * the same rows, their MAPEs land side by side per scenario, and
+    * `ols_wins` is the point-estimate verdict column (the reference
+    * adds t-tests; the comparison STRUCTURE is what transfers). All
+    * integer ppm, fully oracle-replayable.
+    *
+    * Plan note (the q_dedup_admit precedent — an argued ≥3-scan
+    * tail): fit pass + base-mean pass + scoring pass = three
+    * column-pruned scans and ZERO corpus shuffles (the 3-row means
+    * broadcast back). The 2-scan alternative — group means as a
+    * window — shuffles the whole corpus onto 3 reducer keys, the
+    * textbook skew trap; three cheap scans beat one skewed shuffle at
+    * any scale. */
+  def qPredictCompare(s: SparkSession, dir: String): DataFrame = {
+    val df = olsFrame(s, dir)
+    val m = Ols.fit(df, OlsFeatures, "y_c")
+    val base = df.groupBy(col("l_returnflag"))
+      .agg(sum(col("y_c")).as("sy"), count(lit(1)).as("n0"))
+      .select(col("l_returnflag"), expr("sy DIV n0").as("base_pred_c"))
+    df.withColumn("pred_ppm", Ols.predictPpm(m, OlsFeatures))
+      .join(broadcast(base), Seq("l_returnflag"))
+      .withColumn("ape_ols_ppm",
+        expr("abs(pred_ppm - y_c * 1000000) DIV y_c"))
+      .withColumn("ape_base_ppm",
+        expr("abs(base_pred_c - y_c) * 1000000 DIV y_c"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("ape_ols_ppm")).as("so"), sum(col("ape_base_ppm")).as("sb"))
+      .select(col("l_returnflag"), col("n"),
+        expr("so DIV n").as("mape_ols_ppm"),
+        expr("sb DIV n").as("mape_base_ppm"))
+      .withColumn("ols_wins",
+        (col("mape_ols_ppm") < col("mape_base_ppm")).cast("long"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private def qPredictCompareSql(m: Ols.Model): String =
+    s"""WITH $olsFrameSql,
+       |b AS (SELECT l_returnflag,
+       |        CAST(sum(y_c) AS BIGINT) // count(*) AS base_pred_c
+       |      FROM li GROUP BY l_returnflag),
+       |p AS (SELECT li.l_returnflag, y_c, base_pred_c,
+       |        CAST(${olsPredictSql(m)} AS BIGINT) AS pred_ppm
+       |      FROM li JOIN b USING (l_returnflag)),
+       |a AS (SELECT l_returnflag,
+       |        abs(pred_ppm - y_c * 1000000) // y_c AS ao,
+       |        abs(base_pred_c - y_c) * 1000000 // y_c AS ab
+       |      FROM p),
+       |g AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       |        ${Num.sumSql("ao")} // count(*) AS mape_ols_ppm,
+       |        ${Num.sumSql("ab")} // count(*) AS mape_base_ppm
+       |      FROM a GROUP BY l_returnflag)
+       |SELECT l_returnflag, n, mape_ols_ppm, mape_base_ppm,
+       |  CAST(mape_ols_ppm < mape_base_ppm AS BIGINT) AS ols_wins
+       |FROM g ORDER BY l_returnflag""".stripMargin
+
   /** DuckDB spelling of [[olsFrame]] — keep in lock-step. */
   private val olsFrameSql: String =
     s"""li AS (SELECT l_orderkey,
@@ -2269,12 +2488,14 @@ object MiscQueries extends graft.QueryModule {
              |  ${Num.sumSql("ape_ppm")} AS sum_ape_ppm,
              |  ${Num.sumSql("ape_ppm")} // count(*) AS mape_ppm
              |FROM a GROUP BY l_returnflag
-             |ORDER BY l_returnflag""".stripMargin)
+             |ORDER BY l_returnflag""".stripMargin,
+        "q_predict_compare" -> qPredictCompareSql(m))
     }.getOrElse(Map.empty)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_runtime_predict" -> (qRuntimePredict _),
     "q_predict_mape" -> (qPredictMape _),
+    "q_predict_compare" -> (qPredictCompare _),
     "q_pagerank" -> (qPagerank _),
     "q_schema_evolution" -> (qSchemaEvolution _),
     "q_layout_audit" -> (qLayoutAudit _),
@@ -2290,6 +2511,9 @@ object MiscQueries extends graft.QueryModule {
     "q_snapshot_merge" -> (qSnapshotMerge _),
     "q_snapshot_erase" -> (qSnapshotErase _),
     "q_commit_retry" -> (qCommitRetry _),
+    "q_optimize_race" -> (qOptimizeRace _),
+    "q_snapshot_prune" -> (qSnapshotPrune _),
+    "q_snapshot_schema_evo" -> (qSnapshotSchemaEvo _),
     "q_targeted_delete" -> (qTargetedDelete _),
     "q_partition_prune" -> (qPartitionPrune _),
     "q_quality" -> (qQuality _),
@@ -2338,6 +2562,9 @@ object MiscQueries extends graft.QueryModule {
     "q_snapshot_merge" -> qSnapshotMergeSql,
     "q_snapshot_erase" -> qSnapshotEraseSql,
     "q_commit_retry" -> qCommitRetrySql,
+    "q_optimize_race" -> qOptimizeRaceSql,
+    "q_snapshot_prune" -> qSnapshotPruneSql,
+    "q_snapshot_schema_evo" -> qSnapshotSchemaEvoSql,
     "q_targeted_delete" -> qTargetedDeleteSql,
     "q_partition_prune" -> qPartitionPruneSql,
     "q_quality" -> qQualitySql,

@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
-import graft.ops.SnapTable
+import graft.ops.{ConcurrentCommitException, SnapTable}
 
 /** Snapshot-table contract: manifests are the only truth readers see,
   * append shares files instead of copying data, history stays
@@ -175,6 +175,69 @@ class SnapTableSpec extends SparkSpec {
     val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(tbl, "data"))
       .map(_.getPath.getName).toSet
     assert(dirs === referenced, s"staging leaked: ${dirs -- referenced}")
+  }
+
+  test("stale rewrite plan refuses — a concurrent append's rows are never dropped") {
+    val tbl = Files.createTempDirectory("graft_snap_stale").toString + "/t"
+    SnapTable.commit(spark, Seq((1L, 10L)).toDF("k", "v"), tbl, "overwrite")
+    // a compactor derives its plan from head v1...
+    val planned = SnapTable.files(spark, tbl, 1)
+    val compacted = spark.read
+      .parquet(planned.map(rel => s"$tbl/$rel"): _*).coalesce(1)
+    // ...but an append lands before it commits: the plan is STALE —
+    // committing it would publish a version without (2, 20)
+    SnapTable.commit(spark, Seq((2L, 20L)).toDF("k", "v"), tbl, "append")
+    val ex = intercept[ConcurrentCommitException] {
+      SnapTable.commitRewrite(spark, compacted, tbl,
+        carried = Seq.empty, expectedHead = Some(1))
+    }
+    assert(ex.getMessage.contains("stale"))
+    // the retry loop re-derives from the new head and carries the
+    // appended rows
+    val v = SnapTable.rewriteWithRetry(spark, tbl, h => {
+      val fs = SnapTable.files(spark, tbl, h)
+      (spark.read.parquet(fs.map(rel => s"$tbl/$rel"): _*).coalesce(1),
+        Seq.empty)
+    })
+    assert(v === 3)
+    assert(SnapTable.read(spark, tbl).orderBy("k")
+      .as[(Long, Long)].collect().toSeq === Seq((1L, 10L), (2L, 20L)))
+  }
+
+  test("OPTIMIZE races an append: rewrite yields, replays on top, nothing lost") {
+    val tbl = Files.createTempDirectory("graft_snap_optrace").toString + "/t"
+    SnapTable.commit(spark,
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "v").repartition(4),
+      tbl, "overwrite")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val gate = new java.util.concurrent.CountDownLatch(2)
+    val optimizer = pool.submit(new java.util.concurrent.Callable[Int] {
+      def call(): Int = {
+        gate.countDown(); gate.await()
+        SnapTable.rewriteWithRetry(spark, tbl, h => {
+          val fs = SnapTable.files(spark, tbl, h)
+          (spark.read.parquet(fs.map(rel => s"$tbl/$rel"): _*).coalesce(1),
+            Seq.empty)
+        })
+      }
+    })
+    val appender = pool.submit(new java.util.concurrent.Callable[Int] {
+      def call(): Int = {
+        gate.countDown(); gate.await()
+        val df = Seq((3L, 30L)).toDF("k", "v")
+        SnapTable.commitRetry(spark, df, tbl, "append")
+      }
+    })
+    val (vo, va) = (optimizer.get(), appender.get())
+    pool.shutdown()
+    assert(Set(vo, va) === Set(2, 3), s"got versions ($vo, $va)")
+    // whichever interleaving happened, the latest snapshot holds every
+    // row exactly once — the optimizer never dropped the append
+    // (optimizer last -> it replayed on top of the append; appender
+    // last -> it appended onto the compacted base)
+    val got = SnapTable.read(spark, tbl).orderBy("k")
+      .as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 10L), (2L, 20L), (3L, 30L)))
   }
 
   test("tag replay works across a vacuum at the horizon boundary") {
