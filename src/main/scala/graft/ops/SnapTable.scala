@@ -173,9 +173,19 @@ object SnapTable {
     * committed, returns the existing version WITHOUT staging (checked
     * against the same listing that derives the claim version, so an
     * interleaved same-tag commit can only make this writer's claim
-    * fail loudly, never double-append). */
+    * fail loudly, never double-append).
+    *
+    * WRITE-AUDIT-PUBLISH: `audit` (when given) runs against a read of
+    * the STAGED files — exactly the bytes that would publish, after
+    * every write-path transform — between staging and the claim. An
+    * audit that throws aborts the commit: the staging is reclaimed
+    * and NOTHING becomes visible (readers never saw it — the manifest
+    * is the only truth). This is the Iceberg WAP / Delta
+    * CHECK-constraint gate: bad data is refused at the table
+    * boundary, not discovered downstream. */
   def commit(s: SparkSession, df: DataFrame, table: String,
-      mode: String, tag: Option[String] = None): Int = {
+      mode: String, tag: Option[String] = None,
+      audit: Option[DataFrame => Unit] = None): Int = {
     require(mode == "overwrite" || mode == "append",
       s"unknown snapshot mode: $mode")
     val fs = fsOf(s, new Path(table))
@@ -196,6 +206,15 @@ object SnapTable {
     // can never touch a concurrent winner's files
     val dataDir = new Path(table, s"data/b$v-$nonce")
     df.write.parquet(dataDir.toString)
+    audit.foreach { check =>
+      try check(s.read.parquet(dataDir.toString))
+      catch { case e: Throwable =>
+        // refused at the boundary: reclaim the staging — a failed
+        // audit publishes NOTHING (readers only ever see manifests)
+        fs.delete(dataDir, true)
+        throw e
+      }
+    }
     val fresh = fs.listStatus(dataDir).toSeq.map(_.getPath.getName)
       .filter(_.endsWith(".parquet")).sorted
       .map(n => s"data/b$v-$nonce/$n")

@@ -1941,6 +1941,55 @@ object MiscQueries extends graft.QueryModule {
     * lost race, none doubled by the retry. */
   val qCommitRetrySql: String = qIncrementalMvSql
 
+  /** WRITE-AUDIT-PUBLISH under the oracle (the Iceberg WAP / Delta
+    * CHECK-constraint gate, [[SnapTable.commit]]'s `audit` hook): a
+    * constraint — "no error-typed rows enter this table" — runs
+    * against the STAGED bytes between the data write and the manifest
+    * claim. The clean slice publishes; the poisoned batch is REFUSED
+    * and the entry REQUIRES the table bit-unchanged after the refusal
+    * (version list AND row count — a failed audit publishes nothing,
+    * because readers only ever see manifests); the poisoned batch
+    * then enters after repair. Bad data is stopped at the table
+    * boundary, not discovered downstream — at 100 TB the audit reads
+    * only the BATCH being staged, never the table. Oracle: the final
+    * state is exactly the non-error corpus. */
+  def qCommitAudit(s: SparkSession, dir: String): DataFrame = {
+    val tmp = StreamQueries.scratch(s, "wap")
+    val tbl = s"$tmp/tbl"
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        Num.cents(col("value")).as("value_c"))
+    val noErrors: DataFrame => Unit = staged =>
+      require(staged.filter(col("event_type") === "error").isEmpty,
+        "audit refused: error-typed rows in the staged batch")
+    val half = ev.agg(max("event_id")).head().getLong(0) / 2
+    SnapTable.commit(s,
+      ev.filter(col("event_id") <= half && col("event_type") =!= "error"),
+      tbl, "overwrite", audit = Some(noErrors))
+    val before = SnapTable.read(s, tbl).count()
+    val poisoned = ev.filter(col("event_id") > half)
+    val refused = scala.util.Try(
+      SnapTable.commit(s, poisoned, tbl, "append", audit = Some(noErrors)))
+    require(refused.isFailure, "the audit admitted a poisoned batch")
+    require(SnapTable.versions(s, tbl) == Seq(1),
+      "a refused commit minted a version")
+    require(SnapTable.read(s, tbl).count() == before,
+      "a refused commit changed the readable table")
+    SnapTable.commit(s,
+      poisoned.filter(col("event_type") =!= "error"),
+      tbl, "append", audit = Some(noErrors))
+    SnapTable.read(s, tbl)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_c"))
+      .orderBy(col("event_type"))
+  }
+
+  val qCommitAuditSql: String =
+    s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |  ${Num.sumSql(Num.centsSql("value"))} AS sum_c
+       |FROM events WHERE event_type <> 'error'
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** FOOTER-PLANNED DATA SKIPPING on the snapshot table
     * ([[SnapTable.readRange]] — Iceberg-style scan planning: manifest
     * names the files, footers bound the key, only intersecting files
@@ -2514,6 +2563,7 @@ object MiscQueries extends graft.QueryModule {
     "q_optimize_race" -> (qOptimizeRace _),
     "q_snapshot_prune" -> (qSnapshotPrune _),
     "q_snapshot_schema_evo" -> (qSnapshotSchemaEvo _),
+    "q_commit_audit" -> (qCommitAudit _),
     "q_targeted_delete" -> (qTargetedDelete _),
     "q_partition_prune" -> (qPartitionPrune _),
     "q_quality" -> (qQuality _),
@@ -2565,6 +2615,7 @@ object MiscQueries extends graft.QueryModule {
     "q_optimize_race" -> qOptimizeRaceSql,
     "q_snapshot_prune" -> qSnapshotPruneSql,
     "q_snapshot_schema_evo" -> qSnapshotSchemaEvoSql,
+    "q_commit_audit" -> qCommitAuditSql,
     "q_targeted_delete" -> qTargetedDeleteSql,
     "q_partition_prune" -> qPartitionPruneSql,
     "q_quality" -> qQualitySql,

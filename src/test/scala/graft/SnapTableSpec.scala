@@ -312,6 +312,32 @@ class SnapTableSpec extends SparkSpec {
       Seq((3L, 3L)).toDF("k", "v"), tbl, "overwrite") === 3)
   }
 
+  test("write-audit-publish: a failing audit reclaims staging and publishes nothing") {
+    val tbl = Files.createTempDirectory("graft_snap_wap").toString + "/t"
+    val even: org.apache.spark.sql.DataFrame => Unit = staged =>
+      require(staged.filter(col("v") % 2 =!= 0).isEmpty, "odd v refused")
+    SnapTable.commit(spark, Seq((1L, 10L)).toDF("k", "v"),
+      tbl, "overwrite", audit = Some(even))
+    val ex = intercept[IllegalArgumentException] {
+      SnapTable.commit(spark, Seq((2L, 21L)).toDF("k", "v"),
+        tbl, "append", audit = Some(even))
+    }
+    assert(ex.getMessage.contains("odd v refused"))
+    assert(SnapTable.versions(spark, tbl) === Seq(1))
+    assert(SnapTable.read(spark, tbl).count() === 1L)
+    // the refused batch's staging was reclaimed — nothing under data/
+    // but v1's own files
+    val fs = new org.apache.hadoop.fs.Path(tbl)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(tbl, "data"))
+      .map(_.getPath.getName).toSet
+    assert(dirs === SnapTable.files(spark, tbl, 1)
+      .map(_.split('/')(1)).toSet)
+    // the audit reads STAGED bytes, so a repaired batch passes
+    assert(SnapTable.commit(spark, Seq((3L, 30L)).toDF("k", "v"),
+      tbl, "append", audit = Some(even)) === 2)
+  }
+
   test("diff: I/D/U emitted, unchanged suppressed") {
     val old = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
     val neu = Seq((2L, 20L), (3L, 31L), (4L, 40L)).toDF("k", "v")
