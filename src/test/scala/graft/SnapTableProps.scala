@@ -23,6 +23,13 @@ object SnapTableProps extends SparkProperties("snaptable") {
       tag: Option[String]) extends Op
   private case class Vacuum(keep: Int) extends Op
   private case class Torn(rows: Seq[(Long, Long)]) extends Op
+  /** Content-preserving compaction through the rewrite path: plan
+    * from the head, carry nothing, stage everything — versions
+    * advance, content must not move. */
+  private case object Compact extends Op
+  /** A write-audit-publish refusal: the audit always throws, so the
+    * commit must publish NOTHING — model untouched. */
+  private case class Refused(rows: Seq[(Long, Long)]) extends Op
   /** The zombie-writer transition (retry semantics): a first writer
     * commits `tag`; a second writer — the original driver, retrying
     * after a crash or a lost race — issues commitRetry with the SAME
@@ -45,6 +52,8 @@ object SnapTableProps extends SparkProperties("snaptable") {
     } yield Commit(rows, append, tag)),
     2 -> Gen.choose(1, 3).map(Vacuum(_)),
     2 -> genRows.map(Torn(_)),
+    1 -> Gen.const(Compact),
+    1 -> genRows.map(Refused(_)),
     2 -> (for {
       rows <- genRows
       other <- genRows
@@ -95,6 +104,23 @@ object SnapTableProps extends SparkProperties("snaptable") {
           staged += 1
           rows.toDF("k", "v").write.mode("overwrite")
             .parquet(s"$tbl/data/torn$staged")
+        case Compact if model.nonEmpty =>
+          val v = SnapTable.rewriteWithRetry(spark, tbl, h => {
+            val fs = SnapTable.files(spark, tbl, h)
+            (spark.read.parquet(fs.map(rel => s"$tbl/$rel"): _*)
+              .coalesce(1), Seq.empty)
+          })
+          // a compaction is a new version with the LAST content
+          model :+= (v -> model.last._2); live += v
+        case Compact => () // nothing committed yet: nothing to compact
+        case Refused(rows) =>
+          val before = SnapTable.versions(spark, tbl)
+          val thrown = scala.util.Try(SnapTable.commit(
+            spark, rows.toDF("k", "v"), tbl, "overwrite",
+            audit = Some(_ => sys.error("audit always refuses"))))
+          assert(thrown.isFailure, "refusing audit admitted a batch")
+          assert(SnapTable.versions(spark, tbl) == before,
+            "a refused commit minted a version")
         case ZombieTag(rows, other, tag, append) =>
           val prev = model.lastOption.filter(_ => append)
             .map(_._2).getOrElse(Seq.empty)
