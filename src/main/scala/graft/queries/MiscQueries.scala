@@ -1655,11 +1655,16 @@ object MiscQueries extends graft.QueryModule {
     * by version). The base is the per-(user, week) state of the
     * timeline's first half; the changes are the post-boundary
     * reality: cells touched by the second half arrive as wholesale
-    * row replacements (full recomputed totals), and every cell of the
-    * `user_id % 10 == 3` subjects arrives as a tombstone. The entry
-    * REQUIRES all three MERGE classes non-empty — inserts (cells born
-    * in the second half), updates (boundary-week cells present in the
-    * base), deletes (tombstoned cells present in the base) — and the
+    * row replacements (full recomputed totals), every cell of the
+    * `user_id % 10 == 4` users arrives as a repricing CORRECTION
+    * (same wholesale-replacement shape — this is what guarantees the
+    * update class at any scale factor, where a replicated timeline's
+    * era gaps can leave no week spanning the boundary), and every
+    * cell of the `user_id % 10 == 3` subjects arrives as a tombstone.
+    * The entry REQUIRES all three MERGE classes non-empty — inserts
+    * (cells born in the second half), updates (corrected or
+    * boundary-week cells present in the base), deletes (tombstoned
+    * cells present in the base) — and the
     * pre-merge version bit-unchanged after the commit. Oracle: the
     * merged state reconstructed relationally from raw events.
     *
@@ -1691,9 +1696,10 @@ object MiscQueries extends graft.QueryModule {
       .select(concat_ws(":", col("user_id"), col("w")).as("uk")).distinct()
     val changes = cells(wk)
       .withColumn("del", pmod(col("user_id"), lit(10L)) === 3L)
+      .withColumn("corr", pmod(col("user_id"), lit(10L)) === 4L)
       .join(touched.withColumn("inc", lit(true)), Seq("uk"), "left")
-      .filter(col("del") || coalesce(col("inc"), lit(false)))
-      .drop("inc").withColumnRenamed("del", "deleted")
+      .filter(col("del") || col("corr") || coalesce(col("inc"), lit(false)))
+      .drop("inc", "corr").withColumnRenamed("del", "deleted")
     val baseKeys = SnapTable.read(s, tbl, Some(1)).select(col("uk"))
     val ups = changes.filter(!col("deleted"))
     val nI = ups.join(baseKeys, Seq("uk"), "left_anti").count()
@@ -1727,7 +1733,10 @@ object MiscQueries extends graft.QueryModule {
        |            ${Num.sumSql("value_c")} AS sum_c
        |          FROM wk GROUP BY user_id, w),
        |touched AS (SELECT DISTINCT user_id, w FROM wk
-       |            WHERE d >= (SELECT dmid FROM m)),
+       |            WHERE d >= (SELECT dmid FROM m)
+       |            UNION
+       |            SELECT DISTINCT user_id, w FROM wk
+       |            WHERE user_id % 10 = 4),
        |merged AS (
        |  SELECT f.user_id, f.w, f.n, f.sum_c
        |  FROM fullc f JOIN touched t
