@@ -366,12 +366,19 @@ object SnapTable {
         readSmall(fs, manifest(table, k0)).exists(_.startsWith("#base:"))
       if (needsCkpt) {
         val full = files(s, table, k0)
-        val tmp = new Path(table, s".checkpoint-v$k0.txt.tmp")
+        val tmp = new Path(table, s".checkpoint-v$k0.txt.tmp-" +
+          java.util.UUID.randomUUID().toString.take(8))
         val out = fs.create(tmp, true)
         try out.write((full.mkString("\n") + "\n").getBytes("UTF-8"))
         finally out.close()
-        require(fs.rename(tmp, checkpoint(table, k0)),
-          s"checkpoint rename failed for version $k0")
+        if (!fs.rename(tmp, checkpoint(table, k0))) {
+          // a concurrent vacuum checkpointed the same version — its
+          // content is identical by construction (the resolved list
+          // is a pure function of the still-whole chain); yield
+          fs.delete(tmp, false)
+          require(fs.exists(checkpoint(table, k0)),
+            s"checkpoint rename failed for version $k0")
+        }
       }
     }
     // 2. resolve what the kept versions reference (chains still whole:

@@ -51,6 +51,16 @@ object CdcStream {
     srcVs.zip(None +: srcVs.map(Some(_))).foreach { case (v, prevV) =>
       val tag = s"src-v$v"
       if (SnapTable.taggedVersion(s, mvTable, tag).isEmpty) {
+        // GAP DETECTION: a consumer with standing state whose next
+        // unconsumed version has no predecessor left (the source
+        // vacuumed past it) cannot fold — a bootstrap diff on top of
+        // standing state double-counts every surviving key. The gap
+        // is unrecoverable by folding; rebuild the view from the
+        // latest snapshot (the retention contract every CDC consumer
+        // carries: keep up, or retention must cover your lag).
+        require(prevV.isDefined || SnapTable.versions(s, mvTable).isEmpty,
+          s"CDC gap: $srcTable vacuumed past unconsumed history below " +
+            s"version $v — rebootstrap $mvTable from the latest snapshot")
         val neu = SnapTable.read(s, srcTable, Some(v))
         // the first available version diffs against the empty state
         // (every key an insert) — the bootstrap IS a fold

@@ -60,6 +60,23 @@ class CdcStreamSpec extends SparkSpec {
     assert(mvRows(mv).filter(_._2 != 0L) === direct)
   }
 
+  test("CDC gap: source vacuumed past unconsumed history refuses, never double-counts") {
+    val tmp = Files.createTempDirectory("graft_cdc_gap").toString
+    val (src, mv) = (s"$tmp/src", s"$tmp/mv")
+    SnapTable.commit(spark, state(Seq(("a", 1L, 1L))), src, "overwrite")
+    assert(drain(src, mv) === 1)
+    // the consumer lags; the source moves on and vacuums past v2
+    SnapTable.commit(spark, state(Seq(("a", 1L, 5L))), src, "overwrite")
+    SnapTable.commit(spark, state(Seq(("a", 1L, 7L))), src, "overwrite")
+    SnapTable.vacuum(spark, src, keep = 1) // v1, v2 gone; v2 never consumed
+    val before = mvRows(mv)
+    val ex = intercept[IllegalArgumentException] { drain(src, mv) }
+    assert(ex.getMessage.contains("CDC gap"))
+    // a refused drain folds nothing — silently bootstrapping the v3
+    // state onto the standing MV would have double-counted key a
+    assert(mvRows(mv) === before)
+  }
+
   test("fresh consumer on a vacuumed source bootstraps from the first available state") {
     val tmp = Files.createTempDirectory("graft_cdc_vac").toString
     val (src, mv) = (s"$tmp/src", s"$tmp/mv")
