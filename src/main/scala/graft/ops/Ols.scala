@@ -44,48 +44,88 @@ object Ols {
     * the same frame re-derives the identical model). */
   @volatile var lastModel: Option[Model] = None
 
-  /** OLS fit of LONG column `target` on LONG columns `features` (plus
-    * an intercept) via one sufficient-statistics aggregate. Fails
-    * loudly on a (near-)singular design — collinear features have no
-    * unique least-squares solution and a silent pseudo-solve would
-    * poison every downstream prediction. */
-  def fit(df: DataFrame, features: Seq[String], target: String): Model = {
+  /** Stash of the most recent STREAMED fit
+    * ([[graft.streaming.OlsStream]]) — a separate slot so the
+    * streaming entry's oracle never races the batch entries'. */
+  @volatile var lastStreamModel: Option[Model] = None
+
+  /** The normal-equation SUFFICIENT STATISTICS: the upper triangle of
+    * X'X plus X'y for the intercept-augmented design, as EXACT
+    * integers (java BigInteger — unbounded, and addition is
+    * associative and commutative, so stats are a pure function of the
+    * row multiset). The statistics are ADDITIVE: stats(A ∪ B) =
+    * stats(A) + stats(B) — which is what makes the fit maintainable
+    * incrementally (a streaming drain folds per-batch stats and the
+    * folded model is BIT-IDENTICAL to the batch fit, not
+    * approximately trained). */
+  final case class SuffStats(k: Int, m: Vector[BigInt]) {
+    def add(o: SuffStats): SuffStats = {
+      require(o.k == k, s"stats width mismatch: $k vs ${o.k}")
+      SuffStats(k, m.zip(o.m).map { case (a, b) => a + b })
+    }
+    /** Solve the k+1 normal equations — Gaussian elimination with
+      * partial pivoting, deterministic driver arithmetic over exact
+      * inputs. Fails loudly on a (near-)singular design: collinear
+      * features have no unique least-squares solution and a silent
+      * pseudo-solve would poison every downstream prediction. */
+    def solve(): Model = {
+      val n = k + 1
+      val a = Array.ofDim[Double](n, n + 1) // augmented [X'X | X'y]
+      var idx = 0
+      for (i <- 0 to k; j <- i to k) {
+        val v = m(idx).toDouble
+        a(i)(j) = v; a(j)(i) = v
+        idx += 1
+      }
+      for (i <- 0 to k) a(i)(n) = m(idx + i).toDouble
+      for (c <- 0 until n) {
+        val p = (c until n).maxBy(r => math.abs(a(r)(c)))
+        val tmp = a(p); a(p) = a(c); a(c) = tmp
+        require(math.abs(a(c)(c)) > 1e-9 * math.max(1.0, math.abs(a(0)(0))),
+          "singular design matrix: the feature set is collinear")
+        for (r <- 0 until n; if r != c) {
+          val f = a(r)(c) / a(c)(c)
+          for (cc <- c to n) a(r)(cc) -= f * a(c)(cc)
+        }
+      }
+      Model((0 until n).map(i =>
+        math.round(a(i)(n) / a(i)(i) * 1e6)).toArray)
+    }
+  }
+
+  /** Column names the statistics serialize under (a 1-row frame of
+    * DECIMAL(38,0) — how a standing stats table persists them). */
+  def statsCols(k: Int): Seq[String] =
+    (for (i <- 0 to k; j <- i to k) yield s"m_${i}_$j") ++
+      (0 to k).map(i => s"b_$i")
+
+  /** ONE map-side-combined pass computing [[SuffStats]] over `df` —
+    * nothing row-shaped reaches the driver; each term is cast to
+    * decimal BEFORE the sum so accumulation is exact and unbounded
+    * (the per-row product itself is long: features are small integer
+    * units — the caller's scaling contract). */
+  def stats(df: DataFrame, features: Seq[String],
+      target: String): SuffStats = {
     val k = features.size
     require(k >= 1, "OLS needs at least one feature")
     val aug: Seq[Column] = lit(1L) +: features.map(col)
-    // upper triangle of X'X plus X'y, each term cast to decimal BEFORE
-    // the sum so accumulation is exact and unbounded; the per-row
-    // product itself is long (features are small integer units — the
-    // caller's scaling contract)
     val moments = for (i <- 0 to k; j <- i to k)
       yield sum((aug(i) * aug(j)).cast("decimal(38,0)")).as(s"m_${i}_$j")
     val rhs = (0 to k).map(i =>
       sum((aug(i) * col(target)).cast("decimal(38,0)")).as(s"b_$i"))
     val aggs = moments ++ rhs
     val row: Row = df.agg(aggs.head, aggs.tail: _*).head()
-    val a = Array.ofDim[Double](k + 1, k + 2) // augmented [X'X | X'y]
-    var idx = 0
-    for (i <- 0 to k; j <- i to k) {
-      val v = row.getDecimal(idx).doubleValue()
-      a(i)(j) = v; a(j)(i) = v
-      idx += 1
-    }
-    for (i <- 0 to k) a(i)(k + 1) = row.getDecimal(idx + i).doubleValue()
-    // Gaussian elimination with partial pivoting — deterministic
-    // driver arithmetic over deterministic inputs
-    val n = k + 1
-    for (c <- 0 until n) {
-      val p = (c until n).maxBy(r => math.abs(a(r)(c)))
-      val tmp = a(p); a(p) = a(c); a(c) = tmp
-      require(math.abs(a(c)(c)) > 1e-9 * math.max(1.0, math.abs(a(0)(0))),
-        s"singular design matrix: feature set $features is collinear")
-      for (r <- 0 until n; if r != c) {
-        val f = a(r)(c) / a(c)(c)
-        for (cc <- c to n) a(r)(cc) -= f * a(c)(cc)
-      }
-    }
-    val w = (0 until n).map(i => a(i)(n) / a(i)(i)).toArray
-    val m = Model(w.map(x => math.round(x * 1e6)))
+    // an empty frame sums to NULL: its statistics are zero (the
+    // additive identity — an empty batch folds as a no-op)
+    SuffStats(k, (0 until aggs.size).map(i =>
+      if (row.isNullAt(i)) BigInt(0)
+      else BigInt(row.getDecimal(i).toBigInteger)).toVector)
+  }
+
+  /** OLS fit of LONG column `target` on LONG columns `features` (plus
+    * an intercept): [[stats]] then [[SuffStats.solve]]. */
+  def fit(df: DataFrame, features: Seq[String], target: String): Model = {
+    val m = stats(df, features, target).solve()
     lastModel = Some(m)
     m
   }

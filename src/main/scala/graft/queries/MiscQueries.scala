@@ -2510,6 +2510,44 @@ object MiscQueries extends graft.QueryModule {
        |  CAST(mape_ols_ppm < mape_base_ppm AS BIGINT) AS ols_wins
        |FROM g ORDER BY l_returnflag""".stripMargin
 
+  /** CONTINUOUS MODEL MAINTENANCE with BATCH PARITY
+    * ([[graft.streaming.OlsStream]]): the regression frame lands as
+    * three micro-batches; each batch reduces to its sufficient
+    * statistics and folds ADDITIVELY into a standing 1-row stats
+    * state republished on the snapshot protocol (tagged per batch —
+    * replay folds nothing twice, and time travel re-solves the model
+    * AS OF any ingestion point). The entry REQUIRES one stats version
+    * per batch AND the streamed model BIT-IDENTICAL to the batch fit
+    * over the union — exact integer statistics make streaming
+    * training the batch fit maintained incrementally, not an
+    * approximation. Output: the per-scenario MAPE table scored with
+    * the STREAMED weights; oracle inlines them post-run. */
+  def qOlsStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val tmp = StreamQueries.scratch(s, "olsstream")
+    val df = olsFrame(s, dir)
+    df.withColumn("f", pmod(col("l_orderkey"), lit(3L)))
+      .select(col("qty"), col("disc_bp"), col("tax_bp"), col("y_c"),
+        col("f"))
+      .repartition(col("f")).write.partitionBy("f").parquet(s"$tmp/in")
+    val schema = StructType((OlsFeatures :+ "y_c").map(c =>
+      StructField(c, LongType)))
+    val streamed = graft.streaming.OlsStream.runFit(s,
+      s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$tmp/in/f=*/*.parquet"),
+      OlsFeatures, "y_c", s"$tmp/stats", s"$tmp/ckpt")
+    require(SnapTable.versions(s, s"$tmp/stats").size >= 3,
+      "model maintenance must be multi-batch (one stats version each)")
+    val batch = Ols.fit(df, OlsFeatures, "y_c")
+    require(streamed.wPpm.sameElements(batch.wPpm),
+      s"streamed model drifted from the batch fit: " +
+        s"${streamed.wPpm.toSeq} vs ${batch.wPpm.toSeq}")
+    Ols.lastStreamModel = Some(streamed)
+    Ols.mapeReport(df, streamed, OlsFeatures, "y_c", "l_returnflag")
+      .orderBy(col("l_returnflag"))
+  }
+
   /** DuckDB spelling of [[olsFrame]] — keep in lock-step. */
   private val olsFrameSql: String =
     s"""li AS (SELECT l_orderkey,
@@ -2548,12 +2586,28 @@ object MiscQueries extends graft.QueryModule {
              |FROM a GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin,
         "q_predict_compare" -> qPredictCompareSql(m))
-    }.getOrElse(Map.empty)
+    }.getOrElse(Map.empty) ++
+    Ols.lastStreamModel.map { m =>
+      "q_ols_stream" ->
+        s"""WITH $olsFrameSql,
+           |p AS (SELECT l_returnflag, y_c,
+           |        CAST(${olsPredictSql(m)} AS BIGINT) AS pred_ppm
+           |      FROM li),
+           |a AS (SELECT l_returnflag,
+           |        abs(pred_ppm - y_c * 1000000) // y_c AS ape_ppm
+           |      FROM p)
+           |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           |  ${Num.sumSql("ape_ppm")} AS sum_ape_ppm,
+           |  ${Num.sumSql("ape_ppm")} // count(*) AS mape_ppm
+           |FROM a GROUP BY l_returnflag
+           |ORDER BY l_returnflag""".stripMargin
+    }.toMap
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_runtime_predict" -> (qRuntimePredict _),
     "q_predict_mape" -> (qPredictMape _),
     "q_predict_compare" -> (qPredictCompare _),
+    "q_ols_stream" -> (qOlsStream _),
     "q_pagerank" -> (qPagerank _),
     "q_schema_evolution" -> (qSchemaEvolution _),
     "q_layout_audit" -> (qLayoutAudit _),
