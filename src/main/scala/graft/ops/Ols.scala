@@ -130,6 +130,52 @@ object Ols {
     m
   }
 
+  /** Stash of the most recent per-group fit, for the post-run oracle
+    * builder (same contract as [[lastModel]]). */
+  @volatile var lastGroupModels: Option[Map[String, Model]] = None
+
+  /** PER-GROUP OLS — the reference's per-scenario models: ONE grouped
+    * pass computes EVERY group's sufficient statistics (the same
+    * exact decimal sums under a hash aggregate — map-side-combined,
+    * G·(k+1)(k+4)/2 cells to the driver), then G small solves.
+    * Fitting 10k scenario models costs one corpus scan, not 10k.
+    * `group` cardinality must be bounded (scenarios/configs — the
+    * IC2E prediction groups), never data-scaled: the models come back
+    * driver-side by construction. Each group's model is exactly
+    * [[fit]] over that group's rows (additivity: the grouped
+    * statistics ARE the filtered statistics — OlsSpec pins it). */
+  def fitPerGroup(df: DataFrame, features: Seq[String], target: String,
+      group: String): Map[String, Model] = {
+    val k = features.size
+    require(k >= 1, "OLS needs at least one feature")
+    val aug: Seq[Column] = lit(1L) +: features.map(col)
+    val moments = for (i <- 0 to k; j <- i to k)
+      yield sum((aug(i) * aug(j)).cast("decimal(38,0)")).as(s"m_${i}_$j")
+    val rhs = (0 to k).map(i =>
+      sum((aug(i) * col(target)).cast("decimal(38,0)")).as(s"b_$i"))
+    val aggs = moments ++ rhs
+    val out = df.groupBy(col(group).cast("string").as("_g"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+      .map { r =>
+        val st = SuffStats(k, (1 to aggs.size).map(i =>
+          if (r.isNullAt(i)) BigInt(0)
+          else BigInt(r.getDecimal(i).toBigInteger)).toVector)
+        r.getString(0) -> st.solve()
+      }.toMap
+    lastGroupModels = Some(out)
+    out
+  }
+
+  /** Per-row prediction under PER-GROUP weights: a literal CASE chain
+    * over the (bounded) group set — still a pure long multiply-add
+    * inside codegen, no join. Rows of unknown groups predict null. */
+  def predictPpmGrouped(models: Map[String, Model],
+      features: Seq[String], group: String): Column =
+    models.toSeq.sortBy(_._1).foldLeft(lit(null).cast("long")) {
+      case (acc, (g, m)) =>
+        when(col(group) === g, predictPpm(m, features)).otherwise(acc)
+    }
+
   /** Per-row prediction in ppm: `w0 + Σ wᵢ·xᵢ` as one long
     * multiply-add column — weights ride as literals, no join, fully
     * codegen'd. */

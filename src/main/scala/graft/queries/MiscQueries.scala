@@ -2510,6 +2510,46 @@ object MiscQueries extends graft.QueryModule {
        |  CAST(mape_ols_ppm < mape_base_ppm AS BIGINT) AS ols_wins
        |FROM g ORDER BY l_returnflag""".stripMargin
 
+  /** PER-SCENARIO MODELS — the reference's actual modeling grain
+    * (IC2E fits runtime models per prediction group, not one global
+    * surface): [[graft.ops.Ols.fitPerGroup]] computes EVERY
+    * scenario's sufficient statistics in ONE grouped pass (10k models
+    * = one corpus scan) and solves them at the driver; scoring is a
+    * literal CASE chain over the bounded group set — per-group
+    * weights, still pure codegen'd long multiply-add, no join. Output
+    * is the per-scenario MAPE table under the per-scenario weights;
+    * oracle replays the CASE chain with all weight vectors inlined
+    * post-fit. */
+  def qPredictGrouped(s: SparkSession, dir: String): DataFrame = {
+    val df = olsFrame(s, dir)
+    val models = Ols.fitPerGroup(df, OlsFeatures, "y_c", "l_returnflag")
+    df.withColumn("pred_ppm",
+        Ols.predictPpmGrouped(models, OlsFeatures, "l_returnflag"))
+      .withColumn("ape_ppm", expr("abs(pred_ppm - y_c * 1000000) DIV y_c"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("ape_ppm")).as("sum_ape_ppm"))
+      .withColumn("mape_ppm", expr("sum_ape_ppm DIV n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private def qPredictGroupedSql(ms: Map[String, Ols.Model]): String = {
+    val cases = ms.toSeq.sortBy(_._1).map { case (g, m) =>
+      s"WHEN '$g' THEN ${olsPredictSql(m)}"
+    }.mkString(" ")
+    s"""WITH $olsFrameSql,
+       |p AS (SELECT l_returnflag, y_c,
+       |        CAST(CASE l_returnflag $cases END AS BIGINT) AS pred_ppm
+       |      FROM li),
+       |a AS (SELECT l_returnflag,
+       |        abs(pred_ppm - y_c * 1000000) // y_c AS ape_ppm
+       |      FROM p)
+       |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       |  ${Num.sumSql("ape_ppm")} AS sum_ape_ppm,
+       |  ${Num.sumSql("ape_ppm")} // count(*) AS mape_ppm
+       |FROM a GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin
+  }
+
   /** CONTINUOUS MODEL MAINTENANCE with BATCH PARITY
     * ([[graft.streaming.OlsStream]]): the regression frame lands as
     * three micro-batches; each batch reduces to its sufficient
@@ -2587,6 +2627,8 @@ object MiscQueries extends graft.QueryModule {
              |ORDER BY l_returnflag""".stripMargin,
         "q_predict_compare" -> qPredictCompareSql(m))
     }.getOrElse(Map.empty) ++
+    Ols.lastGroupModels.map(ms =>
+      "q_predict_grouped" -> qPredictGroupedSql(ms)).toMap ++
     Ols.lastStreamModel.map { m =>
       "q_ols_stream" ->
         s"""WITH $olsFrameSql,
@@ -2608,6 +2650,7 @@ object MiscQueries extends graft.QueryModule {
     "q_predict_mape" -> (qPredictMape _),
     "q_predict_compare" -> (qPredictCompare _),
     "q_ols_stream" -> (qOlsStream _),
+    "q_predict_grouped" -> (qPredictGrouped _),
     "q_pagerank" -> (qPagerank _),
     "q_schema_evolution" -> (qSchemaEvolution _),
     "q_layout_audit" -> (qLayoutAudit _),

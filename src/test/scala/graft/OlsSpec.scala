@@ -64,6 +64,30 @@ class OlsSpec extends SparkSpec {
       ("B", 1L, 500000L, 500000L)))
   }
 
+  test("fitPerGroup: each group's one-pass model equals the filtered global fit") {
+    val df = Seq(
+      ("a", 0L, 3L), ("a", 1L, 5L), ("a", 2L, 7L),   // y = 3 + 2x
+      ("b", 0L, 1L), ("b", 1L, 4L), ("b", 2L, 7L),   // y = 1 + 3x
+      ("b", 3L, 10L)).toDF("g", "x", "y")
+    val ms = Ols.fitPerGroup(df, Seq("x"), "y", "g")
+    assert(ms.keySet === Set("a", "b"))
+    assert(ms("a").wPpm.toSeq ===
+      Ols.fit(df.filter($"g" === "a"), Seq("x"), "y").wPpm.toSeq)
+    assert(ms("b").wPpm.toSeq ===
+      Ols.fit(df.filter($"g" === "b"), Seq("x"), "y").wPpm.toSeq)
+    assert(ms("a").wPpm.toSeq === Seq(3000000L, 2000000L))
+    assert(ms("b").wPpm.toSeq === Seq(1000000L, 3000000L))
+    // grouped scoring routes each row through ITS group's weights
+    val preds = df
+      .select($"g", $"x",
+        Ols.predictPpmGrouped(ms, Seq("x"), "g").as("p"))
+      .orderBy("g", "x").as[(String, Long, Long)].collect()
+    assert(preds.take(3).map(_._3).toSeq ===
+      Seq(3000000L, 5000000L, 7000000L))
+    assert(preds.drop(3).map(_._3).toSeq ===
+      Seq(1000000L, 4000000L, 7000000L, 10000000L))
+  }
+
   test("predictPpm stays inside whole-stage codegen (no UDF, no join)") {
     val m = Ols.Model(Array(5L, 7L, 11L))
     // a non-local source, or the optimizer folds the whole projection
