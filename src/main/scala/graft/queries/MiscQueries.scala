@@ -2550,6 +2550,72 @@ object MiscQueries extends graft.QueryModule {
        |ORDER BY l_returnflag""".stripMargin
   }
 
+  /** COEFFICIENT OF DETERMINATION as exact-integer data — the other
+    * half of the model-evaluation loop (MAPE says how far off, R²
+    * says how much variance the model explains): per scenario,
+    * `r2_ppm = 10⁶ − SSE·n·10⁶ DIV (n·Σy² − (Σy)²)` using the
+    * scaled-by-n sum-of-squares identity, so NO intermediate division
+    * ever happens — every term is an exact decimal sum (row squares
+    * are longs, accumulation decimal(38,0)) and the single final DIV
+    * is a non-negative integral division both engines floor
+    * identically. Each scenario is scored under ITS OWN model
+    * ([[Ols.fitPerGroup]]): per-group least squares with an intercept
+    * guarantees SSE ≤ SST within the group — a GLOBAL model carries
+    * no such per-group guarantee (measured: the global qty model IS
+    * worse than the group mean inside every return-flag group, which
+    * is itself a finding the per-scenario fit corrects) — and the
+    * entry REQUIRES the non-negativity the final division depends on. */
+  def qPredictR2(s: SparkSession, dir: String): DataFrame = {
+    val df = olsFrame(s, dir)
+    val ms = Ols.fitPerGroup(df, OlsFeatures, "y_c", "l_returnflag")
+    val rows = df
+      .withColumn("pred_ppm",
+        Ols.predictPpmGrouped(ms, OlsFeatures, "l_returnflag"))
+      .withColumn("pred_c", expr("pred_ppm DIV 1000000"))
+      .withColumn("r", col("pred_c") - col("y_c"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("y_c").cast("decimal(38,0)")).as("sy"),
+        sum((col("y_c") * col("y_c")).cast("decimal(38,0)")).as("syy"),
+        sum((col("r") * col("r")).cast("decimal(38,0)")).as("sse"),
+        min(col("pred_ppm")).as("min_pred_ppm"))
+      .withColumn("r2_ppm",
+        expr("1000000 - (sse * n * 1000000) DIV (n * syy - sy * sy)"))
+      .select(col("l_returnflag"), col("n"), col("r2_ppm"),
+        col("min_pred_ppm"))
+      .collect() // bounded: one row per scenario
+    rows.foreach { r =>
+      require(r.getLong(3) >= 0L,
+        s"negative prediction in group ${r.getString(0)} — integral " +
+          "division would floor differently across engines")
+      require(r.getLong(2) >= 0L,
+        s"SSE exceeded SST on training group ${r.getString(0)}")
+    }
+    import s.implicits._
+    rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      .toDF("l_returnflag", "n", "r2_ppm")
+      .orderBy(col("l_returnflag"))
+  }
+
+  private def qPredictR2Sql(ms: Map[String, Ols.Model]): String = {
+    val cases = ms.toSeq.sortBy(_._1).map { case (g, m) =>
+      s"WHEN '$g' THEN ${olsPredictSql(m)}"
+    }.mkString(" ")
+    s"""WITH $olsFrameSql,
+       |p AS (SELECT l_returnflag, y_c,
+       |        (CASE l_returnflag $cases END) // 1000000 - y_c AS r
+       |      FROM li),
+       |g AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       |        sum(CAST(y_c AS HUGEINT)) AS sy,
+       |        sum(CAST(y_c AS HUGEINT) * y_c) AS syy,
+       |        sum(CAST(r AS HUGEINT) * r) AS sse
+       |      FROM p GROUP BY l_returnflag)
+       |SELECT l_returnflag, n,
+       |  CAST(1000000 - (sse * n * 1000000) // (n * syy - sy * sy)
+       |    AS BIGINT) AS r2_ppm
+       |FROM g ORDER BY l_returnflag""".stripMargin
+  }
+
   /** CONTINUOUS MODEL MAINTENANCE with BATCH PARITY
     * ([[graft.streaming.OlsStream]]): the regression frame lands as
     * three micro-batches; each batch reduces to its sufficient
@@ -2627,8 +2693,9 @@ object MiscQueries extends graft.QueryModule {
              |ORDER BY l_returnflag""".stripMargin,
         "q_predict_compare" -> qPredictCompareSql(m))
     }.getOrElse(Map.empty) ++
-    Ols.lastGroupModels.map(ms =>
-      "q_predict_grouped" -> qPredictGroupedSql(ms)).toMap ++
+    Ols.lastGroupModels.map(ms => Map(
+      "q_predict_grouped" -> qPredictGroupedSql(ms),
+      "q_predict_r2" -> qPredictR2Sql(ms))).getOrElse(Map.empty) ++
     Ols.lastStreamModel.map { m =>
       "q_ols_stream" ->
         s"""WITH $olsFrameSql,
@@ -2651,6 +2718,7 @@ object MiscQueries extends graft.QueryModule {
     "q_predict_compare" -> (qPredictCompare _),
     "q_ols_stream" -> (qOlsStream _),
     "q_predict_grouped" -> (qPredictGrouped _),
+    "q_predict_r2" -> (qPredictR2 _),
     "q_pagerank" -> (qPagerank _),
     "q_schema_evolution" -> (qSchemaEvolution _),
     "q_layout_audit" -> (qLayoutAudit _),
