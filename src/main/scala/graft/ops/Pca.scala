@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PCA over an embedding column — the dimensionality-reduction step a
+  * vector pipeline runs before indexing (project to the top
+  * components, then bucket/quantize the projections), built on the
+  * same architecture as [[Ols]]: ONE map-side-combined pass reduces
+  * the corpus to EXACT scatter statistics, the driver solves, and
+  * inference is integer multiply-add with the solution as literals.
+  *
+  * Exactness: coordinates quantize to integer micro-units
+  * (`round(double(f)·10⁶)` — float→double widening is exact, and the
+  * rounding is the [[graft.core.Num]] cents discipline), so the
+  * scaled-by-n scatter matrix `M = n·Σqqᵀ − s·sᵀ` is a pure BigInt
+  * function of the row multiset — NO mean division, NO float
+  * accumulation, bit-identical under any partitioning. The power
+  * iteration (fixed start, fixed rounds, Hotelling deflation between
+  * components) runs on doubles derived from those exact integers —
+  * deterministic driver arithmetic, same contract as the OLS solve.
+  * Components round to ppm with a fixed sign convention (the
+  * largest-|coordinate| entry is positive; ties break to the lower
+  * index), so the model is a pure function of the data and the
+  * oracle replays projections with the component vectors inlined.
+  *
+  * Scale: the aggregate ships d(d+3)/2 + 1 cells per partition
+  * (d = 64 → 2145), the driver solve is O(d²·iters) — both
+  * corpus-size-independent; the projection pass is one codegen'd
+  * long multiply-add per row. Centering note: projections are of the
+  * RAW quantized coordinates — a per-component constant offset from
+  * the centered projection, which preserves all distances and
+  * orderings and keeps the arithmetic integral.
+  */
+object Pca {
+
+  /** Top components, each `d` ppm weights (unit L2 norm in ppm). */
+  final case class Model(compPpm: Vector[Array[Long]]) {
+    def d: Int = compPpm.head.length
+  }
+
+  /** Stash for the post-fit oracle builder (the Ols.lastModel
+    * contract). */
+  @volatile var lastModel: Option[Model] = None
+
+  /** Quantized coordinate i (1-based element index internally). */
+  private def q(vecCol: String, i: Int): Column =
+    round(element_at(col(vecCol).cast("array<double>"), i + 1) *
+      lit(1000000.0d), 0).cast("long")
+
+  /** One-pass exact scatter statistics + driver power iteration. */
+  def fit(emb: DataFrame, vecCol: String, dims: Int,
+      nComponents: Int = 2, iters: Int = 80): Model = {
+    require(nComponents >= 1 && nComponents <= dims)
+    val qs = (0 until dims).map(i => q(vecCol, i).as(s"q$i"))
+    val qdf = emb.select(qs: _*)
+    val sums = (0 until dims).map(i =>
+      sum(col(s"q$i").cast("decimal(38,0)")).as(s"s_$i"))
+    val prods = for (i <- 0 until dims; j <- i until dims)
+      yield sum((col(s"q$i") * col(s"q$j")).cast("decimal(38,0)"))
+        .as(s"p_${i}_$j")
+    val aggs = count(lit(1)).as("n") +: (sums ++ prods)
+    val row = qdf.agg(aggs.head, aggs.tail: _*).head()
+    val n = BigInt(row.getLong(0))
+    require(n > 1, "PCA needs at least two vectors")
+    val s = (0 until dims).map(i =>
+      BigInt(row.getDecimal(1 + i).toBigInteger))
+    // scaled-by-n scatter: exact integers, no mean division
+    val m = Array.ofDim[Double](dims, dims)
+    var idx = 1 + dims
+    for (i <- 0 until dims; j <- i until dims) {
+      val pij = BigInt(row.getDecimal(idx).toBigInteger)
+      val v = (n * pij - s(i) * s(j)).toDouble
+      m(i)(j) = v; m(j)(i) = v
+      idx += 1
+    }
+    // deterministic power iteration with Hotelling deflation
+    val comps = Vector.newBuilder[Array[Long]]
+    val work = m.map(_.clone())
+    for (_ <- 0 until nComponents) {
+      var v = Array.fill(dims)(1.0d / math.sqrt(dims.toDouble))
+      var it = 0
+      while (it < iters) {
+        val nv = Array.tabulate(dims)(i =>
+          (0 until dims).map(j => work(i)(j) * v(j)).sum)
+        val nrm = math.sqrt(nv.map(x => x * x).sum)
+        require(nrm > 0, "degenerate scatter: all points identical")
+        v = nv.map(_ / nrm)
+        it += 1
+      }
+      // fixed sign: the largest-|coordinate| entry positive
+      val piv = (0 until dims).maxBy(i => (math.abs(v(i)), -i))
+      if (v(piv) < 0) v = v.map(-_)
+      comps += v.map(x => math.round(x * 1e6))
+      // deflate: W -= λ v vᵀ with λ = vᵀ W v
+      val wv = Array.tabulate(dims)(i =>
+        (0 until dims).map(j => work(i)(j) * v(j)).sum)
+      val lambda = (0 until dims).map(i => v(i) * wv(i)).sum
+      for (i <- 0 until dims; j <- 0 until dims)
+        work(i)(j) -= lambda * v(i) * v(j)
+    }
+    val model = Model(comps.result())
+    lastModel = Some(model)
+    model
+  }
+
+  /** Projection of a row onto component `c`, exact long arithmetic:
+    * `Σ compPpm(c)(i) · qᵢ` — component literals ride the plan,
+    * fully codegen'd, no join. */
+  def projectPpm(model: Model, vecCol: String, c: Int): Column =
+    (0 until model.d).foldLeft(lit(0L)) { (acc, i) =>
+      acc + lit(model.compPpm(c)(i)) * q(vecCol, i)
+    }
+}

@@ -2490,7 +2490,51 @@ object TrainingQueries extends graft.QueryModule {
        |ORDER BY label, assigned""".stripMargin
   }
 
+  /** PCA PROJECTION over the embedding corpus ([[graft.ops.Pca]] —
+    * the dim-reduction step ahead of indexing/visualization): ONE
+    * map-side-combined pass reduces the corpus to the EXACT
+    * scaled-by-n scatter matrix (quantized micro-unit coordinates,
+    * BigInt statistics — no mean division, no float accumulation,
+    * bit-identical under any partitioning), the driver power-iterates
+    * the top-2 components with Hotelling deflation and a fixed sign
+    * convention, and every vector projects in-plan as a pure long
+    * multiply-add with the component vectors as literals. The oracle
+    * replays both projections with the 64 ppm weights inlined
+    * post-fit (the Ivf.lastModel contract) — a drifting component
+    * hash-mismatches every row. The entry REQUIRES PC1 to carry at
+    * least as much projected spread as PC2 (the eigen-order
+    * contract). */
+  def qPcaProject(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val m = Pca.fit(emb, "embedding", dims = 64, nComponents = 2)
+    val out = emb.select(col("vec_id"), col("label").cast("long").as("label"),
+      Pca.projectPpm(m, "embedding", 0).as("p1"),
+      Pca.projectPpm(m, "embedding", 1).as("p2"))
+    // eigen-order sanity from the projections themselves: integer
+    // spreads (max - min) must be ordered — one bounded aggregate
+    val sp = out.agg(max("p1") - min("p1"), max("p2") - min("p2")).head()
+    require(sp.getLong(0) >= sp.getLong(1),
+      s"PC1 spread ${sp.getLong(0)} < PC2 spread ${sp.getLong(1)}")
+    out.orderBy(col("vec_id"))
+  }
+
+  private def pcaOracleSql(m: Pca.Model): String = {
+    def proj(c: Int): String = (0 until m.d).map { i =>
+      s"${m.compPpm(c)(i)} * CAST(round(v[${i + 1}] * 1000000, 0) AS BIGINT)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |  CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+       |SELECT vec_id, label,
+       |  CAST(${proj(0)} AS BIGINT) AS p1,
+       |  CAST(${proj(1)} AS BIGINT) AS p2
+       |FROM e ORDER BY vec_id""".stripMargin
+  }
+
+  private def pcaOracle: Map[String, String] =
+    Pca.lastModel.map(m => "q_pca_project" -> pcaOracleSql(m)).toMap
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pca_project" -> (qPcaProject _),
     "q_text_stats" -> (qTextStats _),
     "q_langid" -> (qLangId _),
     "q_fingerprint" -> (qFingerprint _),
@@ -2585,5 +2629,5 @@ object TrainingQueries extends graft.QueryModule {
     "q_avi_video" -> qAviVideoSql,
     "q_avi_pixels" -> qAviPixelsSql,
     "q_tar_shards" -> qTarShardsSql) ++
-    ivfOracle ++ pqOracle ++ semdedupOracle ++ qcOracle
+    ivfOracle ++ pqOracle ++ semdedupOracle ++ qcOracle ++ pcaOracle
 }

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Pca
+
+/** PCA invariants behind `q_pca_project`: a planted dominant
+  * direction is recovered, components come out orthonormal in ppm,
+  * the sign convention and the exact statistics make the model a
+  * pure function of the data (partitioning-invariant), and the
+  * projection column is exact integer arithmetic.
+  */
+class PcaSpec extends SparkSpec {
+  import spark.implicits._
+
+  // points spread along (1,1,0) with small jitter on the other axes —
+  // PC1 must recover the diagonal, PC2 an orthogonal direction
+  private def planted(n: Int): Seq[(Long, Seq[Float])] =
+    (0 until n).map { i =>
+      val t = (i - n / 2).toFloat
+      (i.toLong, Seq(t + 0.01f * (i % 3), t - 0.01f * (i % 5),
+        0.1f * ((i % 7) - 3)))
+    }
+
+  test("planted dominant direction recovered; components orthonormal in ppm") {
+    val df = planted(60).toDF("vec_id", "embedding")
+    val m = Pca.fit(df, "embedding", dims = 3, nComponents = 2)
+    val c1 = m.compPpm(0)
+    // PC1 ~ (1,1,0)/sqrt(2) = (707107, 707107, 0) ppm
+    assert(math.abs(c1(0) - 707107L) <= 500, c1.toSeq)
+    assert(math.abs(c1(1) - 707107L) <= 500, c1.toSeq)
+    assert(math.abs(c1(2)) <= 5000, c1.toSeq)
+    // unit norms and orthogonality, all in ppm
+    m.compPpm.foreach { c =>
+      val n2 = c.map(x => x * x).sum
+      assert(math.abs(n2 - 1000000L * 1000000L) <= 3L * 1000000L, n2)
+    }
+    val dot12 = m.compPpm(0).zip(m.compPpm(1))
+      .map { case (a, b) => a * b }.sum
+    assert(math.abs(dot12) <= 3L * 1000000L, dot12)
+  }
+
+  test("model is a pure function of the data: partitioning-invariant, fixed sign") {
+    val rows = planted(40)
+    val a = Pca.fit(rows.toDF("vec_id", "embedding").repartition(1),
+      "embedding", dims = 3, nComponents = 2)
+    val b = Pca.fit(rows.toDF("vec_id", "embedding").repartition(13),
+      "embedding", dims = 3, nComponents = 2)
+    assert(a.compPpm.map(_.toSeq) === b.compPpm.map(_.toSeq))
+    // sign convention: the largest-|coordinate| entry is positive
+    a.compPpm.foreach { c =>
+      assert(c(c.zipWithIndex.maxBy(p => (math.abs(p._1), -p._2))._2) > 0)
+    }
+  }
+
+  test("projectPpm is exact integer arithmetic over quantized coords") {
+    val df = Seq((1L, Seq(0.5f, -0.25f))).toDF("vec_id", "embedding")
+    val m = Pca.Model(Vector(Array(600000L, -800000L)))
+    val p = df.select(Pca.projectPpm(m, "embedding", 0)).head().getLong(0)
+    // q = (500000, -250000); p = 600000*500000 + (-800000)*(-250000)
+    assert(p === 600000L * 500000L + 800000L * 250000L)
+  }
+}
