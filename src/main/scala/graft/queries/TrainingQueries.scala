@@ -2502,19 +2502,24 @@ object TrainingQueries extends graft.QueryModule {
     * replays both projections with the 64 ppm weights inlined
     * post-fit (the Ivf.lastModel contract) — a drifting component
     * hash-mismatches every row. The entry REQUIRES PC1 to carry at
-    * least as much projected spread as PC2 (the eigen-order
-    * contract). */
+    * least as much projected VARIANCE as PC2 — the eigen-order
+    * contract is about variance, not range: with near-equal top
+    * eigenvalues (the replicated sf1 corpus) the RANGES legitimately
+    * invert, which is exactly what this require's first cut tripped
+    * over. */
   def qPcaProject(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val m = Pca.fit(emb, "embedding", dims = 64, nComponents = 2)
     val out = emb.select(col("vec_id"), col("label").cast("long").as("label"),
       Pca.projectPpm(m, "embedding", 0).as("p1"),
       Pca.projectPpm(m, "embedding", 1).as("p2"))
-    // eigen-order sanity from the projections themselves: integer
-    // spreads (max - min) must be ordered — one bounded aggregate
-    val sp = out.agg(max("p1") - min("p1"), max("p2") - min("p2")).head()
-    require(sp.getLong(0) >= sp.getLong(1),
-      s"PC1 spread ${sp.getLong(0)} < PC2 spread ${sp.getLong(1)}")
+    // eigen-order sanity from the projections themselves: projected
+    // VARIANCE must be ordered (doubles are fine here — this guards
+    // the fit, it is not part of the hashed output; the tiny slack
+    // absorbs fp noise between two genuinely-equal eigenvalues)
+    val sp = out.agg(var_samp(col("p1")), var_samp(col("p2"))).head()
+    require(sp.getDouble(0) >= sp.getDouble(1) * 0.999,
+      s"PC1 variance ${sp.getDouble(0)} < PC2 variance ${sp.getDouble(1)}")
     out.orderBy(col("vec_id"))
   }
 
