@@ -2510,6 +2510,106 @@ object MiscQueries extends graft.QueryModule {
        |  CAST(mape_ols_ppm < mape_base_ppm AS BIGINT) AS ols_wins
        |FROM g ORDER BY l_returnflag""".stripMargin
 
+  /** Shared frame for the distribution-comparison entries: per-event
+    * value cents with side 0/1 = first/second timeline half (the
+    * before/after populations the reference compares per scenario). */
+  private def sidedEvents(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), expr(s"ts_us DIV $dayUs").as("d"),
+        Num.cents(col("value")).as("value_c"))
+    val mm = ev.agg(min("d"), max("d")).head()
+    val dmid = (mm.getLong(0) + mm.getLong(1)) / 2
+    ev.withColumn("side", (col("d") >= dmid).cast("long"))
+  }
+
+  private val sidedEventsSql: String =
+    s"""ev0 AS (SELECT event_type, epoch_us(ts) // ${86400L * 1000000L} AS d,
+       |    ${Num.centsSql("value")} AS value_c
+       |  FROM events),
+       |m AS (SELECT (min(d) + max(d)) // 2 AS dmid FROM ev0),
+       |ev AS (SELECT event_type, value_c,
+       |    CAST(d >= (SELECT dmid FROM m) AS BIGINT) AS side
+       |  FROM ev0)""".stripMargin
+
+  /** WELCH'S T-TEST as data ([[graft.ops.Stats.welchT]] — the
+    * `tStat`/`pValue` columns of the reference's IC2E table: does the
+    * scenario's runtime distribution differ before vs after?): per
+    * event type, the first- and second-half value populations reduce
+    * to exact integer moments (n, Σy, Σy² per side — one
+    * map-side-combined pass), and t comes out of a FIXED tree of IEEE
+    * ops over those exact integers — both engines write the same
+    * tree, so even the double is bit-identical and the ppm-rounded
+    * statistic hash-gates. The significance verdict is the
+    * large-sample normal threshold (|t| > 1.96 ≈ p < 0.05); the
+    * t-CDF itself is not SQL-replayable, the decision is. */
+  def qWelchT(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.welchT(sidedEvents(s, dir),
+        valueCol = "value_c", sideCol = "side", keyCol = "event_type")
+      .orderBy(col("event_type"))
+
+  val qWelchTSql: String =
+    s"""WITH $sidedEventsSql,
+       |g AS (SELECT event_type, side, CAST(count(*) AS BIGINT) AS n,
+       |        sum(CAST(value_c AS HUGEINT)) AS sy,
+       |        sum(CAST(value_c AS HUGEINT) * value_c) AS syy
+       |      FROM ev GROUP BY event_type, side),
+       |p AS (SELECT event_type,
+       |        max(CASE WHEN side = 0 THEN n END) AS n0,
+       |        max(CASE WHEN side = 0 THEN sy END) AS sy0,
+       |        max(CASE WHEN side = 0 THEN syy END) AS syy0,
+       |        max(CASE WHEN side = 1 THEN n END) AS n1,
+       |        max(CASE WHEN side = 1 THEN sy END) AS sy1,
+       |        max(CASE WHEN side = 1 THEN syy END) AS syy1
+       |      FROM g GROUP BY event_type),
+       |t AS (SELECT event_type, n0, n1,
+       |  (CAST(sy0 AS DOUBLE) / n0 - CAST(sy1 AS DOUBLE) / n1) /
+       |  sqrt(CAST(n0 * syy0 - sy0 * sy0 AS DOUBLE) / (n0 * (n0 - 1)) / n0
+       |     + CAST(n1 * syy1 - sy1 * sy1 AS DOUBLE) / (n1 * (n1 - 1)) / n1)
+       |    AS t_dbl
+       |  FROM p)
+       |SELECT event_type, n0, n1,
+       |  CAST(round(t_dbl * 1000000, 0) AS BIGINT) AS t_ppm,
+       |  CAST(abs(t_dbl) > 1.96 AS BIGINT) AS significant
+       |FROM t ORDER BY event_type""".stripMargin
+
+  /** 1-D WASSERSTEIN distance as data ([[graft.ops.Stats
+    * .wasserstein1]] — the `wassersteinDistance` column of the IC2E
+    * table: HOW FAR did the distribution move, where the t-test only
+    * says whether): the earth-mover integral over the two halves'
+    * empirical CDFs, EXACT — per distinct value, cumulative counts
+    * cross-scaled as |c0·n1 − c1·n0|, times the gap to the next
+    * value, decimal-summed and floor-divided by n0·n1 — integer end
+    * to end, replayed as the identical window SQL. Scale: the per-key
+    * window sort runs over (key, distinct-value) rows after the count
+    * pre-aggregate, never raw events. */
+  def qWasserstein(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.wasserstein1(sidedEvents(s, dir),
+        valueCol = "value_c", sideCol = "side", keyCol = "event_type")
+      .orderBy(col("event_type"))
+
+  val qWassersteinSql: String =
+    s"""WITH $sidedEventsSql,
+       |perv AS (SELECT event_type, value_c AS v,
+       |    ${Num.sumSql("CASE WHEN side = 0 THEN 1 ELSE 0 END")} AS d0,
+       |    ${Num.sumSql("CASE WHEN side = 1 THEN 1 ELSE 0 END")} AS d1
+       |  FROM ev GROUP BY event_type, value_c),
+       |c AS (SELECT event_type, v, d0, d1,
+       |    sum(d0) OVER (PARTITION BY event_type ORDER BY v) AS c0,
+       |    sum(d1) OVER (PARTITION BY event_type ORDER BY v) AS c1,
+       |    lead(v) OVER (PARTITION BY event_type ORDER BY v) - v AS gap,
+       |    sum(d0) OVER (PARTITION BY event_type) AS n0,
+       |    sum(d1) OVER (PARTITION BY event_type) AS n1
+       |  FROM perv),
+       |sagg AS (SELECT event_type,
+       |    CAST(max(n0) AS BIGINT) AS n0, CAST(max(n1) AS BIGINT) AS n1,
+       |    sum(CAST(abs(c0 * n1 - c1 * n0) AS HUGEINT)
+       |        * COALESCE(gap, 0)) AS sterm
+       |  FROM c GROUP BY event_type)
+       |SELECT event_type, n0, n1,
+       |  CAST(sterm // (n0 * n1) AS BIGINT) AS w1
+       |FROM sagg ORDER BY event_type""".stripMargin
+
   /** PER-SCENARIO MODELS — the reference's actual modeling grain
     * (IC2E fits runtime models per prediction group, not one global
     * surface): [[graft.ops.Ols.fitPerGroup]] computes EVERY
@@ -2719,6 +2819,8 @@ object MiscQueries extends graft.QueryModule {
     "q_ols_stream" -> (qOlsStream _),
     "q_predict_grouped" -> (qPredictGrouped _),
     "q_predict_r2" -> (qPredictR2 _),
+    "q_welch_t" -> (qWelchT _),
+    "q_wasserstein" -> (qWasserstein _),
     "q_pagerank" -> (qPagerank _),
     "q_schema_evolution" -> (qSchemaEvolution _),
     "q_layout_audit" -> (qLayoutAudit _),
@@ -2771,6 +2873,8 @@ object MiscQueries extends graft.QueryModule {
     "q_scd2" -> (qScd2 _))
 
   def oracleSql: Map[String, String] = olsOracle ++ Map(
+    "q_welch_t" -> qWelchTSql,
+    "q_wasserstein" -> qWassersteinSql,
     "q_pagerank" -> qPagerankSql,
     "q_schema_evolution" -> qSchemaEvolutionSql,
     "q_layout_audit" -> qLayoutAuditSql,
