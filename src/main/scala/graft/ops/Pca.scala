@@ -43,6 +43,10 @@ object Pca {
     * contract). */
   @volatile var lastModel: Option[Model] = None
 
+  /** Separate stash for the ANN-composition entry's (wider) model, so
+    * its oracle never races `q_pca_project`'s. */
+  @volatile var lastAnnModel: Option[Model] = None
+
   /** Quantized coordinate i (1-based element index internally). */
   private def q(vecCol: String, i: Int): Column =
     round(element_at(col(vecCol).cast("array<double>"), i + 1) *

@@ -2536,10 +2536,153 @@ object TrainingQueries extends graft.QueryModule {
   }
 
   private def pcaOracle: Map[String, String] =
-    Pca.lastModel.map(m => "q_pca_project" -> pcaOracleSql(m)).toMap
+    Pca.lastModel.map(m => "q_pca_project" -> pcaOracleSql(m)).toMap ++
+      Pca.lastAnnModel.map(m => "q_ann_pca" -> qAnnPcaSql(m)).toMap
+
+  /** The ppm projection of `v` (a DOUBLE[] SQL column) onto component
+    * `c` of `m` — the shared spelling of [[graft.ops.Pca.projectPpm]]
+    * for oracle generation. */
+  private def pcaProjSql(m: Pca.Model, c: Int): String =
+    (0 until m.d).map { i =>
+      s"${m.compPpm(c)(i)} * CAST(round(v[${i + 1}] * 1000000, 0) AS BIGINT)"
+    }.mkString(" + ")
+
+  /** How many components does the scale knob to iterate. */
+  private val AnnPcaComps = Seq(8, 16, 24)
+  private val AnnPcaCand = 50
+
+  /** PCA-ASSISTED ANN AS A PARAMETER STUDY — the composition PCA
+    * exists for in a vector pipeline, evaluated the `q_ann_recall`
+    * way (measure what the reduced metric loses BEFORE an index
+    * trusts it): candidates come from the k-dim PROJECTED space
+    * (exact integer squared distances over
+    * [[graft.ops.Pca.projectPpm]] coordinates — k multiply-adds per
+    * pair instead of 64), the top 50 per query re-rank by EXACT
+    * cosine in full space, and recall@5 against the full-space
+    * brute-force truth lands as data at k = 8, 16, 24 (one fit —
+    * deflation order makes the first k of 24 components identical to
+    * a k-component fit). On THIS corpus the study's finding is the
+    * point: the spectrum is near-isotropic (~2.8% variance per
+    * component), so reduced-space pruning pays real recall — the
+    * harness exists precisely to surface that before production
+    * buckets projections through the LSH/IVF machinery. Everything —
+    * both arms, all three configurations, the recall join — replays
+    * in DuckDB with the 24 component vectors inlined post-fit. */
+  def qAnnPca(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    // both frames feed all three study arms — cache the bounded truth
+    // (|Q|·k rows) and the slim projection table (25 longs per row),
+    // or each arm re-runs the brute all-pairs and the 24×64-term
+    // projection expressions from scratch
+    val truth = Similarity
+      .bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+      .select(col("q_id"), col("neighbor_id"))
+      .scopedCache()
+    val m = Pca.fit(emb, "embedding", dims = 64,
+      nComponents = AnnPcaComps.max)
+    Pca.lastAnnModel = Some(m)
+    val allPcs = 0 until AnnPcaComps.max
+    val proj = emb.select(col("vec_id") +:
+      allPcs.map(c => Pca.projectPpm(m, "embedding", c).as(s"p$c")): _*)
+      .scopedCache()
+    val e = Similarity.prepared(emb)
+    val qv = Similarity.prepared(emb.filter(col("vec_id") < 10))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    def arm(k: Int): DataFrame = {
+      val pcs = 0 until k
+      val qp = proj.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id") +:
+          pcs.map(c => col(s"p$c").as(s"qp$c")): _*)
+      val d2 = pcs.map { c =>
+        val diff = col(s"p$c") - col(s"qp$c")
+        diff.cast("decimal(38,0)") * diff
+      }.reduce(_ + _)
+      val cw = Window.partitionBy(col("q_id"))
+        .orderBy(col("d2"), col("vec_id"))
+      val cand = proj.join(broadcast(qp), col("q_id") =!= col("vec_id"))
+        .withColumn("d2", d2)
+        .select(col("q_id"), col("vec_id"), col("d2"))
+        .withColumn("rn", row_number().over(cw))
+        .filter(col("rn") <= AnnPcaCand)
+        .select(col("q_id"), col("vec_id"))
+      val rw = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      val approx = cand.join(e, Seq("vec_id"))
+        .join(broadcast(qv), Seq("q_id"))
+        .withColumn("sim",
+          Similarity.dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+        .withColumn("rn2", row_number().over(rw))
+        .filter(col("rn2") <= 5)
+        .select(col("q_id"), col("vec_id").as("neighbor_id"))
+      truth.join(approx.withColumn("hit", lit(1L)),
+          Seq("q_id", "neighbor_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_truth"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(lit(k.toLong).as("n_comp"), col("q_id"),
+          col("n_truth"), col("n_hits"))
+        .withColumn("recall_ppm", expr("n_hits * 1000000 DIV n_truth"))
+    }
+    AnnPcaComps.map(arm).reduce(_.unionByName(_))
+      .orderBy(col("n_comp"), col("q_id"))
+  }
+
+  private def qAnnPcaSql(m: Pca.Model): String = {
+    val projCols = (0 until AnnPcaComps.max).map(c =>
+      s"CAST(${pcaProjSql(m, c)} AS BIGINT) AS p$c").mkString(",\n|        ")
+    def armSql(k: Int): String = {
+      val d2 = (0 until k).map(c =>
+        s"CAST(pr.p$c - qp.p$c AS HUGEINT) * (pr.p$c - qp.p$c)")
+        .mkString(" + ")
+      s"""SELECT CAST($k AS BIGINT) AS n_comp, tt.q_id, tt.n_truth,
+         |  COALESCE(h.n_hits, 0) AS n_hits,
+         |  CAST(COALESCE(h.n_hits, 0) * 1000000 // tt.n_truth AS BIGINT)
+         |    AS recall_ppm
+         |FROM tt LEFT JOIN (
+         |  SELECT t.q_id, CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM truth t JOIN (
+         |    SELECT q_id, neighbor_id FROM (
+         |      SELECT rr.*, row_number() OVER (PARTITION BY q_id
+         |        ORDER BY sim DESC, neighbor_id) AS rn
+         |      FROM (
+         |        SELECT c.q_id, c.vec_id AS neighbor_id,
+         |          list_cosine_similarity(q.v, e.v) AS sim
+         |        FROM (
+         |          SELECT q_id, vec_id FROM (
+         |            SELECT cd.*, row_number() OVER (PARTITION BY q_id
+         |              ORDER BY d2, vec_id) AS rn
+         |            FROM (SELECT qp.vec_id AS q_id, pr.vec_id,
+         |                    $d2 AS d2
+         |                  FROM pr JOIN qp ON pr.vec_id <> qp.vec_id) cd
+         |          ) cr WHERE rn <= $AnnPcaCand
+         |        ) c JOIN e ON e.vec_id = c.vec_id
+         |        JOIN e q ON q.vec_id = c.q_id
+         |      ) rr
+         |    ) ar WHERE rn <= 5
+         |  ) a ON t.q_id = a.q_id AND t.neighbor_id = a.neighbor_id
+         |  GROUP BY t.q_id) h USING (q_id)""".stripMargin
+    }
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |tp AS (SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+       |         list_cosine_similarity(q.v, e.v) AS sim
+       |       FROM e q JOIN e ON q.vec_id < 10 AND e.vec_id <> q.vec_id),
+       |tr AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |         ORDER BY sim DESC, neighbor_id) AS rn FROM tp),
+       |truth AS (SELECT q_id, neighbor_id FROM tr WHERE rn <= 5),
+       |tt AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_truth
+       |       FROM truth GROUP BY q_id),
+       |pr AS (SELECT vec_id,
+       |        $projCols
+       |       FROM e),
+       |qp AS (SELECT * FROM pr WHERE vec_id < 10)
+       |${AnnPcaComps.map(armSql).mkString("\nUNION ALL\n")}
+       |ORDER BY n_comp, q_id""".stripMargin
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pca_project" -> (qPcaProject _),
+    "q_ann_pca" -> (qAnnPca _),
     "q_text_stats" -> (qTextStats _),
     "q_langid" -> (qLangId _),
     "q_fingerprint" -> (qFingerprint _),
