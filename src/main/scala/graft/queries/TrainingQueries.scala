@@ -2585,11 +2585,11 @@ object TrainingQueries extends graft.QueryModule {
     val proj = emb.select(col("vec_id") +:
       allPcs.map(c => Pca.projectPpm(m, "embedding", c).as(s"p$c")): _*)
       .scopedCache()
-    val e = Similarity.prepared(emb)
-    val qv = Similarity.prepared(emb.filter(col("vec_id") < 10))
-      .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("nrm").as("qn"))
-    def arm(k: Int): DataFrame = {
+    // candidate arms touch ONLY the cached projection table (no
+    // vector scans); the three arms' candidates union BEFORE one
+    // shared exact-cosine re-rank keyed by (n_comp, q_id) — one
+    // vector join for the whole study instead of one per arm
+    def candidates(k: Int): DataFrame = {
       val pcs = 0 until k
       val qp = proj.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id") +:
@@ -2600,31 +2600,36 @@ object TrainingQueries extends graft.QueryModule {
       }.reduce(_ + _)
       val cw = Window.partitionBy(col("q_id"))
         .orderBy(col("d2"), col("vec_id"))
-      val cand = proj.join(broadcast(qp), col("q_id") =!= col("vec_id"))
+      proj.join(broadcast(qp), col("q_id") =!= col("vec_id"))
         .withColumn("d2", d2)
         .select(col("q_id"), col("vec_id"), col("d2"))
         .withColumn("rn", row_number().over(cw))
         .filter(col("rn") <= AnnPcaCand)
-        .select(col("q_id"), col("vec_id"))
-      val rw = Window.partitionBy(col("q_id"))
-        .orderBy(col("sim").desc, col("vec_id"))
-      val approx = cand.join(e, Seq("vec_id"))
-        .join(broadcast(qv), Seq("q_id"))
-        .withColumn("sim",
-          Similarity.dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
-        .withColumn("rn2", row_number().over(rw))
-        .filter(col("rn2") <= 5)
-        .select(col("q_id"), col("vec_id").as("neighbor_id"))
-      truth.join(approx.withColumn("hit", lit(1L)),
-          Seq("q_id", "neighbor_id"), "left")
-        .groupBy(col("q_id"))
-        .agg(count(lit(1)).as("n_truth"),
-          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
-        .select(lit(k.toLong).as("n_comp"), col("q_id"),
-          col("n_truth"), col("n_hits"))
-        .withColumn("recall_ppm", expr("n_hits * 1000000 DIV n_truth"))
+        .select(lit(k.toLong).as("n_comp"), col("q_id"), col("vec_id"))
     }
-    AnnPcaComps.map(arm).reduce(_.unionByName(_))
+    val cand = AnnPcaComps.map(candidates).reduce(_.unionByName(_))
+    val e = Similarity.prepared(emb)
+    val qv = Similarity.prepared(emb.filter(col("vec_id") < 10))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val rw = Window.partitionBy(col("n_comp"), col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val approx = cand.join(e, Seq("vec_id")).join(broadcast(qv), Seq("q_id"))
+      .withColumn("sim",
+        Similarity.dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("rn2", row_number().over(rw))
+      .filter(col("rn2") <= 5)
+      .select(col("n_comp"), col("q_id"), col("vec_id").as("neighbor_id"))
+    // replicate the truth per arm BEFORE the hit-join, or per-arm
+    // misses would collapse into unattributable null-n_comp rows
+    val truthX = truth.withColumn("n_comp",
+      explode(array(AnnPcaComps.map(k => lit(k.toLong)): _*)))
+    truthX.join(approx.withColumn("hit", lit(1L)),
+        Seq("n_comp", "q_id", "neighbor_id"), "left")
+      .groupBy(col("n_comp"), col("q_id"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall_ppm", expr("n_hits * 1000000 DIV n_truth"))
       .orderBy(col("n_comp"), col("q_id"))
   }
 
