@@ -61,9 +61,16 @@ object Pca {
     * aggregate columns falls out of whole-stage codegen and
     * interprets one decimal sum per cell per row — measured 40 s at
     * sf1 vs ~2 s for the primitive fold. Exactness is preserved by
-    * construction: long partials flush into BigInt accumulators every
-    * 8192 rows (micro-unit coordinates are < 2³⁰ for |f| < 1000, so a
-    * flush window's products stay far below overflow), each partition
+    * construction: long partials flush into BigInt accumulators under
+    * a MAGNITUDE-ADAPTIVE window — the fold tracks the partition's
+    * max |q| and flushes before `window · max|q|²` can reach 2⁶², so
+    * a product cell can never silently wrap regardless of coordinate
+    * scale (unit-norm embeddings flush ~never; |f| ≈ 40 flushes every
+    * ~2500 rows; the worst admissible magnitude flushes per-row —
+    * slow, still exact). Coordinates at or beyond 2³¹ micro-units
+    * (|f| ≳ 2147) are REFUSED loudly: there a single per-row product
+    * q·q would itself overflow the long multiply, and a silent wrong
+    * scatter poisons every downstream projection. Each partition
     * emits ONE bounded row of decimal strings, and BigInt addition at
     * the driver is order-free — the model stays a pure function of
     * the row multiset (partitioning invariance is property-tested). */
@@ -79,6 +86,12 @@ object Pca {
         val accB = Array.fill(nStats)(BigInt(0))
         var n = 0L
         var sinceFlush = 0
+        // magnitude-adaptive flush cap: window · maxQ² must stay
+        // below 2⁶² so no product cell can wrap between flushes;
+        // recomputed only when the partition's max |q| grows
+        val SafeBits = 1L << 62
+        var maxQ = 1L
+        var cap = 8192
         def flush(): Unit = {
           var i = 0
           while (i < nStats) { accB(i) += accL(i); accL(i) = 0L; i += 1 }
@@ -87,8 +100,29 @@ object Pca {
         while (it.hasNext) {
           val row = it.next()
           val arr = row.getArray(0)
-          var idx = 0
+          var rowMax = 0L
           var i = 0
+          while (i < dims) {
+            val a = math.abs(arr.getLong(i))
+            if (a > rowMax) rowMax = a
+            i += 1
+          }
+          if (rowMax > maxQ) {
+            // |q| ≥ 2³¹ would overflow the single long product q·q —
+            // refuse rather than silently corrupt the scatter
+            require(rowMax < (1L << 31),
+              s"coordinate magnitude $rowMax micro-units exceeds the " +
+                "exact-fold bound (|f| must be < ~2147) — rescale the " +
+                "embedding column before PCA")
+            maxQ = rowMax
+            cap = math.max(1L, SafeBits / (maxQ * maxQ))
+              .min(8192L).toInt
+            // the partials already held obey the OLD (smaller) bound;
+            // flush them now so the new cap governs a clean window
+            flush()
+          }
+          var idx = 0
+          i = 0
           while (i < dims) { accL(idx) += arr.getLong(i); idx += 1; i += 1 }
           i = 0
           while (i < dims) {
@@ -101,7 +135,7 @@ object Pca {
           }
           n += 1
           sinceFlush += 1
-          if (sinceFlush >= 8192) flush()
+          if (sinceFlush >= cap) flush()
         }
         flush()
         Iterator.single((n, accB.map(_.toString)))

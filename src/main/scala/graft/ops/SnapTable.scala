@@ -123,6 +123,16 @@ object SnapTable {
       headerLine(fs, manifest(table, v)).contains(want))
   }
 
+  /** The tag committed with version `v`, if any — one header line
+    * read, never a file list (what a CDC consumer reads to learn its
+    * own cursor from the MV head: the newest commit's tag IS the max
+    * consumed source version). */
+  def tagOf(s: SparkSession, table: String, v: Int): Option[String] = {
+    val fs = fsOf(s, new Path(table))
+    headerLine(fs, manifest(table, v))
+      .filter(_.startsWith("#tag:")).map(_.stripPrefix("#tag:"))
+  }
+
   /** Idempotent tagged commit — the exactly-once primitive for
     * streaming replay: if `tag` already committed, nothing is staged
     * and the existing version returns; otherwise a normal [[commit]]
@@ -455,9 +465,13 @@ object SnapTable {
     * layout this is the difference between reading ~the matching
     * files and reading the table — the planner's cost is metadata
     * only, never a data page. Returns (selected files, frame) so
-    * callers can gate that pruning actually engaged. */
+    * callers can gate that pruning actually engaged. `mergeSchema`
+    * reconciles schema-evolved file mixes exactly as [[read]] does —
+    * a ranged read of an evolved snapshot must not take one file's
+    * schema for the whole scan. */
   def readRange(s: SparkSession, table: String, version: Option[Int],
-      column: String, lo: Long, hi: Long): (Seq[String], DataFrame) = {
+      column: String, lo: Long, hi: Long,
+      mergeSchema: Boolean = false): (Seq[String], DataFrame) = {
     val vs = versions(s, table)
     require(vs.nonEmpty, s"no committed snapshot under $table")
     val v = version.getOrElse(vs.last)
@@ -471,9 +485,12 @@ object SnapTable {
       .select(col("file")).collect().map(_.getString(0)).toSet
     val picked = uris.filter(u =>
       chosen.contains(u.split('/').takeRight(2).mkString("/")))
+    val rd = if (mergeSchema) s.read.option("mergeSchema", "true")
+             else s.read
     val out =
-      if (picked.isEmpty) read(s, table, Some(v)).filter(lit(false))
-      else s.read.parquet(picked: _*)
+      if (picked.isEmpty)
+        read(s, table, Some(v), mergeSchema).filter(lit(false))
+      else rd.parquet(picked: _*)
         .filter(col(column) >= lo && col(column) <= hi)
     (picked, out)
   }

@@ -2537,41 +2537,65 @@ object MiscQueries extends graft.QueryModule {
     * scenario's runtime distribution differ before vs after?): per
     * event type, the first- and second-half value populations reduce
     * to exact integer moments (n, Σy, Σy² per side — one
-    * map-side-combined pass), and t comes out of a FIXED tree of IEEE
-    * ops over those exact integers — both engines write the same
-    * tree, so even the double is bit-identical and the ppm-rounded
-    * statistic hash-gates. The significance verdict is the
-    * large-sample normal threshold (|t| > 1.96 ≈ p < 0.05); the
-    * t-CDF itself is not SQL-replayable, the decision is. */
+    * map-side-combined pass), and both t and the Welch–Satterthwaite
+    * df come out of FIXED trees of IEEE ops over those exact
+    * integers — both engines write the same trees, so even the
+    * doubles are bit-identical and the ppm-rounded statistics
+    * hash-gate. The two-sided p-value is the exact t-CDF tail,
+    * evaluated at the driver (incomplete-beta continued fraction —
+    * deterministic) and replayed by the oracle as per-key literals;
+    * `significant` is the exact p < 0.05 verdict, which at small n
+    * disagrees with the 1.96 normal bound (StatsSpec pins a case).
+    * Keys with n < 2 on a side or zero variance on both are dropped
+    * (guard mirrored in the oracle SQL). */
   def qWelchT(s: SparkSession, dir: String): DataFrame =
     graft.ops.Stats.welchT(sidedEvents(s, dir),
         valueCol = "value_c", sideCol = "side", keyCol = "event_type")
       .orderBy(col("event_type"))
 
-  val qWelchTSql: String =
-    s"""WITH $sidedEventsSql,
-       |g AS (SELECT event_type, side, CAST(count(*) AS BIGINT) AS n,
-       |        sum(CAST(value_c AS HUGEINT)) AS sy,
-       |        sum(CAST(value_c AS HUGEINT) * value_c) AS syy
-       |      FROM ev GROUP BY event_type, side),
-       |p AS (SELECT event_type,
-       |        max(CASE WHEN side = 0 THEN n END) AS n0,
-       |        max(CASE WHEN side = 0 THEN sy END) AS sy0,
-       |        max(CASE WHEN side = 0 THEN syy END) AS syy0,
-       |        max(CASE WHEN side = 1 THEN n END) AS n1,
-       |        max(CASE WHEN side = 1 THEN sy END) AS sy1,
-       |        max(CASE WHEN side = 1 THEN syy END) AS syy1
-       |      FROM g GROUP BY event_type),
-       |t AS (SELECT event_type, n0, n1,
-       |  (CAST(sy0 AS DOUBLE) / n0 - CAST(sy1 AS DOUBLE) / n1) /
-       |  sqrt(CAST(n0 * syy0 - sy0 * sy0 AS DOUBLE) / (n0 * (n0 - 1)) / n0
-       |     + CAST(n1 * syy1 - sy1 * sy1 AS DOUBLE) / (n1 * (n1 - 1)) / n1)
-       |    AS t_dbl
-       |  FROM p)
-       |SELECT event_type, n0, n1,
-       |  CAST(round(t_dbl * 1000000, 0) AS BIGINT) AS t_ppm,
-       |  CAST(abs(t_dbl) > 1.96 AS BIGINT) AS significant
-       |FROM t ORDER BY event_type""".stripMargin
+  /** Post-run oracle (the Ols.lastModel contract): t_ppm and df_ppm
+    * replay as the same fixed IEEE trees over exact integers; p_ppm
+    * and the p < 0.05 verdict ride in as the driver-computed
+    * literals. */
+  private def qWelchTOracle: Map[String, String] =
+    graft.ops.Stats.lastWelchP.map { ps =>
+      val pCase = ps.toSeq.sortBy(_._1).map { case (k, (p, _)) =>
+        s"WHEN '$k' THEN $p" }.mkString(" ")
+      val sCase = ps.toSeq.sortBy(_._1).map { case (k, (_, sig)) =>
+        s"WHEN '$k' THEN $sig" }.mkString(" ")
+      "q_welch_t" ->
+        s"""WITH $sidedEventsSql,
+           |g AS (SELECT event_type, side, CAST(count(*) AS BIGINT) AS n,
+           |        sum(CAST(value_c AS HUGEINT)) AS sy,
+           |        sum(CAST(value_c AS HUGEINT) * value_c) AS syy
+           |      FROM ev GROUP BY event_type, side),
+           |p AS (SELECT event_type,
+           |        max(CASE WHEN side = 0 THEN n END) AS n0,
+           |        max(CASE WHEN side = 0 THEN sy END) AS sy0,
+           |        max(CASE WHEN side = 0 THEN syy END) AS syy0,
+           |        max(CASE WHEN side = 1 THEN n END) AS n1,
+           |        max(CASE WHEN side = 1 THEN sy END) AS sy1,
+           |        max(CASE WHEN side = 1 THEN syy END) AS syy1
+           |      FROM g GROUP BY event_type),
+           |u AS (SELECT event_type, n0, n1, sy0, sy1,
+           |    CAST(n0 * syy0 - sy0 * sy0 AS DOUBLE) / (n0 * (n0 - 1)) / n0
+           |      AS u0,
+           |    CAST(n1 * syy1 - sy1 * sy1 AS DOUBLE) / (n1 * (n1 - 1)) / n1
+           |      AS u1
+           |  FROM p WHERE n0 >= 2 AND n1 >= 2),
+           |t AS (SELECT event_type, n0, n1,
+           |    (CAST(sy0 AS DOUBLE) / n0 - CAST(sy1 AS DOUBLE) / n1)
+           |      / sqrt(u0 + u1) AS t_dbl,
+           |    (u0 + u1) * (u0 + u1)
+           |      / (u0 * u0 / (n0 - 1) + u1 * u1 / (n1 - 1)) AS df_dbl
+           |  FROM u WHERE u0 + u1 > 0)
+           |SELECT event_type, n0, n1,
+           |  CAST(round(t_dbl * 1000000, 0) AS BIGINT) AS t_ppm,
+           |  CAST(round(df_dbl * 1000000, 0) AS BIGINT) AS df_ppm,
+           |  CAST(CASE event_type $pCase END AS BIGINT) AS p_ppm,
+           |  CAST(CASE event_type $sCase END AS BIGINT) AS significant
+           |FROM t ORDER BY event_type""".stripMargin
+    }.toMap
 
   /** 1-D WASSERSTEIN distance as data ([[graft.ops.Stats
     * .wasserstein1]] — the `wassersteinDistance` column of the IC2E
@@ -2679,21 +2703,30 @@ object MiscQueries extends graft.QueryModule {
         sum((col("y_c") * col("y_c")).cast("decimal(38,0)")).as("syy"),
         sum((col("r") * col("r")).cast("decimal(38,0)")).as("sse"),
         min(col("pred_ppm")).as("min_pred_ppm"))
-      .withColumn("r2_ppm",
-        expr("1000000 - (sse * n * 1000000) DIV (n * syy - sy * sy)"))
-      .select(col("l_returnflag"), col("n"), col("r2_ppm"),
-        col("min_pred_ppm"))
       .collect() // bounded: one row per scenario
-    rows.foreach { r =>
-      require(r.getLong(3) >= 0L,
-        s"negative prediction in group ${r.getString(0)} — integral " +
-          "division would floor differently across engines")
-      require(r.getLong(2) >= 0L,
-        s"SSE exceeded SST on training group ${r.getString(0)}")
+    // the R² division happens DRIVER-SIDE over the exact sums, so a
+    // degenerate group is a GATED refusal with a named group — never
+    // a null-division NPE here or a division-by-zero in the oracle
+    val out = rows.map { r =>
+      val g = r.getString(0)
+      val n = BigInt(r.getLong(1))
+      val sy = BigInt(r.getDecimal(2).toBigInteger)
+      val syy = BigInt(r.getDecimal(3).toBigInteger)
+      val sse = BigInt(r.getDecimal(4).toBigInteger)
+      val sst = n * syy - sy * sy
+      require(sst > 0,
+        s"constant target in group $g (n·Σy² − (Σy)² = $sst): R² is " +
+          "undefined — drop or merge the degenerate scenario")
+      require(r.getLong(5) >= 0L,
+        s"negative prediction in group $g — integral division would " +
+          "floor differently across engines")
+      val r2 = BigInt(1000000) - (sse * n * 1000000) / sst
+      require(r2 >= 0,
+        s"SSE exceeded SST on training group $g")
+      (g, r.getLong(1), r2.toLong)
     }
     import s.implicits._
-    rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
-      .toDF("l_returnflag", "n", "r2_ppm")
+    out.toSeq.toDF("l_returnflag", "n", "r2_ppm")
       .orderBy(col("l_returnflag"))
   }
 
@@ -2872,8 +2905,7 @@ object MiscQueries extends graft.QueryModule {
     "q_gap_fill" -> (qGapFill _),
     "q_scd2" -> (qScd2 _))
 
-  def oracleSql: Map[String, String] = olsOracle ++ Map(
-    "q_welch_t" -> qWelchTSql,
+  def oracleSql: Map[String, String] = olsOracle ++ qWelchTOracle ++ Map(
     "q_wasserstein" -> qWassersteinSql,
     "q_pagerank" -> qPagerankSql,
     "q_schema_evolution" -> qSchemaEvolutionSql,

@@ -23,7 +23,12 @@ import graft.ops.{Mv, SnapTable}
   * Contract: the consumer must keep up with the SOURCE's retention —
   * a version vacuumed before it was consumed is an unrecoverable gap
   * (rebootstrap from the latest snapshot), the same
-  * retention-covers-the-horizon rule as replay tags.
+  * retention-covers-the-horizon rule as replay tags. MV-side
+  * retention is NOT load-bearing for idempotence: folds land in
+  * ascending source order, so the MV HEAD's tag is the max consumed
+  * version — a consumed version whose own tag manifest was vacuumed
+  * from the MV log is still refused a re-fold by the head cursor
+  * (CdcStreamSpec pins it).
   */
 object CdcStream {
 
@@ -47,10 +52,24 @@ object CdcStream {
       mvKey: String, mvCols: Seq[String]): Int = {
     val srcVs = SnapTable.versions(s, srcTable)
     require(srcVs.nonEmpty, s"no committed snapshot under $srcTable")
+    // THE CURSOR IS THE (HEAD) TAG: folds commit in ascending source
+    // order, so the MV head's tag names the max consumed version —
+    // readable even after MV-side vacuum retired OLDER tag manifests.
+    // Any source version at or below it is CONSUMED, whether or not
+    // its own tag manifest still exists: re-folding one would double-
+    // count into standing state (the tag scan alone can't tell a
+    // vacuumed-away tag from a never-consumed version; the head
+    // cursor can).
+    val consumedMax: Int = SnapTable.versions(s, mvTable).lastOption
+      .flatMap(h => SnapTable.tagOf(s, mvTable, h))
+      .collect { case t if t.startsWith("src-v") =>
+        t.stripPrefix("src-v").toInt }
+      .getOrElse(Int.MinValue)
     var folded = 0
     srcVs.zip(None +: srcVs.map(Some(_))).foreach { case (v, prevV) =>
       val tag = s"src-v$v"
-      if (SnapTable.taggedVersion(s, mvTable, tag).isEmpty) {
+      if (v > consumedMax &&
+          SnapTable.taggedVersion(s, mvTable, tag).isEmpty) {
         // GAP DETECTION: a consumer with standing state whose next
         // unconsumed version has no predecessor left (the source
         // vacuumed past it) cannot fold — a bootstrap diff on top of

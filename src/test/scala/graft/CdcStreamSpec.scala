@@ -77,6 +77,31 @@ class CdcStreamSpec extends SparkSpec {
     assert(mvRows(mv) === before)
   }
 
+  test("MV-side vacuum cannot trigger a double-fold: the head tag is the cursor") {
+    val tmp = Files.createTempDirectory("graft_cdc_mvvac").toString
+    val (src, mv) = (s"$tmp/src", s"$tmp/mv")
+    SnapTable.commit(spark, state(Seq(("a", 1L, 1L))), src, "overwrite")
+    SnapTable.commit(spark, state(Seq(("a", 1L, 3L))), src, "overwrite")
+    SnapTable.commit(spark, state(Seq(("a", 1L, 3L), ("b", 1L, 4L))),
+      src, "overwrite")
+    assert(drain(src, mv) === 3)
+    val settled = mvRows(mv)
+    // MV retention retires the OLD tag manifests (src-v1, src-v2);
+    // only the head (tagged src-v3) survives. The per-version tag
+    // scan alone now can't tell v1/v2 "consumed, tag retired" from
+    // "never consumed" — the head cursor can, and must refuse the
+    // re-fold that would double-count key a into standing state.
+    SnapTable.vacuum(spark, mv, keep = 1)
+    assert(drain(src, mv) === 0)
+    assert(mvRows(mv) === settled)
+    // and the cursor still advances past the vacuum: a NEW source
+    // version folds exactly once
+    SnapTable.commit(spark, state(Seq(("a", 1L, 10L), ("b", 1L, 4L))),
+      src, "overwrite")
+    assert(drain(src, mv) === 1)
+    assert(mvRows(mv) === Seq(("a", 10L), ("b", 4L)))
+  }
+
   test("fresh consumer on a vacuumed source bootstraps from the first available state") {
     val tmp = Files.createTempDirectory("graft_cdc_vac").toString
     val (src, mv) = (s"$tmp/src", s"$tmp/mv")

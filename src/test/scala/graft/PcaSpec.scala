@@ -52,6 +52,43 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("magnitude-adaptive flush: large coordinates stay exact where " +
+      "a fixed 8192-row window would silently wrap a long") {
+    // |f| ~ 40 -> q ~ 4e7 -> q^2 ~ 1.6e15 per row; 8192 near-max rows
+    // sum to ~1.3e19 > Long.MAX — the old fixed window corrupted this
+    // silently. The adaptive cap (2^62 / maxQ^2 ~ 2882 rows) flushes
+    // in time, so one fat partition and many thin ones (which never
+    // filled a window) must agree, and PC1 must still be the plant.
+    val n = 9000
+    val rows = (0 until n).map { i =>
+      val s = (if (i % 2 == 0) 1.0f else -1.0f) *
+        (1.0f - 0.0001f * (i % 7))
+      (i.toLong, Seq(40f * s, 20f * s + 0.02f * (i % 5)))
+    }
+    val one = Pca.fit(rows.toDF("vec_id", "embedding").repartition(1),
+      "embedding", dims = 2, nComponents = 1)
+    val many = Pca.fit(rows.toDF("vec_id", "embedding").repartition(17),
+      "embedding", dims = 2, nComponents = 1)
+    assert(one.compPpm.map(_.toSeq) === many.compPpm.map(_.toSeq))
+    val c = one.compPpm(0)
+    // PC1 ~ (2,1)/sqrt(5) = (894427, 447214) ppm
+    assert(math.abs(c(0) - 894427L) <= 2000, c.toSeq)
+    assert(math.abs(c(1) - 447214L) <= 2000, c.toSeq)
+  }
+
+  test("coordinates beyond the exact-fold magnitude bound are refused") {
+    // |f| >= ~2147 -> q >= 2^31: a single q*q long product would
+    // overflow — the fold must refuse loudly, never corrupt silently
+    val df = Seq((1L, Seq(3000f, 0f)), (2L, Seq(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Pca.fit(df, "embedding", dims = 2, nComponents = 1)
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + msgs(t.getCause)
+    assert(msgs(e).contains("exact-fold bound"), msgs(e))
+  }
+
   test("projectPpm is exact integer arithmetic over quantized coords") {
     val df = Seq((1L, Seq(0.5f, -0.25f))).toDF("vec_id", "embedding")
     val m = Pca.Model(Vector(Array(600000L, -800000L)))
