@@ -78,4 +78,47 @@ object LayoutAudit {
         blocks.size.toLong, mn, mx)
     }.toDF("file", "n_rows", "n_row_groups", "col_min", "col_max")
   }
+
+  /** [[auditFiles]] for SEVERAL long columns in ONE footer read per
+    * file — the commit-time stats collector ([[SnapTable.commit]]
+    * records per-file min/max into the manifest so readers plan
+    * manifest-only): one row per (file, column) with usable stats;
+    * columns without complete stats simply emit no row (absence
+    * admits, it never excludes). */
+  def auditFilesMulti(s: SparkSession, files: Seq[String],
+      columns: Seq[String]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    require(files.nonEmpty, "no files to audit")
+    require(columns.nonEmpty, "no columns to audit")
+    val sconf = new org.apache.spark.util.SerializableConfiguration(
+      s.sparkContext.hadoopConfiguration)
+    val nParts = math.max(1,
+      math.min(files.size, s.sparkContext.defaultParallelism))
+    import s.implicits._
+    val cols = columns.toIndexedSeq
+    s.sparkContext.parallelize(files, nParts).flatMap { pStr =>
+      import org.apache.parquet.format.converter.ParquetMetadataConverter
+      import org.apache.parquet.hadoop.ParquetFileReader
+      val footer = ParquetFileReader.readFooter(
+        sconf.value, new Path(new java.net.URI(pStr)),
+        ParquetMetadataConverter.NO_FILTER)
+      val blocks = footer.getBlocks.asScala.toSeq
+      val key = pStr.split('/').takeRight(2).mkString("/")
+      cols.flatMap { column =>
+        val stats = blocks.flatMap { blk =>
+          blk.getColumns.asScala
+            .find(_.getPath.toDotString == column)
+            .map(_.getStatistics)
+            .filter(st => st != null && st.hasNonNullValue)
+            .map(st => (st.genericGetMin, st.genericGetMax))
+            .collect { case (mn: java.lang.Long, mx: java.lang.Long) =>
+              (mn.longValue, mx.longValue)
+            }
+        }
+        if (stats.size == blocks.size && stats.nonEmpty)
+          Some((key, column, stats.map(_._1).min, stats.map(_._2).max))
+        else None // incomplete stats: no row, never a wrong bound
+      }
+    }.toDF("file", "column", "col_min", "col_max")
+  }
 }

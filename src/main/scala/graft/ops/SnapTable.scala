@@ -38,6 +38,13 @@ class ConcurrentCommitException(msg: String)
   *     checkpoint move), so no retained read ever chases a retired
   *     manifest — and the tag scan / chain walk depth stays O(keep).
   *
+  *  4. manifests can carry per-file MIN/MAX for declared stats
+  *     columns (collected once, at commit, over only the fresh
+  *     files): selective reads then plan MANIFEST-ONLY
+  *     ([[readSkip]]) — the Iceberg min/max-stats shape, which at
+  *     100 TB is the difference between a metadata decision and a
+  *     million footer probes per query.
+  *
   * Scale: data files are written/read fully distributed; only
   * manifests — O(new files per commit) text lines — touch the driver.
   */
@@ -81,10 +88,47 @@ object SnapTable {
     finally in.close()
   }
 
-  /** Relative data-file paths of snapshot `v`, resolved through the
-    * `#base:` chain with checkpoint sidecars short-circuiting the
-    * walk. '#'-prefixed lines are headers, not files. */
-  def files(s: SparkSession, table: String, v: Int): Seq[String] = {
+  /** One manifest data line: a relative file path plus the per-file
+    * column bounds the committer recorded (empty when the commit ran
+    * without stats columns — absence ADMITS on every skip decision,
+    * it never excludes). This is the Iceberg/Delta min-max stats
+    * shape: at 100 TB the difference between planning a selective
+    * read from manifest lines and a million footer probes. */
+  final case class FileEntry(path: String, stats: Map[String, (Long, Long)])
+
+  /** Manifest-line spelling of an entry:
+    * `path<TAB>col=min..max[;col=min..max]` (bare path when no
+    * stats — old manifests parse unchanged). */
+  def entryLine(e: FileEntry): String =
+    if (e.stats.isEmpty) e.path
+    else e.path + "\t" + e.stats.toSeq.sortBy(_._1)
+      .map { case (c, (mn, mx)) => s"$c=$mn..$mx" }.mkString(";")
+
+  private def parseEntry(line: String): FileEntry = {
+    val i = line.indexOf('\t')
+    if (i < 0) FileEntry(line, Map.empty)
+    else FileEntry(line.substring(0, i),
+      line.substring(i + 1).split(';').iterator.filter(_.nonEmpty)
+        .map { kv =>
+          val eq = kv.indexOf('=')
+          val dd = kv.indexOf("..", eq + 1)
+          kv.substring(0, eq) ->
+            (kv.substring(eq + 1, dd).toLong,
+              kv.substring(dd + 2).toLong)
+        }.toMap)
+  }
+
+  private def pathOf(line: String): String = {
+    val i = line.indexOf('\t')
+    if (i < 0) line else line.substring(0, i)
+  }
+
+  /** Raw data LINES of snapshot `v` (path + recorded stats), resolved
+    * through the `#base:` chain with checkpoint sidecars
+    * short-circuiting the walk. '#'-prefixed lines are headers, not
+    * files. */
+  private def resolvedLines(s: SparkSession, table: String,
+      v: Int): Seq[String] = {
     val fs = fsOf(s, new Path(table))
     // walk the chain oldest-last, collecting each hop's fresh files;
     // a checkpoint at any hop IS that hop's full resolved list
@@ -108,6 +152,16 @@ object SnapTable {
     }
     acc.flatten
   }
+
+  /** Relative data-file paths of snapshot `v`. */
+  def files(s: SparkSession, table: String, v: Int): Seq[String] =
+    resolvedLines(s, table, v).map(pathOf)
+
+  /** Files of snapshot `v` WITH their recorded column bounds — what a
+    * manifest-only planner reads ([[readSkip]], rewrite planning). */
+  def fileEntries(s: SparkSession, table: String,
+      v: Int): Seq[FileEntry] =
+    resolvedLines(s, table, v).map(parseEntry)
 
   /** The version already committed under `tag`, if any. Newest-first
     * HEADER-ONLY scan with early exit: a replayed tag is always near
@@ -192,10 +246,20 @@ object SnapTable {
     * and NOTHING becomes visible (readers never saw it — the manifest
     * is the only truth). This is the Iceberg WAP / Delta
     * CHECK-constraint gate: bad data is refused at the table
-    * boundary, not discovered downstream. */
+    * boundary, not discovered downstream.
+    *
+    * FILE STATISTICS: `statsCols` names long columns whose per-file
+    * min/max should ride INTO the manifest — collected in one
+    * distributed footer pass over only the FRESH files (O(new files),
+    * the Iceberg stats-collection cost, paid once at commit), so
+    * every later selective read plans from manifest lines alone —
+    * zero footer probes, zero data pages ([[readSkip]]). Columns
+    * without usable footer stats record nothing for that file, and a
+    * stat-less file always survives pruning. */
   def commit(s: SparkSession, df: DataFrame, table: String,
       mode: String, tag: Option[String] = None,
-      audit: Option[DataFrame => Unit] = None): Int = {
+      audit: Option[DataFrame => Unit] = None,
+      statsCols: Seq[String] = Nil): Int = {
     require(mode == "overwrite" || mode == "append",
       s"unknown snapshot mode: $mode")
     val fs = fsOf(s, new Path(table))
@@ -232,7 +296,8 @@ object SnapTable {
     require(fresh.nonEmpty || base.nonEmpty,
       "refusing to commit an empty snapshot")
     val lines = tag.map(t => s"#tag:$t").toSeq ++
-      base.map(b => f"#base:$b").toSeq ++ fresh
+      base.map(b => f"#base:$b").toSeq ++
+      withStats(s, table, fresh, statsCols)
     try claim(fs, table, v, lines)
     catch { case e: java.io.IOException =>
       // losing the race means this writer's snapshot derived from a
@@ -244,9 +309,33 @@ object SnapTable {
     v
   }
 
+  /** One distributed footer pass over freshly staged files → manifest
+    * lines carrying per-file min/max for `statsCols` (identity when
+    * no stats columns are asked for). The fresh set is per-commit
+    * bounded — exactly the lines the manifest writes anyway. */
+  private def withStats(s: SparkSession, table: String,
+      fresh: Seq[String], statsCols: Seq[String]): Seq[String] =
+    if (statsCols.isEmpty || fresh.isEmpty) fresh
+    else {
+      val uris = fresh.map(rel => new Path(table, rel).toUri.toString)
+      val byFile = LayoutAudit.auditFilesMulti(s, uris, statsCols)
+        .collect()
+        .groupBy(_.getString(0))
+        .map { case (f, rows) =>
+          f -> rows.map(r =>
+            r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap
+        }
+      fresh.map { rel =>
+        val key = rel.split('/').takeRight(2).mkString("/")
+        entryLine(FileEntry(rel, byFile.getOrElse(key, Map.empty)))
+      }
+    }
+
   /** Commit a REWRITE snapshot: the next version's file list is
-    * `carried` (untouched files of the current head, relative paths,
-    * byte-identical by construction — they are never read or moved)
+    * `carried` (untouched manifest LINES of the current head — take
+    * them from [[fileEntries]]/[[entryLine]] so their recorded stats
+    * survive the rewrite; bare relative paths also work, losing any
+    * stats they had; the files themselves are never read or moved)
     * plus `df`'s freshly staged files. This is the file-level
     * transaction under targeted-rewrite operations (RTBF erasure,
     * compaction of a file subset): cost scales with the REWRITTEN
@@ -266,7 +355,8 @@ object SnapTable {
     * exactly the version this rewrite then fails to claim). */
   def commitRewrite(s: SparkSession, df: DataFrame, table: String,
       carried: Seq[String], tag: Option[String] = None,
-      expectedHead: Option[Int] = None): Int = {
+      expectedHead: Option[Int] = None,
+      statsCols: Seq[String] = Nil): Int = {
     val fs = fsOf(s, new Path(table))
     val prev = versions(s, table)
     require(prev.nonEmpty, s"no committed snapshot under $table")
@@ -284,7 +374,8 @@ object SnapTable {
       .map(n => s"data/b$v-$nonce/$n")
     require(carried.nonEmpty || fresh.nonEmpty,
       "refusing to commit an empty snapshot")
-    val lines = tag.map(t => s"#tag:$t").toSeq ++ carried ++ fresh
+    val lines = tag.map(t => s"#tag:$t").toSeq ++ carried ++
+      withStats(s, table, fresh, statsCols)
     try claim(fs, table, v, lines)
     catch { case e: java.io.IOException =>
       fs.delete(dataDir, true)
@@ -303,7 +394,8 @@ object SnapTable {
     * appends and replay on top of them. */
   def rewriteWithRetry(s: SparkSession, table: String,
       plan: Int => (DataFrame, Seq[String]),
-      tag: Option[String] = None, attempts: Int = 8): Int = {
+      tag: Option[String] = None, attempts: Int = 8,
+      statsCols: Seq[String] = Nil): Int = {
     require(attempts >= 1, "rewriteWithRetry needs at least one attempt")
     var left = attempts
     while (true) {
@@ -311,7 +403,8 @@ object SnapTable {
         throw new IllegalArgumentException(
           s"no committed snapshot under $table"))
       val (df, carried) = plan(head)
-      try return commitRewrite(s, df, table, carried, tag, Some(head))
+      try return commitRewrite(s, df, table, carried, tag, Some(head),
+        statsCols)
       catch {
         case e: ConcurrentCommitException =>
           left -= 1
@@ -375,7 +468,9 @@ object SnapTable {
       val needsCkpt = !fs.exists(checkpoint(table, k0)) &&
         readSmall(fs, manifest(table, k0)).exists(_.startsWith("#base:"))
       if (needsCkpt) {
-        val full = files(s, table, k0)
+        // full LINES, not bare paths: recorded stats survive the
+        // checkpoint, so skip planning works across the horizon too
+        val full = resolvedLines(s, table, k0)
         val tmp = new Path(table, s".checkpoint-v$k0.txt.tmp-" +
           java.util.UUID.randomUUID().toString.take(8))
         val out = fs.create(tmp, true)
@@ -453,6 +548,39 @@ object SnapTable {
     val rd = if (mergeSchema) s.read.option("mergeSchema", "true")
              else s.read
     rd.parquet(paths: _*)
+  }
+
+  /** MANIFEST-PLANNED ranged read — the scan planning real table
+    * formats do: the manifest lines already carry per-file bounds for
+    * the commit's declared stats columns ([[commit]]'s `statsCols`),
+    * so pruning is a pure driver computation over O(files) text —
+    * ZERO footer probes, zero data pages, no executor work at all
+    * until the surviving files are scanned. A file with no recorded
+    * bounds for `column` is kept (bounds admit, absence never
+    * excludes), so mixed-provenance tables degrade to correct, never
+    * to wrong. The residual predicate still applies in-scan. Returns
+    * (pruned-in relative paths, frame) so callers can gate that
+    * pruning actually engaged — compare against [[files]] for the
+    * total. */
+  def readSkip(s: SparkSession, table: String, version: Option[Int],
+      column: String, lo: Long, hi: Long,
+      mergeSchema: Boolean = false): (Seq[String], DataFrame) = {
+    val vs = versions(s, table)
+    require(vs.nonEmpty, s"no committed snapshot under $table")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"unknown snapshot version $v (have $vs)")
+    val picked = fileEntries(s, table, v).filter(e =>
+      e.stats.get(column).forall { case (mn, mx) => mn <= hi && mx >= lo })
+      .map(_.path)
+    val rd = if (mergeSchema) s.read.option("mergeSchema", "true")
+             else s.read
+    val out =
+      if (picked.isEmpty)
+        read(s, table, Some(v), mergeSchema).filter(lit(false))
+      else rd.parquet(picked.map(rel =>
+          new Path(table, rel).toString): _*)
+        .filter(col(column) >= lo && col(column) <= hi)
+    (picked, out)
   }
 
   /** FOOTER-PLANNED ranged read — Iceberg-style scan planning on the

@@ -2043,6 +2043,71 @@ object MiscQueries extends graft.QueryModule {
        |  AND l_orderkey <= (SELECT km // 2 FROM m)
        |GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** MANIFEST-PLANNED DATA SKIPPING — the step past `q_snapshot_prune`
+    * that real table formats take ([[SnapTable.commit]] `statsCols` +
+    * [[SnapTable.readSkip]]): the COMMIT records per-file min/max
+    * into the manifest (one footer pass over only the fresh files,
+    * paid once), so the selective read's file pruning is a pure
+    * driver decision over manifest text — ZERO footer probes at query
+    * time, where readRange pays one per file per query. At 100 TB
+    * (millions of files) that is the difference between a planner
+    * decision and a million metadata RPCs — Iceberg's min/max-stats
+    * design, re-expressed. The entry REQUIRES (1) strictly fewer
+    * files planned than the snapshot holds, (2) the scan touching
+    * ONLY planned files, and (3) the manifest plan EQUAL to the
+    * footer-derived plan on the same range — recorded bounds must be
+    * the footer truth, or skipping silently drops rows. The append
+    * chain proves stats flow through `#base:` resolution, not just
+    * flat manifests. Oracle: the plain range filter over raw data —
+    * skipping is pass-through or it is wrong. */
+  def qSnapshotSkip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = StreamQueries.scratch(s, "snapskip")
+    val tbl = s"$tmp/tbl"
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        Num.cents(col("l_extendedprice")).as("price_c"))
+    def clustered(df: DataFrame): DataFrame =
+      df.repartitionByRange(4, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey"))
+    // two commits — an overwrite then an append — each clustered and
+    // stats-recorded; the read below must plan across the chain
+    SnapTable.commit(s, clustered(li.filter(col("l_linenumber") <= 3)),
+      tbl, "overwrite", statsCols = Seq("l_orderkey"))
+    SnapTable.commit(s, clustered(li.filter(col("l_linenumber") > 3)),
+      tbl, "append", statsCols = Seq("l_orderkey"))
+    val kmax = li.agg(max("l_orderkey")).head().getLong(0)
+    val (lo, hi) = (kmax / 4, kmax / 2)
+    val total = SnapTable.files(s, tbl, 2).size
+    val (picked, out) = SnapTable.readSkip(s, tbl, Some(2),
+      "l_orderkey", lo, hi)
+    require(picked.nonEmpty && picked.size < total,
+      s"manifest planning pruned nothing: ${picked.size} of $total files")
+    // the recorded bounds must agree with the footers they came from:
+    // same range, same plan — a drifting stat would silently drop rows
+    val (footerPick, _) = SnapTable.readRange(s, tbl, Some(2),
+      "l_orderkey", lo, hi)
+    def key(p: String) = p.split('/').takeRight(2).mkString("/")
+    require(picked.map(key).sorted == footerPick.map(key).sorted,
+      s"manifest plan diverged from footer truth: $picked vs $footerPick")
+    val pickedAbs = picked.map(rel =>
+      new org.apache.hadoop.fs.Path(tbl, rel).toUri.getPath).toSet
+    require(out.inputFiles.forall(f =>
+        pickedAbs.contains(new java.net.URI(f).getPath)),
+      "scan touched a file the manifest plan pruned out")
+    out.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("price_c")).as("price_sum_c"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val qSnapshotSkipSql: String =
+    s"""WITH m AS (SELECT max(l_orderkey) AS km FROM lineitem)
+       |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       |  ${Num.sumSql(Num.centsSql("l_extendedprice"))} AS price_sum_c
+       |FROM lineitem
+       |WHERE l_orderkey >= (SELECT km // 4 FROM m)
+       |  AND l_orderkey <= (SELECT km // 2 FROM m)
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** SCHEMA EVOLUTION on the snapshot table: the table accretes a
     * column mid-history — v1's files predate `value_c`, the v2 APPEND
     * introduces it — and a by-name mergeSchema read serves the whole
@@ -2161,10 +2226,13 @@ object MiscQueries extends graft.QueryModule {
 
   /** TARGETED DELETE AS A SNAPSHOT TRANSACTION — the production RTBF
     * loop ([[SnapTable.commitRewrite]] + [[SnapTable.vacuum]]): the
-    * subject's erasure must be (1) PLANNED from parquet footers alone
-    * (rewrite set = the few files whose min/max range covers a
-    * subject — erasure cost scales with data locality, not table
-    * size), (2) COMMITTED atomically as version v+1 carrying every
+    * subject's erasure must be (1) PLANNED from the MANIFEST alone
+    * (the commit recorded per-file min/max, so the rewrite set — the
+    * few files whose bounds cover a subject — is a driver decision
+    * over O(files) text, zero footer probes; a file with NO bounds
+    * must be rewritten, absence never excuses an erasure; cost
+    * scales with data locality, not table size), (2) COMMITTED
+    * atomically as version v+1 carrying every
     * untouched file by reference (the manifest itself proves the rest
     * of the corpus byte-identical), and (3) PHYSICALLY completed by
     * vacuum — until the horizon passes, TIME TRAVEL still serves the
@@ -2184,29 +2252,34 @@ object MiscQueries extends graft.QueryModule {
     SnapTable.commit(s,
       ev.repartitionByRange(8, col("user_id"))
         .sortWithinPartitions(col("user_id")),
-      tbl, "overwrite")
-    val v1Files = SnapTable.files(s, tbl, 1)
-    val v1Dir = v1Files.map(_.split('/').dropRight(1).mkString("/"))
-      .distinct match { case Seq(one) => one }
-    // PLAN FROM METADATA: candidates = files whose footer range covers
-    // a subject; the clustered layout makes that <= one file each
-    val audit = LayoutAudit.audit(s, s"$tbl/$v1Dir/*.parquet", "user_id")
-    val hit = audit.filter(
-        dels.map(u => col("col_min") <= u && col("col_max") >= u)
-          .reduce(_ || _))
-      .select(col("file")).collect()
-      .map(r => s"data/${r.getString(0)}").toSeq.sorted
+      tbl, "overwrite", statsCols = Seq("user_id"))
+    // PLAN FROM THE MANIFEST: candidates = files whose RECORDED range
+    // covers a subject (the clustered layout makes that <= one file
+    // each) — a driver decision over manifest lines, no footer pass;
+    // a file without recorded bounds MUST be in the rewrite set
+    // (`forall`: for erasure, absence admits into the rewrite)
+    val entries = SnapTable.fileEntries(s, tbl, 1)
+    val hit = entries.filter(e =>
+        e.stats.get("user_id").forall { case (mn, mx) =>
+          dels.exists(u => mn <= u && mx >= u) })
+      .map(_.path).sorted
     require(hit.nonEmpty && hit.size <= dels.size,
       s"erasure plan should touch at most ${dels.size} files: $hit")
-    val carried = v1Files.filterNot(hit.toSet)
+    val hitSet = hit.toSet
+    // carried as full manifest LINES: the untouched files keep their
+    // recorded bounds through the rewrite
+    val carried = entries.filterNot(e => hitSet.contains(e.path))
+      .map(SnapTable.entryLine)
     require(carried.nonEmpty, "erasure should not rewrite the corpus")
     val rewritten = s.read.parquet(hit.map(h => s"$tbl/$h"): _*)
       .filter(!col("user_id").isin(dels: _*))
       .repartitionByRange(math.max(1, hit.size), col("user_id"))
       .sortWithinPartitions(col("user_id"))
-    SnapTable.commitRewrite(s, rewritten, tbl, carried)
+    SnapTable.commitRewrite(s, rewritten, tbl, carried,
+      statsCols = Seq("user_id"))
     val f2 = SnapTable.files(s, tbl, 2).toSet
-    require(carried.forall(f2.contains),
+    val carriedPaths = entries.map(_.path).filterNot(hitSet)
+    require(carriedPaths.forall(f2.contains),
       "rewrite dropped an untouched file from the new version")
     // the conflict as data: history still serves the subject until
     // the horizon passes — read it through v1's TIME TRAVEL now (one
@@ -2871,6 +2944,7 @@ object MiscQueries extends graft.QueryModule {
     "q_commit_retry" -> (qCommitRetry _),
     "q_optimize_race" -> (qOptimizeRace _),
     "q_snapshot_prune" -> (qSnapshotPrune _),
+    "q_snapshot_skip" -> (qSnapshotSkip _),
     "q_snapshot_schema_evo" -> (qSnapshotSchemaEvo _),
     "q_commit_audit" -> (qCommitAudit _),
     "q_targeted_delete" -> (qTargetedDelete _),
@@ -2924,6 +2998,7 @@ object MiscQueries extends graft.QueryModule {
     "q_commit_retry" -> qCommitRetrySql,
     "q_optimize_race" -> qOptimizeRaceSql,
     "q_snapshot_prune" -> qSnapshotPruneSql,
+    "q_snapshot_skip" -> qSnapshotSkipSql,
     "q_snapshot_schema_evo" -> qSnapshotSchemaEvoSql,
     "q_commit_audit" -> qCommitAuditSql,
     "q_targeted_delete" -> qTargetedDeleteSql,

@@ -338,6 +338,73 @@ class SnapTableSpec extends SparkSpec {
       tbl, "append", audit = Some(even)) === 2)
   }
 
+  test("manifest file stats: commit records per-file bounds; readSkip plans manifest-only") {
+    val tbl = Files.createTempDirectory("graft_snap_stats").toString + "/t"
+    // two clustered commits: 4 range-disjoint files each
+    def batch(lo: Long): org.apache.spark.sql.DataFrame =
+      (lo until lo + 400L).map(k => (k, k * 2)).toDF("k", "v")
+        .repartitionByRange(4, col("k")).sortWithinPartitions(col("k"))
+    SnapTable.commit(spark, batch(0L), tbl, "overwrite",
+      statsCols = Seq("k"))
+    SnapTable.commit(spark, batch(400L), tbl, "append",
+      statsCols = Seq("k"))
+    val entries = SnapTable.fileEntries(spark, tbl, 2)
+    assert(entries.size === 8)
+    assert(entries.forall(_.stats.contains("k")),
+      "every committed file must carry recorded bounds for k")
+    // bounds are real: they tile [0, 800) without overlap in count
+    val spans = entries.map(_.stats("k")).sortBy(_._1)
+    assert(spans.head._1 === 0L && spans.last._2 === 799L)
+    // a range covering ~2 of 8 files: pruning is manifest text only
+    val (picked, df) = SnapTable.readSkip(spark, tbl, None, "k",
+      lo = 390L, hi = 410L)
+    assert(picked.size < 8, s"no pruning engaged: $picked")
+    val scanned = df.inputFiles.map(_.split('/').takeRight(2)
+      .mkString("/")).toSet
+    val pickedKeys = picked.map(_.split('/').takeRight(2)
+      .mkString("/")).toSet
+    assert(scanned.subsetOf(pickedKeys),
+      s"scan touched a pruned-out file: ${scanned -- pickedKeys}")
+    // and the residual predicate keeps the answer exact
+    assert(df.agg(sum("v")).head().getLong(0) ===
+      (390L to 410L).map(_ * 2).sum)
+    // stats SURVIVE the vacuum checkpoint: retire v1, re-plan on v2
+    SnapTable.commit(spark, batch(800L), tbl, "append",
+      statsCols = Seq("k"))
+    SnapTable.vacuum(spark, tbl, keep = 2)
+    val (p2, df2) = SnapTable.readSkip(spark, tbl, Some(2), "k", 0L, 99L)
+    assert(p2.size === 1, s"checkpointed stats lost: $p2")
+    assert(df2.count() === 100L)
+  }
+
+  test("a stat-less file always survives pruning; rewrite carries stats through") {
+    val tbl = Files.createTempDirectory("graft_snap_nostat").toString + "/t"
+    SnapTable.commit(spark,
+      (0L until 100L).map(k => (k, k)).toDF("k", "v").coalesce(1),
+      tbl, "overwrite", statsCols = Seq("k"))
+    // an old-style commit (no stats) joins the table
+    SnapTable.commit(spark,
+      (1000L until 1100L).map(k => (k, k)).toDF("k", "v").coalesce(1),
+      tbl, "append")
+    val (picked, df) = SnapTable.readSkip(spark, tbl, None, "k", 0L, 50L)
+    // the stat-less file cannot be proven out — it must be read
+    assert(picked.size === 2, s"absence must admit, never exclude: $picked")
+    assert(df.count() === 51L)
+    // a rewrite carrying entryLine-formatted lines keeps the bounds
+    val head = SnapTable.versions(spark, tbl).last
+    val carried = SnapTable.fileEntries(spark, tbl, head)
+      .filter(_.stats.contains("k")).map(SnapTable.entryLine)
+    SnapTable.commitRewrite(spark,
+      (2000L until 2100L).map(k => (k, k)).toDF("k", "v").coalesce(1),
+      tbl, carried, statsCols = Seq("k"))
+    val e3 = SnapTable.fileEntries(spark, tbl,
+      SnapTable.versions(spark, tbl).last)
+    assert(e3.size === 2 && e3.forall(_.stats.contains("k")),
+      s"stats dropped through the rewrite: $e3")
+    val (p3, _) = SnapTable.readSkip(spark, tbl, None, "k", 2000L, 2005L)
+    assert(p3.size === 1, s"rewrite output should plan selectively: $p3")
+  }
+
   test("diff: I/D/U emitted, unchanged suppressed") {
     val old = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
     val neu = Seq((2L, 20L), (3L, 31L), (4L, 40L)).toDF("k", "v")
