@@ -94,7 +94,18 @@ object SnapTable {
     * it never excludes). This is the Iceberg/Delta min-max stats
     * shape: at 100 TB the difference between planning a selective
     * read from manifest lines and a million footer probes. */
-  final case class FileEntry(path: String, stats: Map[String, (Long, Long)])
+  final case class FileEntry(path: String, stats: Map[String, (Long, Long)]) {
+    /** Hive-style partition values parsed from the path's `k=v`
+      * directory segments (a partitioned commit stages under
+      * `data/b<v>-<nonce>/<col>=<val>/…`) — the manifest line IS the
+      * partition index, no extra metadata needed. */
+    def partitionValues: Map[String, String] =
+      path.split('/').iterator.filter(_.contains('='))
+        .map { seg =>
+          val i = seg.indexOf('=')
+          seg.substring(0, i) -> seg.substring(i + 1)
+        }.toMap
+  }
 
   /** Manifest-line spelling of an entry:
     * `path<TAB>col=min..max[;col=min..max]` (bare path when no
@@ -213,11 +224,13 @@ object SnapTable {
     * or the caller accepts last-attempt semantics. */
   def commitRetry(s: SparkSession, df: DataFrame, table: String,
       mode: String, tag: Option[String] = None,
-      attempts: Int = 8): Int = {
+      attempts: Int = 8, statsCols: Seq[String] = Nil,
+      partitionBy: Option[String] = None): Int = {
     require(attempts >= 1, "commitRetry needs at least one attempt")
     var left = attempts
     while (true) {
-      try return commit(s, df, table, mode, tag)
+      try return commit(s, df, table, mode, tag,
+        statsCols = statsCols, partitionBy = partitionBy)
       catch {
         case e: ConcurrentCommitException =>
           left -= 1
@@ -255,11 +268,21 @@ object SnapTable {
     * every later selective read plans from manifest lines alone —
     * zero footer probes, zero data pages ([[readSkip]]). Columns
     * without usable footer stats record nothing for that file, and a
-    * stat-less file always survives pruning. */
+    * stat-less file always survives pruning.
+    *
+    * PARTITIONING: `partitionBy` stages Hive-layout
+    * (`data/b<v>-<nonce>/<col>=<val>/…`); the manifest line's path
+    * carries the partition value, so partition pruning is the same
+    * manifest-text decision as stat pruning ([[readPartitions]]), and
+    * vacuum / OPTIMIZE compose per partition (the rewrite plan just
+    * selects one partition's lines). A partitioned table should be
+    * partitioned the same way on every commit — readers reconcile
+    * the column from the path, not the footer. */
   def commit(s: SparkSession, df: DataFrame, table: String,
       mode: String, tag: Option[String] = None,
       audit: Option[DataFrame => Unit] = None,
-      statsCols: Seq[String] = Nil): Int = {
+      statsCols: Seq[String] = Nil,
+      partitionBy: Option[String] = None): Int = {
     require(mode == "overwrite" || mode == "append",
       s"unknown snapshot mode: $mode")
     val fs = fsOf(s, new Path(table))
@@ -279,9 +302,16 @@ object SnapTable {
     // delete (nothing shares the path), and reclaiming on loss below
     // can never touch a concurrent winner's files
     val dataDir = new Path(table, s"data/b$v-$nonce")
-    df.write.parquet(dataDir.toString)
+    partitionBy match {
+      case Some(p) => df.write.partitionBy(p).parquet(dataDir.toString)
+      case None => df.write.parquet(dataDir.toString)
+    }
     audit.foreach { check =>
-      try check(s.read.parquet(dataDir.toString))
+      try check(partitionBy match {
+        case Some(_) => s.read.option("basePath", dataDir.toString)
+          .parquet(dataDir.toString)
+        case None => s.read.parquet(dataDir.toString)
+      })
       catch { case e: Throwable =>
         // refused at the boundary: reclaim the staging — a failed
         // audit publishes NOTHING (readers only ever see manifests)
@@ -289,9 +319,8 @@ object SnapTable {
         throw e
       }
     }
-    val fresh = fs.listStatus(dataDir).toSeq.map(_.getPath.getName)
-      .filter(_.endsWith(".parquet")).sorted
-      .map(n => s"data/b$v-$nonce/$n")
+    val fresh = listStaged(fs, dataDir).map(p =>
+      s"data/b$v-$nonce/$p")
     val base = if (mode == "append") prev.lastOption else None
     require(fresh.nonEmpty || base.nonEmpty,
       "refusing to commit an empty snapshot")
@@ -307,6 +336,20 @@ object SnapTable {
       throw e
     }
     v
+  }
+
+  /** Staged parquet files under `dataDir`, as paths relative to it —
+    * recursive, so a partitionBy staging
+    * (`<col>=<val>/part-*.parquet`) lists exactly like a flat one. */
+  private def listStaged(fs: FileSystem, dataDir: Path): Seq[String] = {
+    val base = fs.makeQualified(dataDir).toString + "/"
+    def walk(p: Path): Seq[Path] = fs.listStatus(p).toSeq.flatMap { st =>
+      if (st.isDirectory) walk(st.getPath)
+      else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath)
+      else Nil
+    }
+    walk(dataDir).map(p =>
+      fs.makeQualified(p).toString.stripPrefix(base)).sorted
   }
 
   /** One distributed footer pass over freshly staged files → manifest
@@ -356,7 +399,8 @@ object SnapTable {
   def commitRewrite(s: SparkSession, df: DataFrame, table: String,
       carried: Seq[String], tag: Option[String] = None,
       expectedHead: Option[Int] = None,
-      statsCols: Seq[String] = Nil): Int = {
+      statsCols: Seq[String] = Nil,
+      partitionBy: Option[String] = None): Int = {
     val fs = fsOf(s, new Path(table))
     val prev = versions(s, table)
     require(prev.nonEmpty, s"no committed snapshot under $table")
@@ -368,10 +412,12 @@ object SnapTable {
     val v = prev.last + 1
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val dataDir = new Path(table, s"data/b$v-$nonce")
-    df.write.parquet(dataDir.toString)
-    val fresh = fs.listStatus(dataDir).toSeq.map(_.getPath.getName)
-      .filter(_.endsWith(".parquet")).sorted
-      .map(n => s"data/b$v-$nonce/$n")
+    partitionBy match {
+      case Some(p) => df.write.partitionBy(p).parquet(dataDir.toString)
+      case None => df.write.parquet(dataDir.toString)
+    }
+    val fresh = listStaged(fs, dataDir).map(p =>
+      s"data/b$v-$nonce/$p")
     require(carried.nonEmpty || fresh.nonEmpty,
       "refusing to commit an empty snapshot")
     val lines = tag.map(t => s"#tag:$t").toSeq ++ carried ++
@@ -395,7 +441,8 @@ object SnapTable {
   def rewriteWithRetry(s: SparkSession, table: String,
       plan: Int => (DataFrame, Seq[String]),
       tag: Option[String] = None, attempts: Int = 8,
-      statsCols: Seq[String] = Nil): Int = {
+      statsCols: Seq[String] = Nil,
+      partitionBy: Option[String] = None): Int = {
     require(attempts >= 1, "rewriteWithRetry needs at least one attempt")
     var left = attempts
     while (true) {
@@ -404,7 +451,7 @@ object SnapTable {
           s"no committed snapshot under $table"))
       val (df, carried) = plan(head)
       try return commitRewrite(s, df, table, carried, tag, Some(head),
-        statsCols)
+        statsCols, partitionBy)
       catch {
         case e: ConcurrentCommitException =>
           left -= 1
@@ -509,7 +556,10 @@ object SnapTable {
       }
     }
     // 4. data: refcount against kept manifests, protect in-flight
-    //    staging (version > head)
+    //    staging (version > head). The walk is RECURSIVE: a
+    //    partitioned commit nests <col>=<val> dirs inside its batch
+    //    dir, and a flat listing would see only directories — no
+    //    parquet files — and wrongly reclaim live batches
     val dataRoot = new Path(table, "data")
     var removed = 0
     if (fs.exists(dataRoot)) fs.listStatus(dataRoot).foreach { st =>
@@ -518,14 +568,16 @@ object SnapTable {
       val inFlight = batch.startsWith("b") && staged.nonEmpty &&
         staged.toLong > head
       if (!inFlight) {
-        val parquets = fs.listStatus(st.getPath).toSeq.map(_.getPath)
-          .filter(_.getName.endsWith(".parquet"))
+        val parquets = listStaged(fs, st.getPath)
         val doomed = parquets.filter(p =>
-          !referenced.contains(s"data/$batch/${p.getName}"))
-        doomed.foreach { p => fs.delete(p, false); removed += 1 }
+          !referenced.contains(s"data/$batch/$p"))
+        doomed.foreach { p =>
+          fs.delete(new Path(st.getPath, p), false); removed += 1
+        }
         // a batch dir with no referenced data left disappears entirely
-        // (its _SUCCESS markers go with the dir, never counted above);
-        // this is also what reclaims orphaned torn-commit staging
+        // (its _SUCCESS markers and emptied partition dirs go with the
+        // dir, never counted above); this is also what reclaims
+        // orphaned torn-commit staging
         if (doomed.size == parquets.size) fs.delete(st.getPath, true)
       }
     }
@@ -580,6 +632,59 @@ object SnapTable {
       else rd.parquet(picked.map(rel =>
           new Path(table, rel).toString): _*)
         .filter(col(column) >= lo && col(column) <= hi)
+    (picked, out)
+  }
+
+  /** PARTITION-PRUNED read of a partitioned snapshot table: keep
+    * exactly the manifest lines whose Hive-style path segment carries
+    * a wanted `partCol` value — pure driver text planning, like
+    * [[readSkip]] but on the partition identity instead of value
+    * bounds (files with NO such segment are kept: absence admits).
+    * The staged files don't store `partCol` (Hive layout), and
+    * Spark's own discovery refuses the mixed batch-dir structure —
+    * so the column comes back as a LITERAL per value group: one
+    * parquet relation per wanted value (each over that value's
+    * pruned-in files across every batch), unioned. Plan width is the
+    * number of REQUESTED values — the selective-read contract; a
+    * full-table read is [[read]], not a partition read. Composes
+    * with [[readSkip]]'s stats (partition prune here, then stat-prune
+    * the survivors by intersecting the entry lists). Manifest lines
+    * with no `partCol` segment are kept under EVERY requested value
+    * read, with the residual filter applied (absence admits). */
+  def readPartitions(s: SparkSession, table: String,
+      version: Option[Int], partCol: String,
+      values: Seq[String]): (Seq[String], DataFrame) = {
+    val vs = versions(s, table)
+    require(vs.nonEmpty, s"no committed snapshot under $table")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"unknown snapshot version $v (have $vs)")
+    val wanted = values.distinct
+    val entries = fileEntries(s, table, v)
+    val picked = entries.filter(e =>
+        e.partitionValues.get(partCol).forall(wanted.contains))
+      .map(_.path)
+    def abs(rel: Seq[String]) =
+      rel.map(r => new Path(table, r).toString)
+    val arms = wanted.flatMap { w =>
+      val mine = entries.filter(e =>
+        e.partitionValues.get(partCol).contains(w)).map(_.path)
+      val loose = entries.filter(e =>
+        !e.partitionValues.contains(partCol)).map(_.path)
+      val tagged =
+        if (mine.isEmpty) None
+        else Some(s.read.parquet(abs(mine): _*)
+          .withColumn(partCol, lit(w)))
+      // un-partitioned files may hold any value: read them once per
+      // requested value is wrong — they carry the column themselves
+      val residual =
+        if (loose.isEmpty || wanted.indexOf(w) != 0) None
+        else Some(s.read.parquet(abs(loose): _*)
+          .filter(col(partCol).isin(wanted: _*)))
+      tagged.toSeq ++ residual.toSeq
+    }
+    val out =
+      if (arms.isEmpty) read(s, table, Some(v)).filter(lit(false))
+      else arms.reduce((a, b) => a.unionByName(b))
     (picked, out)
   }
 

@@ -2108,6 +2108,109 @@ object MiscQueries extends graft.QueryModule {
        |  AND l_orderkey <= (SELECT km // 2 FROM m)
        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** PARTITIONED SNAPSHOT COMMITS — composing the table kernel with
+    * the engine's partition-pruning discipline ([[SnapTable.commit]]
+    * `partitionBy` + [[SnapTable.readPartitions]]): commits stage
+    * Hive-layout (`data/b<v>-<nonce>/<col>=<val>/…`), the manifest
+    * line's PATH is the partition index (plus per-file stats — both
+    * prunings are manifest-text decisions), and vacuum / OPTIMIZE
+    * compose per partition. The entry runs the warehouse's daily
+    * composition: a partitioned overwrite, then TWO REAL RACING
+    * transactions on DISTINCT partitions — an append (all partitions)
+    * against an OPTIMIZE of one partition — which must BOTH land
+    * (versions linearize; the rewrite re-derives on staleness and
+    * carries the append's files, so distinct-partition work never
+    * conflicts into lost rows), then a partition-pruned two-partition
+    * read REQUIRED to plan fewer files than the table holds, touch
+    * ONLY planned files, and see compaction engaged on the optimized
+    * partition. Oracle: the plain filter over raw events — partition
+    * plumbing is pass-through or it is wrong. */
+  def qSnapshotPartitioned(s: SparkSession, dir: String): DataFrame = {
+    val tmp = StreamQueries.scratch(s, "snappart")
+    val tbl = s"$tmp/tbl"
+    val dayUs = 86400L * 1000000L
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        expr(s"ts_us DIV $dayUs").as("d"),
+        Num.cents(col("value")).as("value_c"))
+    val mm = ev.agg(min("d"), max("d")).head()
+    val dmid = (mm.getLong(0) + mm.getLong(1)) / 2
+    // repartition(2): two writer tasks -> >= 2 files per partition
+    // value, so the OPTIMIZE below always has real compaction to do
+    SnapTable.commit(s, ev.filter(col("d") < dmid).drop("d")
+        .repartition(2),
+      tbl, "overwrite", statsCols = Seq("event_id"),
+      partitionBy = Some("event_type"))
+    val e1 = SnapTable.fileEntries(s, tbl, 1)
+    val errV1 = e1.count(_.partitionValues.get("event_type")
+      .contains("error"))
+    require(errV1 >= 1, "no error-partition files to optimize")
+    // TWO REAL RACING TRANSACTIONS on distinct partitions
+    val appendDf = ev.filter(col("d") >= dmid).drop("d").repartition(2)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val gate = new java.util.concurrent.CountDownLatch(2)
+    val optimizer = pool.submit(new java.util.concurrent.Callable[Int] {
+      def call(): Int = {
+        gate.countDown(); gate.await()
+        SnapTable.rewriteWithRetry(s, tbl, h => {
+          val es = SnapTable.fileEntries(s, tbl, h)
+          val (mine, keep) = es.partition(
+            _.partitionValues.get("event_type").contains("error"))
+          val compacted = s.read.parquet(mine.map(e =>
+              new org.apache.hadoop.fs.Path(tbl, e.path).toString): _*)
+            .withColumn("event_type", lit("error"))
+            .coalesce(1)
+          (compacted, keep.map(SnapTable.entryLine))
+        }, statsCols = Seq("event_id"), partitionBy = Some("event_type"))
+      }
+    })
+    val appender = pool.submit(new java.util.concurrent.Callable[Int] {
+      def call(): Int = {
+        gate.countDown(); gate.await()
+        SnapTable.commitRetry(s, appendDf, tbl, "append",
+          statsCols = Seq("event_id"), partitionBy = Some("event_type"))
+      }
+    })
+    val (vo, va) = (optimizer.get(), appender.get())
+    pool.shutdown()
+    require(Set(vo, va) == Set(2, 3),
+      s"racing distinct-partition transactions did not linearize: ($vo, $va)")
+    val head = SnapTable.fileEntries(s, tbl, 3)
+    val errAppend = SnapTable.fileEntries(s, tbl, va)
+      .count(e => e.path.contains(s"data/b$va-") &&
+        e.partitionValues.get("event_type").contains("error"))
+    val errHead = head.count(_.partitionValues.get("event_type")
+      .contains("error"))
+    require(errHead < errV1 + errAppend || errHead == 1,
+      s"OPTIMIZE left no visible compaction: $errHead files at head")
+    // zero lost rows across the race
+    require(SnapTable.read(s, tbl).count() == ev.count(),
+      "the race lost rows — distinct-partition work must not conflict")
+    // partition-pruned read: two of five partitions
+    val wanted = Seq("click", "view")
+    val (picked, out) = SnapTable.readPartitions(s, tbl, None,
+      "event_type", wanted)
+    require(picked.nonEmpty && picked.size < head.size,
+      s"partition pruning engaged nothing: ${picked.size} of ${head.size}")
+    require(picked.forall(p => wanted.exists(w =>
+        p.contains(s"event_type=$w"))),
+      s"plan admitted a foreign partition: $picked")
+    val pickedAbs = picked.map(rel => new org.apache.hadoop.fs.Path(
+      tbl, rel).toUri.getPath).toSet
+    require(out.inputFiles.forall(f =>
+        pickedAbs.contains(new java.net.URI(f).getPath)),
+      "scan touched a file outside the partition plan")
+    out.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_c"))
+      .orderBy(col("event_type"))
+  }
+
+  val qSnapshotPartitionedSql: String =
+    s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |  ${Num.sumSql(Num.centsSql("value"))} AS sum_c
+       |FROM events WHERE event_type IN ('click', 'view')
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** SCHEMA EVOLUTION on the snapshot table: the table accretes a
     * column mid-history — v1's files predate `value_c`, the v2 APPEND
     * introduces it — and a by-name mergeSchema read serves the whole
@@ -2822,6 +2925,92 @@ object MiscQueries extends graft.QueryModule {
        |FROM g ORDER BY l_returnflag""".stripMargin
   }
 
+  /** The literal memory-price model behind `q_cost_predict` — the
+    * reference's FaaS cost shape (cost = runtime × memory × unit
+    * price; tutorial/README.md's `--memorySettings [256,1024]` and
+    * BASELINE.md row 12): each scenario runs at a memory setting, and
+    * the unit price is a constant per MB·runtime-unit. Pure literals
+    * — they ride into codegen AND into the oracle verbatim. */
+  private val MemMbSql =
+    "CASE l_returnflag WHEN 'A' THEN 256 WHEN 'N' THEN 512 ELSE 1024 END"
+  private val PricePerMbUnit = 17L
+
+  /** COST PREDICTION — the second half of the reference's headline
+    * analytic (research.md:19 publishes BOTH runtime MAPE 3.49% and
+    * "$6.46 average error on $150.45 average cost" over
+    * million-invocation workloads): the fitted runtime model
+    * ([[graft.ops.Ols]], weights as ppm literals) composes with a
+    * literal memory-price table into a predicted COST per run —
+    * `cost = (pred_ppm DIV 10⁶) · mem_mb · price`, pure long
+    * multiply-add inside codegen — and the per-scenario report mirrors
+    * the published framing: average actual cost, average absolute
+    * cost error, and the relative cost error in ppm. Every division
+    * is integral over non-negative exact sums (decimal accumulation;
+    * the final DIVs happen DRIVER-side over BigInts after gating
+    * non-negativity), so the oracle replays the whole loop with the
+    * weight vector and price table inlined post-fit. */
+  def qCostPredict(s: SparkSession, dir: String): DataFrame = {
+    val df = olsFrame(s, dir)
+    val m = Ols.fit(df, OlsFeatures, "y_c")
+    val rows = df
+      .withColumn("pred_ppm", Ols.predictPpm(m, OlsFeatures))
+      .withColumn("mem_mb", expr(MemMbSql))
+      .withColumn("pred_c", expr("pred_ppm DIV 1000000"))
+      .withColumn("cost_pred_u",
+        expr(s"pred_c * mem_mb * $PricePerMbUnit"))
+      .withColumn("cost_act_u",
+        expr(s"y_c * mem_mb * $PricePerMbUnit"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cost_act_u").cast("decimal(38,0)")).as("sum_cost"),
+        sum(abs(col("cost_pred_u") - col("cost_act_u"))
+          .cast("decimal(38,0)")).as("sum_err"),
+        min(col("pred_ppm")).as("min_pred_ppm"))
+      .collect() // bounded: one row per scenario
+    val out = rows.map { r =>
+      val g = r.getString(0)
+      // negative predictions would make DIV (trunc) and // (floor)
+      // disagree — gate, exactly as q_predict_r2 does
+      require(r.getLong(4) >= 0L,
+        s"negative prediction in scenario $g — integral division " +
+          "would floor differently across engines")
+      val n = BigInt(r.getLong(1))
+      val sumCost = BigInt(r.getDecimal(2).toBigInteger)
+      val sumErr = BigInt(r.getDecimal(3).toBigInteger)
+      require(sumCost > 0, s"zero actual cost in scenario $g — " +
+        "the relative error is undefined")
+      (g, r.getLong(1), (sumCost / n).toLong, (sumErr / n).toLong,
+        (sumErr * 1000000 / sumCost).toLong)
+    }
+    import s.implicits._
+    out.toSeq
+      .toDF("l_returnflag", "n", "avg_cost_u", "avg_err_u",
+        "cost_err_ppm")
+      .orderBy(col("l_returnflag"))
+  }
+
+  private def qCostPredictSql(m: Ols.Model): String =
+    s"""WITH $olsFrameSql,
+       |p AS (SELECT l_returnflag, y_c,
+       |        CAST(${olsPredictSql(m)} AS BIGINT) AS pred_ppm,
+       |        $MemMbSql AS mem_mb
+       |      FROM li),
+       |c AS (SELECT l_returnflag,
+       |        (pred_ppm // 1000000) * mem_mb * $PricePerMbUnit
+       |          AS cost_pred_u,
+       |        y_c * mem_mb * $PricePerMbUnit AS cost_act_u
+       |      FROM p),
+       |g AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       |        sum(CAST(cost_act_u AS HUGEINT)) AS sum_cost,
+       |        sum(CAST(abs(cost_pred_u - cost_act_u) AS HUGEINT))
+       |          AS sum_err
+       |      FROM c GROUP BY l_returnflag)
+       |SELECT l_returnflag, n,
+       |  CAST(sum_cost // n AS BIGINT) AS avg_cost_u,
+       |  CAST(sum_err // n AS BIGINT) AS avg_err_u,
+       |  CAST(sum_err * 1000000 // sum_cost AS BIGINT) AS cost_err_ppm
+       |FROM g ORDER BY l_returnflag""".stripMargin
+
   /** CONTINUOUS MODEL MAINTENANCE with BATCH PARITY
     * ([[graft.streaming.OlsStream]]): the regression frame lands as
     * three micro-batches; each batch reduces to its sufficient
@@ -2897,7 +3086,8 @@ object MiscQueries extends graft.QueryModule {
              |  ${Num.sumSql("ape_ppm")} // count(*) AS mape_ppm
              |FROM a GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin,
-        "q_predict_compare" -> qPredictCompareSql(m))
+        "q_predict_compare" -> qPredictCompareSql(m),
+        "q_cost_predict" -> qCostPredictSql(m))
     }.getOrElse(Map.empty) ++
     Ols.lastGroupModels.map(ms => Map(
       "q_predict_grouped" -> qPredictGroupedSql(ms),
@@ -2925,6 +3115,7 @@ object MiscQueries extends graft.QueryModule {
     "q_ols_stream" -> (qOlsStream _),
     "q_predict_grouped" -> (qPredictGrouped _),
     "q_predict_r2" -> (qPredictR2 _),
+    "q_cost_predict" -> (qCostPredict _),
     "q_welch_t" -> (qWelchT _),
     "q_wasserstein" -> (qWasserstein _),
     "q_pagerank" -> (qPagerank _),
@@ -2945,6 +3136,7 @@ object MiscQueries extends graft.QueryModule {
     "q_optimize_race" -> (qOptimizeRace _),
     "q_snapshot_prune" -> (qSnapshotPrune _),
     "q_snapshot_skip" -> (qSnapshotSkip _),
+    "q_snapshot_partitioned" -> (qSnapshotPartitioned _),
     "q_snapshot_schema_evo" -> (qSnapshotSchemaEvo _),
     "q_commit_audit" -> (qCommitAudit _),
     "q_targeted_delete" -> (qTargetedDelete _),
@@ -2999,6 +3191,7 @@ object MiscQueries extends graft.QueryModule {
     "q_optimize_race" -> qOptimizeRaceSql,
     "q_snapshot_prune" -> qSnapshotPruneSql,
     "q_snapshot_skip" -> qSnapshotSkipSql,
+    "q_snapshot_partitioned" -> qSnapshotPartitionedSql,
     "q_snapshot_schema_evo" -> qSnapshotSchemaEvoSql,
     "q_commit_audit" -> qCommitAuditSql,
     "q_targeted_delete" -> qTargetedDeleteSql,

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.ops.{Mv, SnapTable}
 
 /** CDC-FED CONTINUOUS MV MAINTENANCE — the composition a 100 TB
@@ -43,13 +44,16 @@ object CdcStream {
     *                (mvKey, mvCols*)
     * @param mvKey   the standing view's key
     * @param mvCols  the standing view's additive columns
+    * @param onVersion observer per folded version: (source version,
+    *                  fold seconds) — [[CdcStress]]'s flatness probe
     * @return number of source versions folded this drain (0 = caught
     *         up; redelivery is a no-op by tag)
     */
   def runMaintain(s: SparkSession, srcTable: String, mvTable: String,
       key: String, value: String, carry: Seq[String],
       contrib: DataFrame => DataFrame,
-      mvKey: String, mvCols: Seq[String]): Int = {
+      mvKey: String, mvCols: Seq[String],
+      onVersion: (Int, Double) => Unit = (_, _) => ()): Int = {
     val srcVs = SnapTable.versions(s, srcTable)
     require(srcVs.nonEmpty, s"no committed snapshot under $srcTable")
     // THE CURSOR IS THE (HEAD) TAG: folds commit in ascending source
@@ -70,6 +74,7 @@ object CdcStream {
       val tag = s"src-v$v"
       if (v > consumedMax &&
           SnapTable.taggedVersion(s, mvTable, tag).isEmpty) {
+        val t0 = System.nanoTime()
         // GAP DETECTION: a consumer with standing state whose next
         // unconsumed version has no predecessor left (the source
         // vacuumed past it) cannot fold — a bootstrap diff on top of
@@ -92,8 +97,43 @@ object CdcStream {
             SnapTable.read(s, mvTable), delta, mvKey, mvCols)
         SnapTable.commitIfAbsent(s, mv, mvTable, "overwrite", tag)
         folded += 1
+        onVersion(v, (System.nanoTime() - t0) / 1e9)
       }
     }
     folded
   }
+
+  /** THE LONG-LIVED WATCHER: drive [[runMaintain]] from a REAL
+    * polling drain over the source's version stream — the source's
+    * manifest directory IS its commit log, so a file-source stream
+    * over `manifest-v*.txt` (one file per trigger) wakes the consumer
+    * once per landed version, and each micro-batch folds whatever is
+    * unconsumed (the batch CONTENT is irrelevant — arrival is the
+    * signal; the cursor lives in the MV's own commit log, so a
+    * replayed wake-up folds zero). `Trigger.AvailableNow` drains the
+    * backlog and stops (the catch-up posture); a processing-time
+    * trigger is the stand-watch posture. `onFold` sees each drain's
+    * fold count ([[graft.streaming.CdcStress]] measures per-fold cost
+    * flat under it). Source-side manifest deletions by vacuum are
+    * invisible to the stream (already-processed files may vanish
+    * freely; the file source only tracks what it has seen). */
+  def watch(s: SparkSession, srcTable: String, mvTable: String,
+      key: String, value: String, carry: Seq[String],
+      contrib: DataFrame => DataFrame,
+      mvKey: String, mvCols: Seq[String],
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      onFold: Int => Unit = _ => (),
+      onVersion: (Int, Double) => Unit = (_, _) => ()): StreamingQuery =
+    s.readStream
+      .option("maxFilesPerTrigger", 1)
+      .text(s"$srcTable/manifest-v*.txt")
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        onFold(runMaintain(s, srcTable, mvTable, key, value, carry,
+          contrib, mvKey, mvCols, onVersion))
+      }
+      .start()
 }

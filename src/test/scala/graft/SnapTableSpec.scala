@@ -405,6 +405,139 @@ class SnapTableSpec extends SparkSpec {
     assert(p3.size === 1, s"rewrite output should plan selectively: $p3")
   }
 
+  test("8-way committer stress: mixed appends and rewrites linearize, zero staging leaked, zero lost rows") {
+    val tbl = Files.createTempDirectory("graft_snap_nway").toString + "/t"
+    SnapTable.commit(spark, Seq((0L, 0L)).toDF("k", "v"), tbl, "overwrite")
+    // 4 appenders (distinct keys) + 4 full-compaction rewriters — the
+    // warehouse's worst hour: every rewrite plan goes stale the moment
+    // any other committer lands; staleness must cost a retry, never a
+    // lost row. Retry counts come back as data (PLANS.md records the
+    // distribution from a study run).
+    val nApp = 4; val nRew = 4
+    val attempts = 64
+    val pool = java.util.concurrent.Executors
+      .newFixedThreadPool(nApp + nRew)
+    val gate = new java.util.concurrent.CountDownLatch(nApp + nRew)
+    def appender(t: Int) = new java.util.concurrent.Callable[(Int, Int)] {
+      def call(): (Int, Int) = {
+        gate.countDown(); gate.await()
+        var tries = 0
+        while (true) {
+          tries += 1
+          require(tries <= attempts, s"appender $t starved")
+          try return (SnapTable.commit(spark,
+            Seq((1000L + t, t.toLong)).toDF("k", "v"), tbl, "append"),
+            tries - 1)
+          catch { case _: ConcurrentCommitException => () }
+        }
+        (-1, -1) // unreachable
+      }
+    }
+    def rewriter(t: Int) = new java.util.concurrent.Callable[(Int, Int)] {
+      def call(): (Int, Int) = {
+        gate.countDown(); gate.await()
+        var tries = 0
+        while (true) {
+          tries += 1
+          require(tries <= attempts, s"rewriter $t starved")
+          val head = SnapTable.versions(spark, tbl).last
+          // full compaction: carry nothing, restage the whole state —
+          // the plan is stale the moment ANYONE else lands
+          val whole = SnapTable.read(spark, tbl, Some(head)).coalesce(1)
+          try return (SnapTable.commitRewrite(spark, whole, tbl,
+            carried = Nil, expectedHead = Some(head)), tries - 1)
+          catch { case _: ConcurrentCommitException => () }
+        }
+        (-1, -1) // unreachable
+      }
+    }
+    val futures = ((0 until nApp).map(appender) ++
+      (0 until nRew).map(rewriter)).map(c => pool.submit(c))
+    val results = futures.map(_.get()).toSeq
+    pool.shutdown()
+    // versions linearize 1..9 with no gaps and no double-claims
+    assert(results.map(_._1).sorted === (2 to 9),
+      s"versions did not linearize: $results")
+    assert(SnapTable.versions(spark, tbl) === (1 to 9))
+    info(s"retry distribution (appenders then rewriters): " +
+      results.map(_._2).mkString(","))
+    // zero lost rows: the seed and every appended key exactly once
+    val rows = SnapTable.read(spark, tbl).orderBy("k")
+      .as[(Long, Long)].collect().toSeq
+    assert(rows === (Seq((0L, 0L)) ++
+      (0 until nApp).map(t => (1000L + t, t.toLong))),
+      s"the race lost or duplicated rows: $rows")
+    // zero staging leaked: every parquet file on disk is referenced
+    // by a live manifest (losers reclaimed exactly their own staging)
+    val fs = new org.apache.hadoop.fs.Path(tbl)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val referenced = SnapTable.versions(spark, tbl)
+      .flatMap(SnapTable.files(spark, tbl, _)).toSet
+    val dataRoot = new org.apache.hadoop.fs.Path(tbl, "data")
+    val onDisk = fs.listStatus(dataRoot).flatMap { d =>
+      fs.listStatus(d.getPath).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(p => s"data/${d.getPath.getName}/${p.getPath.getName}")
+    }.toSet
+    assert(onDisk === referenced,
+      s"staging leaked or live data missing: ${onDisk diff referenced} / ${referenced diff onDisk}")
+  }
+
+  test("partitioned commits: Hive layout in the manifest, pruned reads, per-partition OPTIMIZE, vacuum") {
+    val tbl = Files.createTempDirectory("graft_snap_part").toString + "/t"
+    def batch(ks: Range) = ks.map(k =>
+        (k.toLong, if (k % 2 == 0) "a" else "b", k.toLong * 10))
+      .toDF("k", "p", "v").repartition(2)
+    SnapTable.commit(spark, batch(0 until 100), tbl, "overwrite",
+      statsCols = Seq("k"), partitionBy = Some("p"))
+    SnapTable.commit(spark, batch(100 until 200), tbl, "append",
+      statsCols = Seq("k"), partitionBy = Some("p"))
+    val entries = SnapTable.fileEntries(spark, tbl, 2)
+    assert(entries.forall(e => Set("a", "b")
+      .contains(e.partitionValues("p"))), entries.map(_.path))
+    assert(entries.forall(_.stats.contains("k")),
+      "partitioned staging must still record stats")
+    // partition-pruned read: only p=a files planned; the partition
+    // column comes back as a real column via basePath discovery
+    val (picked, df) = SnapTable.readPartitions(spark, tbl, None, "p",
+      Seq("a"))
+    assert(picked.nonEmpty && picked.size < entries.size)
+    assert(picked.forall(_.contains("p=a")), picked)
+    assert(df.columns.contains("p"))
+    assert(df.count() === 100L)
+    assert(df.agg(sum("v")).head().getLong(0) ===
+      (0 until 200 by 2).map(_ * 10L).sum)
+    // per-partition OPTIMIZE: compact p=a to one file; p=b carried
+    // untouched (with its stats); a concurrent-safe rewrite loop
+    val bBefore = entries.filter(_.partitionValues("p") == "b")
+      .map(_.path).toSet
+    SnapTable.rewriteWithRetry(spark, tbl, h => {
+      val es = SnapTable.fileEntries(spark, tbl, h)
+      val (mine, keep) = es.partition(_.partitionValues("p") == "a")
+      val compacted = spark.read
+        .parquet(mine.map(e =>
+          new org.apache.hadoop.fs.Path(tbl, e.path).toString): _*)
+        .withColumn("p", lit("a")) // Hive layout: the path holds p
+        .coalesce(1)
+      (compacted, keep.map(SnapTable.entryLine))
+    }, statsCols = Seq("k"), partitionBy = Some("p"))
+    val e3 = SnapTable.fileEntries(spark, tbl, 3)
+    assert(e3.count(_.partitionValues("p") == "a") === 1,
+      "OPTIMIZE should leave one file in partition a")
+    assert(e3.filter(_.partitionValues("p") == "b")
+      .map(_.path).toSet === bBefore,
+      "partition b must be carried byte-identical")
+    assert(e3.forall(_.stats.contains("k")),
+      "stats must survive the per-partition rewrite")
+    // vacuum reclaims partition a's pre-OPTIMIZE files but must keep
+    // partition b's live files in the SAME (nested) batch dirs
+    assert(SnapTable.vacuum(spark, tbl, keep = 1) > 0)
+    assert(SnapTable.read(spark, tbl).count() === 200L)
+    assert(SnapTable.readPartitions(spark, tbl, None, "p", Seq("b"))
+      ._2.agg(sum("v")).head().getLong(0) ===
+      (1 until 200 by 2).map(_ * 10L).sum)
+  }
+
   test("diff: I/D/U emitted, unchanged suppressed") {
     val old = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
     val neu = Seq((2L, 20L), (3L, 31L), (4L, 40L)).toDF("k", "v")
