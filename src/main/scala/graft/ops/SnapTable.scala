@@ -588,17 +588,29 @@ object SnapTable {
     * manifest's resolved files, distributed. `mergeSchema` reconciles
     * files written under EVOLVED schemas by name (early files' absent
     * columns read as null — a snapshot table accretes columns over
-    * its append history exactly like a landing zone does). */
+    * its append history exactly like a landing zone does).
+    * `schema` is the TYPE-WIDENING read path (the Delta widening
+    * surface): an explicit target schema under which Spark's parquet
+    * reader up-casts narrow file columns in-scan (int32→long,
+    * float→double) — the only way to serve a version whose files MIX
+    * column widths, where mergeSchema refuses the type conflict.
+    * Reconcile the target with [[Upsert.widen]]'s lattice; the reader
+    * fails loudly on a genuinely incompatible file. */
   def read(s: SparkSession, table: String,
       version: Option[Int] = None,
-      mergeSchema: Boolean = false): DataFrame = {
+      mergeSchema: Boolean = false,
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
     val vs = versions(s, table)
     require(vs.nonEmpty, s"no committed snapshot under $table")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"unknown snapshot version $v (have $vs)")
     val paths = files(s, table, v).map(rel => new Path(table, rel).toString)
-    val rd = if (mergeSchema) s.read.option("mergeSchema", "true")
-             else s.read
+    val rd = (mergeSchema, schema) match {
+      case (_, Some(sc)) => s.read.schema(sc)
+      case (true, None) => s.read.option("mergeSchema", "true")
+      case (false, None) => s.read
+    }
     rd.parquet(paths: _*)
   }
 

@@ -2108,6 +2108,102 @@ object MiscQueries extends graft.QueryModule {
        |  AND l_orderkey <= (SELECT km // 2 FROM m)
        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** TYPE-WIDENING SCHEMA EVOLUTION — the OTHER evolution axis
+    * (q_snapshot_schema_evo covers column ACCRETION; this covers
+    * column WIDENING, the Delta type-widening surface): the upstream
+    * widens a counter int→long and a score float→double mid-history,
+    * so one snapshot version holds files of MIXED column widths. A
+    * mergeSchema read REFUSES that mix (CANNOT_MERGE_SCHEMAS — the
+    * entry REQUIRES the refusal: silent narrowing would be worse),
+    * and the WIDENED-SCHEMA read ([[SnapTable.read]] `schema`,
+    * reconciled by [[graft.ops.Upsert.widen]]'s value-preserving
+    * lattice) serves the whole version with narrow files up-cast
+    * IN-SCAN. MERGE then composes through
+    * [[graft.ops.Upsert.applyChangesWidened]]: wide-typed
+    * replacements + tombstones fold into the mixed-width base, both
+    * sides cast to the widened common schema BEFORE the join, so no
+    * value is ever narrowed. Time travel REQUIRED to still serve v1's
+    * original narrow types. Oracle: the merged state reconstructed
+    * relationally in wide types from raw events. */
+  def qSnapshotWiden(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val tmp = StreamQueries.scratch(s, "snapwiden")
+    val tbl = s"$tmp/tbl"
+    val dayUs = 86400L * 1000000L
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), expr(s"ts_us DIV $dayUs").as("d"))
+    val mm = ev.agg(min("d"), max("d")).head()
+    val dmid = (mm.getLong(0) + mm.getLong(1)) / 2
+    def totals(e: DataFrame): DataFrame =
+      e.groupBy("user_id").agg(count(lit(1)).as("n"))
+        .withColumn("score", expr("3 * n + user_id % 7"))
+    // v1, the NARROW era: int counter, float score
+    SnapTable.commit(s,
+      totals(ev.filter(col("d") < dmid))
+        .select(col("user_id"), col("n").cast("int").as("n"),
+          col("score").cast("float").as("score")),
+      tbl, "overwrite")
+    // v2 APPEND, the WIDE era: users born in the second half arrive
+    // with long/double columns -> ONE version, MIXED file widths
+    val firstUsers = ev.filter(col("d") < dmid).select("user_id").distinct()
+    val secondUsers = ev.filter(col("d") >= dmid).select("user_id").distinct()
+    SnapTable.commit(s,
+      totals(ev.filter(col("d") >= dmid))
+        .join(firstUsers, Seq("user_id"), "left_anti")
+        .select(col("user_id"), col("n").cast("long").as("n"),
+          col("score").cast("double").as("score")),
+      tbl, "append")
+    require(SnapTable.read(s, tbl, Some(1)).schema("n").dataType ==
+        IntegerType &&
+      SnapTable.read(s, tbl, Some(1)).schema("score").dataType ==
+        FloatType,
+      "time travel must serve v1's original narrow types")
+    // the mix REFUSES a mergeSchema read — widening is not optional
+    val refused =
+      try { SnapTable.read(s, tbl, Some(2), mergeSchema = true); false }
+      catch { case e: Throwable =>
+        e.getMessage.contains("CANNOT_MERGE_SCHEMAS") }
+    require(refused, "mixed-width mergeSchema read must refuse, " +
+      "not silently narrow")
+    val wide = StructType(Seq(StructField("user_id", LongType),
+      StructField("n", LongType), StructField("score", DoubleType)))
+    val base = SnapTable.read(s, tbl, Some(2), schema = Some(wide))
+    require(base.count() ==
+        firstUsers.count() + secondUsers
+          .join(firstUsers, Seq("user_id"), "left_anti").count(),
+      "the widened read must serve BOTH eras' files")
+    // v3 MERGE: returning users replaced with FULL totals (wide),
+    // every user_id % 10 == 3 subject tombstoned
+    val returning = secondUsers.join(firstUsers, Seq("user_id"),
+      "left_semi")
+    val repl = totals(ev).join(returning, Seq("user_id"), "left_semi")
+      .filter(expr("user_id % 10 <> 3")) // tombstoned below, not both
+      .select(col("user_id"), col("n").cast("long").as("n"),
+        col("score").cast("double").as("score"),
+        lit(false).as("del"))
+    val tomb = firstUsers.union(secondUsers).distinct()
+      .filter(expr("user_id % 10 = 3"))
+      .select(col("user_id"), lit(null).cast("long").as("n"),
+        lit(null).cast("double").as("score"), lit(true).as("del"))
+    val merged = graft.ops.Upsert.applyChangesWidened(
+      base, repl.union(tomb), key = "user_id", deleteCol = "del")
+    SnapTable.commit(s, merged, tbl, "overwrite")
+    SnapTable.read(s, tbl, Some(3))
+      .groupBy(expr("user_id % 10").as("bucket"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n")).as("sum_n"),
+        sum(col("score")).cast("long").as("sum_score"))
+      .orderBy(col("bucket"))
+  }
+
+  val qSnapshotWidenSql: String =
+    s"""WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+       |    3 * CAST(count(*) AS BIGINT) + user_id % 7 AS score
+       |  FROM events GROUP BY user_id)
+       |SELECT user_id % 10 AS bucket, CAST(count(*) AS BIGINT) AS n_users,
+       |  ${Num.sumSql("n")} AS sum_n, ${Num.sumSql("score")} AS sum_score
+       |FROM u WHERE user_id % 10 <> 3
+       |GROUP BY bucket ORDER BY bucket""".stripMargin
+
   /** PARTITIONED SNAPSHOT COMMITS — composing the table kernel with
     * the engine's partition-pruning discipline ([[SnapTable.commit]]
     * `partitionBy` + [[SnapTable.readPartitions]]): commits stage
@@ -3137,6 +3233,7 @@ object MiscQueries extends graft.QueryModule {
     "q_snapshot_prune" -> (qSnapshotPrune _),
     "q_snapshot_skip" -> (qSnapshotSkip _),
     "q_snapshot_partitioned" -> (qSnapshotPartitioned _),
+    "q_snapshot_widen" -> (qSnapshotWiden _),
     "q_snapshot_schema_evo" -> (qSnapshotSchemaEvo _),
     "q_commit_audit" -> (qCommitAudit _),
     "q_targeted_delete" -> (qTargetedDelete _),
@@ -3192,6 +3289,7 @@ object MiscQueries extends graft.QueryModule {
     "q_snapshot_prune" -> qSnapshotPruneSql,
     "q_snapshot_skip" -> qSnapshotSkipSql,
     "q_snapshot_partitioned" -> qSnapshotPartitionedSql,
+    "q_snapshot_widen" -> qSnapshotWidenSql,
     "q_snapshot_schema_evo" -> qSnapshotSchemaEvoSql,
     "q_commit_audit" -> qCommitAuditSql,
     "q_targeted_delete" -> qTargetedDeleteSql,

@@ -138,6 +138,46 @@ class UpsertSpec extends SparkSpec {
         if (r.isNullAt(1)) null else r.getString(1), r.getLong(2))).toSet
     assert(got === Set((1L, "a", 10L), (2L, null, 99L), (4L, "d", 40L)))
   }
+
+  test("widen: the value-preserving lattice; refusal beats narrowing") {
+    import org.apache.spark.sql.types._
+    assert(Upsert.widen(IntegerType, LongType) === Some(LongType))
+    assert(Upsert.widen(LongType, ShortType) === Some(LongType))
+    assert(Upsert.widen(FloatType, DoubleType) === Some(DoubleType))
+    assert(Upsert.widen(IntegerType, DoubleType) === Some(DoubleType))
+    assert(Upsert.widen(StringType, StringType) === Some(StringType))
+    assert(Upsert.widen(StringType, LongType) === None)
+    assert(Upsert.widen(DoubleType, StringType) === None)
+  }
+
+  test("applyChangesWidened: wide changes fold into a narrow base, nothing narrowed") {
+    import org.apache.spark.sql.types._
+    val base = Seq((1, 10, 1.5f), (2, 20, 2.5f), (3, 30, 3.5f))
+      .toDF("k", "v", "f")
+      .select(col("k").cast("int").as("k"), col("v").cast("int").as("v"),
+        col("f")) // int key, int v, float f
+    val changes = Seq(
+      (2L, 5000000000L, 2.5d, false), // update in WIDE types
+      (3L, 0L, 0d, true),             // tombstone
+      (4L, 40L, 4.5d, false))         // insert
+      .toDF("k", "v", "f", "del")
+    val out = Upsert.applyChangesWidened(base, changes, "k", "del")
+    assert(out.schema("k").dataType === LongType)
+    assert(out.schema("v").dataType === LongType)
+    assert(out.schema("f").dataType === DoubleType)
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the 5e9 update only fits because the merge widened; the carried
+    // base row (k=1) up-cast without value change
+    assert(got === Set((1L, 10L, 1.5d), (2L, 5000000000L, 2.5d),
+      (4L, 40L, 4.5d)))
+    // a genuinely incompatible pair refuses loudly
+    val bad = Seq((1L, "x", false)).toDF("k", "v", "del")
+    val e = intercept[IllegalArgumentException] {
+      Upsert.applyChangesWidened(base, bad, "k", "del")
+    }
+    assert(e.getMessage.contains("no safe widening"))
+  }
 }
 
 class SplitSpec extends SparkSpec {
