@@ -94,7 +94,9 @@ object SnapTable {
     * it never excludes). This is the Iceberg/Delta min-max stats
     * shape: at 100 TB the difference between planning a selective
     * read from manifest lines and a million footer probes. */
-  final case class FileEntry(path: String, stats: Map[String, (Long, Long)]) {
+  final case class FileEntry(path: String,
+      stats: Map[String, (Long, Long)],
+      sizeBytes: Option[Long] = None) {
     /** Hive-style partition values parsed from the path's `k=v`
       * directory segments (a partitioned commit stages under
       * `data/b<v>-<nonce>/<col>=<val>/…`) — the manifest line IS the
@@ -108,25 +110,38 @@ object SnapTable {
   }
 
   /** Manifest-line spelling of an entry:
-    * `path<TAB>col=min..max[;col=min..max]` (bare path when no
-    * stats — old manifests parse unchanged). */
-  def entryLine(e: FileEntry): String =
-    if (e.stats.isEmpty) e.path
-    else e.path + "\t" + e.stats.toSeq.sortBy(_._1)
-      .map { case (c, (mn, mx)) => s"$c=$mn..$mx" }.mkString(";")
+    * `path<TAB>#bytes=N;col=min..max[;col=min..max]` (bare path when
+    * nothing recorded — old manifests parse unchanged). The size
+    * comes free from the staging listing (Iceberg manifests record it
+    * too) and is what size-targeted compaction plans from
+    * ([[optimizeSized]]) without ever listing the filesystem. */
+  def entryLine(e: FileEntry): String = {
+    val segs = e.sizeBytes.map(n => s"#bytes=$n").toSeq ++
+      e.stats.toSeq.sortBy(_._1)
+        .map { case (c, (mn, mx)) => s"$c=$mn..$mx" }
+    if (segs.isEmpty) e.path else e.path + "\t" + segs.mkString(";")
+  }
 
   private def parseEntry(line: String): FileEntry = {
     val i = line.indexOf('\t')
     if (i < 0) FileEntry(line, Map.empty)
-    else FileEntry(line.substring(0, i),
+    else {
+      var size: Option[Long] = None
+      val stats = Map.newBuilder[String, (Long, Long)]
       line.substring(i + 1).split(';').iterator.filter(_.nonEmpty)
-        .map { kv =>
-          val eq = kv.indexOf('=')
-          val dd = kv.indexOf("..", eq + 1)
-          kv.substring(0, eq) ->
-            (kv.substring(eq + 1, dd).toLong,
-              kv.substring(dd + 2).toLong)
-        }.toMap)
+        .foreach { kv =>
+          if (kv.startsWith("#bytes="))
+            size = Some(kv.stripPrefix("#bytes=").toLong)
+          else {
+            val eq = kv.indexOf('=')
+            val dd = kv.indexOf("..", eq + 1)
+            stats += kv.substring(0, eq) ->
+              (kv.substring(eq + 1, dd).toLong,
+                kv.substring(dd + 2).toLong)
+          }
+        }
+      FileEntry(line.substring(0, i), stats.result(), size)
+    }
   }
 
   private def pathOf(line: String): String = {
@@ -211,8 +226,10 @@ object SnapTable {
     * listing that derives its claim version, and claim is atomic on
     * that version). */
   def commitIfAbsent(s: SparkSession, df: DataFrame, table: String,
-      mode: String, tag: String): Int =
-    commitRetry(s, df, table, mode, Some(tag))
+      mode: String, tag: String, statsCols: Seq[String] = Nil,
+      partitionBy: Option[String] = None): Int =
+    commitRetry(s, df, table, mode, Some(tag),
+      statsCols = statsCols, partitionBy = partitionBy)
 
   /** Bounded optimistic retry around [[commit]]: on losing a commit
     * race, re-derive from the new head (the carried file pointer and
@@ -319,8 +336,8 @@ object SnapTable {
         throw e
       }
     }
-    val fresh = listStaged(fs, dataDir).map(p =>
-      s"data/b$v-$nonce/$p")
+    val fresh = listStaged(fs, dataDir).map { case (p, len) =>
+      (s"data/b$v-$nonce/$p", len) }
     val base = if (mode == "append") prev.lastOption else None
     require(fresh.nonEmpty || base.nonEmpty,
       "refusing to commit an empty snapshot")
@@ -338,39 +355,52 @@ object SnapTable {
     v
   }
 
-  /** Staged parquet files under `dataDir`, as paths relative to it —
-    * recursive, so a partitionBy staging
-    * (`<col>=<val>/part-*.parquet`) lists exactly like a flat one. */
-  private def listStaged(fs: FileSystem, dataDir: Path): Seq[String] = {
+  /** Staged parquet files under `dataDir`, as (path relative to it,
+    * byte size) — recursive, so a partitionBy staging
+    * (`<col>=<val>/part-*.parquet`) lists exactly like a flat one.
+    * The sizes are free (the listing carries them) and feed the
+    * manifest's `#bytes` field. */
+  private def listStaged(fs: FileSystem,
+      dataDir: Path): Seq[(String, Long)] = {
     val base = fs.makeQualified(dataDir).toString + "/"
-    def walk(p: Path): Seq[Path] = fs.listStatus(p).toSeq.flatMap { st =>
-      if (st.isDirectory) walk(st.getPath)
-      else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath)
-      else Nil
-    }
-    walk(dataDir).map(p =>
-      fs.makeQualified(p).toString.stripPrefix(base)).sorted
+    def walk(p: Path): Seq[(Path, Long)] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet"))
+          Seq((st.getPath, st.getLen))
+        else Nil
+      }
+    walk(dataDir).map { case (p, len) =>
+      (fs.makeQualified(p).toString.stripPrefix(base), len)
+    }.sortBy(_._1)
   }
 
-  /** One distributed footer pass over freshly staged files → manifest
-    * lines carrying per-file min/max for `statsCols` (identity when
-    * no stats columns are asked for). The fresh set is per-commit
-    * bounded — exactly the lines the manifest writes anyway. */
+  /** Freshly staged (file, size) pairs → manifest lines: every line
+    * records its `#bytes`; when `statsCols` is set, ONE distributed
+    * footer pass over only these files adds per-file min/max. The
+    * fresh set is per-commit bounded — exactly the lines the manifest
+    * writes anyway. */
   private def withStats(s: SparkSession, table: String,
-      fresh: Seq[String], statsCols: Seq[String]): Seq[String] =
-    if (statsCols.isEmpty || fresh.isEmpty) fresh
+      fresh: Seq[(String, Long)], statsCols: Seq[String]): Seq[String] =
+    if (fresh.isEmpty) Nil
     else {
-      val uris = fresh.map(rel => new Path(table, rel).toUri.toString)
-      val byFile = LayoutAudit.auditFilesMulti(s, uris, statsCols)
-        .collect()
-        .groupBy(_.getString(0))
-        .map { case (f, rows) =>
-          f -> rows.map(r =>
-            r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap
+      val byFile: Map[String, Map[String, (Long, Long)]] =
+        if (statsCols.isEmpty) Map.empty
+        else {
+          val uris = fresh.map { case (rel, _) =>
+            new Path(table, rel).toUri.toString }
+          LayoutAudit.auditFilesMulti(s, uris, statsCols)
+            .collect()
+            .groupBy(_.getString(0))
+            .map { case (f, rows) =>
+              f -> rows.map(r =>
+                r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap
+            }
         }
-      fresh.map { rel =>
+      fresh.map { case (rel, len) =>
         val key = rel.split('/').takeRight(2).mkString("/")
-        entryLine(FileEntry(rel, byFile.getOrElse(key, Map.empty)))
+        entryLine(FileEntry(rel, byFile.getOrElse(key, Map.empty),
+          Some(len)))
       }
     }
 
@@ -416,8 +446,8 @@ object SnapTable {
       case Some(p) => df.write.partitionBy(p).parquet(dataDir.toString)
       case None => df.write.parquet(dataDir.toString)
     }
-    val fresh = listStaged(fs, dataDir).map(p =>
-      s"data/b$v-$nonce/$p")
+    val fresh = listStaged(fs, dataDir).map { case (p, len) =>
+      (s"data/b$v-$nonce/$p", len) }
     require(carried.nonEmpty || fresh.nonEmpty,
       "refusing to commit an empty snapshot")
     val lines = tag.map(t => s"#tag:$t").toSeq ++ carried ++
@@ -568,7 +598,7 @@ object SnapTable {
       val inFlight = batch.startsWith("b") && staged.nonEmpty &&
         staged.toLong > head
       if (!inFlight) {
-        val parquets = listStaged(fs, st.getPath)
+        val parquets = listStaged(fs, st.getPath).map(_._1)
         val doomed = parquets.filter(p =>
           !referenced.contains(s"data/$batch/$p"))
         doomed.foreach { p =>
@@ -698,6 +728,118 @@ object SnapTable {
       if (arms.isEmpty) read(s, table, Some(v)).filter(lit(false))
       else arms.reduce((a, b) => a.unionByName(b))
     (picked, out)
+  }
+
+  /** PARTITION + STATS pruning COMPOSED — both prunings are manifest
+    * text, so they intersect for free: keep exactly the lines whose
+    * partition value is wanted AND whose recorded `column` bounds
+    * intersect [lo, hi] (absence admits on each axis independently).
+    * This is the full Iceberg planning stack on one table — partition
+    * identity first, value bounds within it — still zero query-time
+    * metadata IO. The partition column re-materializes per value
+    * group exactly as in [[readPartitions]]. */
+  def readPartitionsRange(s: SparkSession, table: String,
+      version: Option[Int], partCol: String, values: Seq[String],
+      column: String, lo: Long, hi: Long): (Seq[String], DataFrame) = {
+    val vs = versions(s, table)
+    require(vs.nonEmpty, s"no committed snapshot under $table")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"unknown snapshot version $v (have $vs)")
+    val wanted = values.distinct
+    val entries = fileEntries(s, table, v).filter(e =>
+      e.stats.get(column).forall { case (mn, mx) => mn <= hi && mx >= lo })
+    val picked = entries.filter(e =>
+        e.partitionValues.get(partCol).forall(wanted.contains))
+      .map(_.path)
+    def abs(rel: Seq[String]) = rel.map(r => new Path(table, r).toString)
+    val arms = wanted.flatMap { w =>
+      val mine = entries.filter(e =>
+        e.partitionValues.get(partCol).contains(w)).map(_.path)
+      if (mine.isEmpty) None
+      else Some(s.read.parquet(abs(mine): _*)
+        .withColumn(partCol, lit(w))
+        .filter(col(column) >= lo && col(column) <= hi))
+    }
+    val out =
+      if (arms.isEmpty) read(s, table, Some(v)).filter(lit(false))
+      else arms.reduce((a, b) => a.unionByName(b))
+    (picked, out)
+  }
+
+  /** SIZE-TARGETED COMPACTION (the Delta OPTIMIZE bin-packing shape):
+    * plan from the manifest's recorded `#bytes` — files below
+    * `targetBytes` restage into ⌈Σsmall / target⌉ output files, big
+    * files carry by reference with their stats — and commit through
+    * the rewrite conflict loop (an append landing mid-compaction
+    * costs a retry, never a lost row). On a PARTITIONED table pass
+    * `partition = (col, value)`: packing across partitions would
+    * destroy the layout, so the unpartitioned form refuses it. Files
+    * with no recorded size are left alone (unknown is not small).
+    * Planning cost: manifest text only — no filesystem listing, the
+    * point of recording sizes at commit. Returns the committed
+    * version (the current head when there was nothing to pack). */
+  def optimizeSized(s: SparkSession, table: String, targetBytes: Long,
+      statsCols: Seq[String] = Nil,
+      partition: Option[(String, String)] = None,
+      attempts: Int = 8): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    def scopeOf(es: Seq[FileEntry]): (Seq[FileEntry], Seq[FileEntry]) =
+      partition match {
+        case Some((c, v)) =>
+          es.partition(_.partitionValues.get(c).contains(v))
+        case None =>
+          require(es.forall(_.partitionValues.isEmpty),
+            "partitioned table: pass partition=(col,value) — packing " +
+              "across partitions would destroy the layout")
+          (es, Nil)
+      }
+    val head0 = versions(s, table).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed snapshot under $table"))
+    val (scope0, _) = scopeOf(fileEntries(s, table, head0))
+    if (scope0.count(_.sizeBytes.exists(_ < targetBytes)) < 2) head0
+    else rewriteWithRetry(s, table, h => {
+      val es = fileEntries(s, table, h)
+      val (scope, outside) = scopeOf(es)
+      val (smalls, bigs) = scope.partition(
+        _.sizeBytes.exists(_ < targetBytes))
+      val nBins = math.max(1, math.ceil(
+        smalls.flatMap(_.sizeBytes).sum.toDouble / targetBytes).toInt)
+      val packed0 = s.read.parquet(smalls.map(e =>
+        new Path(table, e.path).toString): _*).repartition(nBins)
+      val packed = partition match {
+        case Some((c, v)) => packed0.withColumn(c, lit(v))
+        case None => packed0
+      }
+      (packed, (outside ++ bigs).map(entryLine))
+    }, statsCols = statsCols, partitionBy = partition.map(_._1),
+      attempts = attempts)
+  }
+
+  /** Table history as data — the DESCRIBE HISTORY surface: one row
+    * per live version with its tag, file count, and total recorded
+    * bytes (null when any file predates size recording). Pure
+    * manifest text; the chain resolves per version, so cost is
+    * O(live versions × files) driver-side lines — observability, not
+    * a hot path. */
+  def history(s: SparkSession, table: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val vs = versions(s, table)
+    val rows = vs.map { v =>
+      val es = fileEntries(s, table, v)
+      val bytes =
+        if (es.forall(_.sizeBytes.isDefined))
+          es.flatMap(_.sizeBytes).sum
+        else null.asInstanceOf[Any]
+      org.apache.spark.sql.Row(v.toLong,
+        tagOf(s, table, v).orNull, es.size.toLong, bytes)
+    }
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("version", LongType),
+      StructField("tag", StringType),
+      StructField("n_files", LongType),
+      StructField("bytes", LongType))))
   }
 
   /** FOOTER-PLANNED ranged read — Iceberg-style scan planning on the

@@ -2108,6 +2108,60 @@ object MiscQueries extends graft.QueryModule {
        |  AND l_orderkey <= (SELECT km // 2 FROM m)
        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** SIZE-TARGETED OPTIMIZE ([[SnapTable.optimizeSized]] — the Delta
+    * OPTIMIZE bin-packing shape, planned ENTIRELY from the manifest's
+    * recorded `#bytes`, which every commit records for free from its
+    * staging listing): the small-file problem is THE operational
+    * disease of a streaming-fed table at 100 TB (a thousand
+    * micro-batches a day × a few MB each = a million tiny files whose
+    * open/seek overhead dwarfs the data), and the fix must be a
+    * TRANSACTION — files below target restage into ⌈Σ/target⌉ bins
+    * through the rewrite conflict loop, big files carry by reference,
+    * stats re-record for the packed output so skip planning survives
+    * compaction. The entry REQUIRES the pack to hit the computed bin
+    * count exactly, a second pass to be a NO-OP at the same head, and
+    * [[SnapTable.history]] to report the (files, bytes) trajectory.
+    * Oracle: the plain aggregate — compaction moves bytes, never
+    * values. */
+  def qOptimizeSized(s: SparkSession, dir: String): DataFrame = {
+    val tmp = StreamQueries.scratch(s, "optsized")
+    val tbl = s"$tmp/tbl"
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), Num.cents(col("l_quantity")).as("qty_c"))
+    SnapTable.commit(s, li.repartition(12), tbl, "overwrite",
+      statsCols = Seq("l_orderkey"))
+    val before = SnapTable.fileEntries(s, tbl, 1)
+    require(before.size == 12 && before.forall(_.sizeBytes.isDefined),
+      s"commit must record #bytes on all 12 files: $before")
+    val total = before.flatMap(_.sizeBytes).sum
+    val target = total / 3 + 1 // pack 12 smalls into exactly 3 bins
+    val v2 = SnapTable.optimizeSized(s, tbl, target,
+      statsCols = Seq("l_orderkey"))
+    require(v2 == 2, s"pack should commit version 2, got $v2")
+    val after = SnapTable.fileEntries(s, tbl, 2)
+    require(after.size == 3 && after.forall(_.stats.contains("l_orderkey")),
+      s"12 smalls at target Σ/3 must pack to 3 stat-bearing bins: $after")
+    // idempotence: under a threshold the packed bins safely clear
+    // (an eighth of the pack target — recompression can move sizes a
+    // little, never 8x), a second pass finds nothing small and no-ops
+    require(SnapTable.optimizeSized(s, tbl, math.max(1L, target / 8)) == 2,
+      "a second pass with nothing to pack must be a no-op")
+    val h = SnapTable.history(s, tbl).orderBy("version").collect()
+    require(h.map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+        Seq((1L, 12L), (2L, 3L)) && h.forall(!_.isNullAt(3)),
+      s"history must report the (files, bytes) trajectory: ${h.toSeq}")
+    SnapTable.read(s, tbl)
+      .groupBy(pmod(col("l_orderkey"), lit(8L)).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("qty_c")).as("qty_sum_c"))
+      .orderBy(col("bucket"))
+  }
+
+  val qOptimizeSizedSql: String =
+    s"""SELECT l_orderkey % 8 AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  ${Num.sumSql(Num.centsSql("l_quantity"))} AS qty_sum_c
+       |FROM lineitem GROUP BY bucket ORDER BY bucket""".stripMargin
+
   /** TYPE-WIDENING SCHEMA EVOLUTION — the OTHER evolution axis
     * (q_snapshot_schema_evo covers column ACCRETION; this covers
     * column WIDENING, the Delta type-widening surface): the upstream
@@ -3234,6 +3288,7 @@ object MiscQueries extends graft.QueryModule {
     "q_snapshot_skip" -> (qSnapshotSkip _),
     "q_snapshot_partitioned" -> (qSnapshotPartitioned _),
     "q_snapshot_widen" -> (qSnapshotWiden _),
+    "q_optimize_sized" -> (qOptimizeSized _),
     "q_snapshot_schema_evo" -> (qSnapshotSchemaEvo _),
     "q_commit_audit" -> (qCommitAudit _),
     "q_targeted_delete" -> (qTargetedDelete _),
@@ -3290,6 +3345,7 @@ object MiscQueries extends graft.QueryModule {
     "q_snapshot_skip" -> qSnapshotSkipSql,
     "q_snapshot_partitioned" -> qSnapshotPartitionedSql,
     "q_snapshot_widen" -> qSnapshotWidenSql,
+    "q_optimize_sized" -> qOptimizeSizedSql,
     "q_snapshot_schema_evo" -> qSnapshotSchemaEvoSql,
     "q_commit_audit" -> qCommitAuditSql,
     "q_targeted_delete" -> qTargetedDeleteSql,

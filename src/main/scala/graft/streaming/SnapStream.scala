@@ -40,10 +40,18 @@ object SnapStream {
     * skipped — deterministically, so a replayed empty batch skips
     * again). `vacuumEvery > 0` composes retention GC into the drain:
     * after every `vacuumEvery`-th commit, keep the last `keep`
-    * versions. */
+    * versions. `statsCols` makes the streaming-landed table
+    * SKIP-PLANNABLE from birth: each batch's commit records its
+    * fresh files' bounds into the manifest (one footer pass over the
+    * batch's own files — O(batch), never O(table)), so
+    * [[SnapTable.readSkip]] plans selective reads over the live feed
+    * without a single query-time footer probe. `partitionBy` stages
+    * each batch Hive-layout for [[SnapTable.readPartitions]]. */
   def runIngest(s: SparkSession, stream: DataFrame, table: String,
       ckpt: String, vacuumEvery: Int = 0, keep: Int = 0,
-      afterCommit: Long => Unit = _ => ()): Unit = {
+      afterCommit: Long => Unit = _ => (),
+      statsCols: Seq[String] = Nil,
+      partitionBy: Option[String] = None): Unit = {
     require(vacuumEvery == 0 || keep >= 2,
       "in-drain vacuum must keep at least 2 versions " +
         "(retention must cover the streaming replay horizon)")
@@ -54,7 +62,7 @@ object SnapStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val v = SnapTable.commitIfAbsent(s, batch, table, "append",
-            s"batch-$batchId")
+            s"batch-$batchId", statsCols, partitionBy)
           if (vacuumEvery > 0 && v % vacuumEvery == 0)
             SnapTable.vacuum(s, table, keep)
           afterCommit(batchId)

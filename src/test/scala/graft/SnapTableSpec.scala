@@ -538,6 +538,116 @@ class SnapTableSpec extends SparkSpec {
       (1 until 200 by 2).map(_ * 10L).sum)
   }
 
+  test("sized manifests: #bytes recorded free; optimizeSized bin-packs from manifest text; history reports it") {
+    val tbl = Files.createTempDirectory("graft_snap_sized").toString + "/t"
+    // 8 deliberately tiny files, then 1 big one (an already-packed
+    // survivor the compactor must leave alone)
+    SnapTable.commit(spark,
+      (0L until 80L).map(k => (k, k)).toDF("k", "v").repartition(8),
+      tbl, "overwrite", statsCols = Seq("k"))
+    val big = SnapTable.fileEntries(spark, tbl, 1)
+    assert(big.size === 8 && big.forall(_.sizeBytes.exists(_ > 0)),
+      "every committed line must carry #bytes")
+    val smallMax = big.flatMap(_.sizeBytes).max
+    // target above every current file: all 8 are "small" -> pack
+    val v2 = SnapTable.optimizeSized(spark, tbl,
+      targetBytes = smallMax * 16, statsCols = Seq("k"))
+    assert(v2 === 2)
+    val packed = SnapTable.fileEntries(spark, tbl, 2)
+    assert(packed.size === 1, s"8 smalls should pack into 1: $packed")
+    assert(packed.head.stats.contains("k"),
+      "packing must re-record stats for the packed output")
+    assert(SnapTable.read(spark, tbl).agg(sum("v")).head().getLong(0)
+      === (0L until 80L).sum)
+    // nothing small left: a second pass is a NO-OP at the same head
+    assert(SnapTable.optimizeSized(spark, tbl, smallMax) === 2)
+    assert(SnapTable.versions(spark, tbl) === Seq(1, 2))
+    // history as data: versions, tags, file counts, recorded bytes
+    val h = SnapTable.history(spark, tbl).orderBy("version").collect()
+    assert(h.map(r => (r.getLong(0), r.getLong(2))).toSeq ===
+      Seq((1L, 8L), (2L, 1L)))
+    assert(h.forall(!_.isNullAt(3)), "sized table must report bytes")
+  }
+
+  test("optimizeSized on a partitioned table: per-partition packing, cross-partition refusal") {
+    val tbl = Files.createTempDirectory("graft_snap_psize").toString + "/t"
+    def batch(ks: Range) = ks.map(k =>
+        (k.toLong, if (k % 2 == 0) "a" else "b", k.toLong))
+      .toDF("k", "p", "v").repartition(4)
+    SnapTable.commit(spark, batch(0 until 100), tbl, "overwrite",
+      statsCols = Seq("k"), partitionBy = Some("p"))
+    val before = SnapTable.fileEntries(spark, tbl, 1)
+    val aBefore = before.count(_.partitionValues("p") == "a")
+    assert(aBefore >= 2)
+    // unpartitioned form must refuse the layout
+    val e = intercept[IllegalArgumentException] {
+      SnapTable.optimizeSized(spark, tbl, Long.MaxValue / 2)
+    }
+    assert(e.getMessage.contains("partition"))
+    // pack partition a only; b stays byte-identical
+    val bBefore = before.filter(_.partitionValues("p") == "b")
+      .map(_.path).toSet
+    SnapTable.optimizeSized(spark, tbl, Long.MaxValue / 2,
+      statsCols = Seq("k"), partition = Some(("p", "a")))
+    val after = SnapTable.fileEntries(spark, tbl, 2)
+    assert(after.count(_.partitionValues("p") == "a") === 1)
+    assert(after.filter(_.partitionValues("p") == "b")
+      .map(_.path).toSet === bBefore)
+    assert(SnapTable.readPartitions(spark, tbl, None, "p", Seq("a"))
+      ._2.agg(sum("v")).head().getLong(0) ===
+      (0 until 100 by 2).map(_.toLong).sum)
+  }
+
+  test("readPartitionsRange: partition and stats pruning intersect from one manifest") {
+    val tbl = Files.createTempDirectory("graft_snap_prr").toString + "/t"
+    def batch(ks: Range) = ks.map(k =>
+        (k.toLong, if (k % 2 == 0) "a" else "b", k.toLong))
+      .toDF("k", "p", "v")
+      .repartitionByRange(4, col("k")).sortWithinPartitions(col("k"))
+    SnapTable.commit(spark, batch(0 until 400), tbl, "overwrite",
+      statsCols = Seq("k"), partitionBy = Some("p"))
+    val total = SnapTable.fileEntries(spark, tbl, 1).size
+    // one partition of two AND one range stripe of four
+    val (picked, df) = SnapTable.readPartitionsRange(spark, tbl, None,
+      "p", Seq("a"), "k", 0L, 80L)
+    assert(picked.nonEmpty && picked.size < total, s"$picked of $total")
+    assert(picked.forall(_.contains("p=a")))
+    // strictly tighter than either pruning alone
+    val (partOnly, _) = SnapTable.readPartitions(spark, tbl, None,
+      "p", Seq("a"))
+    assert(picked.size < partOnly.size,
+      "stats pruning must engage on top of partition pruning")
+    assert(df.agg(sum("v")).head().getLong(0) ===
+      (0L to 80L by 2).sum)
+  }
+
+  test("streaming ingest with statsCols: the live table is skip-plannable from birth") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val dir = Files.createTempDirectory("graft_snap_sstats").toString
+    val tbl = s"$dir/tbl"
+    // three range-disjoint micro-batches land via the REAL drain
+    (0 until 3).foreach { i =>
+      (i * 100L until (i + 1) * 100L).map(k => (k, k)).toDF("k", "v")
+        .coalesce(1).write.parquet(f"$dir/in/b$i%05d.parquet")
+    }
+    graft.streaming.EventStream.orderLanding(spark,
+      s"$dir/in/*.parquet", byName = true)
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("v", LongType)))
+    graft.streaming.SnapStream.runIngest(spark,
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(s"$dir/in/*.parquet"),
+      tbl, s"$dir/ckpt", statsCols = Seq("k"))
+    val entries = SnapTable.fileEntries(spark, tbl,
+      SnapTable.versions(spark, tbl).last)
+    assert(entries.size === 3 && entries.forall(_.stats.contains("k")),
+      s"streamed commits must record bounds: $entries")
+    val (picked, df) = SnapTable.readSkip(spark, tbl, None, "k",
+      120L, 180L)
+    assert(picked.size === 1, s"skip planning over the live feed: $picked")
+    assert(df.count() === 61L)
+  }
+
   test("diff: I/D/U emitted, unchanged suppressed") {
     val old = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
     val neu = Seq((2L, 20L), (3L, 31L), (4L, 40L)).toDF("k", "v")
