@@ -730,6 +730,71 @@ object SnapTable {
     (picked, out)
   }
 
+  /** Multi-predicate manifest skip: keep files whose recorded bounds
+    * intersect EVERY `(column, lo, hi)` range — the conjunction
+    * prunes strictly tighter than any single predicate, which is the
+    * whole point of multi-column stats on a Z-ORDERED layout (each
+    * dimension's bounds stay tight per file, so a 2-D range query
+    * proves most files out on one axis or the other). Absence admits
+    * per column, residual filters apply in-scan. */
+  def readSkipMulti(s: SparkSession, table: String, version: Option[Int],
+      preds: Seq[(String, Long, Long)],
+      mergeSchema: Boolean = false): (Seq[String], DataFrame) = {
+    require(preds.nonEmpty, "readSkipMulti needs at least one predicate")
+    val vs = versions(s, table)
+    require(vs.nonEmpty, s"no committed snapshot under $table")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"unknown snapshot version $v (have $vs)")
+    val picked = fileEntries(s, table, v).filter(e =>
+      preds.forall { case (c, lo, hi) =>
+        e.stats.get(c).forall { case (mn, mx) => mn <= hi && mx >= lo }
+      }).map(_.path)
+    val rd = if (mergeSchema) s.read.option("mergeSchema", "true")
+             else s.read
+    val residual = preds.map { case (c, lo, hi) =>
+      col(c) >= lo && col(c) <= hi }.reduce(_ && _)
+    val out =
+      if (picked.isEmpty)
+        read(s, table, Some(v), mergeSchema).filter(lit(false))
+      else rd.parquet(picked.map(rel =>
+          new Path(table, rel).toString): _*).filter(residual)
+    (picked, out)
+  }
+
+  /** INCREMENTAL READ — the table AS a change source (the Delta CDF /
+    * Iceberg incremental-scan shape for APPEND histories): the rows
+    * that arrived strictly after `fromV`, up to `toV`, are exactly
+    * the files in `toV`'s manifest that `fromV`'s lacks — a consumer
+    * that has integrated `fromV` reads ONLY the delta, never the
+    * history (the same never-re-read contract as [[diff]], here at
+    * file grain with zero joins). REFUSES when the history between
+    * the versions is not append-only (a file of `fromV` missing from
+    * `toV` means an overwrite/rewrite landed — row-level provenance
+    * is gone and an "incremental" read would silently double-count or
+    * drop; rebootstrap from the full snapshot instead, exactly the
+    * CDC gap rule). */
+  def readIncremental(s: SparkSession, table: String, fromV: Int,
+      toV: Int): (Seq[String], DataFrame) = {
+    val vs = versions(s, table)
+    require(vs.contains(fromV) && vs.contains(toV) && fromV <= toV,
+      s"need committed versions fromV <= toV, got $fromV..$toV of $vs")
+    val before = files(s, table, fromV)
+    val after = files(s, table, toV)
+    val afterSet = after.toSet
+    val gone = before.filterNot(afterSet)
+    require(gone.isEmpty,
+      s"history between v$fromV and v$toV is not append-only " +
+        s"(${gone.size} files rewritten/removed) — incremental " +
+        "semantics are gone; rebootstrap from the full snapshot")
+    val beforeSet = before.toSet
+    val fresh = after.filterNot(beforeSet)
+    val out =
+      if (fresh.isEmpty) read(s, table, Some(toV)).filter(lit(false))
+      else s.read.parquet(fresh.map(rel =>
+        new Path(table, rel).toString): _*)
+    (fresh, out)
+  }
+
   /** PARTITION + STATS pruning COMPOSED — both prunings are manifest
     * text, so they intersect for free: keep exactly the lines whose
     * partition value is wanted AND whose recorded `column` bounds

@@ -2108,6 +2108,120 @@ object MiscQueries extends graft.QueryModule {
        |  AND l_orderkey <= (SELECT km // 2 FROM m)
        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** INCREMENTAL READ — the snapshot table AS a change source (the
+    * Delta CDF / Iceberg incremental-scan shape for APPEND
+    * histories, [[SnapTable.readIncremental]]): a consumer that has
+    * integrated version F reads ONLY the files version T added — a
+    * manifest set-difference, zero joins, the history never re-read
+    * (the per-file counterpart of the CDC diff protocol). The entry
+    * REQUIRES the fresh-file set to equal the manifest difference
+    * exactly, and the APPEND-ONLY refusal to fire after an overwrite
+    * lands (row provenance is gone; an "incremental" read past a
+    * rewrite would silently double-count — the CDC gap rule at file
+    * grain). Oracle: the later arrivals reconstructed relationally.
+    * At 100 TB this is how every downstream consumer tails a table:
+    * O(delta) per poll, never O(table). */
+  def qSnapshotIncremental(s: SparkSession, dir: String): DataFrame = {
+    val tmp = StreamQueries.scratch(s, "snapinc")
+    val tbl = s"$tmp/tbl"
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_returnflag"),
+        Num.cents(col("l_quantity")).as("qty_c"),
+        pmod(col("l_orderkey"), lit(3L)).as("third"))
+    SnapTable.commit(s, li.filter(col("third") === 0).drop("third"),
+      tbl, "overwrite")
+    SnapTable.commit(s, li.filter(col("third") === 1).drop("third"),
+      tbl, "append")
+    SnapTable.commit(s, li.filter(col("third") === 2).drop("third"),
+      tbl, "append")
+    val (fresh, inc) = SnapTable.readIncremental(s, tbl, 1, 3)
+    val expect = (SnapTable.files(s, tbl, 3).toSet --
+      SnapTable.files(s, tbl, 1).toSet)
+    require(fresh.toSet == expect && fresh.nonEmpty,
+      s"incremental file set must be the manifest difference: $fresh")
+    // an overwrite breaks append-only provenance: REFUSE, never
+    // double-count (v1 remains a valid base for v1..v3 reads)
+    SnapTable.commit(s, li.limit(10).drop("third"), tbl, "overwrite")
+    val refused =
+      try { SnapTable.readIncremental(s, tbl, 1, 4); false }
+      catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("not append-only") }
+    require(refused, "incremental read past an overwrite must refuse")
+    inc.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("qty_c")).as("qty_sum_c"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val qSnapshotIncrementalSql: String =
+    s"""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       |  ${Num.sumSql(Num.centsSql("l_quantity"))} AS qty_sum_c
+       |FROM lineitem WHERE l_orderkey % 3 <> 0
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Z-ORDER + MULTI-COLUMN MANIFEST STATS — the composition that
+    * makes 2-D selective reads metadata-cheap ([[graft.functions
+    * .ZOrderExprs.interleaveBits]] clustering committed through
+    * [[SnapTable.commit]] with TWO stats columns, queried through
+    * [[SnapTable.readSkipMulti]]): z-ordering keeps BOTH dimensions'
+    * per-file bounds tight (each z-range file is a 16×16 tile in
+    * bucket space), so a 2-D range query proves most files out on one
+    * axis or the other from manifest text alone. The entry REQUIRES
+    * the conjunctive plan strictly TIGHTER than either single-axis
+    * plan (the measurable point of z-order — linear clustering makes
+    * one axis tight and leaves the other spanning everything) and the
+    * scan touching only planned files. Oracle: the plain 2-D range
+    * filter. One footer pass at commit bounds both columns
+    * ([[graft.ops.LayoutAudit.auditFilesMulti]] — one read, n
+    * columns). */
+  def qSnapshotZorder(s: SparkSession, dir: String): DataFrame = {
+    val tmp = StreamQueries.scratch(s, "snapz")
+    val tbl = s"$tmp/tbl"
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"),
+        Num.cents(col("l_quantity")).as("qty_c"))
+    val r = li.agg(max("l_orderkey"), max("l_partkey")).head()
+    val (ow, pw) = (r.getLong(0) / (1L << ZBits) + 1,
+      r.getLong(1) / (1L << ZBits) + 1)
+    val zdf = li.withColumn("zk", graft.functions.ZOrderExprs
+        .interleaveBits(expr(s"l_orderkey DIV $ow"),
+          expr(s"l_partkey DIV $pw")))
+      .withColumn("f", expr(s"zk DIV $ZFileWidth"))
+      .repartition(col("f")).sortWithinPartitions(col("zk"))
+      .drop("zk")
+    SnapTable.commit(s, zdf, tbl, "overwrite",
+      statsCols = Seq("l_orderkey", "l_partkey"),
+      partitionBy = Some("f"))
+    val (olo, ohi) = (r.getLong(0) / 4, r.getLong(0) / 2)
+    val (plo, phi) = (r.getLong(1) / 4, r.getLong(1) / 2)
+    val (po, _) = SnapTable.readSkip(s, tbl, None, "l_orderkey", olo, ohi)
+    val (pp, _) = SnapTable.readSkip(s, tbl, None, "l_partkey", plo, phi)
+    val (both, out) = SnapTable.readSkipMulti(s, tbl, None,
+      Seq(("l_orderkey", olo, ohi), ("l_partkey", plo, phi)))
+    require(both.nonEmpty && both.size < po.size && both.size < pp.size,
+      s"z-order 2-D pruning must beat either axis alone: " +
+        s"${both.size} vs (${po.size}, ${pp.size})")
+    val bothAbs = both.map(rel => new org.apache.hadoop.fs.Path(
+      tbl, rel).toUri.getPath).toSet
+    require(out.inputFiles.forall(f =>
+        bothAbs.contains(new java.net.URI(f).getPath)),
+      "scan touched a file outside the 2-D plan")
+    out.groupBy(expr("l_orderkey % 4").as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("qty_c")).as("qty_sum_c"))
+      .orderBy(col("bucket"))
+  }
+
+  val qSnapshotZorderSql: String =
+    s"""WITH m AS (SELECT max(l_orderkey) AS om, max(l_partkey) AS pm
+       |  FROM lineitem)
+       |SELECT l_orderkey % 4 AS bucket, CAST(count(*) AS BIGINT) AS n,
+       |  ${Num.sumSql(Num.centsSql("l_quantity"))} AS qty_sum_c
+       |FROM lineitem
+       |WHERE l_orderkey >= (SELECT om // 4 FROM m)
+       |  AND l_orderkey <= (SELECT om // 2 FROM m)
+       |  AND l_partkey >= (SELECT pm // 4 FROM m)
+       |  AND l_partkey <= (SELECT pm // 2 FROM m)
+       |GROUP BY bucket ORDER BY bucket""".stripMargin
+
   /** SIZE-TARGETED OPTIMIZE ([[SnapTable.optimizeSized]] — the Delta
     * OPTIMIZE bin-packing shape, planned ENTIRELY from the manifest's
     * recorded `#bytes`, which every commit records for free from its
@@ -3289,6 +3403,8 @@ object MiscQueries extends graft.QueryModule {
     "q_snapshot_partitioned" -> (qSnapshotPartitioned _),
     "q_snapshot_widen" -> (qSnapshotWiden _),
     "q_optimize_sized" -> (qOptimizeSized _),
+    "q_snapshot_incremental" -> (qSnapshotIncremental _),
+    "q_snapshot_zorder" -> (qSnapshotZorder _),
     "q_snapshot_schema_evo" -> (qSnapshotSchemaEvo _),
     "q_commit_audit" -> (qCommitAudit _),
     "q_targeted_delete" -> (qTargetedDelete _),
@@ -3346,6 +3462,8 @@ object MiscQueries extends graft.QueryModule {
     "q_snapshot_partitioned" -> qSnapshotPartitionedSql,
     "q_snapshot_widen" -> qSnapshotWidenSql,
     "q_optimize_sized" -> qOptimizeSizedSql,
+    "q_snapshot_incremental" -> qSnapshotIncrementalSql,
+    "q_snapshot_zorder" -> qSnapshotZorderSql,
     "q_snapshot_schema_evo" -> qSnapshotSchemaEvoSql,
     "q_commit_audit" -> qCommitAuditSql,
     "q_targeted_delete" -> qTargetedDeleteSql,
