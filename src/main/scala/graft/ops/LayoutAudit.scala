@@ -79,12 +79,15 @@ object LayoutAudit {
     }.toDF("file", "n_rows", "n_row_groups", "col_min", "col_max")
   }
 
-  /** [[auditFiles]] for SEVERAL long columns in ONE footer read per
-    * file — the commit-time stats collector ([[SnapTable.commit]]
-    * records per-file min/max into the manifest so readers plan
-    * manifest-only): one row per (file, column) with usable stats;
-    * columns without complete stats simply emit no row (absence
-    * admits, it never excludes). */
+  /** [[auditFiles]] for SEVERAL columns in ONE footer read per file —
+    * the commit-time stats collector ([[SnapTable.commit]] records
+    * per-file min/max into the manifest so readers plan
+    * manifest-only): one row per (file, column) with usable stats.
+    * LONG columns fill (col_min, col_max); STRING/BINARY columns fill
+    * (bin_min, bin_max) with the raw footer byte bounds (unsigned
+    * lexicographic order — the parquet binary stats order). Columns
+    * without complete stats simply emit no row (absence admits, it
+    * never excludes). */
   def auditFilesMulti(s: SparkSession, files: Seq[String],
       columns: Seq[String]): DataFrame = {
     import scala.jdk.CollectionConverters._
@@ -105,20 +108,40 @@ object LayoutAudit {
       val blocks = footer.getBlocks.asScala.toSeq
       val key = pStr.split('/').takeRight(2).mkString("/")
       cols.flatMap { column =>
-        val stats = blocks.flatMap { blk =>
+        val raw = blocks.flatMap { blk =>
           blk.getColumns.asScala
             .find(_.getPath.toDotString == column)
             .map(_.getStatistics)
             .filter(st => st != null && st.hasNonNullValue)
             .map(st => (st.genericGetMin, st.genericGetMax))
-            .collect { case (mn: java.lang.Long, mx: java.lang.Long) =>
-              (mn.longValue, mx.longValue)
-            }
         }
-        if (stats.size == blocks.size && stats.nonEmpty)
-          Some((key, column, stats.map(_._1).min, stats.map(_._2).max))
+        val longs = raw.collect {
+          case (mn: java.lang.Long, mx: java.lang.Long) =>
+            (mn.longValue, mx.longValue)
+        }
+        val bins = raw.collect {
+          case (mn: org.apache.parquet.io.api.Binary,
+              mx: org.apache.parquet.io.api.Binary) =>
+            (mn.getBytes, mx.getBytes)
+        }
+        if (longs.size == blocks.size && longs.nonEmpty)
+          Some((key, column, Some(longs.map(_._1).min),
+            Some(longs.map(_._2).max),
+            None: Option[Array[Byte]], None: Option[Array[Byte]]))
+        else if (bins.size == blocks.size && bins.nonEmpty)
+          Some((key, column, None: Option[Long], None: Option[Long],
+            Some(bins.map(_._1).min(byteOrd)),
+            Some(bins.map(_._2).max(byteOrd))))
         else None // incomplete stats: no row, never a wrong bound
       }
-    }.toDF("file", "column", "col_min", "col_max")
+    }.toDF("file", "column", "col_min", "col_max", "bin_min", "bin_max")
+  }
+
+  /** Unsigned lexicographic byte order — how parquet orders binary
+    * statistics, and therefore the ONLY order manifest string bounds
+    * may be compared in. */
+  val byteOrd: Ordering[Array[Byte]] = new Ordering[Array[Byte]] {
+    def compare(a: Array[Byte], b: Array[Byte]): Int =
+      java.util.Arrays.compareUnsigned(a, b)
   }
 }

@@ -96,7 +96,8 @@ object SnapTable {
     * read from manifest lines and a million footer probes. */
   final case class FileEntry(path: String,
       stats: Map[String, (Long, Long)],
-      sizeBytes: Option[Long] = None) {
+      sizeBytes: Option[Long] = None,
+      strStats: Map[String, (String, String)] = Map.empty) {
     /** Hive-style partition values parsed from the path's `k=v`
       * directory segments (a partitioned commit stages under
       * `data/b<v>-<nonce>/<col>=<val>/…`) — the manifest line IS the
@@ -118,7 +119,9 @@ object SnapTable {
   def entryLine(e: FileEntry): String = {
     val segs = e.sizeBytes.map(n => s"#bytes=$n").toSeq ++
       e.stats.toSeq.sortBy(_._1)
-        .map { case (c, (mn, mx)) => s"$c=$mn..$mx" }
+        .map { case (c, (mn, mx)) => s"$c=$mn..$mx" } ++
+      e.strStats.toSeq.sortBy(_._1)
+        .map { case (c, (mn, mx)) => s"$c=s:$mn..$mx" }
     if (segs.isEmpty) e.path else e.path + "\t" + segs.mkString(";")
   }
 
@@ -128,19 +131,28 @@ object SnapTable {
     else {
       var size: Option[Long] = None
       val stats = Map.newBuilder[String, (Long, Long)]
+      val strs = Map.newBuilder[String, (String, String)]
       line.substring(i + 1).split(';').iterator.filter(_.nonEmpty)
         .foreach { kv =>
           if (kv.startsWith("#bytes="))
             size = Some(kv.stripPrefix("#bytes=").toLong)
           else {
             val eq = kv.indexOf('=')
-            val dd = kv.indexOf("..", eq + 1)
-            stats += kv.substring(0, eq) ->
-              (kv.substring(eq + 1, dd).toLong,
-                kv.substring(dd + 2).toLong)
+            val v = kv.substring(eq + 1)
+            if (v.startsWith("s:")) {
+              val body = v.stripPrefix("s:")
+              val dd = body.indexOf("..")
+              strs += kv.substring(0, eq) ->
+                (body.substring(0, dd), body.substring(dd + 2))
+            } else {
+              val dd = v.indexOf("..")
+              stats += kv.substring(0, eq) ->
+                (v.substring(0, dd).toLong, v.substring(dd + 2).toLong)
+            }
           }
         }
-      FileEntry(line.substring(0, i), stats.result(), size)
+      FileEntry(line.substring(0, i), stats.result(), size,
+        strs.result())
     }
   }
 
@@ -380,27 +392,53 @@ object SnapTable {
     * footer pass over only these files adds per-file min/max. The
     * fresh set is per-commit bounded — exactly the lines the manifest
     * writes anyway. */
+  /** String bounds truncate Iceberg-style before entering the
+    * manifest: the lower bound is a ≤-preserving PREFIX, the upper
+    * bound a truncate-then-increment-last-byte that stays ≥ the true
+    * max (None when every truncated byte is 0xFF — then nothing is
+    * recorded and the file simply always survives pruning). Keeps
+    * manifest lines bounded no matter how long the keys are. */
+  private val StrBoundLen = 16
+  private[graft] def truncMin(b: Array[Byte]): Array[Byte] =
+    b.take(StrBoundLen)
+  private[graft] def truncMaxInc(b: Array[Byte]): Option[Array[Byte]] =
+    if (b.length <= StrBoundLen) Some(b)
+    else {
+      val t = b.take(StrBoundLen)
+      var i = t.length - 1
+      while (i >= 0 && t(i) == -1) i -= 1 // 0xFF signed
+      if (i < 0) None
+      else Some(t.take(i + 1).updated(i, (t(i) + 1).toByte))
+    }
+
+  private def b64(b: Array[Byte]): String =
+    java.util.Base64.getEncoder.encodeToString(b)
+  private[graft] def unb64(x: String): Array[Byte] =
+    java.util.Base64.getDecoder.decode(x)
+
   private def withStats(s: SparkSession, table: String,
       fresh: Seq[(String, Long)], statsCols: Seq[String]): Seq[String] =
     if (fresh.isEmpty) Nil
     else {
-      val byFile: Map[String, Map[String, (Long, Long)]] =
-        if (statsCols.isEmpty) Map.empty
+      val audited =
+        if (statsCols.isEmpty) Array.empty[org.apache.spark.sql.Row]
         else {
           val uris = fresh.map { case (rel, _) =>
             new Path(table, rel).toUri.toString }
-          LayoutAudit.auditFilesMulti(s, uris, statsCols)
-            .collect()
-            .groupBy(_.getString(0))
-            .map { case (f, rows) =>
-              f -> rows.map(r =>
-                r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap
-            }
+          LayoutAudit.auditFilesMulti(s, uris, statsCols).collect()
         }
+      val grouped = audited.groupBy(_.getString(0))
       fresh.map { case (rel, len) =>
         val key = rel.split('/').takeRight(2).mkString("/")
-        entryLine(FileEntry(rel, byFile.getOrElse(key, Map.empty),
-          Some(len)))
+        val rows = grouped.getOrElse(key, Array.empty)
+        val longs = rows.filter(!_.isNullAt(2)).map(r =>
+          r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap
+        val strs = rows.filter(!_.isNullAt(4)).flatMap { r =>
+          truncMaxInc(r.getAs[Array[Byte]](5)).map(mx =>
+            r.getString(1) ->
+              (b64(truncMin(r.getAs[Array[Byte]](4))), b64(mx)))
+        }.toMap
+        entryLine(FileEntry(rel, longs, Some(len), strs))
       }
     }
 
@@ -727,6 +765,38 @@ object SnapTable {
     val out =
       if (arms.isEmpty) read(s, table, Some(v)).filter(lit(false))
       else arms.reduce((a, b) => a.unionByName(b))
+    (picked, out)
+  }
+
+  /** [[readSkip]] for a STRING column: prune on the manifest's
+    * truncated byte bounds in UNSIGNED LEXICOGRAPHIC order (the
+    * parquet binary-stats order the bounds were recorded in) — the
+    * truncation is conservative by construction (recorded min ≤ true
+    * min as a prefix, recorded max ≥ true max by
+    * truncate-and-increment), so pruning can only keep extra files,
+    * never drop a matching one. The residual predicate applies
+    * in-scan under SPARK's string comparison; the two orders agree on
+    * ASCII (and on all of Unicode up to UTF-16 surrogate-order
+    * anomalies beyond the BMP) — the key-design contract for
+    * string-skippable layouts. */
+  def readSkipStr(s: SparkSession, table: String, version: Option[Int],
+      column: String, lo: String, hi: String): (Seq[String], DataFrame) = {
+    val vs = versions(s, table)
+    require(vs.nonEmpty, s"no committed snapshot under $table")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"unknown snapshot version $v (have $vs)")
+    val loB = lo.getBytes("UTF-8")
+    val hiB = hi.getBytes("UTF-8")
+    val ord = LayoutAudit.byteOrd
+    val picked = fileEntries(s, table, v).filter(e =>
+      e.strStats.get(column).forall { case (mn, mx) =>
+        ord.lteq(unb64(mn), hiB) && ord.gteq(unb64(mx), loB)
+      }).map(_.path)
+    val out =
+      if (picked.isEmpty) read(s, table, Some(v)).filter(lit(false))
+      else s.read.parquet(picked.map(rel =>
+          new Path(table, rel).toString): _*)
+        .filter(col(column) >= lo && col(column) <= hi)
     (picked, out)
   }
 

@@ -2108,6 +2108,50 @@ object MiscQueries extends graft.QueryModule {
        |  AND l_orderkey <= (SELECT km // 2 FROM m)
        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** STRING-KEYED DATA SKIPPING ([[SnapTable.readSkipStr]] — the
+    * manifest stats surface for non-numeric keys, with Iceberg's
+    * truncated-bounds discipline: the lower bound enters the manifest
+    * as a ≤-preserving 16-byte prefix, the upper as
+    * truncate-and-increment ≥ the true max, so manifest lines stay
+    * bounded regardless of key length and pruning stays CONSERVATIVE
+    * by construction — it can keep extra files, never drop a matching
+    * one). Source-clustered documents, a lexicographic source-range
+    * query planned from manifest text in unsigned byte order (the
+    * parquet binary-stats order the bounds were recorded in); the
+    * entry REQUIRES real pruning and the scan touching only planned
+    * files. Oracle: the plain string-range filter — both engines
+    * compare ASCII identically. */
+  def qSnapshotSkipStr(s: SparkSession, dir: String): DataFrame = {
+    val tmp = StreamQueries.scratch(s, "snapskipstr")
+    val tbl = s"$tmp/tbl"
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    SnapTable.commit(s,
+      docs.repartitionByRange(4, col("source"))
+        .sortWithinPartitions(col("source")),
+      tbl, "overwrite", statsCols = Seq("source"))
+    val total = SnapTable.fileEntries(s, tbl, 1).size
+    val (picked, out) = SnapTable.readSkipStr(s, tbl, None,
+      "source", "src10", "src14")
+    require(picked.nonEmpty && picked.size < total,
+      s"string skip pruned nothing: ${picked.size} of $total files")
+    val pickedAbs = picked.map(rel => new org.apache.hadoop.fs.Path(
+      tbl, rel).toUri.getPath).toSet
+    require(out.inputFiles.forall(f =>
+        pickedAbs.contains(new java.net.URI(f).getPath)),
+      "scan touched a file the string plan pruned out")
+    out.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+      .orderBy(col("source"))
+  }
+
+  val qSnapshotSkipStrSql: String =
+    s"""SELECT source, CAST(count(*) AS BIGINT) AS n,
+       |  ${Num.sumSql("n_chars")} AS chars
+       |FROM documents
+       |WHERE source >= 'src10' AND source <= 'src14'
+       |GROUP BY source ORDER BY source""".stripMargin
+
   /** INCREMENTAL READ — the snapshot table AS a change source (the
     * Delta CDF / Iceberg incremental-scan shape for APPEND
     * histories, [[SnapTable.readIncremental]]): a consumer that has
@@ -3404,6 +3448,7 @@ object MiscQueries extends graft.QueryModule {
     "q_snapshot_widen" -> (qSnapshotWiden _),
     "q_optimize_sized" -> (qOptimizeSized _),
     "q_snapshot_incremental" -> (qSnapshotIncremental _),
+    "q_snapshot_skip_str" -> (qSnapshotSkipStr _),
     "q_snapshot_zorder" -> (qSnapshotZorder _),
     "q_snapshot_schema_evo" -> (qSnapshotSchemaEvo _),
     "q_commit_audit" -> (qCommitAudit _),
@@ -3463,6 +3508,7 @@ object MiscQueries extends graft.QueryModule {
     "q_snapshot_widen" -> qSnapshotWidenSql,
     "q_optimize_sized" -> qOptimizeSizedSql,
     "q_snapshot_incremental" -> qSnapshotIncrementalSql,
+    "q_snapshot_skip_str" -> qSnapshotSkipStrSql,
     "q_snapshot_zorder" -> qSnapshotZorderSql,
     "q_snapshot_schema_evo" -> qSnapshotSchemaEvoSql,
     "q_commit_audit" -> qCommitAuditSql,

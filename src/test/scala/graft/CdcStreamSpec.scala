@@ -102,6 +102,46 @@ class CdcStreamSpec extends SparkSpec {
     assert(mvRows(mv) === Seq(("a", 10L), ("b", 4L)))
   }
 
+  test("stand-watch: a ProcessingTime watcher folds versions that land WHILE it runs") {
+    val tmp = Files.createTempDirectory("graft_cdc_watch").toString
+    val (src, mv) = (s"$tmp/src", s"$tmp/mv")
+    SnapTable.commit(spark, state(Seq(("a", 1L, 1L))), src, "overwrite")
+    val folded = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = CdcStream.watch(spark, src, mv,
+      key = "sk", value = "v", carry = Seq("g"),
+      contrib = d => d.groupBy(col("g")).agg(
+        sum(coalesce(col("new_v"), lit(0L)) -
+          coalesce(col("old_v"), lit(0L))).as("v")),
+      mvKey = "g", mvCols = Seq("v"),
+      checkpoint = s"$tmp/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("200 milliseconds"),
+      onVersion = (_, _) => { folded.incrementAndGet(); () })
+    try {
+      def await(n: Int): Unit = {
+        val deadline = System.nanoTime() + 60L * 1000000000L
+        while (folded.get() < n) {
+          require(System.nanoTime() < deadline,
+            s"watcher stalled at ${folded.get()} of $n folds")
+          Thread.sleep(100)
+        }
+      }
+      await(1)
+      // versions landing WHILE the watcher stands: each gets folded
+      SnapTable.commit(spark, state(Seq(("a", 1L, 5L), ("b", 1L, 2L))),
+        src, "overwrite")
+      await(2)
+      SnapTable.commit(spark, state(Seq(("a", 1L, 5L))), src, "overwrite")
+      await(3)
+    } finally q.stop()
+    assert(mvRows(mv) === Seq(("a", 5L), ("b", 0L)))
+    // the standing view equals the live source's rollup
+    val direct = SnapTable.read(spark, src).groupBy("g")
+      .agg(sum("v").as("v")).orderBy("g")
+      .as[(String, Long)].collect().toSeq
+    assert(mvRows(mv).filter(_._2 != 0L) === direct)
+  }
+
   test("fresh consumer on a vacuumed source bootstraps from the first available state") {
     val tmp = Files.createTempDirectory("graft_cdc_vac").toString
     val (src, mv) = (s"$tmp/src", s"$tmp/mv")

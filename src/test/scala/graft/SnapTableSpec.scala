@@ -648,6 +648,42 @@ class SnapTableSpec extends SparkSpec {
     assert(df.count() === 61L)
   }
 
+  test("string manifest stats: truncated bounds, conservative pruning on long keys") {
+    // the truncation lattice itself
+    val long = ("a" * 20).getBytes("UTF-8")
+    assert(SnapTable.truncMin(long).length === 16)
+    val inc = SnapTable.truncMaxInc(long).get
+    assert(inc.length === 16 && inc(15) === ('a' + 1).toByte)
+    val allFf = Array.fill(20)(0xFF.toByte)
+    assert(SnapTable.truncMaxInc(allFf).isEmpty,
+      "un-incrementable truncation must record nothing, not a wrong bound")
+    val short = "abc".getBytes("UTF-8")
+    assert(SnapTable.truncMaxInc(short).get.toSeq === short.toSeq)
+    // table-level: 27-char keys (discriminating digits INSIDE the
+    // 16-byte truncation window), bounds truncated yet pruning correct
+    val tbl = Files.createTempDirectory("graft_snap_str").toString + "/t"
+    val tail = "x" * 20
+    val rows = (0 until 200).map(i => (f"u${i}%05d_$tail", i.toLong))
+    SnapTable.commit(spark,
+      rows.toDF("uid", "v")
+        .repartitionByRange(4, col("uid")).sortWithinPartitions(col("uid")),
+      tbl, "overwrite", statsCols = Seq("uid"))
+    val entries = SnapTable.fileEntries(spark, tbl, 1)
+    assert(entries.forall(_.strStats.contains("uid")),
+      s"string column must record bounds: $entries")
+    // recorded bounds are TRUNCATED (16 bytes; the keys are 27)
+    assert(entries.forall { e =>
+      val (mn, mx) = e.strStats("uid")
+      java.util.Base64.getDecoder.decode(mn).length <= 16 &&
+        java.util.Base64.getDecoder.decode(mx).length <= 16
+    })
+    val (picked, df) = SnapTable.readSkipStr(spark, tbl, None, "uid",
+      f"u${50}%05d", f"u${99}%05d_${"z" * 20}")
+    assert(picked.nonEmpty && picked.size < 4, s"no pruning: $picked")
+    assert(df.count() === 50L)
+    assert(df.agg(sum("v")).head().getLong(0) === (50L to 99L).sum)
+  }
+
   test("diff: I/D/U emitted, unchanged suppressed") {
     val old = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
     val neu = Seq((2L, 20L), (3L, 31L), (4L, 40L)).toDF("k", "v")
