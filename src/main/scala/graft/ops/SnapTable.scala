@@ -215,6 +215,70 @@ object SnapTable {
       headerLine(fs, manifest(table, v)).contains(want))
   }
 
+  /** Register a STANDING CHECK constraint: `predicate` (a SQL boolean
+    * expression over the table's columns) is enforced at EVERY
+    * subsequent commit — the write-audit-publish gate made permanent
+    * table metadata (the Delta CHECK-constraint surface). SQL CHECK
+    * semantics: a row violates only when the predicate is FALSE
+    * (null passes). A violating commit reclaims its staging and
+    * publishes NOTHING. Stored as an atomically-renamed sidecar;
+    * pass null/empty via [[clearCheck]] to drop it. */
+  def setCheck(s: SparkSession, table: String, predicate: String): Unit = {
+    require(predicate.trim.nonEmpty, "empty CHECK predicate")
+    val fs = fsOf(s, new Path(table))
+    fs.mkdirs(new Path(table))
+    val tmp = new Path(table, ".check.txt.tmp-" +
+      java.util.UUID.randomUUID().toString.take(8))
+    val out = fs.create(tmp, true)
+    try out.write((predicate + "\n").getBytes("UTF-8"))
+    finally out.close()
+    val dst = new Path(table, "check.txt")
+    fs.delete(dst, false)
+    require(fs.rename(tmp, dst), s"failed to install CHECK on $table")
+  }
+
+  /** The standing CHECK predicate, if any. */
+  def checkOf(s: SparkSession, table: String): Option[String] = {
+    val fs = fsOf(s, new Path(table))
+    val p = new Path(table, "check.txt")
+    if (fs.exists(p)) readSmall(fs, p).headOption.filter(_.nonEmpty)
+    else None
+  }
+
+  def clearCheck(s: SparkSession, table: String): Unit =
+    fsOf(s, new Path(table)).delete(new Path(table, "check.txt"), false)
+
+  /** A commit refused by the table's standing CHECK constraint —
+    * nothing was published; the staging is already reclaimed. */
+  class CheckViolationException(msg: String)
+    extends IllegalArgumentException(msg)
+
+  /** TIME TRAVEL BY TIMESTAMP: the latest version whose commit
+    * instant (the `#ts:` header every commit writes) is at or before
+    * `tsMs` — Delta's `timestampAsOf` / Iceberg's as-of-time scan,
+    * resolved from manifest HEADERS only (newest-first, early exit).
+    * The instant is recorded in the manifest rather than taken from
+    * file mtimes, so copies/restores/filesystems without stable
+    * mtimes don't corrupt history (the NoMtimeFileSystem lesson).
+    * None when the table is empty or every commit is newer. Versions
+    * missing the header (pre-recording history) are treated as
+    * infinitely old — they match any timestamp, never block a newer
+    * match. */
+  def versionAt(s: SparkSession, table: String,
+      tsMs: Long): Option[Int] =
+    versions(s, table).reverseIterator.find { v =>
+      commitTimeMs(s, table, v).forall(_ <= tsMs)
+    }
+
+  /** The commit instant recorded with version `v` (None for
+    * pre-recording history). Header-only read. */
+  def commitTimeMs(s: SparkSession, table: String,
+      v: Int): Option[Long] = {
+    val fs = fsOf(s, new Path(table))
+    readSmall(fs, manifest(table, v)).takeWhile(_.startsWith("#"))
+      .find(_.startsWith("#ts:")).map(_.stripPrefix("#ts:").toLong)
+  }
+
   /** The tag committed with version `v`, if any — one header line
     * read, never a file list (what a CDC consumer reads to learn its
     * own cursor from the MV head: the newest commit's tag IS the max
@@ -335,7 +399,17 @@ object SnapTable {
       case Some(p) => df.write.partitionBy(p).parquet(dataDir.toString)
       case None => df.write.parquet(dataDir.toString)
     }
-    audit.foreach { check =>
+    // the STANDING check (table metadata) audits every commit; the
+    // per-commit audit composes after it — both see exactly the
+    // staged bytes, both refuse by reclaiming and publishing nothing
+    val standing: Option[DataFrame => Unit] =
+      checkOf(s, table).map { pred => staged =>
+        // SQL CHECK semantics: only a FALSE predicate violates
+        if (staged.filter(expr(s"($pred) = false")).limit(1).count() > 0)
+          throw new CheckViolationException(
+            s"CHECK ($pred) violated by staged data — commit refused")
+      }
+    (standing.toSeq ++ audit.toSeq).foreach { check =>
       try check(partitionBy match {
         case Some(_) => s.read.option("basePath", dataDir.toString)
           .parquet(dataDir.toString)
@@ -353,7 +427,10 @@ object SnapTable {
     val base = if (mode == "append") prev.lastOption else None
     require(fresh.nonEmpty || base.nonEmpty,
       "refusing to commit an empty snapshot")
+    // header order contract: the tag (when present) is ALWAYS the
+    // first line — the tag scan reads only line one
     val lines = tag.map(t => s"#tag:$t").toSeq ++
+      Seq(s"#ts:${System.currentTimeMillis()}") ++
       base.map(b => f"#base:$b").toSeq ++
       withStats(s, table, fresh, statsCols)
     try claim(fs, table, v, lines)
@@ -488,7 +565,22 @@ object SnapTable {
       (s"data/b$v-$nonce/$p", len) }
     require(carried.nonEmpty || fresh.nonEmpty,
       "refusing to commit an empty snapshot")
-    val lines = tag.map(t => s"#tag:$t").toSeq ++ carried ++
+    // the standing CHECK audits rewrites too — a compaction or
+    // erasure output must honor the table's constraint
+    if (fresh.nonEmpty) checkOf(s, table).foreach { pred =>
+      val staged = partitionBy match {
+        case Some(_) => s.read.option("basePath", dataDir.toString)
+          .parquet(dataDir.toString)
+        case None => s.read.parquet(dataDir.toString)
+      }
+      if (staged.filter(expr(s"($pred) = false")).limit(1).count() > 0) {
+        fs.delete(dataDir, true)
+        throw new CheckViolationException(
+          s"CHECK ($pred) violated by rewrite output — commit refused")
+      }
+    }
+    val lines = tag.map(t => s"#tag:$t").toSeq ++
+      Seq(s"#ts:${System.currentTimeMillis()}") ++ carried ++
       withStats(s, table, fresh, statsCols)
     try claim(fs, table, v, lines)
     catch { case e: java.io.IOException =>
@@ -967,14 +1059,17 @@ object SnapTable {
           es.flatMap(_.sizeBytes).sum
         else null.asInstanceOf[Any]
       org.apache.spark.sql.Row(v.toLong,
-        tagOf(s, table, v).orNull, es.size.toLong, bytes)
+        tagOf(s, table, v).orNull, es.size.toLong, bytes,
+        commitTimeMs(s, table, v)
+          .map(Long.box).orNull.asInstanceOf[Any])
     }
     import scala.jdk.CollectionConverters._
     s.createDataFrame(rows.asJava, StructType(Seq(
       StructField("version", LongType),
       StructField("tag", StringType),
       StructField("n_files", LongType),
-      StructField("bytes", LongType))))
+      StructField("bytes", LongType),
+      StructField("ts_ms", LongType))))
   }
 
   /** FOOTER-PLANNED ranged read — Iceberg-style scan planning on the

@@ -684,6 +684,72 @@ class SnapTableSpec extends SparkSpec {
     assert(df.agg(sum("v")).head().getLong(0) === (50L to 99L).sum)
   }
 
+  test("timestamp travel: versionAt resolves from recorded commit instants, not mtimes") {
+    val tbl = Files.createTempDirectory("graft_snap_ts").toString + "/t"
+    val before = System.currentTimeMillis() - 5
+    SnapTable.commit(spark, Seq((1L, 1L)).toDF("k", "v"), tbl, "overwrite")
+    Thread.sleep(15)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(15)
+    SnapTable.commit(spark, Seq((2L, 2L)).toDF("k", "v"), tbl, "append")
+    assert(SnapTable.commitTimeMs(spark, tbl, 1).isDefined)
+    assert(SnapTable.versionAt(spark, tbl, mid) === Some(1))
+    assert(SnapTable.versionAt(spark, tbl,
+      System.currentTimeMillis() + 1000) === Some(2))
+    assert(SnapTable.versionAt(spark, tbl, before) === None)
+    // the instants ride in history, ascending
+    val ts = SnapTable.history(spark, tbl).orderBy("version")
+      .collect().map(_.getLong(4))
+    assert(ts.length === 2 && ts(0) <= ts(1))
+    // and a TAGGED commit keeps the tag on line one (the tag-scan
+    // contract) while still recording its instant
+    SnapTable.commitIfAbsent(spark, Seq((3L, 3L)).toDF("k", "v"),
+      tbl, "append", "b-7")
+    assert(SnapTable.taggedVersion(spark, tbl, "b-7") === Some(3))
+    assert(SnapTable.commitTimeMs(spark, tbl, 3).isDefined)
+  }
+
+  test("standing CHECK constraint: FALSE refuses and publishes nothing, null passes, rewrites audited") {
+    val tbl = Files.createTempDirectory("graft_snap_chk").toString + "/t"
+    SnapTable.commit(spark, Seq((1L, 10L)).toDF("k", "v"), tbl, "overwrite")
+    SnapTable.setCheck(spark, tbl, "v > 0")
+    // a valid append passes under the standing check
+    SnapTable.commit(spark, Seq((2L, 5L)).toDF("k", "v"), tbl, "append")
+    // a violating append refuses, reclaims, publishes nothing
+    intercept[SnapTable.CheckViolationException] {
+      SnapTable.commit(spark, Seq((3L, -1L)).toDF("k", "v"), tbl, "append")
+    }
+    assert(SnapTable.versions(spark, tbl) === Seq(1, 2))
+    assert(SnapTable.read(spark, tbl).count() === 2L)
+    // SQL CHECK semantics: a NULL predicate passes (only FALSE violates)
+    SnapTable.commit(spark,
+      Seq((4L, Option.empty[Long])).toDF("k", "v"), tbl, "append")
+    assert(SnapTable.versions(spark, tbl) === Seq(1, 2, 3))
+    // the check audits REWRITE output too
+    intercept[SnapTable.CheckViolationException] {
+      SnapTable.commitRewrite(spark,
+        Seq((9L, -9L)).toDF("k", "v"), tbl, carried = Nil)
+    }
+    assert(SnapTable.versions(spark, tbl) === Seq(1, 2, 3))
+    // dropping the constraint re-admits what it refused
+    SnapTable.clearCheck(spark, tbl)
+    SnapTable.commit(spark, Seq((5L, -1L)).toDF("k", "v"), tbl, "append")
+    assert(SnapTable.read(spark, tbl).count() === 4L)
+    // and no staging leaked from the refusals: every on-disk parquet
+    // is referenced by a live manifest
+    val fs = new org.apache.hadoop.fs.Path(tbl)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val referenced = SnapTable.versions(spark, tbl)
+      .flatMap(SnapTable.files(spark, tbl, _)).toSet
+    val onDisk = fs.listStatus(new org.apache.hadoop.fs.Path(tbl, "data"))
+      .flatMap { d =>
+        fs.listStatus(d.getPath).toSeq
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map(p => s"data/${d.getPath.getName}/${p.getPath.getName}")
+      }.toSet
+    assert(onDisk === referenced, s"staging leaked: ${onDisk diff referenced}")
+  }
+
   test("diff: I/D/U emitted, unchanged suppressed") {
     val old = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
     val neu = Seq((2L, 20L), (3L, 31L), (4L, 40L)).toDF("k", "v")
