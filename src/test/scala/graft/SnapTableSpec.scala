@@ -621,31 +621,42 @@ class SnapTableSpec extends SparkSpec {
       (0L to 80L by 2).sum)
   }
 
-  test("streaming ingest with statsCols: the live table is skip-plannable from birth") {
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+  test("streaming ingest with statsCols + partitionBy: the live table is skip- and partition-plannable from birth") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val dir = Files.createTempDirectory("graft_snap_sstats").toString
     val tbl = s"$dir/tbl"
     // three range-disjoint micro-batches land via the REAL drain
     (0 until 3).foreach { i =>
-      (i * 100L until (i + 1) * 100L).map(k => (k, k)).toDF("k", "v")
+      (i * 100L until (i + 1) * 100L)
+        .map(k => (k, if (k % 2 == 0) "a" else "b", k))
+        .toDF("k", "p", "v")
         .coalesce(1).write.parquet(f"$dir/in/b$i%05d.parquet")
     }
     graft.streaming.EventStream.orderLanding(spark,
       s"$dir/in/*.parquet", byName = true)
     val schema = StructType(Seq(StructField("k", LongType),
-      StructField("v", LongType)))
+      StructField("p", StringType), StructField("v", LongType)))
     graft.streaming.SnapStream.runIngest(spark,
       spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
         .parquet(s"$dir/in/*.parquet"),
-      tbl, s"$dir/ckpt", statsCols = Seq("k"))
+      tbl, s"$dir/ckpt", statsCols = Seq("k"), partitionBy = Some("p"))
     val entries = SnapTable.fileEntries(spark, tbl,
       SnapTable.versions(spark, tbl).last)
-    assert(entries.size === 3 && entries.forall(_.stats.contains("k")),
+    assert(entries.size === 6 && entries.forall(_.stats.contains("k")),
       s"streamed commits must record bounds: $entries")
+    assert(entries.forall(e => Set("a", "b")
+      .contains(e.partitionValues("p"))), entries.map(_.path))
+    // skip planning over the live feed: the 120..180 range lives in
+    // batch 2 only -> its two partition files of six total
     val (picked, df) = SnapTable.readSkip(spark, tbl, None, "k",
       120L, 180L)
-    assert(picked.size === 1, s"skip planning over the live feed: $picked")
+    assert(picked.size === 2, s"skip planning over the live feed: $picked")
     assert(df.count() === 61L)
+    // partition planning over the live feed composes with the range
+    val (both, dfb) = SnapTable.readPartitionsRange(spark, tbl, None,
+      "p", Seq("a"), "k", 120L, 180L)
+    assert(both.size === 1 && both.head.contains("p=a"), both)
+    assert(dfb.count() === 31L)
   }
 
   test("string manifest stats: truncated bounds, conservative pruning on long keys") {
