@@ -125,7 +125,7 @@ object SnapTable {
     if (segs.isEmpty) e.path else e.path + "\t" + segs.mkString(";")
   }
 
-  private def parseEntry(line: String): FileEntry = {
+  private[graft] def parseEntry(line: String): FileEntry = {
     val i = line.indexOf('\t')
     if (i < 0) FileEntry(line, Map.empty)
     else {

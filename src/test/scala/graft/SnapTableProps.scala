@@ -150,4 +150,45 @@ object SnapTableProps extends SparkProperties("snaptable") {
     }
 
   private def mode(append: Boolean) = if (append) "append" else "overwrite"
+
+  // --- manifest line format: parse ∘ format = identity over the whole
+  // entry space (path, long bounds, byte size, truncated string
+  // bounds) — the format grew three fields across rounds and every
+  // reader of every old manifest must keep parsing every new line
+  private val genB64: Gen[String] = Gen.chooseNum(0, 20)
+    .flatMap(n => Gen.listOfN(n, Gen.chooseNum(0, 255)))
+    .map(bs => java.util.Base64.getEncoder
+      .encodeToString(bs.map(_.toByte).toArray))
+  private val genEntry: Gen[SnapTable.FileEntry] = for {
+    depth <- Gen.chooseNum(1, 3)
+    segs <- Gen.listOfN(depth, Gen.identifier.map(_.take(12)))
+    part <- Gen.option(Gen.identifier.map(_.take(6)))
+    pval <- Gen.identifier.map(_.take(6))
+    nStats <- Gen.chooseNum(0, 3)
+    stats <- Gen.mapOfN(nStats, for {
+      c <- Gen.identifier.map(_.take(8))
+      a <- Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2)
+      b <- Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2)
+    } yield c -> (math.min(a, b), math.max(a, b)))
+    nStr <- Gen.chooseNum(0, 2)
+    strs <- Gen.mapOfN(nStr, for {
+      c <- Gen.identifier.map(_.take(8)).suchThat(!stats.contains(_))
+      mn <- genB64; mx <- genB64
+    } yield c -> (mn, mx))
+    size <- Gen.option(Gen.chooseNum(0L, Long.MaxValue))
+  } yield SnapTable.FileEntry(
+    (segs ++ part.map(p => s"$p=$pval").toSeq).mkString("data/", "/", "/f.parquet"),
+    stats, size, strs)
+
+  property("entryLine ∘ parseEntry = identity over the full entry space") =
+    Prop.forAll(genEntry) { e =>
+      val back = SnapTable.parseEntry(SnapTable.entryLine(e))
+      back == e
+    }
+
+  property("bare-path lines (old manifests) parse to stat-less entries") =
+    Prop.forAll(Gen.listOfN(3, Gen.identifier.map(_.take(10)))) { segs =>
+      val p = segs.mkString("data/", "/", "/f.parquet")
+      SnapTable.parseEntry(p) == SnapTable.FileEntry(p, Map.empty)
+    }
 }
