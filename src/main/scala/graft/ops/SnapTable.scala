@@ -744,6 +744,54 @@ object SnapTable {
     removed
   }
 
+  /** TIME-BASED RETENTION — `vacuum` by AGE instead of count (the
+    * production posture: compliance deadlines are expressed in days,
+    * not versions — "the pre-erasure snapshot must be physically
+    * gone 30 days after the request" is THIS call on a schedule):
+    * retire every version whose recorded commit instant is at or
+    * before `cutoffMs`, always keeping at least `minKeep` (the head
+    * must survive any cutoff). Versions without a recorded instant
+    * (pre-recording history) count as infinitely old. Delegates to
+    * [[vacuum]] — same checkpointing, same crash order, same
+    * in-flight protection. Returns data files deleted. */
+  def vacuumOlderThan(s: SparkSession, table: String, cutoffMs: Long,
+      minKeep: Int = 1): Int = {
+    require(minKeep >= 1, "must keep at least the latest version")
+    val vs = versions(s, table)
+    require(vs.nonEmpty, s"no committed snapshot under $table")
+    val fresh = vs.count(v =>
+      commitTimeMs(s, table, v).exists(_ > cutoffMs))
+    vacuum(s, table, math.max(minKeep, fresh))
+  }
+
+  /** The FILES metadata table — one row per data file of `version`
+    * (latest when None) with its partition values, recorded size, and
+    * recorded bounds, AS A DATAFRAME (the Iceberg `.files` metadata
+    * table / Delta `DESCRIBE DETAIL` surface): layout audits, small-
+    * file reports, and skew checks become plain queries over manifest
+    * text — no filesystem listing, no footer read. Bounds serialize
+    * as `col=min..max` strings (string bounds base64, as recorded). */
+  def filesDf(s: SparkSession, table: String,
+      version: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.types._
+    val vs = versions(s, table)
+    require(vs.nonEmpty, s"no committed snapshot under $table")
+    val v = version.getOrElse(vs.last)
+    val rows = fileEntries(s, table, v).map { e =>
+      org.apache.spark.sql.Row(e.path,
+        e.partitionValues,
+        e.sizeBytes.map(Long.box).orNull.asInstanceOf[Any],
+        e.stats.map { case (c, (mn, mx)) => c -> s"$mn..$mx" } ++
+          e.strStats.map { case (c, (mn, mx)) => c -> s"s:$mn..$mx" })
+    }
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("path", StringType),
+      StructField("partition", MapType(StringType, StringType)),
+      StructField("size_bytes", LongType),
+      StructField("bounds", MapType(StringType, StringType)))))
+  }
+
   /** Read snapshot `version` (latest when None) — exactly the
     * manifest's resolved files, distributed. `mergeSchema` reconciles
     * files written under EVOLVED schemas by name (early files' absent

@@ -761,6 +761,37 @@ class SnapTableSpec extends SparkSpec {
     assert(onDisk === referenced, s"staging leaked: ${onDisk diff referenced}")
   }
 
+  test("vacuumOlderThan: retention by AGE from recorded instants; filesDf is the metadata table") {
+    val tbl = Files.createTempDirectory("graft_snap_age").toString + "/t"
+    SnapTable.commit(spark, Seq((1L, 1L)).toDF("k", "v"), tbl,
+      "overwrite", statsCols = Seq("k"))
+    SnapTable.commit(spark, Seq((2L, 2L)).toDF("k", "v"), tbl,
+      "append", statsCols = Seq("k"))
+    Thread.sleep(15)
+    val cut = System.currentTimeMillis()
+    Thread.sleep(15)
+    SnapTable.commit(spark, Seq((3L, 3L)).toDF("k", "v"), tbl,
+      "append", statsCols = Seq("k"))
+    // v1 and v2 predate the cutoff and retire; v3's chain crossed the
+    // horizon, so the checkpoint + reference counting keep its DATA
+    // whole while the old manifests (the promised-history surface) go
+    SnapTable.vacuumOlderThan(spark, tbl, cut)
+    assert(SnapTable.versions(spark, tbl) === Seq(3))
+    assert(SnapTable.read(spark, tbl).count() === 3L)
+    // a cutoff in the future still keeps minKeep (the head survives)
+    SnapTable.vacuumOlderThan(spark, tbl,
+      System.currentTimeMillis() + 100000)
+    assert(SnapTable.versions(spark, tbl) === Seq(3))
+    assert(SnapTable.read(spark, tbl).count() === 3L)
+    // the files metadata table: one row per file, with size + bounds
+    val fdf = SnapTable.filesDf(spark, tbl)
+    assert(fdf.count() === 3L)
+    val r = fdf.orderBy("path").collect()
+    assert(r.forall(!_.isNullAt(2)), "size_bytes must be recorded")
+    assert(r.forall(_.getMap[String, String](3).get("k").isDefined),
+      "recorded k bounds must surface in the metadata table")
+  }
+
   test("diff: I/D/U emitted, unchanged suppressed") {
     val old = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
     val neu = Seq((2L, 20L), (3L, 31L), (4L, 40L)).toDF("k", "v")
