@@ -399,17 +399,20 @@ object SnapTable {
       case Some(p) => df.write.partitionBy(p).parquet(dataDir.toString)
       case None => df.write.parquet(dataDir.toString)
     }
+    val staged = listStaged(fs, dataDir)
     // the STANDING check (table metadata) audits every commit; the
     // per-commit audit composes after it — both see exactly the
-    // staged bytes, both refuse by reclaiming and publishing nothing
+    // staged bytes, both refuse by reclaiming and publishing nothing.
+    // An EMPTY staging has nothing to audit (and nothing to read):
+    // it falls through to the empty-snapshot refusal below.
     val standing: Option[DataFrame => Unit] =
-      checkOf(s, table).map { pred => staged =>
+      checkOf(s, table).map { pred => df0 =>
         // SQL CHECK semantics: only a FALSE predicate violates
-        if (staged.filter(expr(s"($pred) = false")).limit(1).count() > 0)
+        if (df0.filter(expr(s"($pred) = false")).limit(1).count() > 0)
           throw new CheckViolationException(
             s"CHECK ($pred) violated by staged data — commit refused")
       }
-    (standing.toSeq ++ audit.toSeq).foreach { check =>
+    if (staged.nonEmpty) (standing.toSeq ++ audit.toSeq).foreach { check =>
       try check(partitionBy match {
         case Some(_) => s.read.option("basePath", dataDir.toString)
           .parquet(dataDir.toString)
@@ -422,7 +425,7 @@ object SnapTable {
         throw e
       }
     }
-    val fresh = listStaged(fs, dataDir).map { case (p, len) =>
+    val fresh = staged.map { case (p, len) =>
       (s"data/b$v-$nonce/$p", len) }
     val base = if (mode == "append") prev.lastOption else None
     require(fresh.nonEmpty || base.nonEmpty,
