@@ -625,26 +625,45 @@ object SnapTable {
     -1 // unreachable
   }
 
+  /** Per-table claim serialization WITHIN this JVM. The cross-process
+    * protocol below relies on rename refusing an existing destination
+    * — the HDFS contract, which object-store commit services also
+    * provide — but a POSIX local filesystem's rename REPLACES the
+    * destination, so two same-JVM threads passing the exists-check
+    * together would silently clobber (observed: both racers of
+    * `q_commit_retry` returned version 1 under load). In local mode
+    * every committer IS a thread of this JVM, so an intra-JVM mutex
+    * closes exactly the window the filesystem leaves open; on a
+    * cluster the driver-side committer plus HDFS rename semantics
+    * carry the contract across processes. */
+  private val claimLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** The commit point — OPTIMISTIC CONCURRENCY: refuse if another
     * committer already claimed `v` (never silently overwrite a
     * manifest), otherwise stage and atomically rename. A racer
-    * landing between the check and the rename still loses: rename
-    * does not replace an existing destination, so the rename check
-    * fails loudly rather than clobbering the winner. */
+    * landing between the check and the rename still loses: same-JVM
+    * racers serialize on the table's claim lock, and cross-process
+    * rename does not replace an existing destination (the HDFS
+    * contract), so the late rename fails loudly rather than
+    * clobbering the winner. */
   private[graft] def claim(fs: FileSystem,
       table: String, v: Int, lines: Seq[String]): Unit = {
-    if (fs.exists(manifest(table, v)))
-      throw new ConcurrentCommitException(
-        s"concurrent commit: version $v was claimed by another writer")
     val tmp = new Path(table, s".manifest-v$v.txt.tmp-" +
       java.util.UUID.randomUUID().toString.take(8))
     val out = fs.create(tmp, true)
     try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
-    if (!fs.rename(tmp, manifest(table, v))) {
+    val lock = claimLocks.computeIfAbsent(
+      new Path(table).toUri.toString, _ => new Object)
+    val won = lock.synchronized {
+      if (fs.exists(manifest(table, v))) false
+      else fs.rename(tmp, manifest(table, v))
+    }
+    if (!won) {
       fs.delete(tmp, false)
       throw new ConcurrentCommitException(
-        s"concurrent commit: lost the manifest rename for version $v")
+        s"concurrent commit: version $v was claimed by another writer")
     }
   }
 
