@@ -1049,14 +1049,26 @@ object SnapTable {
         e.partitionValues.get(partCol).forall(wanted.contains))
       .map(_.path)
     def abs(rel: Seq[String]) = rel.map(r => new Path(table, r).toString)
-    val arms = wanted.flatMap { w =>
+    val rangeResidual = col(column) >= lo && col(column) <= hi
+    val valueArms = wanted.flatMap { w =>
       val mine = entries.filter(e =>
         e.partitionValues.get(partCol).contains(w)).map(_.path)
       if (mine.isEmpty) None
       else Some(s.read.parquet(abs(mine): _*)
         .withColumn(partCol, lit(w))
-        .filter(col(column) >= lo && col(column) <= hi))
+        .filter(rangeResidual))
     }
+    // un-partitioned files may hold any value: they carry the column
+    // themselves and take BOTH residuals (absence admitted them into
+    // `picked`; a plan that then skipped them would drop their rows)
+    val loose = entries.filter(e =>
+      !e.partitionValues.contains(partCol)).map(_.path)
+    val looseArm =
+      if (loose.isEmpty) None
+      else Some(s.read.parquet(abs(loose): _*)
+        .filter(col(partCol).isin(wanted: _*))
+        .filter(rangeResidual))
+    val arms = valueArms ++ looseArm.toSeq
     val out =
       if (arms.isEmpty) read(s, table, Some(v)).filter(lit(false))
       else arms.reduce((a, b) => a.unionByName(b))

@@ -619,6 +619,20 @@ class SnapTableSpec extends SparkSpec {
       "stats pruning must engage on top of partition pruning")
     assert(df.agg(sum("v")).head().getLong(0) ===
       (0L to 80L by 2).sum)
+    // a MIXED table: an un-partitioned (stat-less for p) commit joins;
+    // its file is admitted by absence AND its rows must be SCANNED
+    // under both residuals, never silently dropped from the plan
+    SnapTable.commit(spark,
+      Seq((40L, "a", 40L), (41L, "b", 41L), (1000L, "a", 1000L))
+        .toDF("k", "p", "v").coalesce(1),
+      tbl, "append", statsCols = Seq("k"))
+    val (p2, df2) = SnapTable.readPartitionsRange(spark, tbl, None,
+      "p", Seq("a"), "k", 0L, 80L)
+    assert(p2.size === picked.size + 1,
+      "the loose file must be admitted by absence")
+    assert(df2.agg(sum("v")).head().getLong(0) ===
+      (0L to 80L by 2).sum + 40L,
+      "the loose file's matching row must be scanned, not dropped")
   }
 
   test("streaming ingest with statsCols + partitionBy: the live table is skip- and partition-plannable from birth") {
