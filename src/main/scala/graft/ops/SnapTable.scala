@@ -88,6 +88,12 @@ object SnapTable {
     finally in.close()
   }
 
+  /** Hive's null-partition directory name: `partitionBy` writes a
+    * null partition value as this sentinel segment. [[FileEntry
+    * .partitionValues]] surfaces it VERBATIM (a map can't hold null);
+    * the read paths re-materialize it as a typed NULL literal. */
+  val NullPartition = "__HIVE_DEFAULT_PARTITION__"
+
   /** One manifest data line: a relative file path plus the per-file
     * column bounds the committer recorded (empty when the commit ran
     * without stats columns — absence ADMITS on every skip decision,
@@ -101,12 +107,22 @@ object SnapTable {
     /** Hive-style partition values parsed from the path's `k=v`
       * directory segments (a partitioned commit stages under
       * `data/b<v>-<nonce>/<col>=<val>/…`) — the manifest line IS the
-      * partition index, no extra metadata needed. */
+      * partition index, no extra metadata needed. Values are
+      * UNESCAPED back to what the committer wrote (Spark's
+      * `partitionBy` percent-escapes `:`/`%`/space/… in the path, the
+      * Hive escaping contract), so callers match against RAW values;
+      * a null value surfaces as the verbatim [[NullPartition]]
+      * sentinel. */
     def partitionValues: Map[String, String] =
       path.split('/').iterator.filter(_.contains('='))
         .map { seg =>
           val i = seg.indexOf('=')
-          seg.substring(0, i) -> seg.substring(i + 1)
+          val raw = seg.substring(i + 1)
+          val v = if (raw == NullPartition) raw
+            else org.apache.spark.sql.catalyst.catalog
+              .ExternalCatalogUtils.unescapePathName(raw)
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(seg.substring(0, i)) -> v
         }.toMap
   }
 
@@ -195,6 +211,40 @@ object SnapTable {
   def files(s: SparkSession, table: String, v: Int): Seq[String] =
     resolvedLines(s, table, v).map(pathOf)
 
+  /** DELETION-VECTOR sidecar paths of snapshot `v` (`#dv:` lines) —
+    * position-delete parquet files the read path anti-joins against
+    * ([[commitDelete]]). Resolved through the same chain/checkpoint
+    * walk as file lists. */
+  def dvFiles(s: SparkSession, table: String, v: Int): Seq[String] = {
+    val fs = fsOf(s, new Path(table))
+    var hop = v
+    var acc = List.empty[Seq[String]]
+    var done = false
+    while (!done) {
+      val ck = checkpoint(table, hop)
+      val lines =
+        if (fs.exists(ck)) { done = true; readSmall(fs, ck) }
+        else {
+          val ls = readSmall(fs, manifest(table, hop))
+          ls.find(_.startsWith("#base:"))
+            .map(_.stripPrefix("#base:").toInt) match {
+            case Some(b) => hop = b
+            case None => done = true
+          }
+          ls
+        }
+      acc ::= lines.filter(_.startsWith("#dv:"))
+        .map(_.stripPrefix("#dv:"))
+    }
+    acc.flatten.distinct
+  }
+
+  /** Whether snapshot `v` carries LIVE deletion vectors — surfaces a
+    * read path that would silently include deleted rows (the V2
+    * connector refuses such snapshots; [[read]] applies them). */
+  def hasDeletes(s: SparkSession, table: String, v: Int): Boolean =
+    dvFiles(s, table, v).nonEmpty
+
   /** Files of snapshot `v` WITH their recorded column bounds — what a
     * manifest-only planner reads ([[readSkip]], rewrite planning). */
   def fileEntries(s: SparkSession, table: String,
@@ -277,6 +327,53 @@ object SnapTable {
     val fs = fsOf(s, new Path(table))
     readSmall(fs, manifest(table, v)).takeWhile(_.startsWith("#"))
       .find(_.startsWith("#ts:")).map(_.stripPrefix("#ts:").toLong)
+  }
+
+  /** `#part:<col>=<catalogType>` header for a partitioned commit —
+    * the DECLARED partition column type rides in the manifest, so
+    * readers re-materialize the Hive-path value as a typed literal
+    * instead of degrading a long/date partition column to string. */
+  private def partHeader(df: DataFrame,
+      partitionBy: Option[String]): Seq[String] =
+    partitionBy.toSeq.map { p =>
+      s"#part:$p=${df.schema(p).dataType.catalogString}" }
+
+  private def parsePartHeader(h: String)
+      : (String, org.apache.spark.sql.types.DataType) = {
+    val body = h.stripPrefix("#part:")
+    val i = body.indexOf('=')
+    (body.substring(0, i),
+      org.apache.spark.sql.types.DataType.fromDDL(body.substring(i + 1)))
+  }
+
+  /** The partition column and DECLARED type of snapshot `v`, resolved
+    * through the `#base:` chain exactly like file lists (checkpoints
+    * carry the header across a vacuumed horizon). None for
+    * unpartitioned tables and pre-recording history — callers fall
+    * back to string, the Hive-path native type. Header-only reads. */
+  def partSpecOf(s: SparkSession, table: String,
+      v: Int): Option[(String, org.apache.spark.sql.types.DataType)] = {
+    val fs = fsOf(s, new Path(table))
+    var hop = v
+    while (true) {
+      val heads = readSmall(fs, manifest(table, hop))
+        .takeWhile(_.startsWith("#"))
+      heads.find(_.startsWith("#part:")) match {
+        case Some(h) => return Some(parsePartHeader(h))
+        case None =>
+          val base = heads.find(_.startsWith("#base:"))
+            .map(_.stripPrefix("#base:").toInt)
+          val ck = checkpoint(table, hop)
+          if (fs.exists(ck))
+            return readSmall(fs, ck).takeWhile(_.startsWith("#"))
+              .find(_.startsWith("#part:")).map(parsePartHeader)
+          base match {
+            case Some(b) => hop = b
+            case None => return None
+          }
+      }
+    }
+    None
   }
 
   /** The tag committed with version `v`, if any — one header line
@@ -434,6 +531,7 @@ object SnapTable {
     // first line — the tag scan reads only line one
     val lines = tag.map(t => s"#tag:$t").toSeq ++
       Seq(s"#ts:${System.currentTimeMillis()}") ++
+      partHeader(df, partitionBy) ++
       base.map(b => f"#base:$b").toSeq ++
       withStats(s, table, fresh, statsCols)
     try claim(fs, table, v, lines)
@@ -548,7 +646,8 @@ object SnapTable {
       carried: Seq[String], tag: Option[String] = None,
       expectedHead: Option[Int] = None,
       statsCols: Seq[String] = Nil,
-      partitionBy: Option[String] = None): Int = {
+      partitionBy: Option[String] = None,
+      carryDeletes: Boolean = true): Int = {
     val fs = fsOf(s, new Path(table))
     val prev = versions(s, table)
     require(prev.nonEmpty, s"no committed snapshot under $table")
@@ -582,8 +681,16 @@ object SnapTable {
           s"CHECK ($pred) violated by rewrite output — commit refused")
       }
     }
+    // deletion vectors CARRY by default: carried data files still
+    // need their positions anti-joined (dropping them would
+    // resurrect deleted rows under every carried file). Only a
+    // materializing rewrite ([[materializeDeletes]]) clears them.
+    val dvLines =
+      if (carryDeletes) dvFiles(s, table, prev.last).map(p => s"#dv:$p")
+      else Nil
     val lines = tag.map(t => s"#tag:$t").toSeq ++
-      Seq(s"#ts:${System.currentTimeMillis()}") ++ carried ++
+      Seq(s"#ts:${System.currentTimeMillis()}") ++
+      partHeader(df, partitionBy) ++ dvLines ++ carried ++
       withStats(s, table, fresh, statsCols)
     try claim(fs, table, v, lines)
     catch { case e: java.io.IOException =>
@@ -605,7 +712,8 @@ object SnapTable {
       plan: Int => (DataFrame, Seq[String]),
       tag: Option[String] = None, attempts: Int = 8,
       statsCols: Seq[String] = Nil,
-      partitionBy: Option[String] = None): Int = {
+      partitionBy: Option[String] = None,
+      carryDeletes: Boolean = true): Int = {
     require(attempts >= 1, "rewriteWithRetry needs at least one attempt")
     var left = attempts
     while (true) {
@@ -614,7 +722,7 @@ object SnapTable {
           s"no committed snapshot under $table"))
       val (df, carried) = plan(head)
       try return commitRewrite(s, df, table, carried, tag, Some(head),
-        statsCols, partitionBy)
+        statsCols, partitionBy, carryDeletes)
       catch {
         case e: ConcurrentCommitException =>
           left -= 1
@@ -654,8 +762,13 @@ object SnapTable {
     val out = fs.create(tmp, true)
     try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
+    // key on the FULLY QUALIFIED uri: every spelling of one table
+    // (relative/absolute, scheme-qualified/bare, trailing slash)
+    // normalizes to one lock — two same-JVM committers addressing the
+    // table differently must still serialize (growth is one Object
+    // per distinct table, not per spelling)
     val lock = claimLocks.computeIfAbsent(
-      new Path(table).toUri.toString, _ => new Object)
+      fs.makeQualified(new Path(table)).toUri.toString, _ => new Object)
     val won = lock.synchronized {
       if (fs.exists(manifest(table, v))) false
       else fs.rename(tmp, manifest(table, v))
@@ -698,8 +811,13 @@ object SnapTable {
         readSmall(fs, manifest(table, k0)).exists(_.startsWith("#base:"))
       if (needsCkpt) {
         // full LINES, not bare paths: recorded stats survive the
-        // checkpoint, so skip planning works across the horizon too
-        val full = resolvedLines(s, table, k0)
+        // checkpoint, so skip planning works across the horizon too;
+        // the chain's #part header and live #dv lines ride along for
+        // the same reason (dropping a vector would resurrect rows)
+        val hdr = partSpecOf(s, table, k0).map { case (c, dt) =>
+          s"#part:$c=${dt.catalogString}" }.toSeq ++
+          dvFiles(s, table, k0).map(p => s"#dv:$p")
+        val full = hdr ++ resolvedLines(s, table, k0)
         val tmp = new Path(table, s".checkpoint-v$k0.txt.tmp-" +
           java.util.UUID.randomUUID().toString.take(8))
         val out = fs.create(tmp, true)
@@ -716,8 +834,10 @@ object SnapTable {
       }
     }
     // 2. resolve what the kept versions reference (chains still whole:
-    //    nothing is deleted yet)
-    val referenced = kept.flatMap(files(s, table, _)).toSet
+    //    nothing is deleted yet) — deletion-vector sidecars count as
+    //    references too, or retention would strip live vectors
+    val referenced = kept.flatMap(v =>
+      files(s, table, v) ++ dvFiles(s, table, v)).toSet
     // 3. CRASH ORDER MATTERS: retire manifests FIRST, then data. A
     //    crash after manifest deletion leaves orphaned (unreferenced)
     //    files — garbage the next vacuum reclaims; the reverse order
@@ -835,13 +955,259 @@ object SnapTable {
     require(vs.nonEmpty, s"no committed snapshot under $table")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"unknown snapshot version $v (have $vs)")
-    val paths = files(s, table, v).map(rel => new Path(table, rel).toString)
-    val rd = (mergeSchema, schema) match {
-      case (_, Some(sc)) => s.read.schema(sc)
-      case (true, None) => s.read.option("mergeSchema", "true")
-      case (false, None) => s.read
+    val entries = fileEntries(s, table, v)
+    val pc = partSpecOf(s, table, v).map(_._1).orElse(
+      entries.flatMap(_.partitionValues.keys).headOption)
+    val out = pc match {
+      case None =>
+        val paths = entries.map(e => new Path(table, e.path).toString)
+        val rd = (mergeSchema, schema) match {
+          case (_, Some(sc)) => s.read.schema(sc)
+          case (true, None) => s.read.option("mergeSchema", "true")
+          case (false, None) => s.read
+        }
+        rd.parquet(paths: _*)
+      case Some(c) => readPartitioned(s, table, v, entries, c,
+        mergeSchema, schema)
     }
-    rd.parquet(paths: _*)
+    withDeletes(s, table, v, out)
+  }
+
+  /** A scanned row's data file as its MANIFEST-RELATIVE path
+    * (`data/b<v>-<nonce>/…`), extracted from the metadata file path —
+    * the deletion-vector join key. File NAMES alone are not unique
+    * in a partitioned commit (one write job reuses its part numbers
+    * and UUID across every `<col>=<val>` dir), and absolute paths
+    * vary by URI spelling; the batch-dir-rooted relative path is
+    * both unique and relocation-stable. The greedy prefix pins the
+    * LAST `data/b…` segment, so a table nested under another table's
+    * data dir still keys correctly. */
+  private def relFileCol: org.apache.spark.sql.Column =
+    regexp_extract(col("_metadata.file_path"),
+      "^(?:.*/)?(data/b[0-9]+-[0-9a-f]{8}/.+)$", 1)
+
+  /** Apply snapshot `v`'s DELETION VECTORS (if any) to a read of its
+    * data files: anti-join on (manifest-relative file path, in-file
+    * row position) — the merge-on-read half of position deletes
+    * ([[commitDelete]]). The DV side is typically tiny (O(deleted
+    * rows)); parquet size stats let Spark broadcast it, so the cost
+    * is a scan-side hash probe, not a shuffle. No DVs → the frame
+    * passes through untouched. The frame must come STRAIGHT from a
+    * file-source scan of the snapshot's files (metadata columns
+    * resolve only there). */
+  private def withDeletes(s: SparkSession, table: String, v: Int,
+      df: DataFrame): DataFrame = {
+    val dvs = dvFiles(s, table, v)
+    if (dvs.isEmpty) df
+    else {
+      val dels = s.read.parquet(dvs.map(rel =>
+          new Path(table, rel).toString): _*)
+        .select(col("file").as("__snap_fpath"),
+          col("pos").as("__snap_pos"))
+      df.withColumn("__snap_fpath", relFileCol)
+        .withColumn("__snap_pos", col("_metadata.row_index"))
+        .join(dels, Seq("__snap_fpath", "__snap_pos"), "left_anti")
+        .drop("__snap_fpath", "__snap_pos")
+    }
+  }
+
+  /** MERGE-ON-READ DELETE (the Delta deletion-vector / Iceberg
+    * position-delete shape): commit the POSITIONS matching
+    * `predicate` as a tiny sidecar parquet — `(file_name, pos)` rows,
+    * O(deleted rows) bytes — referenced from the manifest by `#dv:`
+    * lines; every read path then anti-joins them out. Nothing is
+    * rewritten: the commit cost is the subject rows, not the files
+    * that hold them — at 100 TB the difference between a
+    * kilobyte-scale erasure commit and rewriting terabyte files
+    * (copy-on-write stays available as [[commitRewrite]]; OPTIMIZE
+    * materializes via [[materializeDeletes]], and [[vacuum]] then
+    * completes PHYSICAL erasure once pre-delete versions retire).
+    * The manifest stays self-contained: the head's data lines carry
+    * verbatim (stats intact), prior `#dv:` lines ride along, and the
+    * whole set becomes visible in one rename. Conflicts resolve like
+    * every rewrite: positions derive from a head, losing the claim
+    * re-derives from the new head (a concurrent append's rows are
+    * re-scanned, never missed). Rows already deleted never re-enter
+    * the sidecar (positions compute through the existing vectors).
+    * Returns the committed version — the unchanged head when nothing
+    * matched. */
+  def commitDelete(s: SparkSession, table: String, predicate: String,
+      tag: Option[String] = None, attempts: Int = 8): Int = {
+    require(predicate.trim.nonEmpty, "empty delete predicate")
+    val fs = fsOf(s, new Path(table))
+    var left = attempts
+    while (true) {
+      val vs = versions(s, table)
+      require(vs.nonEmpty, s"no committed snapshot under $table")
+      val head = vs.last
+      // positions of LIVE rows matching the predicate: metadata
+      // columns captured at the scan, existing vectors anti-joined
+      // so a re-delete never duplicates sidecar entries
+      val matches = readWithPos(s, table, head)
+        .filter(expr(predicate))
+        .select(col("__snap_fpath").as("file"),
+          col("__snap_pos").as("pos"))
+      val v = head + 1
+      val nonce = java.util.UUID.randomUUID().toString.take(8)
+      val dvDir = new Path(table, s"data/b$v-$nonce")
+      // one sidecar file: the vector is O(deleted rows), tiny by
+      // construction — a delete that rewrites millions of positions
+      // should be copy-on-write instead
+      matches.coalesce(1).write.parquet(dvDir.toString)
+      val staged = listStaged(fs, dvDir)
+      if (s.read.parquet(dvDir.toString).isEmpty) {
+        fs.delete(dvDir, true)
+        return head
+      }
+      val prior = dvFiles(s, table, head)
+      val lines = tag.map(t => s"#tag:$t").toSeq ++
+        Seq(s"#ts:${System.currentTimeMillis()}") ++
+        partSpecOf(s, table, head).map { case (c, dt) =>
+          s"#part:$c=${dt.catalogString}" }.toSeq ++
+        resolvedLines(s, table, head) ++
+        (prior ++ staged.map { case (p, _) => s"data/b$v-$nonce/$p" })
+          .map(p => s"#dv:$p")
+      try return { claim(fs, table, v, lines); v }
+      catch {
+        case _: ConcurrentCommitException if left > 1 =>
+          fs.delete(dvDir, true)
+          left -= 1
+          Thread.sleep(5L + scala.util.Random.nextInt(20))
+        case e: java.io.IOException =>
+          fs.delete(dvDir, true)
+          throw e
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** [[read]] of version `v` PLUS the scan's metadata identity
+    * columns (`__snap_fname`, `__snap_pos`), with existing deletion
+    * vectors applied — what [[commitDelete]] derives fresh positions
+    * from. Metadata columns must be captured before any join, so this
+    * re-derives the base frame rather than wrapping [[read]]. */
+  private def readWithPos(s: SparkSession, table: String,
+      v: Int): DataFrame = {
+    val entries = fileEntries(s, table, v)
+    val pc = partSpecOf(s, table, v).map(_._1).orElse(
+      entries.flatMap(_.partitionValues.keys).headOption)
+    val base = pc match {
+      case None => s.read.parquet(entries.map(e =>
+        new Path(table, e.path).toString): _*)
+      case Some(c) => readPartitioned(s, table, v, entries, c,
+        mergeSchema = false, schema = None)
+    }
+    val withMeta = base
+      .withColumn("__snap_fpath", relFileCol)
+      .withColumn("__snap_pos", col("_metadata.row_index"))
+    val dvs = dvFiles(s, table, v)
+    if (dvs.isEmpty) withMeta
+    else withMeta.join(
+      s.read.parquet(dvs.map(rel => new Path(table, rel).toString): _*)
+        .select(col("file").as("__snap_fpath"),
+          col("pos").as("__snap_pos")),
+      Seq("__snap_fpath", "__snap_pos"), "left_anti")
+  }
+
+  /** OPTIMIZE for deletion vectors — materialize merge-on-read back
+    * to pure data files: rewrite ONLY the files the vectors touch
+    * (positions applied in-rewrite), carry every untouched line with
+    * its stats, commit WITHOUT `#dv:` lines. After this, no read
+    * pays the anti-join — and once [[vacuum]] retires the pre-delete
+    * versions, the deleted rows' bytes are physically gone (the RTBF
+    * completion contract). Runs through the rewrite conflict loop;
+    * no-op (head returned) when the snapshot carries no vectors. */
+  def materializeDeletes(s: SparkSession, table: String,
+      statsCols: Seq[String] = Nil, attempts: Int = 8): Int = {
+    val head0 = versions(s, table).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed snapshot under $table"))
+    if (dvFiles(s, table, head0).isEmpty) return head0
+    val partBy = partSpecOf(s, table, head0).map(_._1)
+    rewriteWithRetry(s, table, h => {
+      val dvs = dvFiles(s, table, h)
+      val dels = s.read.parquet(dvs.map(rel =>
+        new Path(table, rel).toString): _*)
+      val affected = dels.select("file").distinct()
+        .collect().map(_.getString(0)).toSet
+      val es = fileEntries(s, table, h)
+      val (hit, keep) = es.partition(e => affected.contains(e.path))
+      def applied(base: DataFrame): DataFrame = base
+        .withColumn("__snap_fpath", relFileCol)
+        .withColumn("__snap_pos", col("_metadata.row_index"))
+        .join(dels.select(col("file").as("__snap_fpath"),
+          col("pos").as("__snap_pos")),
+          Seq("__snap_fpath", "__snap_pos"), "left_anti")
+        .drop("__snap_fpath", "__snap_pos")
+      val df = partBy match {
+        case None => applied(s.read.parquet(hit.map(e =>
+          new Path(table, e.path).toString): _*))
+        case Some(c) =>
+          // per-value arms: hive-staged files don't carry the column
+          hit.groupBy(_.partitionValues(c)).toSeq.sortBy(_._1)
+            .map { case (w, ws) =>
+              applied(s.read.parquet(ws.map(e =>
+                  new Path(table, e.path).toString): _*))
+                .withColumn(c, partLit(s, table, h, c, w))
+            }.reduce(_ unionByName _)
+      }
+      (df, keep.map(entryLine))
+    }, statsCols = statsCols, partitionBy = partBy,
+      attempts = attempts, carryDeletes = false)
+  }
+
+  /** A PARTITIONED snapshot read — the partition column does not live
+    * in the staged files (Hive layout), so a plain parquet read would
+    * silently DROP it; it reconstructs from the manifest paths. The
+    * uniform case plans as ONE relation over a manifest-backed
+    * [[graft.sources.snap.SnapFileIndex]] (typed partition column
+    * from the `#part:` header, vectorized scan, partition pruning on
+    * pushed filters); a mixed partitioned/unpartitioned history falls
+    * back to per-value literal arms plus the loose files, which carry
+    * the column themselves. */
+  private def readPartitioned(s: SparkSession, table: String, v: Int,
+      entries: Seq[FileEntry], c: String, mergeSchema: Boolean,
+      schema: Option[org.apache.spark.sql.types.StructType])
+      : DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    val (part, loose) = entries.partition(_.partitionValues.contains(c))
+    def abs(es: Seq[FileEntry]) =
+      es.map(e => new Path(table, e.path).toString)
+    if (loose.isEmpty) {
+      val idx = new graft.sources.snap.SnapFileIndex(s, table, v,
+        userPartType = schema.flatMap(sc =>
+          sc.fields.find(_.name == c).map(_.dataType)))
+      val dataSchema: StructType = schema match {
+        case Some(sc) => StructType(sc.fields.filterNot(_.name == c))
+        case None if mergeSchema =>
+          s.read.option("mergeSchema", "true")
+            .parquet(abs(part): _*).schema
+        case None => s.read.parquet(abs(part).head).schema
+      }
+      s.baseRelationToDataFrame(
+        org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+          idx, idx.partitionSchema, dataSchema, None,
+          new org.apache.spark.sql.execution.datasources.parquet
+            .ParquetFileFormat, Map.empty[String, String])(s))
+    } else {
+      val rd = (mergeSchema, schema) match {
+        case (_, Some(sc)) =>
+          s.read.schema(StructType(sc.fields.filterNot(_.name == c)))
+        case (true, None) => s.read.option("mergeSchema", "true")
+        case (false, None) => s.read
+      }
+      val arms = part.groupBy(_.partitionValues(c)).toSeq
+        .sortBy(_._1).map { case (w, es) =>
+          rd.parquet(abs(es): _*)
+            .withColumn(c, partLit(s, table, v, c, w)) } ++
+        // loose files CARRY the column — read them as-is, unfiltered
+        (if (loose.isEmpty) Nil else Seq((schema match {
+          case Some(sc) => s.read.schema(sc)
+          case None if mergeSchema => s.read.option("mergeSchema", "true")
+          case None => s.read
+        }).parquet(abs(loose): _*)))
+      arms.reduce((a, b) => a.unionByName(b))
+    }
   }
 
   /** MANIFEST-PLANNED ranged read — the scan planning real table
@@ -871,8 +1237,8 @@ object SnapTable {
     val out =
       if (picked.isEmpty)
         read(s, table, Some(v), mergeSchema).filter(lit(false))
-      else rd.parquet(picked.map(rel =>
-          new Path(table, rel).toString): _*)
+      else withDeletes(s, table, v, rd.parquet(picked.map(rel =>
+          new Path(table, rel).toString): _*))
         .filter(col(column) >= lo && col(column) <= hi)
     (picked, out)
   }
@@ -893,6 +1259,28 @@ object SnapTable {
     * the survivors by intersecting the entry lists). Manifest lines
     * with no `partCol` segment are kept under EVERY requested value
     * read, with the residual filter applied (absence admits). */
+  /** A Hive-path partition value as a TYPED column literal: cast to
+    * the commit's declared type (the `#part:` header; string when the
+    * table predates recording), [[NullPartition]] as a typed NULL —
+    * so a long/date partition column survives re-materialization
+    * instead of degrading the read schema to string. */
+  private def partLit(s: SparkSession, table: String, v: Int,
+      partCol: String, w: String): org.apache.spark.sql.Column = {
+    val dt = partSpecOf(s, table, v).filter(_._1 == partCol).map(_._2)
+      .getOrElse(org.apache.spark.sql.types.StringType)
+    (if (w == NullPartition) lit(null) else lit(w)).cast(dt)
+  }
+
+  /** Membership residual for files that CARRY the partition column:
+    * `isin` under SQL null semantics never matches null, so a
+    * requested [[NullPartition]] becomes an explicit isNull arm. */
+  private def partIn(partCol: String,
+      wanted: Seq[String]): org.apache.spark.sql.Column = {
+    val (nulls, vals) = wanted.partition(_ == NullPartition)
+    val in = if (vals.isEmpty) lit(false) else col(partCol).isin(vals: _*)
+    if (nulls.isEmpty) in else in || col(partCol).isNull
+  }
+
   def readPartitions(s: SparkSession, table: String,
       version: Option[Int], partCol: String,
       values: Seq[String]): (Seq[String], DataFrame) = {
@@ -914,14 +1302,14 @@ object SnapTable {
         !e.partitionValues.contains(partCol)).map(_.path)
       val tagged =
         if (mine.isEmpty) None
-        else Some(s.read.parquet(abs(mine): _*)
-          .withColumn(partCol, lit(w)))
+        else Some(withDeletes(s, table, v, s.read.parquet(abs(mine): _*))
+          .withColumn(partCol, partLit(s, table, v, partCol, w)))
       // un-partitioned files may hold any value: read them once per
       // requested value is wrong — they carry the column themselves
       val residual =
         if (loose.isEmpty || wanted.indexOf(w) != 0) None
-        else Some(s.read.parquet(abs(loose): _*)
-          .filter(col(partCol).isin(wanted: _*)))
+        else Some(withDeletes(s, table, v, s.read.parquet(abs(loose): _*))
+          .filter(partIn(partCol, wanted)))
       tagged.toSeq ++ residual.toSeq
     }
     val out =
@@ -956,8 +1344,8 @@ object SnapTable {
       }).map(_.path)
     val out =
       if (picked.isEmpty) read(s, table, Some(v)).filter(lit(false))
-      else s.read.parquet(picked.map(rel =>
-          new Path(table, rel).toString): _*)
+      else withDeletes(s, table, v, s.read.parquet(picked.map(rel =>
+          new Path(table, rel).toString): _*))
         .filter(col(column) >= lo && col(column) <= hi)
     (picked, out)
   }
@@ -988,8 +1376,8 @@ object SnapTable {
     val out =
       if (picked.isEmpty)
         read(s, table, Some(v), mergeSchema).filter(lit(false))
-      else rd.parquet(picked.map(rel =>
-          new Path(table, rel).toString): _*).filter(residual)
+      else withDeletes(s, table, v, rd.parquet(picked.map(rel =>
+          new Path(table, rel).toString): _*)).filter(residual)
     (picked, out)
   }
 
@@ -1018,6 +1406,12 @@ object SnapTable {
       s"history between v$fromV and v$toV is not append-only " +
         s"(${gone.size} files rewritten/removed) — incremental " +
         "semantics are gone; rebootstrap from the full snapshot")
+    // a deletion vector landing in the window breaks the append-only
+    // contract the same way a rewrite does: consumed rows RETRACTED,
+    // not new rows added — an "incremental" read can't express that
+    require(dvFiles(s, table, fromV).toSet == dvFiles(s, table, toV).toSet,
+      s"deletion vectors changed between v$fromV and v$toV — the " +
+        "history is not append-only; rebootstrap from the full snapshot")
     val beforeSet = before.toSet
     val fresh = after.filterNot(beforeSet)
     val out =
@@ -1054,8 +1448,8 @@ object SnapTable {
       val mine = entries.filter(e =>
         e.partitionValues.get(partCol).contains(w)).map(_.path)
       if (mine.isEmpty) None
-      else Some(s.read.parquet(abs(mine): _*)
-        .withColumn(partCol, lit(w))
+      else Some(withDeletes(s, table, v, s.read.parquet(abs(mine): _*))
+        .withColumn(partCol, partLit(s, table, v, partCol, w))
         .filter(rangeResidual))
     }
     // un-partitioned files may hold any value: they carry the column
@@ -1065,8 +1459,8 @@ object SnapTable {
       !e.partitionValues.contains(partCol)).map(_.path)
     val looseArm =
       if (loose.isEmpty) None
-      else Some(s.read.parquet(abs(loose): _*)
-        .filter(col(partCol).isin(wanted: _*))
+      else Some(withDeletes(s, table, v, s.read.parquet(abs(loose): _*))
+        .filter(partIn(partCol, wanted))
         .filter(rangeResidual))
     val arms = valueArms ++ looseArm.toSeq
     val out =
@@ -1114,10 +1508,16 @@ object SnapTable {
         _.sizeBytes.exists(_ < targetBytes))
       val nBins = math.max(1, math.ceil(
         smalls.flatMap(_.sizeBytes).sum.toDouble / targetBytes).toInt)
-      val packed0 = s.read.parquet(smalls.map(e =>
-        new Path(table, e.path).toString): _*).repartition(nBins)
+      // read smalls THROUGH the head's deletion vectors: the packed
+      // output must not resurrect rows whose positions pointed at
+      // the files being replaced (the dangling entries that remain
+      // for replaced files then match nothing — names are unique)
+      val packed0 = withDeletes(s, table, h,
+        s.read.parquet(smalls.map(e =>
+          new Path(table, e.path).toString): _*)).repartition(nBins)
       val packed = partition match {
-        case Some((c, v)) => packed0.withColumn(c, lit(v))
+        case Some((c, v)) =>
+          packed0.withColumn(c, partLit(s, table, h, c, v))
         case None => packed0
       }
       (packed, (outside ++ bigs).map(entryLine))
@@ -1189,7 +1589,7 @@ object SnapTable {
     val out =
       if (picked.isEmpty)
         read(s, table, Some(v), mergeSchema).filter(lit(false))
-      else rd.parquet(picked: _*)
+      else withDeletes(s, table, v, rd.parquet(picked: _*))
         .filter(col(column) >= lo && col(column) <= hi)
     (picked, out)
   }

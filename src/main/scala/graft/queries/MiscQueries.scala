@@ -1441,19 +1441,26 @@ object MiscQueries extends graft.QueryModule {
     // both engines derive the split the same way: (min+max) DIV 2
     val mm = ev.agg(min("d"), max("d")).head()
     val dmid = (mm.getLong(0) + mm.getLong(1)) / 2
+    // ONE events scan+shuffle feeds all three commits: the per-day
+    // state is small (day cardinality), so it persists and each
+    // commit stages from memory instead of re-aggregating the corpus
     val perDay = ev.groupBy(col("d"))
       .agg(count(lit(1)).as("n_rows"), sum(col("value_c")).as("sum_c"))
-    SnapTable.commit(s, perDay.filter(col("d") < dmid), tbl, "overwrite")
-    SnapTable.commit(s, perDay.filter(col("d") >= dmid), tbl, "append")
-    SnapTable.commit(s,
-      perDay.withColumn("sum_c", col("sum_c") * 2L), tbl, "overwrite")
-    // torn commit: staged data, no manifest — must stay invisible
-    perDay.limit(5).write.parquet(s"$tbl/data/b99")
-    val nDays = perDay.count()
-    require(SnapTable.versions(s, tbl) == Seq(1, 2, 3),
-      "torn staging directory leaked into the version list")
-    require(SnapTable.read(s, tbl, Some(3)).count() == nDays,
-      "torn staging directory leaked into a snapshot read")
+      .persist()
+    try {
+      SnapTable.commit(s, perDay.filter(col("d") < dmid), tbl, "overwrite")
+      SnapTable.commit(s, perDay.filter(col("d") >= dmid), tbl, "append")
+      SnapTable.commit(s,
+        perDay.withColumn("sum_c", col("sum_c") * 2L), tbl, "overwrite")
+      // torn commit: staged data, no manifest — must stay invisible
+      perDay.limit(5).write.parquet(s"$tbl/data/b99")
+      val nDays = perDay.count()
+      require(SnapTable.versions(s, tbl) == Seq(1, 2, 3),
+        "torn staging directory leaked into the version list")
+      require(SnapTable.read(s, tbl, Some(3)).count() == nDays,
+        "torn staging directory leaked into a snapshot read")
+    } finally perDay.unpersist(false)
+    // the result reads from the COMMITTED snapshots, not the cache
     (1 to 3).map { v =>
       SnapTable.read(s, tbl, Some(v))
         .agg(count(lit(1)).as("n_days"), sum(col("sum_c")).as("total"))
@@ -2519,6 +2526,162 @@ object MiscQueries extends graft.QueryModule {
        |FROM events WHERE event_type IN ('click', 'view')
        |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** SQL/CATALOG SURFACE OF THE SNAPSHOT TABLE — the DataSourceV2
+    * connector ([[graft.sources.snap.SnapSource]]) serving plain
+    * `spark.sql` over a committed snapshot: `CREATE TABLE … USING
+    * snap`, then a query whose WHERE clause reaches the MANIFEST
+    * planner — partition pruning on the Hive path segments AND
+    * per-file min/max pruning on recorded stats, both pure driver
+    * text (zero query-time footer or listing IO) — before Spark's
+    * own vectorized parquet V2 scan reads the survivors. The
+    * reference's query stage is exactly SQL over a loaded table
+    * (java_template/src/main/resources/db.properties-empty:4-8);
+    * this entry serves it at snapshot-table grain. The entry
+    * REQUIRES, against the LIVE V2 scan's plan: (1) pruning kept
+    * fewer files than the two wanted partitions hold (stats engaged
+    * beyond partition identity — ids are range-clustered, so
+    * per-file bounds are tight), and (2) at least one file survived.
+    * Oracle: the plain filter over raw events — the whole
+    * catalog/connector stack must be semantically invisible. */
+  /** DELETION VECTORS — merge-on-read position deletes on the
+    * snapshot table ([[SnapTable.commitDelete]]): the delete commits
+    * a TINY `(file_name, pos)` sidecar referenced by `#dv:` manifest
+    * lines — O(subject rows) bytes, zero data files rewritten (the
+    * copy-on-write erasure in `q_snapshot_erase`/`q_targeted_delete`
+    * rewrites whole files; at 100 TB a compliance delete must not) —
+    * and every read path anti-joins the vectors out (broadcast hash
+    * probe in the scan stage, no shuffle). The entry runs the full
+    * lifecycle and REQUIRES each leg: (1) the delete commit carries
+    * the head's data lines VERBATIM with a sidecar under half the
+    * table's bytes; (2) merge-on-read equals the direct recompute;
+    * (3) OPTIMIZE ([[SnapTable.materializeDeletes]]) rewrites only
+    * affected files and clears the vectors; (4) vacuum then leaves
+    * EXACTLY the materialized snapshot's parquet on disk — physical
+    * erasure complete. Oracle: the plain anti-filter over raw
+    * events. */
+  def qDeleteVectors(s: SparkSession, dir: String): DataFrame = {
+    val tmp = StreamQueries.scratch(s, "snapdv")
+    val tbl = s"$tmp/tbl"
+    val ev = Tables.events(s, dir).select(col("event_id"),
+      col("event_type"), Num.cents(col("value")).as("value_c"))
+    SnapTable.commit(s, ev.repartitionByRange(6, col("event_id")),
+      tbl, "overwrite", statsCols = Seq("event_id"))
+    val dataBytes = SnapTable.fileEntries(s, tbl, 1)
+      .flatMap(_.sizeBytes).sum
+    val v2 = SnapTable.commitDelete(s, tbl, "event_type = 'error'")
+    require(SnapTable.files(s, tbl, v2) == SnapTable.files(s, tbl, 1),
+      "a vector delete must rewrite zero data files")
+    val hfs = new org.apache.hadoop.fs.Path(tbl).getFileSystem(
+      s.sparkContext.hadoopConfiguration)
+    val dvBytes = SnapTable.dvFiles(s, tbl, v2).map(p =>
+      hfs.getFileStatus(new org.apache.hadoop.fs.Path(tbl, p)).getLen).sum
+    require(dvBytes > 0 && dvBytes * 2 < dataBytes,
+      s"vector must be O(subject): $dvBytes vs table $dataBytes")
+    val expectN = ev.filter(col("event_type") =!= "error").count()
+    require(SnapTable.read(s, tbl).count() == expectN,
+      "merge-on-read must equal the direct recompute")
+    val vM = SnapTable.materializeDeletes(s, tbl,
+      statsCols = Seq("event_id"))
+    require(SnapTable.dvFiles(s, tbl, vM).isEmpty,
+      "OPTIMIZE must clear the vectors")
+    SnapTable.vacuum(s, tbl, keep = 1)
+    val live = SnapTable.files(s, tbl, vM).toSet
+    val onDisk = {
+      val it = hfs.listFiles(new org.apache.hadoop.fs.Path(tbl), true)
+      val b = Set.newBuilder[String]
+      val root = hfs.makeQualified(
+        new org.apache.hadoop.fs.Path(tbl)).toString
+      while (it.hasNext) {
+        val p = it.next().getPath.toString
+        if (p.endsWith(".parquet")) b += p.stripPrefix(root + "/")
+      }
+      b.result()
+    }
+    require(onDisk == live,
+      s"physical erasure incomplete: ${(onDisk -- live).size} stray, " +
+        s"${(live -- onDisk).size} missing")
+    SnapTable.read(s, tbl).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_c"))
+      .orderBy(col("event_type"))
+  }
+
+  val qDeleteVectorsSql: String =
+    s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |  ${Num.sumSql(Num.centsSql("value"))} AS sum_c
+       |FROM events WHERE event_type <> 'error'
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** The (single) V2 file scan inside an EXECUTED frame's physical
+    * plan — AQE-aware. How `q_sql_snapshot` asserts against the scan
+    * the query actually ran, not a re-derivation. */
+  private def v2FileScan(df: DataFrame)
+      : org.apache.spark.sql.execution.datasources.v2.FileScan = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.datasources.v2.{BatchScanExec, FileScan}
+    def walk(p: SparkPlan): Seq[FileScan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case b: BatchScanExec => b.scan match {
+        case f: FileScan => Seq(f)
+        case _ => Nil
+      }
+      case other => other.children.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan).headOption.getOrElse(
+      throw new IllegalStateException(
+        "no V2 file scan in the executed plan"))
+  }
+
+  def qSqlSnapshot(s: SparkSession, dir: String): DataFrame = {
+    val tmp = StreamQueries.scratch(s, "snapsqlq")
+    val tbl = s"$tmp/tbl"
+    val ev = Tables.events(s, dir).select(col("event_id"),
+      col("event_type"), Num.cents(col("value")).as("value_c"))
+    // range-cluster ids; partitionBy then splits per type — per-file
+    // event_id bounds stay TIGHT inside every partition
+    SnapTable.commit(s, ev.repartitionByRange(4, col("event_id")),
+      tbl, "overwrite", statsCols = Seq("event_id"),
+      partitionBy = Some("event_type"))
+    val idMax = ev.agg(max("event_id")).head().getLong(0)
+    s.sql("DROP TABLE IF EXISTS snap_events_sql")
+    s.sql(s"CREATE TABLE snap_events_sql USING snap OPTIONS (path '$tbl')")
+    try {
+      val out = s.sql(
+        s"""SELECT event_type, count(*) AS n,
+           |  CAST(sum(value_c) AS BIGINT) AS sum_c
+           |FROM snap_events_sql
+           |WHERE event_type IN ('click', 'view')
+           |  AND event_id <= ${idMax / 4}
+           |GROUP BY event_type ORDER BY event_type""".stripMargin)
+      val rows = out.count()
+      require(rows > 0, "SQL over the snapshot returned nothing")
+      // interrogate the LIVE V2 scan: its planned file set is the
+      // manifest pruning's output (FileScan.partitions replays the
+      // same listFiles the execution used)
+      val scan = v2FileScan(out)
+      val admitted = scan.planInputPartitions().map {
+        case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+          fp.files.length
+        case _ => 0
+      }.sum
+      val total = scan.fileIndex.allFiles().size
+      val partOnly = SnapTable.fileEntries(s, tbl, 1).count(
+        _.partitionValues.get("event_type")
+          .exists(Set("click", "view").contains))
+      require(admitted >= 1 && admitted < partOnly && partOnly < total,
+        s"V2 pruning must beat partition identity alone: " +
+          s"admitted=$admitted partitions=$partOnly total=$total")
+      out
+    } finally s.sql("DROP TABLE IF EXISTS snap_events_sql")
+  }
+
+  val qSqlSnapshotSql: String =
+    s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |  ${Num.sumSql(Num.centsSql("value"))} AS sum_c
+       |FROM events WHERE event_type IN ('click', 'view')
+       |  AND event_id <= (SELECT max(event_id) // 4 FROM events)
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** SCHEMA EVOLUTION on the snapshot table: the table accretes a
     * column mid-history — v1's files predate `value_c`, the v2 APPEND
     * introduces it — and a by-name mergeSchema read serves the whole
@@ -3445,6 +3608,8 @@ object MiscQueries extends graft.QueryModule {
     "q_snapshot_prune" -> (qSnapshotPrune _),
     "q_snapshot_skip" -> (qSnapshotSkip _),
     "q_snapshot_partitioned" -> (qSnapshotPartitioned _),
+    "q_sql_snapshot" -> (qSqlSnapshot _),
+    "q_delete_vectors" -> (qDeleteVectors _),
     "q_snapshot_widen" -> (qSnapshotWiden _),
     "q_optimize_sized" -> (qOptimizeSized _),
     "q_snapshot_incremental" -> (qSnapshotIncremental _),
@@ -3505,6 +3670,8 @@ object MiscQueries extends graft.QueryModule {
     "q_snapshot_prune" -> qSnapshotPruneSql,
     "q_snapshot_skip" -> qSnapshotSkipSql,
     "q_snapshot_partitioned" -> qSnapshotPartitionedSql,
+    "q_sql_snapshot" -> qSqlSnapshotSql,
+    "q_delete_vectors" -> qDeleteVectorsSql,
     "q_snapshot_widen" -> qSnapshotWidenSql,
     "q_optimize_sized" -> qOptimizeSizedSql,
     "q_snapshot_incremental" -> qSnapshotIncrementalSql,

@@ -56,19 +56,37 @@ object CdcStream {
       onVersion: (Int, Double) => Unit = (_, _) => ()): Int = {
     val srcVs = SnapTable.versions(s, srcTable)
     require(srcVs.nonEmpty, s"no committed snapshot under $srcTable")
-    // THE CURSOR IS THE (HEAD) TAG: folds commit in ascending source
-    // order, so the MV head's tag names the max consumed version —
-    // readable even after MV-side vacuum retired OLDER tag manifests.
-    // Any source version at or below it is CONSUMED, whether or not
-    // its own tag manifest still exists: re-folding one would double-
-    // count into standing state (the tag scan alone can't tell a
-    // vacuumed-away tag from a never-consumed version; the head
-    // cursor can).
-    val consumedMax: Int = SnapTable.versions(s, mvTable).lastOption
-      .flatMap(h => SnapTable.tagOf(s, mvTable, h))
-      .collect { case t if t.startsWith("src-v") =>
+    // THE CURSOR IS THE NEWEST `src-v*` TAG in the MV's live commit
+    // log: folds commit in ascending source order, so the newest such
+    // tag names the max consumed version — readable even after
+    // MV-side vacuum retired OLDER tag manifests. Any source version
+    // at or below it is CONSUMED, whether or not its own tag manifest
+    // still exists: re-folding one would double-count into standing
+    // state (the per-version tag scan alone can't tell a vacuumed-away
+    // tag from a never-consumed version; the cursor can). The scan is
+    // newest-FIRST with early exit — normally one header read — and
+    // walks past UNTAGGED MV commits (an OPTIMIZE/compaction on the MV
+    // is tag-less; taking only the head's tag would reset the cursor
+    // under it and re-fold consumed history once retention retired the
+    // older tag manifests). MV retention must keep at least one tagged
+    // commit alive — vacuum keep >= 1 plus ascending folds guarantee
+    // it unless every tagged manifest is vacuumed while only untagged
+    // rewrites survive, which a maintenance cadence of fold-then-
+    // compact never produces.
+    val mvVs = SnapTable.versions(s, mvTable)
+    val consumedMax: Int = mvVs.reverseIterator
+      .flatMap(v => SnapTable.tagOf(s, mvTable, v))
+      .collectFirst { case t if t.startsWith("src-v") =>
         t.stripPrefix("src-v").toInt }
       .getOrElse(Int.MinValue)
+    // ENFORCED, not just documented: standing MV state whose live log
+    // carries NO cursor tag (every tagged manifest vacuumed, only
+    // untagged rewrites left) is indistinguishable from never-consumed
+    // — folding onto it would double-count. Refuse; rebootstrap.
+    require(consumedMax != Int.MinValue || mvVs.isEmpty,
+      s"$mvTable has standing state but no src-v* cursor tag in its " +
+        "live commit log — a fold could double-count; keep MV " +
+        "retention covering a tagged commit, or rebootstrap the view")
     var folded = 0
     srcVs.zip(None +: srcVs.map(Some(_))).foreach { case (v, prevV) =>
       val tag = s"src-v$v"

@@ -330,6 +330,43 @@ object EventStream {
     * there. Data moves once — the price of ordering on a store
     * without mutable metadata; the manifest pass itself is still
     * metadata-only. Returns the staged paths in rank order. */
+  /** MANIFEST-GATED ordered drain — the modtime-FREE ordering route:
+    * rank the landing entries once (the same metadata-only pass as
+    * [[orderLanding]]), then REVEAL them to a running drain one at a
+    * time by RENAMING each into `stageDir` in rank order, gating on
+    * the query's progress between reveals. Order comes from
+    * VISIBILITY — the rename IS the commit, the
+    * [[graft.ops.SnapTable]] marker-last pattern — never from
+    * modification times, so it holds unchanged on stores that ignore
+    * `setTimes` (S3A), copies ZERO data bytes (rename is a metadata
+    * move within one filesystem), and has no O(files) driver mtime
+    * loop to verify. The entries MOVE into the staging dir — the
+    * consumed-claim posture of a production landing zone (stage a
+    * copy upstream if the landing dir must survive).
+    *
+    * `start` must return a RUNNING streaming query over the staged
+    * layout (rank-prefixed entry names land directly under
+    * `stageDir`); the feeder then reveals entry i, waits
+    * `processAllAvailable`, reveals i+1 — each entry is a complete
+    * micro-batch boundary, so cross-batch arrival IS rank order.
+    * Returns the staged paths in rank order; the query is left
+    * RUNNING for the caller to flush sentinels / stop. */
+  def drainOrdered(s: SparkSession, glob: String, stageDir: String,
+      byName: Boolean = true, eventTimeCol: String = "ts")(
+      start: String => org.apache.spark.sql.streaming.StreamingQuery)
+      : Seq[String] = {
+    val (fs, ordered, _) = rankedEntries(s, glob, byName, eventTimeCol)
+    val stage = new Path(stageDir)
+    fs.mkdirs(stage)
+    val q = start(stageDir)
+    ordered.zipWithIndex.map { case (e, i) =>
+      val dst = new Path(stage, f"$i%06d_${e.getName}")
+      require(fs.rename(e, dst), s"rename $e -> $dst failed")
+      q.processAllAvailable()
+      dst.toString
+    }
+  }
+
   def orderLandingStaged(
       s: SparkSession, glob: String, stagingDir: String,
       byName: Boolean = true, eventTimeCol: String = "ts"): Seq[String] = {
@@ -548,14 +585,49 @@ object EventStream {
     * other queries' stragglers. A production observer names its query
     * and filters, exactly like the reference polls one run's own
     * progress file. */
-  class ProgressListener(onlyName: Option[String] = None)
+  /** F14 twin: the reference's `.progress.txt` byte format
+    * (experiment_caller.py:103-111) — the file holds `str(percent)`
+    * where `percent = round(done/max*100)` under PYTHON'S round,
+    * which is HALF-EVEN on the float (banker's): 50 of 200 done →
+    * "25", 1 of 8 → "12" (12.5 rounds to the even 12). */
+  def progressPercent(done: Long, max: Long): Int = {
+    require(max > 0, "progress needs a positive expected total")
+    java.math.BigDecimal.valueOf(done * 100.0 / max)
+      .setScale(0, java.math.RoundingMode.HALF_EVEN).intValueExact()
+  }
+
+  /** Atomic-enough single-file write (temp + move): a poller reading
+    * mid-write sees the old percent, never a torn one. */
+  def writeProgressFile(file: java.nio.file.Path, done: Long,
+      max: Long): Unit = {
+    val tmp = file.resolveSibling(file.getFileName.toString + ".tmp")
+    java.nio.file.Files.write(tmp,
+      progressPercent(done, max).toString.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, file,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** St5 + F14: live progress observation — the Spark-native form of
+    * the reference's `.progress.txt` polling
+    * (experiment_caller.py:103-111 / interactive_helpers.py:589-617):
+    * a StreamingQueryListener accumulating per-micro-batch input-row
+    * counts, optionally EMITTING the reference's progress file
+    * (`progressFile` = (path, expected total rows)) in its exact
+    * byte format after every batch, so tooling that tails the
+    * reference's file works against the stream unchanged. */
+  class ProgressListener(onlyName: Option[String] = None,
+      progressFile: Option[(java.nio.file.Path, Long)] = None)
       extends org.apache.spark.sql.streaming.StreamingQueryListener {
     import org.apache.spark.sql.streaming.StreamingQueryListener._
     val batches = new java.util.concurrent.CopyOnWriteArrayList[Long]()
     override def onQueryStarted(e: QueryStartedEvent): Unit = ()
     override def onQueryProgress(e: QueryProgressEvent): Unit =
-      if (onlyName.forall(_ == e.progress.name))
+      if (onlyName.forall(_ == e.progress.name)) {
         batches.add(e.progress.numInputRows)
+        progressFile.foreach { case (p, max) =>
+          writeProgressFile(p, totalRows, max) }
+      }
     override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
     def totalRows: Long = {
       var s = 0L

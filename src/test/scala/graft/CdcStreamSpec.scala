@@ -102,6 +102,30 @@ class CdcStreamSpec extends SparkSpec {
     assert(mvRows(mv) === Seq(("a", 10L), ("b", 4L)))
   }
 
+  test("untagged MV compaction does not reset the cursor; a cursor-less MV refuses to fold") {
+    val tmp = Files.createTempDirectory("graft_cdc_untag").toString
+    val (src, mv) = (s"$tmp/src", s"$tmp/mv")
+    SnapTable.commit(spark, state(Seq(("a", 1L, 1L))), src, "overwrite")
+    SnapTable.commit(spark, state(Seq(("a", 1L, 3L))), src, "overwrite")
+    assert(drain(src, mv) === 2)
+    val settled = mvRows(mv)
+    // an UNTAGGED maintenance rewrite lands on the MV (a compaction
+    // has no source cursor to carry) and becomes the head; MV vacuum
+    // then retires the oldest tag manifest. The cursor must come from
+    // the newest live src-v* tag BELOW the head, not the head alone —
+    // or v1 would re-fold and double-count key a.
+    SnapTable.commit(spark, SnapTable.read(spark, mv), mv, "overwrite")
+    SnapTable.vacuum(spark, mv, keep = 2) // keeps untagged head + src-v2
+    assert(drain(src, mv) === 0)
+    assert(mvRows(mv) === settled)
+    // retention misconfigured: ONLY untagged commits survive — the
+    // cursor is gone and a fold could double-count; refuse loudly
+    SnapTable.commit(spark, SnapTable.read(spark, mv), mv, "overwrite")
+    SnapTable.vacuum(spark, mv, keep = 1)
+    val e = intercept[IllegalArgumentException] { drain(src, mv) }
+    assert(e.getMessage.contains("cursor"))
+  }
+
   test("stand-watch: a ProcessingTime watcher folds versions that land WHILE it runs") {
     val tmp = Files.createTempDirectory("graft_cdc_watch").toString
     val (src, mv) = (s"$tmp/src", s"$tmp/mv")

@@ -145,4 +145,44 @@ class SessionOrderSpec extends SparkSpec {
       .select("event_id", "session_idx").as[(Long, Long)].collect().toMap
     assert(got === want)
   }
+
+  test("drainOrdered: visibility-gated reveal equals the batch twin — no setTimes anywhere") {
+    // same non-interleaved landing as the orderLanding fix test, but
+    // ordering comes from GATED RENAMES into the staging dir (the
+    // manifest pattern): no modtime is ever written or trusted
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ooo3").toString
+    Seq(
+      Seq((1L, 1L, 0L), (1L, 2L, 40L)),
+      Seq((1L, 3L, 1000L))).zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("user_id", "event_id", "ts_us")
+        .coalesce(1).sortWithinPartitions("ts_us", "event_id")
+        .write.parquet(s"$tmp/in/b$i.parquet")
+    }
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      val staged = EventStream.drainOrdered(
+        spark, s"$tmp/in/*.parquet", s"$tmp/stage") { sd =>
+        q = EventStream.sessionizeStatefulSorted(spark,
+            spark.readStream.schema(schema).parquet(s"$sd/*/*.parquet"),
+            gapUs = gap)
+          .writeStream.format("memory").queryName("t_drain_ord")
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+          .start()
+        q
+      }
+      assert(staged.size === 2 &&
+        staged.head.split('/').last.startsWith("000000_b0"))
+      // the landing entries were CLAIMED (moved), not copied
+      assert(!java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$tmp/in")).iterator().hasNext)
+      val got = spark.table("t_drain_ord")
+        .select("event_id", "session_idx").as[(Long, Long)]
+        .collect().toMap
+      val want = EventStream.sessionizeBatch(
+          Seq((1L, 1L, 0L), (1L, 2L, 40L), (1L, 3L, 1000L))
+            .toDF("user_id", "event_id", "ts_us"), gap)
+        .select("event_id", "session_idx").as[(Long, Long)].collect().toMap
+      assert(got === want)
+    } finally if (q != null) q.stop()
+  }
 }

@@ -806,6 +806,68 @@ class SnapTableSpec extends SparkSpec {
       "recorded k bounds must surface in the metadata table")
   }
 
+  test("partition values needing Hive escaping (and null) survive the path roundtrip") {
+    val tbl = Files.createTempDirectory("graft_snap_esc").toString + "/t"
+    // ':', space, '%' all percent-escape in the Hive path; null lands
+    // as __HIVE_DEFAULT_PARTITION__
+    val df = Seq((1L, "a:b"), (2L, "c d"), (3L, "e%f"), (4L, null))
+      .toDF("k", "p")
+    SnapTable.commit(spark, df, tbl, "overwrite", partitionBy = Some("p"))
+    // the manifest surfaces RAW values, not escaped path text
+    val vals = SnapTable.fileEntries(spark, tbl, 1)
+      .flatMap(_.partitionValues.get("p")).toSet
+    assert(vals === Set("a:b", "c d", "e%f", SnapTable.NullPartition))
+    // readPartitions matches caller-supplied raw values
+    val (picked, out) = SnapTable.readPartitions(spark, tbl, None,
+      "p", Seq("a:b", "c d"))
+    assert(picked.size === 2)
+    assert(out.orderBy("k").collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "a:b"), (2L, "c d")))
+    // the null partition is addressable via the sentinel, as real null
+    val (pn, on) = SnapTable.readPartitions(spark, tbl, None,
+      "p", Seq(SnapTable.NullPartition))
+    assert(pn.size === 1)
+    val nr = on.collect()
+    assert(nr.length === 1 && nr(0).getLong(0) === 4L && nr(0).isNullAt(1))
+    // full read() reconstructs the column for every row
+    val full = SnapTable.read(spark, tbl).orderBy("k").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1))))
+    assert(full.toSeq === Seq((1L, Some("a:b")), (2L, Some("c d")),
+      (3L, Some("e%f")), (4L, None)))
+  }
+
+  test("typed partition column: declared type rides the manifest and survives every read path") {
+    val tbl = Files.createTempDirectory("graft_snap_ptyp").toString + "/t"
+    val df = (1L to 40L).map(i => (i, i % 4)).toDF("k", "f")
+    SnapTable.commit(spark, df, tbl, "overwrite",
+      statsCols = Seq("k"), partitionBy = Some("f"))
+    assert(SnapTable.partSpecOf(spark, tbl, 1) ===
+      Some(("f", org.apache.spark.sql.types.LongType)))
+    // read(): one relation, typed partition column, numeric semantics
+    val r = SnapTable.read(spark, tbl)
+    assert(r.schema("f").dataType === org.apache.spark.sql.types.LongType)
+    assert(r.filter(col("f") > 2L).count() === 10L)
+    // readPartitions: the re-materialized literal is typed too
+    val (_, rp) = SnapTable.readPartitions(spark, tbl, None, "f", Seq("3"))
+    assert(rp.schema("f").dataType === org.apache.spark.sql.types.LongType)
+    assert(rp.agg(sum("f")).head().getLong(0) === 30L)
+    // OPTIMIZE of one partition preserves the declared type
+    SnapTable.optimizeSized(spark, tbl, targetBytes = 1L << 20,
+      statsCols = Seq("k"), partition = Some(("f", "1")))
+    val r2 = SnapTable.read(spark, tbl)
+    assert(r2.schema("f").dataType === org.apache.spark.sql.types.LongType)
+    assert(r2.count() === 40L &&
+      r2.agg(sum("f")).head().getLong(0) === df.agg(sum("f")).head().getLong(0))
+    // the header survives vacuum's checkpoint across the horizon
+    SnapTable.commit(spark, df.limit(5), tbl, "append",
+      partitionBy = Some("f"))
+    SnapTable.vacuum(spark, tbl, keep = 1)
+    assert(SnapTable.partSpecOf(spark, tbl,
+      SnapTable.versions(spark, tbl).last) ===
+      Some(("f", org.apache.spark.sql.types.LongType)))
+  }
+
   test("diff: I/D/U emitted, unchanged suppressed") {
     val old = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
     val neu = Seq((2L, 20L), (3L, 31L), (4L, 40L)).toDF("k", "v")
