@@ -780,6 +780,51 @@ object SnapTable {
     }
   }
 
+  /** Materialize version `v`'s full resolved state as a checkpoint
+    * sidecar: full LINES, not bare paths — recorded stats survive, so
+    * skip planning works across it — with the chain's `#part` header
+    * and live `#dv` lines riding along (dropping a vector would
+    * resurrect rows). Crash-safe: tmp + rename, and a concurrent
+    * identical checkpoint yields (the resolved list is a pure
+    * function of the still-whole chain). */
+  private def writeCheckpoint(s: SparkSession, fs: FileSystem,
+      table: String, v: Int): Unit = {
+    val hdr = partSpecOf(s, table, v).map { case (c, dt) =>
+      s"#part:$c=${dt.catalogString}" }.toSeq ++
+      dvFiles(s, table, v).map(p => s"#dv:$p")
+    val full = hdr ++ resolvedLines(s, table, v)
+    val tmp = new Path(table, s".checkpoint-v$v.txt.tmp-" +
+      java.util.UUID.randomUUID().toString.take(8))
+    val out = fs.create(tmp, true)
+    try out.write((full.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmp, checkpoint(table, v))) {
+      fs.delete(tmp, false)
+      require(fs.exists(checkpoint(table, v)),
+        s"checkpoint rename failed for version $v")
+    }
+  }
+
+  /** CADENCED CHECKPOINT — the Delta checkpoint-interval move,
+    * decoupled from retention: write version `v`'s (default: head's)
+    * checkpoint sidecar as a PURE ADDITION, retiring nothing. Every
+    * later chain walk then short-circuits at `v`, so planning cost on
+    * a long-lived append table is O(commits since last checkpoint)
+    * manifest reads + O(files) lines — not O(chain depth). A drain
+    * that appends forever calls this every N batches
+    * ([[graft.ops.ManifestScaleStudy]] measures the walk cost it
+    * removes); [[vacuum]] still checkpoints at the horizon on its
+    * own. No-op when the checkpoint already exists. */
+  def checkpointNow(s: SparkSession, table: String,
+      version: Option[Int] = None): Unit = {
+    val fs = fsOf(s, new Path(table))
+    val vs = versions(s, table)
+    require(vs.nonEmpty, s"no committed snapshot under $table")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"unknown snapshot version $v (have $vs)")
+    if (!fs.exists(checkpoint(table, v))) writeCheckpoint(s, fs, table, v)
+  }
+
   /** Retention GC: keep the LAST `keep` versions, delete every data
     * file no kept manifest references, every older manifest, and any
     * orphaned staging below the horizon. History beyond the horizon
@@ -809,29 +854,7 @@ object SnapTable {
     kept.headOption.foreach { k0 =>
       val needsCkpt = !fs.exists(checkpoint(table, k0)) &&
         readSmall(fs, manifest(table, k0)).exists(_.startsWith("#base:"))
-      if (needsCkpt) {
-        // full LINES, not bare paths: recorded stats survive the
-        // checkpoint, so skip planning works across the horizon too;
-        // the chain's #part header and live #dv lines ride along for
-        // the same reason (dropping a vector would resurrect rows)
-        val hdr = partSpecOf(s, table, k0).map { case (c, dt) =>
-          s"#part:$c=${dt.catalogString}" }.toSeq ++
-          dvFiles(s, table, k0).map(p => s"#dv:$p")
-        val full = hdr ++ resolvedLines(s, table, k0)
-        val tmp = new Path(table, s".checkpoint-v$k0.txt.tmp-" +
-          java.util.UUID.randomUUID().toString.take(8))
-        val out = fs.create(tmp, true)
-        try out.write((full.mkString("\n") + "\n").getBytes("UTF-8"))
-        finally out.close()
-        if (!fs.rename(tmp, checkpoint(table, k0))) {
-          // a concurrent vacuum checkpointed the same version — its
-          // content is identical by construction (the resolved list
-          // is a pure function of the still-whole chain); yield
-          fs.delete(tmp, false)
-          require(fs.exists(checkpoint(table, k0)),
-            s"checkpoint rename failed for version $k0")
-        }
-      }
+      if (needsCkpt) writeCheckpoint(s, fs, table, k0)
     }
     // 2. resolve what the kept versions reference (chains still whole:
     //    nothing is deleted yet) — deletion-vector sidecars count as

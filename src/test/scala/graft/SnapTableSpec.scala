@@ -868,6 +868,37 @@ class SnapTableSpec extends SparkSpec {
       Some(("f", org.apache.spark.sql.types.LongType)))
   }
 
+  test("checkpointNow: a cadenced head checkpoint short-circuits the walk, retires nothing") {
+    val tbl = Files.createTempDirectory("graft_snap_ckpt").toString + "/t"
+    (1 to 5).foreach { i =>
+      SnapTable.commit(spark, Seq((i.toLong, i.toLong)).toDF("k", "v"),
+        tbl, if (i == 1) "overwrite" else "append",
+        statsCols = Seq("k"))
+    }
+    val before = SnapTable.fileEntries(spark, tbl, 5)
+    SnapTable.checkpointNow(spark, tbl)
+    // pure addition: every version still readable, list unchanged
+    // (stats included — the checkpoint carries full lines)
+    assert(SnapTable.versions(spark, tbl) === Seq(1, 2, 3, 4, 5))
+    val after = SnapTable.fileEntries(spark, tbl, 5)
+    assert(after.map(SnapTable.entryLine).sorted ===
+      before.map(SnapTable.entryLine).sorted)
+    assert(SnapTable.read(spark, tbl, Some(3)).count() === 3L)
+    // the walk now short-circuits at the head: retire the MID-CHAIN
+    // manifests out-of-band and the head must still resolve
+    val fs = new org.apache.hadoop.fs.Path(tbl).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    (1 to 4).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(tbl,
+        f"manifest-v$v%05d.txt"), false)
+    }
+    assert(SnapTable.fileEntries(spark, tbl, 5).size === before.size)
+    assert(SnapTable.read(spark, tbl).count() === 5L)
+    // and appends continue on top of the checkpointed head
+    SnapTable.commit(spark, Seq((9L, 9L)).toDF("k", "v"), tbl, "append")
+    assert(SnapTable.read(spark, tbl).count() === 6L)
+  }
+
   test("diff: I/D/U emitted, unchanged suppressed") {
     val old = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
     val neu = Seq((2L, 20L), (3L, 31L), (4L, 40L)).toDF("k", "v")
