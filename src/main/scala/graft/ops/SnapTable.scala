@@ -979,8 +979,10 @@ object SnapTable {
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"unknown snapshot version $v (have $vs)")
     val entries = fileEntries(s, table, v)
-    val pc = partSpecOf(s, table, v).map(_._1).orElse(
-      entries.flatMap(_.partitionValues.keys).headOption)
+    // the resolved entries already tell partitioned from flat — the
+    // `#part:` header (another chain walk) is only consulted on the
+    // partitioned path, where the TYPE is needed
+    val pc = entries.flatMap(_.partitionValues.keys).headOption
     val out = pc match {
       case None =>
         val paths = entries.map(e => new Path(table, e.path).toString)
@@ -1112,8 +1114,7 @@ object SnapTable {
   private def readWithPos(s: SparkSession, table: String,
       v: Int): DataFrame = {
     val entries = fileEntries(s, table, v)
-    val pc = partSpecOf(s, table, v).map(_._1).orElse(
-      entries.flatMap(_.partitionValues.keys).headOption)
+    val pc = entries.flatMap(_.partitionValues.keys).headOption
     val base = pc match {
       case None => s.read.parquet(entries.map(e =>
         new Path(table, e.path).toString): _*)
@@ -1167,11 +1168,12 @@ object SnapTable {
           new Path(table, e.path).toString): _*))
         case Some(c) =>
           // per-value arms: hive-staged files don't carry the column
+          val pdt = partTypeFor(s, table, h, c)
           hit.groupBy(_.partitionValues(c)).toSeq.sortBy(_._1)
             .map { case (w, ws) =>
               applied(s.read.parquet(ws.map(e =>
                   new Path(table, e.path).toString): _*))
-                .withColumn(c, partLit(s, table, h, c, w))
+                .withColumn(c, partLitTyped(pdt, w))
             }.reduce(_ unionByName _)
       }
       (df, keep.map(entryLine))
@@ -1219,10 +1221,11 @@ object SnapTable {
         case (true, None) => s.read.option("mergeSchema", "true")
         case (false, None) => s.read
       }
+      val pdt = partTypeFor(s, table, v, c)
       val arms = part.groupBy(_.partitionValues(c)).toSeq
         .sortBy(_._1).map { case (w, es) =>
           rd.parquet(abs(es): _*)
-            .withColumn(c, partLit(s, table, v, c, w)) } ++
+            .withColumn(c, partLitTyped(pdt, w)) } ++
         // loose files CARRY the column — read them as-is, unfiltered
         (if (loose.isEmpty) Nil else Seq((schema match {
           case Some(sc) => s.read.schema(sc)
@@ -1287,12 +1290,18 @@ object SnapTable {
     * table predates recording), [[NullPartition]] as a typed NULL —
     * so a long/date partition column survives re-materialization
     * instead of degrading the read schema to string. */
-  private def partLit(s: SparkSession, table: String, v: Int,
-      partCol: String, w: String): org.apache.spark.sql.Column = {
-    val dt = partSpecOf(s, table, v).filter(_._1 == partCol).map(_._2)
+  private def partTypeFor(s: SparkSession, table: String, v: Int,
+      partCol: String): org.apache.spark.sql.types.DataType =
+    partSpecOf(s, table, v).filter(_._1 == partCol).map(_._2)
       .getOrElse(org.apache.spark.sql.types.StringType)
+
+  private def partLitTyped(dt: org.apache.spark.sql.types.DataType,
+      w: String): org.apache.spark.sql.Column =
     (if (w == NullPartition) lit(null) else lit(w)).cast(dt)
-  }
+
+  private def partLit(s: SparkSession, table: String, v: Int,
+      partCol: String, w: String): org.apache.spark.sql.Column =
+    partLitTyped(partTypeFor(s, table, v, partCol), w)
 
   /** Membership residual for files that CARRY the partition column:
     * `isin` under SQL null semantics never matches null, so a
@@ -1313,6 +1322,7 @@ object SnapTable {
     require(vs.contains(v), s"unknown snapshot version $v (have $vs)")
     val wanted = values.distinct
     val entries = fileEntries(s, table, v)
+    val pdt = partTypeFor(s, table, v, partCol) // one header walk
     val picked = entries.filter(e =>
         e.partitionValues.get(partCol).forall(wanted.contains))
       .map(_.path)
@@ -1326,7 +1336,7 @@ object SnapTable {
       val tagged =
         if (mine.isEmpty) None
         else Some(withDeletes(s, table, v, s.read.parquet(abs(mine): _*))
-          .withColumn(partCol, partLit(s, table, v, partCol, w)))
+          .withColumn(partCol, partLitTyped(pdt, w)))
       // un-partitioned files may hold any value: read them once per
       // requested value is wrong — they carry the column themselves
       val residual =
@@ -1462,6 +1472,7 @@ object SnapTable {
     val wanted = values.distinct
     val entries = fileEntries(s, table, v).filter(e =>
       e.stats.get(column).forall { case (mn, mx) => mn <= hi && mx >= lo })
+    val pdt = partTypeFor(s, table, v, partCol) // one header walk
     val picked = entries.filter(e =>
         e.partitionValues.get(partCol).forall(wanted.contains))
       .map(_.path)
@@ -1472,7 +1483,7 @@ object SnapTable {
         e.partitionValues.get(partCol).contains(w)).map(_.path)
       if (mine.isEmpty) None
       else Some(withDeletes(s, table, v, s.read.parquet(abs(mine): _*))
-        .withColumn(partCol, partLit(s, table, v, partCol, w))
+        .withColumn(partCol, partLitTyped(pdt, w))
         .filter(rangeResidual))
     }
     // un-partitioned files may hold any value: they carry the column

@@ -4,12 +4,13 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, InsertableRelation}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -38,11 +39,13 @@ import graft.ops.SnapTable
   * files. Whole-stage codegen, column pruning, and AQE all apply
   * unchanged, because the connector adds PLANNING, not execution.
   *
-  * Read-only by design: writes go through [[SnapTable.commit]]'s
-  * optimistic-concurrency protocol (a `V1Write` shim would bypass the
-  * claim/audit/CHECK path). Snapshots with live deletion vectors are
-  * refused here — materialize them first ([[SnapTable]] OPTIMIZE) or
-  * read through the library API, which applies them.
+  * SQL writes route THROUGH [[SnapTable.commit]]'s protocol (see
+  * [[SnapV2Table.newWriteBuilder]]): `INSERT INTO` = append
+  * snapshot, `INSERT OVERWRITE` = overwrite snapshot, with the
+  * optimistic claim, standing CHECK, and Hive partitioning all
+  * enforced — never a raw file write. Snapshots with live deletion
+  * vectors are refused here — materialize them first ([[SnapTable]]
+  * OPTIMIZE) or read through the library API, which applies them.
   */
 class SnapSource extends TableProvider with DataSourceRegister {
 
@@ -104,8 +107,13 @@ object SnapSource {
     }
     require(vs.contains(version),
       s"unknown snapshot version $version of $path (have $vs)")
-    tables.computeIfAbsent(keyOf(spark, path, version),
-      _ => new SnapV2Table(spark, path, version))
+    val merge = options.getBoolean("mergeSchema", false)
+    val pinned = options.containsKey("versionAsOf") ||
+      options.containsKey("timestampAsOf")
+    val key = keyOf(spark, path, version) +
+      (if (merge) "+merge" else "") + (if (pinned) "+pin" else "")
+    tables.computeIfAbsent(key,
+      _ => new SnapV2Table(spark, path, version, merge, pinned))
   }
 
   /** The live index behind `path`'s cached table at `version` (latest
@@ -129,11 +137,14 @@ object SnapSource {
 }
 
 /** One pinned snapshot version as a V2 [[Table]]: schema = data
-  * columns (from one staged footer; `mergeSchema` option merges all)
-  * + the typed partition column; scans delegate to Spark's parquet
-  * ScanBuilder over the manifest-backed index. */
-class SnapV2Table(spark: SparkSession, path: String, version: Int)
-  extends Table with SupportsRead {
+  * columns (one staged footer; the `mergeSchema` option reconciles a
+  * schema-evolved file mix by name, exactly like
+  * [[SnapTable.read]]'s flag) + the typed partition column; scans
+  * delegate to Spark's parquet ScanBuilder over the manifest-backed
+  * index. */
+class SnapV2Table(spark: SparkSession, path: String, version: Int,
+    mergeSchema: Boolean = false, pinned: Boolean = false)
+  extends Table with SupportsRead with SupportsWrite {
 
   require(!SnapTable.hasDeletes(spark, path, version),
     s"snapshot v$version of $path carries deletion vectors — " +
@@ -146,7 +157,10 @@ class SnapV2Table(spark: SparkSession, path: String, version: Int)
   val dataSchema: StructType = {
     val files = index.inputFiles
     require(files.nonEmpty, s"empty snapshot v$version of $path")
-    spark.read.parquet(files.head).schema
+    if (mergeSchema)
+      spark.read.option("mergeSchema", "true")
+        .parquet(files.toIndexedSeq: _*).schema
+    else spark.read.parquet(files.head).schema
   }
 
   override def name(): String = s"snap:$path@v$version"
@@ -156,7 +170,8 @@ class SnapV2Table(spark: SparkSession, path: String, version: Int)
       sc.add(c, dt) }
 
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
 
   override def partitioning(): Array[Transform] =
     index.partCol.map { case (c, _) => Expressions.identity(c) }.toArray
@@ -167,4 +182,36 @@ class SnapV2Table(spark: SparkSession, path: String, version: Int)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     ParquetScanBuilder(spark, index, schema(), dataSchema, options)
+
+  /** SQL WRITES go THROUGH the snapshot commit protocol — `INSERT
+    * INTO` appends a snapshot, `INSERT OVERWRITE` replaces it, both
+    * via [[SnapTable.commitRetry]]: optimistic claim, standing CHECK
+    * enforcement, Hive partitioning by the table's declared partition
+    * column — so a SQL writer gets exactly the guarantees a library
+    * writer gets (a violating INSERT is refused with nothing
+    * published). Version-pinned tables refuse writes: appending "to
+    * the past" through a travel handle would silently target the
+    * CURRENT head instead. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(!pinned,
+      s"refusing to write through a version-pinned read of $path — " +
+        "writes always target the current head; open the table " +
+        "without versionAsOf/timestampAsOf")
+    new WriteBuilder with SupportsTruncate {
+      private var replace = false
+      override def truncate(): WriteBuilder = { replace = true; this }
+      override def build(): V1Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: Dataset[Row],
+                overwrite: Boolean): Unit = {
+              val mode =
+                if (replace || overwrite) "overwrite" else "append"
+              SnapTable.commitRetry(spark, data, path, mode,
+                partitionBy = index.partCol.map(_._1))
+            }
+          }
+      }
+    }
+  }
 }

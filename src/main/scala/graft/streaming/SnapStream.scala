@@ -46,12 +46,20 @@ object SnapStream {
     * batch's own files — O(batch), never O(table)), so
     * [[SnapTable.readSkip]] plans selective reads over the live feed
     * without a single query-time footer probe. `partitionBy` stages
-    * each batch Hive-layout for [[SnapTable.readPartitions]]. */
+    * each batch Hive-layout for [[SnapTable.readPartitions]].
+    * `checkpointEvery > 0` writes a CADENCED head checkpoint
+    * ([[SnapTable.checkpointNow]]) every that-many commits — for
+    * drains whose retention must keep long history (vacuum can't
+    * bound the chain), this caps every reader's chain walk at the
+    * cadence instead of the drain's age
+    * ([[graft.ops.ManifestScaleStudy]]: the walk is the one
+    * depth-linear planning cost; a checkpoint collapses it 8×). */
   def runIngest(s: SparkSession, stream: DataFrame, table: String,
       ckpt: String, vacuumEvery: Int = 0, keep: Int = 0,
       afterCommit: Long => Unit = _ => (),
       statsCols: Seq[String] = Nil,
-      partitionBy: Option[String] = None): Unit = {
+      partitionBy: Option[String] = None,
+      checkpointEvery: Int = 0): Unit = {
     require(vacuumEvery == 0 || keep >= 2,
       "in-drain vacuum must keep at least 2 versions " +
         "(retention must cover the streaming replay horizon)")
@@ -65,6 +73,8 @@ object SnapStream {
             s"batch-$batchId", statsCols, partitionBy)
           if (vacuumEvery > 0 && v % vacuumEvery == 0)
             SnapTable.vacuum(s, table, keep)
+          if (checkpointEvery > 0 && v % checkpointEvery == 0)
+            SnapTable.checkpointNow(s, table)
           afterCommit(batchId)
         }
         ()

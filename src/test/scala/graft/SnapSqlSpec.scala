@@ -83,6 +83,64 @@ class SnapSqlSpec extends SparkSpec {
     assert(byTs.count() === 1L)
   }
 
+  test("snap source: INSERT INTO / OVERWRITE route through the commit protocol") {
+    val tbl = freshTbl("graft_snapins")
+    SnapTable.commit(spark,
+      Seq((1L, 10L)).toDF("k", "v"), tbl, "overwrite")
+    SnapTable.setCheck(spark, tbl, "v >= 0")
+    spark.sql("DROP TABLE IF EXISTS snap_w")
+    spark.sql(s"CREATE TABLE snap_w USING snap OPTIONS (path '$tbl')")
+    try {
+      spark.sql("INSERT INTO snap_w VALUES (2, 20)")
+      // the INSERT became an APPEND snapshot: history intact
+      assert(SnapTable.versions(spark, tbl) === Seq(1, 2))
+      assert(SnapTable.read(spark, tbl).count() === 2L)
+      assert(SnapTable.read(spark, tbl, Some(1)).count() === 1L)
+      // a violating INSERT is refused by the standing CHECK and
+      // publishes NOTHING
+      val e = intercept[Exception] {
+        spark.sql("INSERT INTO snap_w VALUES (3, -5)")
+      }
+      assert(e.getMessage.contains("CHECK") ||
+        Option(e.getCause).exists(_.getMessage.contains("CHECK")))
+      assert(SnapTable.versions(spark, tbl) === Seq(1, 2))
+      // INSERT OVERWRITE = overwrite snapshot, old version readable
+      spark.sql("INSERT OVERWRITE snap_w VALUES (9, 90)")
+      assert(SnapTable.read(spark, tbl).count() === 1L)
+      assert(SnapTable.read(spark, tbl, Some(2)).count() === 2L)
+      // a version-pinned handle refuses writes — appending "to the
+      // past" would silently target the current head
+      spark.sql("DROP TABLE IF EXISTS snap_wp")
+      spark.sql(s"CREATE TABLE snap_wp USING snap " +
+        s"OPTIONS (path '$tbl', versionAsOf '1')")
+      val e2 = intercept[Exception] {
+        spark.sql("INSERT INTO snap_wp VALUES (7, 70)")
+      }
+      def mentionsPinned(t: Throwable): Boolean =
+        t != null && (t.getMessage.contains("pinned") ||
+          mentionsPinned(t.getCause))
+      assert(mentionsPinned(e2))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS snap_w")
+      spark.sql("DROP TABLE IF EXISTS snap_wp")
+    }
+  }
+
+  test("snap source: mergeSchema option serves a schema-evolved snapshot through SQL") {
+    val tbl = freshTbl("graft_snapevo")
+    SnapTable.commit(spark,
+      (1L to 10L).map(i => (i, i * 2)).toDF("k", "v"), tbl, "overwrite")
+    SnapTable.commit(spark,
+      Seq((11L, 22L, "late")).toDF("k", "v", "w"), tbl, "append")
+    val df = spark.read.format("snap")
+      .option("mergeSchema", "true").load(tbl)
+    df.createOrReplaceTempView("snap_evo")
+    val r = spark.sql(
+      "SELECT count(*) AS n, count(w) AS nw FROM snap_evo").head()
+    // early files' absent column reads as null, not as an error
+    assert(r.getLong(0) === 11L && r.getLong(1) === 1L)
+  }
+
   test("snap source: unpartitioned snapshot, stats pruning via WHERE range") {
     val tbl = freshTbl("graft_snapflat")
     val df = (1L to 1000L).map(i => (i, s"d$i")).toDF("id", "d")
