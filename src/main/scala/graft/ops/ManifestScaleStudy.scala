@@ -92,6 +92,14 @@ object ManifestScaleStudy {
           mn <= qhi && mx >= qlo }))
       require(picked.nonEmpty && picked.size < entries.size,
         s"pruning dead: ${picked.size} of ${entries.size}")
+      // the OTHER age-linear commit cost: a fresh tag's miss scan
+      // reads one header per live version unbounded; the streaming
+      // drain bounds it to the replay window (tagScanDepth)
+      val (tagMissSec, _) =
+        time(SnapTable.taggedVersion(spark, tbl, "never-committed"))
+      val (tagBoundedSec, _) = time(
+        (1 to nVersions).reverseIterator.take(64).find(v =>
+          SnapTable.tagOf(spark, tbl, v).contains("never-committed")))
       // the operational fix for deep chains: one head checkpoint
       SnapTable.checkpointNow(spark, tbl)
       val (ckptWalkSec, entries2) =
@@ -102,6 +110,8 @@ object ManifestScaleStudy {
           manifestBytes / 1e6},""" +
         s""""claim_sec":$claimSecLast,"walk_sec":$walkSec,""" +
         s""""pick_sec":$pickSec,"picked":${picked.size},""" +
+        s""""tag_miss_sec":$tagMissSec,""" +
+        s""""tag_miss_bounded64_sec":$tagBoundedSec,""" +
         s""""ckpt_walk_sec":$ckptWalkSec}""")
       (nVersions, linesPer, claimSecLast, walkSec, ckptWalkSec)
     }

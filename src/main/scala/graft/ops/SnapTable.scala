@@ -400,9 +400,11 @@ object SnapTable {
     * that version). */
   def commitIfAbsent(s: SparkSession, df: DataFrame, table: String,
       mode: String, tag: String, statsCols: Seq[String] = Nil,
-      partitionBy: Option[String] = None): Int =
+      partitionBy: Option[String] = None,
+      tagScanDepth: Int = Int.MaxValue): Int =
     commitRetry(s, df, table, mode, Some(tag),
-      statsCols = statsCols, partitionBy = partitionBy)
+      statsCols = statsCols, partitionBy = partitionBy,
+      tagScanDepth = tagScanDepth)
 
   /** Bounded optimistic retry around [[commit]]: on losing a commit
     * race, re-derive from the new head (the carried file pointer and
@@ -415,12 +417,14 @@ object SnapTable {
   def commitRetry(s: SparkSession, df: DataFrame, table: String,
       mode: String, tag: Option[String] = None,
       attempts: Int = 8, statsCols: Seq[String] = Nil,
-      partitionBy: Option[String] = None): Int = {
+      partitionBy: Option[String] = None,
+      tagScanDepth: Int = Int.MaxValue): Int = {
     require(attempts >= 1, "commitRetry needs at least one attempt")
     var left = attempts
     while (true) {
       try return commit(s, df, table, mode, tag,
-        statsCols = statsCols, partitionBy = partitionBy)
+        statsCols = statsCols, partitionBy = partitionBy,
+        tagScanDepth = tagScanDepth)
       catch {
         case e: ConcurrentCommitException =>
           left -= 1
@@ -472,17 +476,27 @@ object SnapTable {
       mode: String, tag: Option[String] = None,
       audit: Option[DataFrame => Unit] = None,
       statsCols: Seq[String] = Nil,
-      partitionBy: Option[String] = None): Int = {
+      partitionBy: Option[String] = None,
+      tagScanDepth: Int = Int.MaxValue): Int = {
     require(mode == "overwrite" || mode == "append",
       s"unknown snapshot mode: $mode")
+    require(tagScanDepth >= 1, "tagScanDepth must be positive")
     val fs = fsOf(s, new Path(table))
     val prev = versions(s, table)
     // the tag check and the claim version derive from ONE listing:
     // a same-tag racer landing after this scan lands at `v`, which
-    // makes OUR claim refuse — the retry then finds the tag here
+    // makes OUR claim refuse — the retry then finds the tag here.
+    // `tagScanDepth` bounds the MISS path (a fresh tag is the normal
+    // case and otherwise reads one header per live version — on an
+    // object store at 10³ versions that is the commit's dominant
+    // cost): a replayed tag is always within the streaming replay
+    // window of the head, so a drain passes a bound comfortably
+    // above it and the miss path goes O(depth). Callers whose tags
+    // may be ARBITRARILY old must keep the unbounded default — a
+    // bound shallower than the tag's distance double-appends.
     val already = tag.flatMap { t =>
       val want = s"#tag:$t"
-      prev.reverseIterator.find(v =>
+      prev.reverseIterator.take(tagScanDepth).find(v =>
         headerLine(fs, manifest(table, v)).contains(want))
     }
     if (already.isDefined) return already.get

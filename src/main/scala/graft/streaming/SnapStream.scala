@@ -54,12 +54,19 @@ object SnapStream {
     * cadence instead of the drain's age
     * ([[graft.ops.ManifestScaleStudy]]: the walk is the one
     * depth-linear planning cost; a checkpoint collapses it 8×). */
+  /** `tagScanDepth` bounds the per-commit tag-miss scan (otherwise
+    * one header read per live version — the one age-linear commit
+    * cost left when retention keeps long history): Spark's replay
+    * window is the newest uncommitted batch, so any depth past a
+    * handful of versions holds the idempotence contract; 64 is miles
+    * of margin. */
   def runIngest(s: SparkSession, stream: DataFrame, table: String,
       ckpt: String, vacuumEvery: Int = 0, keep: Int = 0,
       afterCommit: Long => Unit = _ => (),
       statsCols: Seq[String] = Nil,
       partitionBy: Option[String] = None,
-      checkpointEvery: Int = 0): Unit = {
+      checkpointEvery: Int = 0,
+      tagScanDepth: Int = 64): Unit = {
     require(vacuumEvery == 0 || keep >= 2,
       "in-drain vacuum must keep at least 2 versions " +
         "(retention must cover the streaming replay horizon)")
@@ -70,7 +77,8 @@ object SnapStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val v = SnapTable.commitIfAbsent(s, batch, table, "append",
-            s"batch-$batchId", statsCols, partitionBy)
+            s"batch-$batchId", statsCols, partitionBy,
+            tagScanDepth = tagScanDepth)
           if (vacuumEvery > 0 && v % vacuumEvery == 0)
             SnapTable.vacuum(s, table, keep)
           if (checkpointEvery > 0 && v % checkpointEvery == 0)

@@ -899,6 +899,32 @@ class SnapTableSpec extends SparkSpec {
     assert(SnapTable.read(spark, tbl).count() === 6L)
   }
 
+  test("tagScanDepth: replay within the window is idempotent; the bound is a real contract") {
+    val tbl = Files.createTempDirectory("graft_snap_tagd").toString + "/t"
+    (1 to 5).foreach { i =>
+      SnapTable.commitIfAbsent(spark,
+        Seq((i.toLong, i.toLong)).toDF("k", "v"), tbl,
+        if (i == 1) "overwrite" else "append", s"tag-$i",
+        tagScanDepth = 3)
+    }
+    assert(SnapTable.versions(spark, tbl) === Seq(1, 2, 3, 4, 5))
+    // a replayed RECENT tag (within depth) appends nothing
+    assert(SnapTable.commitIfAbsent(spark,
+      Seq((5L, 5L)).toDF("k", "v"), tbl, "append", "tag-5",
+      tagScanDepth = 3) === 5)
+    assert(SnapTable.read(spark, tbl).count() === 5L)
+    // the bound is REAL: a tag older than the scan depth is not
+    // found and re-appends — exactly why arbitrary-age tags must
+    // keep the unbounded default
+    val v6 = SnapTable.commitIfAbsent(spark,
+      Seq((1L, 1L)).toDF("k", "v"), tbl, "append", "tag-1",
+      tagScanDepth = 3)
+    assert(v6 === 6 && SnapTable.read(spark, tbl).count() === 6L)
+    // unbounded finds it regardless of age
+    assert(SnapTable.commitIfAbsent(spark,
+      Seq((2L, 2L)).toDF("k", "v"), tbl, "append", "tag-2") === 2)
+  }
+
   test("diff: I/D/U emitted, unchanged suppressed") {
     val old = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
     val neu = Seq((2L, 20L), (3L, 31L), (4L, 40L)).toDF("k", "v")
