@@ -10,13 +10,19 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * time-travel SQL syntax work against the kernel:
   *
   * {{{
-  *   spark.conf.set("spark.sql.catalog.snap",
+  *   spark.conf.set("spark.sql.catalog.snapshots",
   *     "graft.sources.snap.SnapCatalog")
-  *   SELECT * FROM snap.`/wh/sales`                    -- head
-  *   SELECT * FROM snap.`/wh/sales` VERSION AS OF 3    -- travel
-  *   SELECT * FROM snap.`/wh/sales` TIMESTAMP AS OF '2026-01-01'
-  *   INSERT INTO snap.`/wh/sales` VALUES ...           -- commit
+  *   SELECT * FROM snapshots.`/wh/sales`                  -- head
+  *   SELECT * FROM snapshots.`/wh/sales` VERSION AS OF 3  -- travel
+  *   SELECT * FROM snapshots.`/wh/sales` TIMESTAMP AS OF '2026-01-01'
+  *   INSERT INTO snapshots.`/wh/sales` VALUES ...         -- commit
   * }}}
+  *
+  * Pick a catalog name that is NOT a registered datasource short
+  * name: `x.`/path`` where `x` names a datasource is grabbed by the
+  * direct-query-on-files rule before catalog resolution runs (so
+  * "snap" itself cannot be the catalog name — the connector's
+  * `DataSourceRegister` owns it).
   *
   * The identifier IS the table path (the Delta `delta.`/path``
   * shape) — no metastore, no registration step: the manifest

@@ -126,6 +126,29 @@ class SnapSqlSpec extends SparkSpec {
     }
   }
 
+  test("snap catalog: native VERSION AS OF / TIMESTAMP AS OF syntax resolves by path") {
+    spark.conf.set("spark.sql.catalog.snapshots",
+      "graft.sources.snap.SnapCatalog")
+    val tbl = freshTbl("graft_snapcat")
+    SnapTable.commit(spark, Seq((1L, 10L)).toDF("k", "v"), tbl, "overwrite")
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(15)
+    SnapTable.commit(spark, Seq((2L, 20L)).toDF("k", "v"), tbl, "append")
+    assert(spark.sql(s"SELECT count(*) AS c FROM snapshots.`$tbl`")
+      .head().getLong(0) === 2L)
+    assert(spark.sql(
+        s"SELECT count(*) AS c FROM snapshots.`$tbl` VERSION AS OF 1")
+      .head().getLong(0) === 1L)
+    assert(spark.sql(s"SELECT count(*) AS c FROM snapshots.`$tbl` " +
+        s"TIMESTAMP AS OF timestamp_millis(${t1}L)")
+      .head().getLong(0) === 1L)
+    // writes commit through the protocol from the catalog path too
+    spark.sql(s"INSERT INTO snapshots.`$tbl` VALUES (3, 30)")
+    assert(SnapTable.versions(spark, tbl) === Seq(1, 2, 3))
+    assert(spark.sql(s"SELECT sum(v) AS s FROM snapshots.`$tbl`")
+      .head().getLong(0) === 60L)
+  }
+
   test("snap source: mergeSchema option serves a schema-evolved snapshot through SQL") {
     val tbl = freshTbl("graft_snapevo")
     SnapTable.commit(spark,
