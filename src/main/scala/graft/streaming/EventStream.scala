@@ -445,11 +445,13 @@ object EventStream {
     * distributed. */
   def runToMemory(s: SparkSession, agg: DataFrame, name: String,
       mode: OutputMode = OutputMode.Complete): DataFrame = {
-    val q = agg.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .start()
+    val q = StreamTune.withStreamShuffle(agg) {
+      agg.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .start()
+    }
     try q.processAllAvailable()
     finally q.stop()
     s.table(name)
@@ -475,16 +477,18 @@ object EventStream {
   def runUpdateToParquet(
       s: SparkSession, agg: DataFrame, outDir: String,
       checkpointDir: String, keyCols: Seq[String]): DataFrame = {
-    val q = agg.writeStream
-      .outputMode(OutputMode.Update)
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.withColumn("_batch_id", lit(batchId))
-          .write.mode("append").parquet(outDir)
-        ()
-      }
-      .start()
+    val q = StreamTune.withStreamShuffle(agg) {
+      agg.writeStream
+        .outputMode(OutputMode.Update)
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.withColumn("_batch_id", lit(batchId))
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .start()
+    }
     q.awaitTermination()
     latestPerKey(
       readBackOrEmpty(s, outDir, agg.schema.add("_batch_id", LongType)),
@@ -520,13 +524,15 @@ object EventStream {
   def runAppendToParquet(
       s: SparkSession, stream: DataFrame, outDir: String,
       checkpointDir: String): DataFrame = {
-    val q = stream.writeStream
-      .outputMode(OutputMode.Append)
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val q = StreamTune.withStreamShuffle(stream) {
+      stream.writeStream
+        .outputMode(OutputMode.Append)
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     q.awaitTermination()
     readBackOrEmpty(s, outDir, stream.schema)
   }
