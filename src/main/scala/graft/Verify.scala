@@ -15,6 +15,13 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // let AQE coalesce the output partitioning of CACHED plans too:
+      // a persisted aggregate otherwise materializes at the static
+      // shuffle-partition count and every downstream action pays that
+      // task count regardless of data size (the decision stays
+      // byte-driven at any scale)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     // SPARK_GRAFT_STATESTORE=rocksdb re-gates the stateful entries

@@ -72,4 +72,57 @@ object Curriculum {
     val binOf = binRows.toSeq.toDF("hb", "bin")
     b.join(broadcast(binOf), Seq("hb")).drop("hb")
   }
+
+  /** Multi-column single-pass variant of [[equalFreqBins]]: one
+    * aggregate pass over `df` builds EVERY requested column's
+    * histogram at once (the per-column bin assignment is unchanged —
+    * each histogram folds independently on the driver), and the
+    * result attaches all bin columns through broadcast hash joins of
+    * the per-column bucket→bin local tables. A chain of k
+    * [[equalFreqBins]] calls (the RFM r→f→m shape) pays k cache
+    * materializations and k histogram passes, each over the previous
+    * call's join output; this pays ONE cache of the input and ONE
+    * histogram pass for all k columns. `specs` is
+    * (valueCol, binCol, bucketWidth) per requested bin column. */
+  def equalFreqBinsMulti(df: DataFrame,
+      specs: Seq[(String, String, Long)], nBins: Int): DataFrame = {
+    require(nBins > 0 && specs.nonEmpty, "nBins and specs must be non-empty")
+    specs.foreach { case (vc, _, w) =>
+      require(w > 0, s"bucketWidth must be positive for '$vc' (got $w)") }
+    val hbCol = specs.map { case (vc, bc, w) =>
+      s"__hb_$bc" -> expr(s"CAST($vc AS BIGINT) DIV $w") }
+    val b = hbCol.foldLeft(df) { case (acc, (n, e)) =>
+      acc.withColumn(n, e) }.scopedCache()
+    // one map-side-combined pass for all histograms: (column index,
+    // bucket) pairs combine to ≤ k × buckets rows before the exchange
+    val pairs = b.select(explode(array(specs.zipWithIndex.map {
+      case ((_, bc, _), i) =>
+        struct(lit(i).as("ci"), col(s"__hb_$bc").as("hb")) }: _*)).as("p"))
+      .select(col("p.ci"), col("p.hb"))
+    val hist = pairs.groupBy(col("ci"), col("hb"))
+      .agg(count(lit(1)).as("hn"))
+      .limit(specs.size * MaxHistogramBuckets + 1).collect()
+    val byCol = hist.groupBy(_.getInt(0))
+    val spark = df.sparkSession
+    import spark.implicits._
+    specs.zipWithIndex.foldLeft(b: DataFrame) {
+      case (acc, ((vc, bc, w), i)) =>
+        val rows = byCol.getOrElse(i, Array.empty)
+        require(rows.length <= MaxHistogramBuckets,
+          s"equalFreqBinsMulti: histogram exceeded $MaxHistogramBuckets " +
+            s"buckets for column '$vc' at bucketWidth=$w — raise " +
+            "bucketWidth so the score range collapses into a " +
+            "driver-collectable histogram")
+        val sorted = rows.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+        val tot = sorted.iterator.map(_._2).sum
+        var cumExcl = 0L
+        val binRows = sorted.map { case (hb, hn) =>
+          val bin = math.min(nBins.toLong * cumExcl / tot + 1L, nBins.toLong)
+          cumExcl += hn
+          (hb, bin)
+        }
+        val binOf = binRows.toSeq.toDF(s"__hb_$bc", bc)
+        acc.join(broadcast(binOf), Seq(s"__hb_$bc")).drop(s"__hb_$bc")
+    }
+  }
 }

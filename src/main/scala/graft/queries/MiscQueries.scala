@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{Num, Tables}
+import graft.core.CacheScope.Scoped
 import graft.ops.{AsofJoin, Cms, Curriculum, Hll, LayoutAudit, Mv, Ols, PageRank, Profile, SnapTable, Upsert}
 import graft.report.Overlap
 import graft.streaming.CdcStream
@@ -933,12 +934,14 @@ object MiscQueries extends graft.QueryModule {
       .withColumn("recency_days",
         (col("ref_day") - col("last_day")).cast("long"))
       .drop("ref_day", "last_day")
-    val r = Curriculum.equalFreqBins(base, "recency_days", nBins = 4,
-      bucketWidth = 1L).withColumnRenamed("bin", "r_bin")
-    val f = Curriculum.equalFreqBins(r, "n_orders", nBins = 4,
-      bucketWidth = 1L).withColumnRenamed("bin", "f_bin")
-    val m = Curriculum.equalFreqBins(f, "monetary_c", nBins = 4,
-      bucketWidth = 100000L).withColumnRenamed("bin", "m_bin")
+    // all three quartile cuts from ONE histogram pass over the
+    // per-customer frame (each cut's bin assignment is independent of
+    // the others — binning reads only its own value column), instead
+    // of three chained cache+histogram+join rounds
+    val m = Curriculum.equalFreqBinsMulti(base, Seq(
+      ("recency_days", "r_bin", 1L),
+      ("n_orders", "f_bin", 1L),
+      ("monetary_c", "m_bin", 100000L)), nBins = 4)
     m.withColumn("segment", concat(
         lit("R"), col("r_bin").cast("string"),
         lit("F"), col("f_bin").cast("string"),
@@ -1438,15 +1441,18 @@ object MiscQueries extends graft.QueryModule {
     val ev = Tables.events(s, dir)
       .select(expr(s"ts_us DIV $dayUs").as("d"),
         Num.cents(col("value")).as("value_c"))
-    // both engines derive the split the same way: (min+max) DIV 2
-    val mm = ev.agg(min("d"), max("d")).head()
-    val dmid = (mm.getLong(0) + mm.getLong(1)) / 2
-    // ONE events scan+shuffle feeds all three commits: the per-day
-    // state is small (day cardinality), so it persists and each
-    // commit stages from memory instead of re-aggregating the corpus
+    // ONE events scan+shuffle feeds all three commits AND the split
+    // point: the per-day state is small (day cardinality), so it
+    // persists and each commit stages from memory instead of
+    // re-aggregating the corpus
     val perDay = ev.groupBy(col("d"))
       .agg(count(lit(1)).as("n_rows"), sum(col("value_c")).as("sum_c"))
       .persist()
+    // both engines derive the split the same way: (min+max) DIV 2 —
+    // computed from the PERSISTED day aggregate (min/max of d over
+    // per-day rows ≡ over raw events), not a second corpus scan
+    val mm = perDay.agg(min("d"), max("d")).head()
+    val dmid = (mm.getLong(0) + mm.getLong(1)) / 2
     try {
       SnapTable.commit(s, perDay.filter(col("d") < dmid), tbl, "overwrite")
       SnapTable.commit(s, perDay.filter(col("d") >= dmid), tbl, "append")
@@ -1512,10 +1518,15 @@ object MiscQueries extends graft.QueryModule {
     val ev = Tables.events(s, dir)
       .select(expr(s"ts_us DIV $dayUs").as("d"),
         Num.cents(col("value")).as("value_c"))
-    val mm = ev.agg(min("d"), max("d")).head()
-    val dmid = (mm.getLong(0) + mm.getLong(1)) / 2
+    // ONE events scan+shuffle feeds the split point, all four commits
+    // and the torn staging: the per-day state is day-cardinality small,
+    // so it persists for the entry's scope (min/max of d over per-day
+    // rows ≡ over raw events)
     val perDay = ev.groupBy(col("d"))
       .agg(count(lit(1)).as("n_rows"), sum(col("value_c")).as("sum_c"))
+      .scopedCache()
+    val mm = perDay.agg(min("d"), max("d")).head()
+    val dmid = (mm.getLong(0) + mm.getLong(1)) / 2
     SnapTable.commit(s, perDay.filter(col("d") < dmid), tbl, "overwrite")
     SnapTable.commit(s, perDay, tbl, "overwrite")
     SnapTable.commit(s,
@@ -1584,12 +1595,17 @@ object MiscQueries extends graft.QueryModule {
     val ev = Tables.events(s, dir)
       .select(col("user_id"), expr(s"ts_us DIV $dayUs").as("d"),
         Num.cents(col("value")).as("value_c"))
-    val mm = ev.agg(min("d"), max("d")).head()
+    // ONE events scan: the (user, day) pre-aggregate is the shared
+    // base for the split point and both half-totals — the raw corpus
+    // is never rescanned (sum over per-day sums ≡ sum over events)
+    val ud = ev.groupBy(col("user_id"), col("d"))
+      .agg(sum(col("value_c")).as("sum_c")).scopedCache()
+    val mm = ud.agg(min("d"), max("d")).head()
     val dmid = (mm.getLong(0) + mm.getLong(1)) / 2
     def totals(p: DataFrame) = p.groupBy(col("user_id"))
-      .agg(sum(col("value_c")).as("sum_c"))
-    SnapTable.commit(s, totals(ev.filter(col("d") < dmid)), tbl, "overwrite")
-    SnapTable.commit(s, totals(ev.filter(col("d") >= dmid)), tbl, "overwrite")
+      .agg(sum(col("sum_c")).as("sum_c"))
+    SnapTable.commit(s, totals(ud.filter(col("d") < dmid)), tbl, "overwrite")
+    SnapTable.commit(s, totals(ud.filter(col("d") >= dmid)), tbl, "overwrite")
     SnapTable.diff(
         SnapTable.read(s, tbl, Some(1)), SnapTable.read(s, tbl, Some(2)),
         key = "user_id", value = "sum_c")
@@ -1634,12 +1650,18 @@ object MiscQueries extends graft.QueryModule {
     val ev = Tables.events(s, dir)
       .select(col("user_id"), expr(s"ts_us DIV $dayUs").as("d"),
         Num.cents(col("value")).as("value_c"))
-    val mm = ev.agg(min("d"), max("d")).head()
+    // ONE events scan: (user, day) partials feed the split point, the
+    // v1 state and the delta (count ≡ sum of per-day counts; sum ≡
+    // sum of per-day sums) — the history is never rescanned
+    val ud = ev.groupBy(col("user_id"), col("d"))
+      .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_c"))
+      .scopedCache()
+    val mm = ud.agg(min("d"), max("d")).head()
     val dmid = (mm.getLong(0) + mm.getLong(1)) / 2
     def agg(p: DataFrame) = p.groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_c"))
-    SnapTable.commit(s, agg(ev.filter(col("d") < dmid)), tbl, "overwrite")
-    val delta = agg(ev.filter(col("d") >= dmid))
+      .agg(sum(col("n")).as("n"), sum(col("sum_c")).as("sum_c"))
+    SnapTable.commit(s, agg(ud.filter(col("d") < dmid)), tbl, "overwrite")
+    val delta = agg(ud.filter(col("d") >= dmid))
     val refreshed = Mv.additiveMerge(
       SnapTable.read(s, tbl, Some(1)), delta,
       key = "user_id", cols = Seq("n", "sum_c"))
@@ -1687,11 +1709,17 @@ object MiscQueries extends graft.QueryModule {
     val ev = Tables.events(s, dir)
       .select(col("user_id"), expr(s"ts_us DIV $dayUs").as("d"),
         Num.cents(col("value")).as("value_c"))
-    val mm = ev.agg(min("d"), max("d")).head()
-    val dmid = (mm.getLong(0) + mm.getLong(1)) / 2
+    // ONE events scan: (user, week, day) partials feed the split
+    // point, both cell aggregates and the touched set — counts/sums
+    // over the partials telescope to the raw-event aggregates
     val wk = ev.withColumn("w", expr("d DIV 7"))
-    def cells(p: DataFrame) = p.groupBy(col("user_id"), col("w"))
+      .groupBy(col("user_id"), col("w"), col("d"))
       .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_c"))
+      .scopedCache()
+    val mm = wk.agg(min("d"), max("d")).head()
+    val dmid = (mm.getLong(0) + mm.getLong(1)) / 2
+    def cells(p: DataFrame) = p.groupBy(col("user_id"), col("w"))
+      .agg(sum(col("n")).as("n"), sum(col("sum_c")).as("sum_c"))
       .select(concat_ws(":", col("user_id"), col("w")).as("uk"),
         col("user_id"), col("w"), col("n"), col("sum_c"))
     SnapTable.commit(s, cells(wk.filter(col("d") < dmid)), tbl, "overwrite")
@@ -2351,23 +2379,31 @@ object MiscQueries extends graft.QueryModule {
     val dayUs = 86400L * 1000000L
     val ev = Tables.events(s, dir)
       .select(col("user_id"), expr(s"ts_us DIV $dayUs").as("d"))
-    val mm = ev.agg(min("d"), max("d")).head()
+    // ONE events scan: (user, day) counts feed the split point, all
+    // three era totals and both era user sets (sum of per-day counts
+    // ≡ count over raw events); the user sets cache too — each is
+    // consumed by several joins and counts below
+    val g = ev.groupBy(col("user_id"), col("d"))
+      .agg(count(lit(1)).as("nd")).scopedCache()
+    val mm = g.agg(min("d"), max("d")).head()
     val dmid = (mm.getLong(0) + mm.getLong(1)) / 2
     def totals(e: DataFrame): DataFrame =
-      e.groupBy("user_id").agg(count(lit(1)).as("n"))
+      e.groupBy("user_id").agg(sum(col("nd")).as("n"))
         .withColumn("score", expr("3 * n + user_id % 7"))
     // v1, the NARROW era: int counter, float score
     SnapTable.commit(s,
-      totals(ev.filter(col("d") < dmid))
+      totals(g.filter(col("d") < dmid))
         .select(col("user_id"), col("n").cast("int").as("n"),
           col("score").cast("float").as("score")),
       tbl, "overwrite")
     // v2 APPEND, the WIDE era: users born in the second half arrive
     // with long/double columns -> ONE version, MIXED file widths
-    val firstUsers = ev.filter(col("d") < dmid).select("user_id").distinct()
-    val secondUsers = ev.filter(col("d") >= dmid).select("user_id").distinct()
+    val firstUsers = g.filter(col("d") < dmid).select("user_id")
+      .distinct().scopedCache()
+    val secondUsers = g.filter(col("d") >= dmid).select("user_id")
+      .distinct().scopedCache()
     SnapTable.commit(s,
-      totals(ev.filter(col("d") >= dmid))
+      totals(g.filter(col("d") >= dmid))
         .join(firstUsers, Seq("user_id"), "left_anti")
         .select(col("user_id"), col("n").cast("long").as("n"),
           col("score").cast("double").as("score")),
@@ -2395,7 +2431,7 @@ object MiscQueries extends graft.QueryModule {
     // every user_id % 10 == 3 subject tombstoned
     val returning = secondUsers.join(firstUsers, Seq("user_id"),
       "left_semi")
-    val repl = totals(ev).join(returning, Seq("user_id"), "left_semi")
+    val repl = totals(g).join(returning, Seq("user_id"), "left_semi")
       .filter(expr("user_id % 10 <> 3")) // tombstoned below, not both
       .select(col("user_id"), col("n").cast("long").as("n"),
         col("score").cast("double").as("score"),

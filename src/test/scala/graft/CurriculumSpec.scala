@@ -37,4 +37,28 @@ class CurriculumSpec extends SparkSpec {
     val b = bins(4, 1L, 1L, 1L, 1L, 1L, 1L, 1L, 1L, 100L)
     assert(b(1L) === 1L && b(100L) === 4L)
   }
+
+  test("multi-column single pass ≡ chained single-column calls") {
+    // the RFM shape: three cuts over one frame, mixed widths — the
+    // one-pass variant must reproduce the chained calls bin for bin
+    val df = (1L to 97L).map(i =>
+        (i, i % 13L, (i * 7L) % 29L, i * 1000L))
+      .toDF("id", "a", "b", "c")
+    val chained = Curriculum.equalFreqBins(
+        Curriculum.equalFreqBins(
+          Curriculum.equalFreqBins(df, "a", 4, 1L)
+            .withColumnRenamed("bin", "a_bin"),
+          "b", 4, 2L).withColumnRenamed("bin", "b_bin"),
+        "c", 4, 5000L).withColumnRenamed("bin", "c_bin")
+      .select("id", "a_bin", "b_bin", "c_bin")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val multi = Curriculum.equalFreqBinsMulti(df, Seq(
+        ("a", "a_bin", 1L), ("b", "b_bin", 2L), ("c", "c_bin", 5000L)),
+        nBins = 4)
+      .select("id", "a_bin", "b_bin", "c_bin")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(multi === chained)
+  }
 }
