@@ -2582,8 +2582,17 @@ object TrainingQueries extends graft.QueryModule {
       nComponents = AnnPcaComps.max)
     Pca.lastAnnModel = Some(m)
     val allPcs = 0 until AnnPcaComps.max
-    val proj = emb.select(col("vec_id") +:
-      allPcs.map(c => Pca.projectPpm(m, "embedding", c).as(s"p$c")): _*)
+    // all 24 projections in ONE native expression: the 24-column
+    // declarative spelling (24 × 64 round/cast/multiply slots) blows
+    // the 64 KB codegen method limit and evaluates interpreted,
+    // re-quantizing every coordinate 24 times — the kernel quantizes
+    // once and multiply-adds all components (bit-identical arithmetic;
+    // PcaSpec pins parity against projectPpm)
+    val proj = emb.select(col("vec_id"),
+        graft.functions.VectorExprs.pcaProjectAll(
+          col("embedding").cast("array<double>"), m.compPpm).as("parr"))
+      .select(col("vec_id") +:
+        allPcs.map(c => element_at(col("parr"), c + 1).as(s"p$c")): _*)
       .scopedCache()
     // candidate arms touch ONLY the cached projection table (no
     // vector scans); the three arms' candidates union BEFORE one

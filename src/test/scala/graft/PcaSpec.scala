@@ -96,4 +96,31 @@ class PcaSpec extends SparkSpec {
     // q = (500000, -250000); p = 600000*500000 + (-800000)*(-250000)
     assert(p === 600000L * 500000L + 800000L * 250000L)
   }
+
+  test("pcaProjectAll kernel ≡ per-component projectPpm expressions") {
+    // awkward magnitudes: exact .5 ties (HALF_UP both ways), negatives,
+    // float→double widening artifacts — the one-loop kernel must match
+    // the declarative spelling bit for bit on every component
+    val rows = Seq(
+      (1L, Seq(0.5f, -0.25f, 0.0000005f, -0.0000005f)),
+      (2L, Seq(-1.5f, 2.5f, 0.1f, -0.3f)),
+      (3L, Seq(0.123456f, -0.654321f, 1.999999f, -1.000001f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val m = Pca.Model(Vector(
+      Array(600000L, -800000L, 123L, -456L),
+      Array(-1L, 2L, -3L, 4L),
+      Array(999999L, 999999L, -999999L, -999999L)))
+    val viaExpr = df.select(col("vec_id") +: (0 until 3).map(c =>
+        Pca.projectPpm(m, "embedding", c).as(s"p$c")): _*)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val viaKernel = df.select(col("vec_id"),
+        graft.functions.VectorExprs.pcaProjectAll(
+          col("embedding").cast("array<double>"), m.compPpm).as("pa"))
+      .select(col("vec_id"), element_at(col("pa"), 1),
+        element_at(col("pa"), 2), element_at(col("pa"), 3))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(viaKernel === viaExpr)
+  }
 }
