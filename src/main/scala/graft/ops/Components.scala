@@ -28,15 +28,29 @@ object Components {
 
   /** One propagation round, declaratively: every node's label becomes
     * the min of its own and its neighbors' labels. Extra columns on
-    * `cur` (e.g. the batch-start label) ride through untouched. */
+    * `cur` (e.g. the batch-start label) ride through untouched.
+    *
+    * "Min of own and neighbors'" is ONE aggregate over the union of
+    * own rows and neighbor contributions — the earlier
+    * aggregate-then-left-join spelling shuffled the label table a
+    * second time (by id for the join) after the neighbor aggregate
+    * had already exchanged by id; the union form groups both row
+    * kinds in that single exchange (guide §2.4: operations keyed the
+    * same way share one shuffle). Extra columns ride as null on the
+    * neighbor rows and fold back with a null-skipping min — they are
+    * functionally dependent on id, so the min IS the own-row value. */
   private def propagateOnce(sym: DataFrame, cur: DataFrame): DataFrame = {
-    val nbrMin = sym
-      .join(cur.select(col("id").as("nbr"), col("lbl").as("nlbl")), Seq("nbr"))
+    val extra = cur.schema.filterNot(f => f.name == "id" || f.name == "lbl")
+    val nbrRows = extra.foldLeft(
+      sym.join(cur.select(col("id").as("nbr"), col("lbl").as("nlbl")),
+          Seq("nbr"))
+        .select(col("id"), col("nlbl").as("lbl"))) {
+      (d, f) => d.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+    cur.unionByName(nbrRows)
       .groupBy(col("id"))
-      .agg(min(col("nlbl")).as("nlbl"))
-    cur.join(nbrMin, Seq("id"), "left")
-      .withColumn("lbl", least(col("lbl"), coalesce(col("nlbl"), col("lbl"))))
-      .drop("nlbl")
+      .agg(min(col("lbl")).as("lbl"),
+        extra.map(f => min(col(f.name)).as(f.name)): _*)
   }
 
   /** One pointer-jumping round: every node's label becomes the min of
@@ -55,8 +69,10 @@ object Components {
   }
 
   /** Per-node component labels for `nodes` (single column `id`) under
-    * `edges` (`id1`, `id2`, undirected). Output: (id, cluster_id)
-    * where cluster_id = min node id reachable from id.
+    * `edges` (`id1`, `id2`, undirected; endpoints must be drawn from
+    * `nodes` — every caller derives pairs from the same id set it
+    * labels). Output: (id, cluster_id) where cluster_id = min node id
+    * reachable from id.
     *
     * Rounds run in BATCHES of `roundsPerCheck` between actions: each
     * batch is one materialization job (the chained declarative rounds)

@@ -98,11 +98,21 @@ object Dedup {
 
   /** Shingle index with document-frequency cap: shingles appearing in
     * more than `maxDf` docs are dropped (fan-out bound; part of the
-    * operator's declared semantics, mirrored by the oracle). */
+    * operator's declared semantics, mirrored by the oracle).
+    *
+    * One pass: the df rides as a window count over `g` instead of a
+    * separate aggregate joined back — the aggregate+join spelling
+    * evaluated the (often explode-heavy) shingle plan TWICE (Spark
+    * does no common-subplan elimination) and shuffled it by `g` for
+    * the join anyway; the window form shuffles the same bytes by `g`
+    * exactly once and never re-derives the input. A hot shingle skews
+    * one window partition exactly as it skewed the join partition —
+    * same skew class, half the passes. */
   def cappedIndex(sh: DataFrame, maxDf: Long): DataFrame = {
-    val dfreq = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
-    sh.join(dfreq.select("g"), Seq("g"))
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    sh.withColumn("__df", count(lit(1)).over(wg))
+      .filter(col("__df") <= maxDf)
+      .drop("__df")
   }
 
   /** Exact n-gram Jaccard over candidate pairs from the inverted
