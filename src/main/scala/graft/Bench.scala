@@ -186,20 +186,21 @@ object Bench {
       floorsForSf.fold(DefaultFloor)(
         _.getOrElse(name, DefaultFloor)) * floorScale
 
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      // let AQE coalesce the output partitioning of CACHED plans too:
-      // a persisted aggregate otherwise materializes at the static
-      // shuffle-partition count and every downstream action pays that
-      // task count regardless of data size (the decision stays
-      // byte-driven at any scale)
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-        "true")
-      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // shared library session posture (AQE, cached-plan re-partitioning,
+    // UTC) — one list, owned by graft.core.SessionTune, so a user
+    // session gets the same plan shapes the bench measures
+    graft.core.SessionTune.defaults.foreach {
+      case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    // batch shuffle partitions derived from the DATA SIZE under sfDir,
+    // not the core count (guide §2; the r17 scaling block measured the
+    // cores-pinned suite 13% slower at 32 cores than 8 on sf0.1 —
+    // pure per-task fixed cost). Conf-overridable, clamped, and
+    // byte-driven at any scale — see SessionTune.
+    graft.core.SessionTune.tuneForData(spark, sfDir)
     spark.sparkContext.setLogLevel("WARN")
     val errors = scala.collection.mutable.ListBuffer.empty[String]
 

@@ -9,20 +9,16 @@ import org.apache.spark.sql.SparkSession
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.adaptive.enabled", "true")
-      // let AQE coalesce the output partitioning of CACHED plans too:
-      // a persisted aggregate otherwise materializes at the static
-      // shuffle-partition count and every downstream action pays that
-      // task count regardless of data size (the decision stays
-      // byte-driven at any scale)
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-        "true")
-      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // shared library session posture (SessionTune owns the list)
+    graft.core.SessionTune.defaults.foreach {
+      case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    // same byte-derived batch partitioning the bench session runs
+    // under, so dumped plans match the measured ones
+    graft.core.SessionTune.tuneForData(spark, sfDir)
     spark.sparkContext.setLogLevel("ERROR")
     val wanted = if (args.nonEmpty) args.toSet else SparkEntry.queries.keySet
     SparkEntry.queries.toSeq.sortBy(_._1)

@@ -10,15 +10,13 @@ object ProbeKeep {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-        "true")
-      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    graft.core.SessionTune.defaults.foreach {
+      case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    graft.core.SessionTune.tuneForData(spark, sfDir)
     spark.sparkContext.setLogLevel("ERROR")
     def t[T](name: String)(body: => T): T = {
       val t0 = System.nanoTime()

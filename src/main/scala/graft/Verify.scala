@@ -13,17 +13,10 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      // let AQE coalesce the output partitioning of CACHED plans too:
-      // a persisted aggregate otherwise materializes at the static
-      // shuffle-partition count and every downstream action pays that
-      // task count regardless of data size (the decision stays
-      // byte-driven at any scale)
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-        "true")
-      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    // shared library session posture (SessionTune owns the list)
+    graft.core.SessionTune.defaults.foreach {
+      case (k, v) => builder.config(k, v) }
     // SPARK_GRAFT_STATESTORE=rocksdb re-gates the stateful entries
     // under the off-heap provider (the 100 TB posture) — the oracle
     // compare must be provider-independent, same toggle as StreamStress
@@ -31,6 +24,9 @@ object Verify {
       builder.config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val spark = builder.getOrCreate()
+    // batch shuffle partitions from input bytes, not core count
+    // (guide §2, same derivation the bench session uses)
+    graft.core.SessionTune.tuneForData(spark, sfDir)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // self-evidencing run metadata: a genuine re-run is
