@@ -100,19 +100,27 @@ object Dedup {
     * more than `maxDf` docs are dropped (fan-out bound; part of the
     * operator's declared semantics, mirrored by the oracle).
     *
-    * One pass: the df rides as a window count over `g` instead of a
-    * separate aggregate joined back — the aggregate+join spelling
-    * evaluated the (often explode-heavy) shingle plan TWICE (Spark
-    * does no common-subplan elimination) and shuffled it by `g` for
-    * the join anyway; the window form shuffles the same bytes by `g`
-    * exactly once and never re-derives the input. A hot shingle skews
-    * one window partition exactly as it skewed the join partition —
-    * same skew class, half the passes. */
+    * Spelling: a map-side-combined df aggregate keeps only the
+    * OVER-CAP shingles (a blacklist bounded by |sh| / maxDf rows —
+    * they need > maxDf occurrences each), broadcast anti-joined back
+    * onto the rows. The r17 window spelling (`count(*) over
+    * (partition by g)`) shuffled EVERY index row by `g` and buffered
+    * each shingle's full row set in one window partition before the
+    * filter could drop it — a stop-word shingle at corpus scale makes
+    * one giant spilling task (guide §2.5: windows have no AQE skew
+    * split). Here the hot shingle collapses to one row in the partial
+    * aggregate before the exchange, nothing corpus-sized shuffles by
+    * `g` at all, and the anti-join preserves the input's scan
+    * partitioning. The price is deriving `sh` twice (Spark has no
+    * common-subplan elimination): one extra corpus scan against a
+    * full shuffle + sort of the exploded index — strictly fewer bytes
+    * moved at any scale. */
   def cappedIndex(sh: DataFrame, maxDf: Long): DataFrame = {
-    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
-    sh.withColumn("__df", count(lit(1)).over(wg))
-      .filter(col("__df") <= maxDf)
-      .drop("__df")
+    val overCap = sh.groupBy(col("g"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf)
+      .select(col("g"))
+    sh.join(broadcast(overCap), Seq("g"), "left_anti")
   }
 
   /** Exact n-gram Jaccard over candidate pairs from the inverted
@@ -299,17 +307,18 @@ object Dedup {
     // candidates — they verify at jaccard 0 and never block admission
     val withJ = cands.join(scored, Seq("new_id", "old_id"), "left")
       .na.fill(0.0, Seq("jaccard"))
-    val w = Window.partitionBy(col("new_id"))
-      .orderBy(col("jaccard").desc, col("old_id"))
-    val top = withJ.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("new_id"), col("old_id").as("best_old_match"),
-        col("jaccard").as("best_jaccard"))
-    val nc = withJ.groupBy(col("new_id"))
-      .agg(count(lit(1)).as("n_cands"))
+    // best match as an argmax AGGREGATE — max(struct(jaccard,
+    // -old_id)) is the old window's (jaccard DESC, old_id ASC) order
+    // — and the candidate count rides in the SAME aggregate: one
+    // map-side-combined pass instead of a window sort plus a second
+    // aggregate over the candidate frame
+    val top = withJ.groupBy(col("new_id"))
+      .agg(max(struct(col("jaccard"), (-col("old_id")).as("nid"))).as("b"),
+        count(lit(1)).as("n_cands"))
+      .select(col("new_id"), (-col("b.nid")).as("best_old_match"),
+        col("b.jaccard").as("best_jaccard"), col("n_cands"))
     newIds.select(col("id"))
       .join(top.withColumnRenamed("new_id", "id"), Seq("id"), "left")
-      .join(nc.withColumnRenamed("new_id", "id"), Seq("id"), "left")
       .na.fill(0.0, Seq("best_jaccard"))
       .na.fill(0L, Seq("n_cands"))
       .withColumn("admitted",

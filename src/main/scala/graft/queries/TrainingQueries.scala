@@ -441,8 +441,11 @@ object TrainingQueries extends graft.QueryModule {
     val docs = Tables.documents(s, dir)
     val sh = Dedup.cappedIndex(
       Dedup.wordShingles(docs, "text", "doc_id"), 1000L)
+    // both candidate self-join sides read the signature aggregate;
+    // uncached it (and the shingle cap below it) runs once per side
+    val sigs = Dedup.minhashSignatures(sh, 64).scopedCache()
     val cands = Dedup.minhashCandidates(
-      Dedup.lshBands(Dedup.minhashSignatures(sh, 64), 64, 4)).scopedCache()
+      Dedup.lshBands(sigs, 64, 4)).scopedCache()
     val labels = Components.connectedComponents(
       docs.select(col("doc_id").as("id")), cands)
     Components.withClusterSizes(labels)
@@ -529,13 +532,17 @@ object TrainingQueries extends graft.QueryModule {
     val sh0 = Dedup.wordShingles(docs, "text", "doc_id")
     val oldSh0 = sh0.filter(pmod(col("id"), lit(5)) =!= 0)
     val newSh0 = sh0.filter(pmod(col("id"), lit(5)) === 0)
+    // the over-cap list is consumed by BOTH sides' anti-joins:
+    // cache it (one derivation of the standing-shingle aggregate)
+    // and broadcast it so neither side shuffles by g — the hot list
+    // is bounded by |standing shingles| / 1000 rows by construction
     val hot = oldSh0.groupBy(col("g")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > 1000L).select("g")
+      .filter(col("df") > 1000L).select("g").scopedCache()
     // each side feeds its signature build AND the verify join
     val oldSh = Dedup.shingleRowsWithCounts(
-      oldSh0.join(hot, Seq("g"), "left_anti")).scopedCache()
+      oldSh0.join(broadcast(hot), Seq("g"), "left_anti")).scopedCache()
     val newSh = Dedup.shingleRowsWithCounts(
-      newSh0.join(hot, Seq("g"), "left_anti")).scopedCache()
+      newSh0.join(broadcast(hot), Seq("g"), "left_anti")).scopedCache()
     val oldBands = Dedup.lshBands(
       Dedup.minhashSignatures(oldSh.select("id", "g"), 64), 64, 4)
     val newBands = Dedup.lshBands(
@@ -655,8 +662,11 @@ object TrainingQueries extends graft.QueryModule {
         Dedup.wordShingles(docs, "text", "doc_id"), 1000L)
       .withColumn("n_g", count(lit(1)).over(w))
       .scopedCache()
-    val cands = Dedup.minhashCandidates(
-      Dedup.lshBands(Dedup.minhashSignatures(idx.select("id", "g"), 64), 64, 4))
+    // the candidate self-join reads the band frame on BOTH sides;
+    // uncached, the 64-slot signature aggregate (and the shingle
+    // derivation below it) would run once per side
+    val sigs = Dedup.minhashSignatures(idx.select("id", "g"), 64).scopedCache()
+    val cands = Dedup.minhashCandidates(Dedup.lshBands(sigs, 64, 4))
     val a = idx.select(col("id").as("id1"), col("g"), col("n_g").as("n1"))
     val b = idx.select(col("id").as("id2"), col("g"), col("n_g").as("n2"))
     val verified = cands.join(a, Seq("id1")).join(b, Seq("id2", "g"))
