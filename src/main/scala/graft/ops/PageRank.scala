@@ -36,8 +36,19 @@ object PageRank {
     require(iters >= 1, "iters must be >= 1")
     require(dampingPpm >= 0L && dampingPpm <= 1000000L,
       "dampingPpm must be a ppm fraction")
+    // ONE src-partitioning carries every round (guide §2.4): the edge
+    // list is repartitioned by src BEFORE the dedup aggregate —
+    // hashpartitioning(src) satisfies the (src, dst) grouping (same
+    // src lands in one partition), so the dedup inserts no second
+    // exchange and the CACHED frame materializes partitioned by src.
+    // Each iteration's share join then reuses that partitioning and
+    // only node-sized frames move; the old distinct() cached the
+    // edges partitioned by (src, dst), and every one of the `iters`
+    // share joins re-exchanged the FULL edge list by src.
     val e = graft.core.CacheScope.cache(
-      edges.select(col("src"), col("dst")).distinct())
+      edges.select(col("src"), col("dst"))
+        .repartition(col("src"))
+        .dropDuplicates("src", "dst"))
     val nodes = graft.core.CacheScope.cache(
       e.select(col("src").as("node"))
         .unionByName(e.select(col("dst").as("node"))).distinct())
