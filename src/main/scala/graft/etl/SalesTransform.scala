@@ -1,7 +1,6 @@
 package graft.etl
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{Num, Tables}
 
@@ -75,10 +74,18 @@ object SalesTransform {
     * order here is the deterministic line_number; at scale this is a
     * single hash-partitioned window on the dedup key. */
   def dedupFirstWins(df: DataFrame, key: String, order: Seq[String]): DataFrame = {
-    val w = Window.partitionBy(col(key)).orderBy(order.map(col): _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    // argmin AGGREGATE, not a window: min(struct(order..., rest...))
+    // picks the same first row (the order columns form a total order
+    // per the caller contract below, so the trailing fields never
+    // decide) and partial-combines map-side — one candidate row per
+    // key leaves each task instead of the full partition sorting
+    // under row_number.
+    val rest = df.columns.filterNot(c => c == key || order.contains(c))
+    val packed = (order ++ rest).map(col)
+    df.groupBy(col(key))
+      .agg(min(struct(packed: _*)).as("__b"))
+      .select(df.columns.toIndexedSeq.map(c =>
+        if (c == key) col(key) else col(s"__b.$c").as(c)): _*)
   }
 
   /** line_number is NOT unique per order in the synthetic data; a

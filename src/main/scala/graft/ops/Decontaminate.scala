@@ -161,17 +161,21 @@ object Decontaminate {
     val suites = evalSet
       .select(col(evalIdCol).as("eval_id"), col(suiteCol).as("suite"))
       .distinct()
+    // per-(doc, suite) best row as an argmax aggregate (map-side
+    // partial combine, no window sort) — same (ratio DESC, eval_id
+    // ASC) order as the old row_number spelling
     shC.join(broadcast(shE), Seq("g"))
       .groupBy(col("id"), col("eval_id"))
       .agg(count(lit(1)).as("shared"), min(col("eval_ng")).as("eval_ng"))
       .join(broadcast(suites), Seq("eval_id"))
       .withColumn("ratio", col("shared") / col("eval_ng"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("id"), col("suite"))
-          .orderBy(col("ratio").desc, col("eval_id"))))
-      .filter(col("rn") === 1 && col("ratio") >= flagAt)
-      .select(col("id"), col("suite"), col("eval_id"), col("shared"),
-        col("eval_ng"), col("ratio"))
+      .groupBy(col("id"), col("suite"))
+      .agg(max(struct(col("ratio"), (-col("eval_id")).as("nid"),
+        col("shared"), col("eval_ng"))).as("b"))
+      .filter(col("b.ratio") >= flagAt)
+      .select(col("id"), col("suite"), (-col("b.nid")).as("eval_id"),
+        col("b.shared").as("shared"), col("b.eval_ng").as("eval_ng"),
+        col("b.ratio").as("ratio"))
   }
 
   private def bestOverlap(
@@ -190,15 +194,21 @@ object Decontaminate {
     // the already-broadcast-small eval side costs one local sort
     val shEw = shE.withColumn("eval_ng",
       count(lit(1)).over(Window.partitionBy(col("eval_id"))))
+    // the per-doc best row reduces as an argmax AGGREGATE —
+    // max(struct(ratio, -eval_id, ...)) is exactly the old window's
+    // (ratio DESC, eval_id ASC) order — so it partial-combines
+    // map-side: each task ships ONE candidate per doc instead of
+    // exchanging and sorting every (doc, eval) overlap row under a
+    // row_number window (which also had no AQE skew split)
     shC.join(broadcast(shEw), Seq("g"))
       .groupBy(col("id"), col("eval_id"))
       .agg(count(lit(1)).as("shared"), min(col("eval_ng")).as("eval_ng"))
       .withColumn("ratio", col("shared") / col("eval_ng"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("id"))
-          .orderBy(col("ratio").desc, col("eval_id"))))
-      .filter(col("rn") === 1)
-      .drop("rn")
+      .groupBy(col("id"))
+      .agg(max(struct(col("ratio"), (-col("eval_id")).as("nid"),
+        col("shared"), col("eval_ng"))).as("b"))
+      .select(col("id"), (-col("b.nid")).as("eval_id"), col("b.shared").as("shared"),
+        col("b.eval_ng").as("eval_ng"), col("b.ratio").as("ratio"))
   }
 
   /** Semantic (embedding-cosine) decontamination — the modern

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.CacheScope.Scoped
 
@@ -49,13 +48,18 @@ object Funnel {
   }
 
   /** Stage-3 survivors deduped first-wins WITHIN the flag frame
-    * (lowest id per fingerprint). */
+    * (lowest id per fingerprint). An argmin AGGREGATE — `id` is
+    * unique, so min(struct(id, ...)) IS the old window's first row —
+    * which partial-combines map-side: each task ships one survivor
+    * candidate per fingerprint instead of exchanging and sorting
+    * every stage-3 row under a row_number window. */
   def uniqueWithin(flagFrame: DataFrame): DataFrame =
     flagFrame.filter(col("f3") === 1)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("fp")).orderBy(col("id"))))
-      .filter(col("rn") === 1)
-      .drop("rn")
+      .groupBy(col("fp"))
+      .agg(min(struct(col("id"), col("n_words"), col("f1"), col("f2"),
+        col("f3"))).as("b"))
+      .select(col("b.id").as("id"), col("fp"), col("b.n_words").as("n_words"),
+        col("b.f1").as("f1"), col("b.f2").as("f2"), col("b.f3").as("f3"))
 
   /** The 5-row funnel from the flag frame and the stage-4 survivor
     * rows (which must carry `n_words`). */

@@ -223,13 +223,17 @@ object Similarity {
     val scored = e.join(a, Seq("bucket"))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("sim", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
+    // top-1 as an argmax AGGREGATE — max(struct(sim, -vec_id)) is the
+    // old window's (sim DESC, vec_id ASC) order — so it
+    // partial-combines map-side: each task ships one candidate per
+    // query instead of exchanging and sorting every scored bucket
+    // pair (same move [[nearestNeighbor]] documents)
     scored
       .select(col("q_id"), col("vec_id"), col("sim")) // slim before exchange
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("q_id").as("vec_id"), col("vec_id").as("nn_id"), col("sim"))
+      .groupBy(col("q_id"))
+      .agg(max(struct(col("sim"), (-col("vec_id")).as("nid"))).as("b"))
+      .select(col("q_id").as("vec_id"), (-col("b.nid")).as("nn_id"),
+        col("b.sim").as("sim"))
       .orderBy(col("vec_id"))
   }
 

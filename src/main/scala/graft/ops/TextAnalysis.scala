@@ -57,20 +57,23 @@ object TextAnalysis {
     val counts = bigrams
       .groupBy(col("id"), col("n_tokens"), col("n_distinct"), col("g"))
       .agg(count(lit(1)).as("n"))
+    // top bigram as an argmin AGGREGATE — min(struct(-n, g)) is the
+    // old window's (n DESC, g ASC) order — so it partial-combines
+    // map-side (each task ships one candidate bigram per doc) instead
+    // of exchanging and sorting every (doc, bigram) count row under a
+    // row_number window
     counts
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("id")).orderBy(col("n").desc, col("g"))))
-      .filter(col("rn") === 1)
+      .groupBy(col("id"), col("n_tokens"), col("n_distinct"))
+      .agg(min(struct((-col("n")).as("nn"), col("g"))).as("b"))
       .select(
         col("id"),
         col("n_tokens"),
         ((col("n_tokens") - col("n_distinct")) / col("n_tokens"))
           .as("dup_word_ratio"),
-        col("g").as("top_bigram"),
-        col("n").as("top_bigram_n"),
-        (col("n") / (col("n_tokens") - 1)).as("top_bigram_frac"),
-        (col("n") / (col("n_tokens") - 1) >= flagAt).cast("long")
+        col("b.g").as("top_bigram"),
+        (-col("b.nn")).as("top_bigram_n"),
+        (-col("b.nn") / (col("n_tokens") - 1)).as("top_bigram_frac"),
+        (-col("b.nn") / (col("n_tokens") - 1) >= flagAt).cast("long")
           .as("repetitive"))
   }
 
