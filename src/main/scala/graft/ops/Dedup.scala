@@ -547,12 +547,26 @@ object Dedup {
       col("id").as("id1"), col("simhash").as("f1"))
     val b = banded.select(col("band"), col("bv"),
       col("id").as("id2"), col("simhash").as("f2"))
+    // a pair at Hamming d <= nBands-1 collides in every band its
+    // differing bits leave clean — up to nBands times (measured 4.4x
+    // duplication at sf0.1), and the old spelling paid a distinct()
+    // shuffle over the verified output to collapse the copies. Emit
+    // each pair from its FIRST matching band instead: band j matches
+    // iff the xor's j-th slice is zero, so a codegen'd when-chain
+    // finds the lowest matching band and the join row survives only
+    // where its own band index equals it — exactly one copy per
+    // qualifying pair, no distinct, one less exchange.
+    val x = col("f1").bitwiseXOR(col("f2"))
+    val firstMatch = (0 until nBands).foldRight(lit(-1L)) { (j, rest) =>
+      when(shiftrightunsigned(x, j * bandBits)
+        .bitwiseAND(lit((1L << bandBits) - 1)) === 0L, lit(j.toLong))
+        .otherwise(rest)
+    }
     a.join(b, Seq("band", "bv"))
       .filter(col("id1") < col("id2"))
-      .withColumn("hamming",
-        bit_count(col("f1").bitwiseXOR(col("f2"))).cast("long"))
+      .filter(col("band").cast("long") === firstMatch)
+      .withColumn("hamming", bit_count(x).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id1"), col("id2"), col("hamming"))
-      .distinct()
   }
 }

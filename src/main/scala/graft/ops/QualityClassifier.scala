@@ -94,7 +94,13 @@ object QualityClassifier {
     var bias = 0.0d
     var it = 0
     while (it < iters) {
-      val wl = array(w.map(lit).toIndexedSeq: _*)
+      // ONE ArrayType literal, not nBuckets individual lit() slots: the
+      // per-iteration weights change, so every iteration re-analyzes
+      // and re-codegens its plan — with 1024 Literal nodes that tree
+      // work dominated the (tiny) gradient job 12 times over; a single
+      // typedlit keeps the expression tree constant-size (element_at
+      // semantics identical)
+      val wl = typedLit(w.toIndexedSeq)
       val wOf = (b: Column) =>
         when(b < 0, lit(bias)).otherwise(element_at(wl, b.cast("int") + 1))
       // margin and residual evaluated IN-ROW against the literal

@@ -974,7 +974,7 @@ object TrainingQueries extends graft.QueryModule {
   def qSimhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairsBanded(
         Dedup.simhash(Tables.documents(s, dir), "text", "doc_id"),
-        maxHamming = 8)
+        maxHamming = 8, bandBits = 7)
       .orderBy(col("id1"), col("id2"))
 
   val qSimhashPairsSql: String =
