@@ -89,11 +89,15 @@ object Components {
       nodes: DataFrame, edges: DataFrame, maxIters: Int = 25,
       roundsPerCheck: Int = 2): DataFrame = {
     // one pass over the edge list (a union of two selects would scan
-    // the — possibly expensive — candidate plan twice on first use)
+    // the — possibly expensive — candidate plan twice on first use);
+    // cached PARTITIONED BY nbr — every round's propagation joins on
+    // nbr, so one exchange at build time carries all rounds instead of
+    // re-shuffling the edge list per round (the PageRank move)
     val sym = edges.select(explode(array(
         struct(col("id1").as("id"), col("id2").as("nbr")),
         struct(col("id2").as("id"), col("id1").as("nbr")))).as("e"))
       .select(col("e.id").as("id"), col("e.nbr").as("nbr"))
+      .repartition(col("nbr"))
       .cache()
     var labels = nodes.select(col("id"), col("id").as("lbl")).localCheckpoint()
     var changed = 1L
